@@ -1,0 +1,91 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.codec.Rfc822Parser
+import graft.model.ParsedFile
+
+/** Batch ingest of a hierarchical maildir tree (`base/<user>/<folder>/<file>`).
+  *
+  * Spark-native restatement of the reference's triple-nested sorted walk +
+  * per-file parse (ref: ingest_enron.py:164-178 walk, :70-140 parse;
+  * Celery fan-out app/orchestrator.py:28-51): the `binaryFile` source
+  * lists and reads files partition-parallel on executors, the hierarchy
+  * columns are recovered from the file path, and the parse runs inside
+  * `mapPartitions` — no driver-side loops anywhere.
+  *
+  * Error semantics: a file that fails to parse becomes a row with a
+  * non-null `error` instead of killing the job (PERMISSIVE-style;
+  * ref: try/except at ingest_enron.py:181,205-206 → SURVEY.md §2.7 D5).
+  * Ordering: the reference's sorted walk gives "first writer" semantics
+  * for duplicate keys; here determinism comes from explicit ordering by
+  * `path` in the merge (EmailStore), so scan order is irrelevant.
+  */
+object EmailIngest {
+
+  /** S1/S2: recursive binary scan + hierarchy columns from the path. */
+  def scan(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(baseDir)
+      .select(
+        col("path"),
+        regexp_extract(col("path"), "([^/]+)/([^/]+)/([^/]+)$", 1).as("user"),
+        regexp_extract(col("path"), "([^/]+)/([^/]+)/([^/]+)$", 2).as("folder"),
+        regexp_extract(col("path"), "([^/]+)/([^/]+)/([^/]+)$", 3).as("filename"),
+        col("content"))
+
+  /** S4 + D5: parse each file into an EmailDoc row with error isolation. */
+  def parse(spark: SparkSession, scanned: DataFrame): Dataset[ParsedFile] = {
+    import spark.implicits._
+    scanned
+      .select("path", "user", "folder", "filename", "content")
+      .as[(String, String, String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (path, user, folder, filename, content) =>
+          try {
+            val doc = Rfc822Parser.parse(content, user, folder, filename)
+            ParsedFile(path, user, folder, filename, Some(doc), None)
+          } catch {
+            case e: Exception =>
+              ParsedFile(path, user, folder, filename, None,
+                Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          }
+        }
+      }
+  }
+
+  /** Full ingest: scan → parse. Rows with `error != null` are quarantine
+    * rows; `docs` below gives the clean stream. */
+  def ingest(spark: SparkSession, baseDir: String): Dataset[ParsedFile] =
+    parse(spark, scan(spark, baseDir))
+
+  /** Successfully parsed documents as store-schema rows (one row per
+    * physical file — duplicates by dedupe_key are merged by EmailStore). */
+  def docs(spark: SparkSession, parsed: Dataset[ParsedFile]): DataFrame = {
+    import spark.implicits._
+    parsed.filter(_.doc.isDefined)
+      .map(p => (p.path, p.doc.get))
+      .toDF("path", "doc")
+      .select(col("path"), col("doc.*"))
+  }
+
+  /** Quarantined failures (D5): path + error, never kills the job. */
+  def quarantine(spark: SparkSession, parsed: Dataset[ParsedFile]): DataFrame = {
+    import spark.implicits._
+    parsed.filter(_.error.isDefined)
+      .map(p => (p.path, p.error.get)).toDF("path", "error")
+  }
+
+  /** D8 dry-run: parse everything, write nothing, report counters
+    * (ref: ingest_enron.py:154,198-199 + counters :214-216). */
+  def dryRun(spark: SparkSession, baseDir: String): (Long, Long) = {
+    val parsed = ingest(spark, baseDir).cache()
+    try {
+      val ok = parsed.filter(_.doc.isDefined).count()
+      val failed = parsed.filter(_.error.isDefined).count()
+      (ok, failed)
+    } finally parsed.unpersist()
+  }
+}
