@@ -1,0 +1,336 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ext.TextOps.{md5Long, shingles3, tokens}
+
+/** Deduplication operators over `documents`/`embeddings` — the core
+  * LLM-training-data tier: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine near-dup.
+  *
+  * Scale design notes:
+  *  - Exact dedup is one hash aggregation on a fingerprint (map-side
+  *    partial, single shuffle).
+  *  - MinHash/LSH is the 100 TB path: per-doc signatures (one shuffle on
+  *    doc_id), band buckets (explode ×4), candidate generation by
+  *    equi-join on bucket (shuffle on bucket key — never an n² cross
+  *    join), exact verify only on candidates.
+  *  - The md5-derived 60-bit hash (TextOps.md5Long) is used everywhere
+  *    so every stage is bit-reproducible in the DuckDB oracle.
+  *  - SimHash pairs and embedding pairs use integer/blocked comparisons
+  *    to bound the pair space (hamming ≤ 2 within signature, cosine
+  *    within same-label block).
+  */
+object DedupOps {
+
+  private val normText = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+
+  /** (doc_id, shingle) distinct pairs — the shared input of the
+    * Jaccard/minhash family. The token array is materialized through a
+    * projection boundary first: Spark does NOT common-subexpression-
+    * eliminate inside higher-order-function lambdas, so inlining
+    * `tokens(text)` into `shingles3` re-runs the split per element_at
+    * (measured 20x slower). */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(col("toks")))).as("shingle"))
+
+  private val shingleRowsSql =
+    """SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 1, 1)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      |  FROM (SELECT doc_id, list_filter(
+      |        regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      |        FROM documents)""".stripMargin
+
+  // ------------------------------------------------------ d50 exact
+
+  /** d50: exact dedup on the normalized-text fingerprint — groups plus
+    * the chosen representative (min doc_id = deterministic keeper). */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), md5(normText).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  val exactDedupSql: String =
+    """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+      |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
+
+  // -------------------------------------------- d51 n-gram jaccard
+
+  /** d51: near-dup pairs by exact word-3-gram Jaccard ≥ 0.5. The pair
+    * space comes from an equi-join on shingle (inverted-index style),
+    * never a cross join; the 0.5 threshold sits in the empty gap of the
+    * corpus distribution (observed: clusters ≥ 0.9, background ≤ 0.07),
+    * and Jaccard is a ratio of ints — no fp instability at the cut. */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // join on 60-bit hashed shingle ids: ~4x smaller shuffle than the
+    // raw shingle strings, same counts (md5-family, collision-free here
+    // and bit-identical in the oracle)
+    val sh = shingleRows(s, d)
+      .select(col("doc_id"), md5Long(col("shingle")).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("i", "sh")
+    val b = sh.toDF("j", "sh")
+    val inter = a.join(b, "sh").filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("i", "ni"), "i")
+      .join(sizes.toDF("j", "nj"), "j")
+      .withColumn("jaccard",
+        round(col("inter") / (col("ni") + col("nj") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("i").as("doc_a"), col("j").as("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val jaccardPairsSql: String =
+    s"""WITH shs AS ($shingleRowsSql),
+      |sh AS (SELECT doc_id,
+      |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh FROM shs),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id i, b.doc_id j, count(*) inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i AS doc_a, j AS doc_b,
+      |  round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------- d52 minhash + LSH
+
+  private val numHashes = 8
+  private val bandSize = 2 // 4 bands of 2 → catches jaccard ≳ 0.5 w.h.p.
+
+  /** d52: MinHash signatures + banded LSH candidates + exact verify.
+    * Identical md5-derived hash family on both engines, so the whole
+    * approximate pipeline is oracle-checked, not just smoke-tested. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)
+    // dictionary trick: hash each DISTINCT shingle once (9 md5s over the
+    // ~small dictionary), broadcast-join back — ~10x fewer md5 evals than
+    // hashing per (doc, shingle) row. At 100 TB the dictionary shards by
+    // shingle hash range instead of broadcasting.
+    val dict = sh.select("shingle").distinct()
+      .select(col("shingle") +: md5Long(col("shingle")).as("sh") +:
+        (1 to numHashes).map(j =>
+          md5Long(concat(lit(s"$j:"), col("shingle"))).as(s"hs$j")): _*)
+    val hashed = sh.join(broadcast(dict), "shingle").drop("shingle")
+    val sigCols = (1 to numHashes).map(j => min(col(s"hs$j")).as(s"h$j"))
+    val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // band buckets: (band, h_{2b-1}, h_{2b})
+    val bands = (1 to numHashes / bandSize).map { bnd =>
+      struct(lit(bnd).as("band"),
+        col(s"h${bandSize * bnd - 1}").as("x"),
+        col(s"h${bandSize * bnd}").as("y"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("bkt"))
+      .select(col("doc_id"), col("bkt.band"), col("bkt.x"), col("bkt.y"))
+    val cand = buckets.toDF("i", "band", "x", "y")
+      .join(buckets.toDF("j", "band", "x", "y"), Seq("band", "x", "y"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    // exact verify restricted to candidates: explode only candidate
+    // docs' shingle sets (tiny), never the all-pairs intersection
+    val shh = hashed.select("doc_id", "sh")
+    val sizes = shh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val candA = cand.join(shh.toDF("i", "sh"), "i")
+    val inter = candA.join(shh.toDF("j", "sh"), Seq("j", "sh"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("i", "ni"), "i")
+      .join(sizes.toDF("j", "nj"), "j")
+      .withColumn("jaccard",
+        round(col("inter") / (col("ni") + col("nj") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("i").as("doc_a"), col("j").as("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashLshSql: String = {
+    val hashExprs = (1 to numHashes).map { j =>
+      s"min(('0x' || substr(md5('$j:' || shingle), 1, 15))::BIGINT) AS h$j"
+    }.mkString(", ")
+    val bandSelects = (1 to numHashes / bandSize).map { bnd =>
+      s"SELECT doc_id, $bnd AS band, h${bandSize * bnd - 1} AS x, " +
+        s"h${bandSize * bnd} AS y FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS ($shingleRowsSql),
+      |sigs AS (SELECT doc_id, $hashExprs FROM sh GROUP BY doc_id),
+      |bkts AS ($bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id i, b.doc_id j
+      |  FROM bkts a JOIN bkts b
+      |    ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT ca.i, ca.j, count(*) inter
+      |  FROM (SELECT cand.i, cand.j, a.shingle FROM cand
+      |        JOIN sh a ON a.doc_id = cand.i) ca
+      |  JOIN sh b ON b.doc_id = ca.j AND b.shingle = ca.shingle
+      |  GROUP BY 1, 2)
+      |SELECT cand.i AS doc_a, cand.j AS doc_b,
+      |  round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+      |FROM cand JOIN inter ON inter.i = cand.i AND inter.j = cand.j
+      |JOIN sizes sa ON sa.doc_id = cand.i JOIN sizes sb ON sb.doc_id = cand.j
+      |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------ d53 simhash
+
+  private val simhashBits = 32
+
+  /** d53: 32-bit SimHash per document from md5 bit votes over distinct
+    * word-3-gram shingles (bit k set iff more shingles have bit k set
+    * than clear). Shingle features, not tokens: this corpus shares one
+    * small vocabulary, so token-level SimHash collides for unrelated
+    * docs; shingles discriminate. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    // single pass: 32 conditional-sum aggregates in one groupBy — no
+    // 32x row explosion, stays inside whole-stage codegen
+    val withHash = shingleRows(s, d).withColumn("h", md5Long(col("shingle")))
+    val voteCols = (0 until simhashBits).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$k")
+    }
+    val votes = withHash.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    votes.select(col("doc_id"),
+      (0 until simhashBits).map(k =>
+        when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val simhashSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 1, 1)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS token
+      |  FROM (SELECT doc_id, list_filter(
+      |        regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      |        FROM documents)),
+      |votes AS (
+      |  SELECT doc_id, k,
+      |    sum(CASE WHEN (('0x' || substr(md5(token), 1, 15))::BIGINT >> k) % 2 = 1
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM tok, generate_series(0, ${simhashBits - 1}) AS g(k)
+      |  GROUP BY doc_id, k)
+      |SELECT doc_id,
+      |  sum(CASE WHEN v > 0 THEN CAST(2 ** k AS BIGINT) ELSE 0 END) AS simhash
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** d53b: near-dup pairs by SimHash hamming distance ≤ 3. Candidate
+    * generation is an equi-join on byte bands, never n²: hamming ≤ 3
+    * over 32 bits means ≤ 3 bytes differ, so by pigeonhole at least one
+    * of the 4 bytes is identical — banding has perfect recall at this
+    * threshold. Integer comparisons → exact on both engines. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash(s, d)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("byte"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.byte"))
+    val cand = banded.toDF("doc_a", "sig_a", "band", "byte")
+      .join(banded.toDF("doc_b", "sig_b", "band", "byte"), Seq("band", "byte"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "sig_a", "doc_b", "sig_b").distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 1, 1)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS token
+      |  FROM (SELECT doc_id, list_filter(
+      |        regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      |        FROM documents)),
+      |votes AS (
+      |  SELECT doc_id, k,
+      |    sum(CASE WHEN (('0x' || substr(md5(token), 1, 15))::BIGINT >> k) % 2 = 1
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM tok, generate_series(0, ${simhashBits - 1}) AS g(k)
+      |  GROUP BY doc_id, k),
+      |sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN CAST(2 ** k AS BIGINT) ELSE 0 END) AS simhash
+      |  FROM votes GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------- d54 embedding-cosine dups
+
+  /** d54: embedding near-dup pairs, blocked by `label` (IVF-style
+    * blocking: at 100 TB you never cross-join the corpus — you compare
+    * within coarse clusters only). Cosine on doubles, rounded before
+    * the threshold on both engines. */
+  def embeddingDupPairs(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.toDF("vec_a", "label", "va")
+    val b = e.toDF("vec_b", "label", "vb")
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("na", sqrt(aggregate(transform(col("va"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nb", sqrt(aggregate(transform(col("vb"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= 0.4)
+      .select("label", "vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embeddingDupPairsSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      |p AS (
+      |  SELECT a.label, a.vec_id vec_a, b.vec_id vec_b,
+      |    list_sum(list_transform(range(1, len(a.v) + 1),
+      |      i -> a.v[i] * b.v[i])) AS dot,
+      |    sqrt(list_sum(list_transform(a.v, x -> x * x))) AS na,
+      |    sqrt(list_sum(list_transform(b.v, x -> x * x))) AS nb
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT label, vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
+      |FROM p WHERE round(dot / (na * nb), 6) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d50_exact_dedup"    -> exactDedup _,
+    "d51_jaccard_pairs"  -> jaccardPairs _,
+    "d52_minhash_lsh"    -> minhashLsh _,
+    "d53_simhash"        -> simhash _,
+    "d53b_simhash_pairs" -> simhashPairs _,
+    "d54_embedding_dups" -> embeddingDupPairs _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d50_exact_dedup"    -> exactDedupSql,
+    "d51_jaccard_pairs"  -> jaccardPairsSql,
+    "d52_minhash_lsh"    -> minhashLshSql,
+    "d53_simhash"        -> simhashSql,
+    "d53b_simhash_pairs" -> simhashPairsSql,
+    "d54_embedding_dups" -> embeddingDupPairsSql,
+  )
+}

@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Event-stream analytics over the `events` table: tumbling/hopping
+  * windows, sessionization, JSON property extraction.
+  *
+  * The events parquet stores TIMESTAMP(NANOS), which Spark 4 only reads
+  * as LongType under `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+  * Verify/Bench/test sessions). All time arithmetic therefore runs on
+  * exact integer microseconds (`ts div 1000`), which DuckDB's
+  * `epoch_us(ts)` reproduces bit-for-bit (both truncate ns → µs). These are the
+  * batch twins of the Structured Streaming operators in
+  * `graft.streaming` — same bucketing arithmetic, so streaming output
+  * can be validated against these oracle-checked results.
+  *
+  * Windows use integer epoch-bucket arithmetic (floor(epoch/width))
+  * rather than engine-specific window helpers so the DuckDB twin is
+  * exact; epoch carries microseconds as double in both engines.
+  */
+object EventOps {
+
+  // ----------------------------------------------- e80 tumbling
+
+  /** e80: 5-minute tumbling window counts + value sums per event_type. */
+  def tumblingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("bucket", expr("(ts div 1000) div 300000000"))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .withColumn("window_start", timestamp_seconds(col("bucket") * 300))
+      .select("window_start", "event_type", "n_events", "total_value")
+      .orderBy("window_start", "event_type")
+
+  val tumblingWindowSql: String =
+    """SELECT CAST(to_timestamp(bucket * 300) AS TIMESTAMP) AS window_start,
+      |  event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM (SELECT epoch_us(ts) // 300000000 AS bucket, *
+      |      FROM events)
+      |GROUP BY bucket, event_type ORDER BY window_start, event_type""".stripMargin
+
+  // ------------------------------------------------ e81 hopping
+
+  /** e81: 10-minute windows hopping every 5 minutes — each event lands
+    * in two windows (explode over the two covering hops). */
+  def hoppingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("bucket", expr("(ts div 1000) div 300000000"))
+      .select(col("event_type"), col("value"),
+        explode(array(col("bucket"), col("bucket") - 1)).as("win"))
+      .groupBy("win", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg("value"), 4).as("avg_value"))
+      .withColumn("window_start", timestamp_seconds(col("win") * 300))
+      .select("window_start", "event_type", "n_events", "avg_value")
+      .orderBy("window_start", "event_type")
+
+  val hoppingWindowSql: String =
+    """SELECT CAST(to_timestamp(win * 300) AS TIMESTAMP) AS window_start,
+      |  event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value
+      |FROM (
+      |  SELECT event_type, value,
+      |    unnest([bucket, bucket - 1]) AS win
+      |  FROM (SELECT epoch_us(ts) // 300000000 AS bucket, *
+      |        FROM events))
+      |GROUP BY win, event_type ORDER BY window_start, event_type""".stripMargin
+
+  // --------------------------------------------- e82 sessionize
+
+  /** e82: gap-based sessionization (30-minute inactivity closes a
+    * session) — the canonical stateful-stream op as a batch window
+    * program: lag → new-session flag → running sum = session index. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = events(s, d)
+      .withColumn("tsd", expr("ts div 1000") / lit(1e6))
+      .withColumn("prev", lag("tsd", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("tsd") - col("prev") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy("user_id", "sess_idx")
+      .agg(count(lit(1)).as("n_events"),
+        round(max("tsd") - min("tsd"), 3).as("duration_s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        round(avg("n_events"), 4).as("avg_events_per_session"),
+        round(max("duration_s"), 3).as("longest_session_s"))
+      .orderBy("user_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) / 1000000.0 AS tsd,
+      |    lag(epoch_us(ts) / 1000000.0) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, tsd,
+      |    CASE WHEN prev IS NULL OR tsd - prev > 1800 THEN 1 ELSE 0 END
+      |      AS new_sess
+      |  FROM t),
+      |sess AS (
+      |  SELECT user_id, event_id, tsd,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsd, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, sess_idx, count(*) AS n_events,
+      |    round(max(tsd) - min(tsd), 3) AS duration_s
+      |  FROM sess GROUP BY user_id, sess_idx)
+      |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+      |  round(avg(n_events), 4) AS avg_events_per_session,
+      |  round(max(duration_s), 3) AS longest_session_s
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------- e83 json
+
+  /** e83: JSON property extraction (`props` is a JSON string column)
+    * + distribution by value decile. */
+  def jsonProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_decile", (floor(col("k") / 10) * 10).cast("long"))
+      .groupBy("k_decile")
+      .agg(count(lit(1)).as("n"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("k_decile")
+
+  val jsonPropsSql: String =
+    """SELECT CAST(floor(k / 10) * 10 AS BIGINT) AS k_decile,
+      |  count(*) AS n, min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1 ORDER BY k_decile""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e80_tumbling_window" -> tumblingWindow _,
+    "e81_hopping_window"  -> hoppingWindow _,
+    "e82_sessionize"      -> sessionize _,
+    "e83_json_props"      -> jsonProps _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e80_tumbling_window" -> tumblingWindowSql,
+    "e81_hopping_window"  -> hoppingWindowSql,
+    "e82_sessionize"      -> sessionizeSql,
+    "e83_json_props"      -> jsonPropsSql,
+  )
+}

@@ -1,0 +1,186 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.ext.TextOps.md5Long
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Three tiers, mirroring how ANN actually scales:
+  *  - s60 brute-force top-k: broadcast the (small) query set against the
+  *    corpus — the exactness baseline. No shuffle of the corpus at all:
+  *    queries broadcast, cosine + per-query top-k via window on the
+  *    query side only.
+  *  - s61 IVF: coarse centroids (one per `label`), probe the best
+  *    centroid's cluster only — the 100 TB path (corpus partitioned by
+  *    cluster id; each query touches one partition).
+  *  - s62 sign-LSH: 16-bit random-hyperplane signatures (deterministic
+  *    md5-derived ±1 planes) — bucketed candidate generation when no
+  *    cluster structure is known.
+  *
+  * Dot products run as `zip_with` + left-fold `aggregate` over doubles
+  * (sequential, deterministic) and cosines are rounded to 6 digits
+  * BEFORE ranking on both engines, so ordering is stable under fp.
+  */
+object SimilarityOps {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  private val cosineSqlSnippet =
+    """list_sum(list_transform(range(1, len(QV) + 1), i -> QV[i] * CV[i]))
+      | / (sqrt(list_sum(list_transform(QV, x -> x * x)))
+      |    * sqrt(list_sum(list_transform(CV, x -> x * x))))""".stripMargin
+
+  // ----------------------------------------------- s60 brute force
+
+  /** s60: exact cosine top-5 for each query vector (vec_id < 10). */
+  def knnBrute(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10).toDF("q_id", "qv")
+    val c = e.toDF("c_id", "cv")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("cosine"),
+        col("rank").cast("bigint").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val knnBruteSql: String = {
+    val cosine = cosineSqlSnippet.replace("QV", "q.v").replace("CV", "c.v")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id q_id, c.vec_id c_id, round($cosine, 6) AS cosine
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT q_id, c_id, cosine, CAST(row_number() OVER (
+      |    PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT q_id, c_id, cosine, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  // --------------------------------------------------- s61 IVF probe
+
+  /** s61: IVF — centroid per `label` (position-wise mean), each query
+    * probes only its best centroid's cluster, exact top-3 inside. */
+  def ivfKnn(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    // centroids: posexplode → per-(label,pos) mean → re-assembled array
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        p => p.getField("cx")).as("cv"))
+    val q = e.filter(col("vec_id") < 10).toDF("q_id", "q_label", "qv")
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("cent_cos").desc, col("label"))
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("cent_cos",
+        round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") === 1)
+      .select(col("q_id"), col("qv"), col("label").as("probe_label"))
+    val wRank = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("c_id"))
+    probe
+      .join(e.toDF("c_id", "probe_label", "cv"), Seq("probe_label"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("probe_label"), col("c_id"), col("cosine"),
+        col("rank").cast("bigint").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val ivfKnnSql: String = {
+    val qcCos = cosineSqlSnippet.replace("QV", "q.v").replace("CV", "cent.cv")
+    val qeCos = cosineSqlSnippet.replace("QV", "p.qv").replace("CV", "c.v")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      |cent AS (
+      |  SELECT label, list(cx ORDER BY i) AS cv FROM (
+      |    SELECT label, i, avg(v[i]) AS cx
+      |    FROM e, generate_series(1, 64) AS g(i)
+      |    GROUP BY label, i)
+      |  GROUP BY label),
+      |probe AS (
+      |  SELECT q_id, qv, label AS probe_label FROM (
+      |    SELECT q.vec_id q_id, q.v qv, cent.label,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round($qcCos, 6) DESC, cent.label) AS pr
+      |    FROM e q, cent WHERE q.vec_id < 10)
+      |  WHERE pr = 1),
+      |ranked AS (
+      |  SELECT p.q_id, p.probe_label, c.vec_id c_id,
+      |    round($qeCos, 6) AS cosine,
+      |    CAST(row_number() OVER (PARTITION BY p.q_id
+      |      ORDER BY round($qeCos, 6) DESC, c.vec_id) AS BIGINT) AS rank
+      |  FROM probe p JOIN e c ON c.label = p.probe_label
+      |    AND c.vec_id <> p.q_id)
+      |SELECT q_id, probe_label, c_id, cosine, rank FROM ranked
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------- s62 sign-LSH
+
+  private val numPlanes = 16
+
+  /** Deterministic ±1 hyperplane component for (plane, dim): parity of
+    * an md5-derived integer — reproducible anywhere. */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(md5Long(concat(lit(s"plane$plane:"), dim.cast("string"))) % 2 === 0,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** s62: 16-bit sign-LSH signature per vector + bucket sizes — the
+    * candidate-generation layer of hyperplane ANN (rows-only check: the
+    * plane family is engine-defined). At scale the corpus is
+    * partitioned by signature; queries probe their bucket ± 1-bit
+    * neighbors. */
+  def signLshBuckets(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val sigBits = (0 until numPlanes).map { p =>
+      // dot(v, plane_p) > 0 → bit p
+      val planeDot = aggregate(
+        zip_with(col("v"),
+          transform(sequence(lit(0), lit(63)), i => planeSign(p, i)),
+          _ * _),
+        lit(0.0), (acc, x) => acc + x)
+      when(planeDot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    e.withColumn("signature", sigBits.reduce(_ + _))
+      .groupBy("signature")
+      .agg(count(lit(1)).as("bucket_size"),
+        min("vec_id").as("min_vec_id"))
+      .orderBy("signature")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s60_knn_brute"    -> knnBrute _,
+    "s61_ivf_knn"      -> ivfKnn _,
+    "s62_signlsh"      -> signLshBuckets _,
+  )
+
+  /** s62 omitted: plane family is engine-defined → rows-only check. */
+  val oracleSql: Map[String, String] = Map(
+    "s60_knn_brute"    -> knnBruteSql,
+    "s61_ivf_knn"      -> ivfKnnSql,
+  )
+}

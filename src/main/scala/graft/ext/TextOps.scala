@@ -1,0 +1,247 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization/counting, quality scoring, language
+  * ID (stopword-marker heuristic), document fingerprinting, shingling.
+  *
+  * Everything is built from codegen'd `functions._` expressions — no
+  * UDFs — so the whole stage stays inside WholeStageCodegen and scales
+  * by partition. Each op has an exact DuckDB oracle twin; arithmetic is
+  * integer-or-rational where possible and rounded where not.
+  */
+object TextOps {
+
+  /** Whitespace tokens of lowercased text, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles (n=3) from whitespace tokens. Guarded against
+    * short docs (Spark's `sequence(1,0)` counts DOWN — never call it
+    * with start > stop). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** 60-bit integer from the first 15 hex chars of an md5 — the one
+    * hash primitive that is bit-identical in Spark and DuckDB (and thus
+    * usable in oracle-checked minhash/fingerprint ops). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ------------------------------------------------------- token stats
+
+  /** t40: per-document token statistics (whitespace + BPE-ish regex
+    * word/number/punct classes). */
+  def tokenStats(s: SparkSession, d: String): DataFrame = {
+    val t = col("__toks") // materialized once (no CSE inside HOF lambdas)
+    documents(s, d)
+      .withColumn("__toks", tokens(col("text")))
+      .select(
+      col("doc_id"),
+      size(t).cast("bigint").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+        .cast("bigint").as("n_words"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        .cast("bigint").as("n_numbers"),
+      length(col("text")).cast("bigint").as("n_chars_measured"),
+      round(aggregate(transform(t, x => length(x).cast("double")),
+        lit(0.0), (acc, x) => acc + x) / greatest(size(t), lit(1)), 4)
+        .as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |       x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+      |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+      |  round(list_sum(list_transform(
+      |      list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''),
+      |      x -> CAST(length(x) AS DOUBLE)))
+      |    / greatest(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x <> '')), 1), 4) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- word freq
+
+  /** t41: global top-50 word frequencies (explode → groupBy; partial
+    * aggregation map-side, single shuffle on the word). */
+  def wordFreq(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))  // single HOF, no reuse
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+
+  val wordFreqSql: String =
+    """SELECT word, count(*) AS n FROM (
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |         x -> x <> '')) AS word FROM documents)
+      |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin
+
+  // ----------------------------------------------------- quality score
+
+  /** t42: heuristic quality scoring — length/punctuation/stopword
+    * ratios combined into one score (the standard pretraining-data
+    * quality-filter shape). */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val t = col("__toks")
+    val nChars = greatest(length(col("text")), lit(1)).cast("double")
+    val nToks = greatest(size(t), lit(1)).cast("double")
+    val punct = length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+    val stop = size(filter(t, x => x.isin("the", "a", "of", "and")))
+    documents(s, d)
+      .withColumn("__toks", tokens(col("text")))
+      .select(
+      col("doc_id"),
+      round((punct.cast("double") / nChars), 4).as("punct_ratio"),
+      round(stop.cast("double") / nToks, 4).as("stopword_ratio"),
+      round(nChars / nToks, 4).as("chars_per_token"),
+      round(
+        when(length(col("text")).between(100, 2000), 1.0).otherwise(0.5) *
+        (lit(1.0) - punct.cast("double") / nChars) *
+        (lit(0.5) + stop.cast("double") / nToks), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars,
+      |    CAST(greatest(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |         x -> x <> '')), 1) AS DOUBLE) AS n_toks,
+      |    CAST(length(text) -
+      |      length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      |      AS punct,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x IN ('the','a','of','and'))) AS DOUBLE) AS stop,
+      |    length(text) AS raw_len
+      |  FROM documents)
+      |SELECT doc_id,
+      |  round(punct / n_chars, 4) AS punct_ratio,
+      |  round(stop / n_toks, 4) AS stopword_ratio,
+      |  round(n_chars / n_toks, 4) AS chars_per_token,
+      |  round((CASE WHEN raw_len BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.5 END) *
+      |        (1.0 - punct / n_chars) * (0.5 + stop / n_toks), 4) AS quality
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- lang id
+
+  /** t43: marker-stopword language ID (n-gram heuristic tier; real
+    * model-based LID is out of scope offline). Deterministic argmax
+    * with fixed tie order en>de>fr>es, 'und' (undetermined) when all
+    * scores are zero. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val t = col("__toks")
+    def score(words: String*): Column =
+      size(filter(t, x => x.isin(words.map(lit): _*))).cast("bigint")
+    documents(s, d)
+      .withColumn("__toks", tokens(col("text")))
+      .select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      score("the", "a", "of", "and", "is").as("score_en"),
+      score("der", "die", "das", "und", "ist").as("score_de"),
+      score("le", "la", "et", "est", "les").as("score_fr"),
+      score("el", "los", "y", "es", "las").as("score_es"))
+      .withColumn("predicted_lang",
+        when(greatest(col("score_en"), col("score_de"), col("score_fr"),
+          col("score_es")) === 0, "und")
+        .when(col("score_en") >= greatest(col("score_de"), col("score_fr"),
+          col("score_es")), "en")
+        .when(col("score_de") >= greatest(col("score_fr"), col("score_es")), "de")
+        .when(col("score_fr") >= col("score_es"), "fr")
+        .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String =
+    """WITH sc AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS score_en,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS score_de,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x IN ('le','la','et','est','les'))) AS BIGINT) AS score_fr,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x IN ('el','los','y','es','las'))) AS BIGINT) AS score_es
+      |  FROM documents)
+      |SELECT doc_id, labeled_lang, score_en, score_de, score_fr, score_es,
+      |  CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+      |       WHEN score_en >= greatest(score_de, score_fr, score_es) THEN 'en'
+      |       WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
+      |       WHEN score_fr >= score_es THEN 'fr'
+      |       ELSE 'es' END AS predicted_lang
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ fingerprint
+
+  /** t44: document fingerprint — md5 of whitespace-normalized lowercase
+    * text, plus a 60-bit integer form for compact joins (rolling-hash
+    * tier; md5 chosen because it is oracle-reproducible). */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    documents(s, d).select(
+      col("doc_id"),
+      md5(norm).as("fp_md5"),
+      md5Long(norm).as("fp64"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5,
+      |  ('0x' || substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')),
+      |   1, 15))::BIGINT AS fp64
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- shingle profile
+
+  /** t45: per-doc distinct word-3-gram shingle count (the input signal
+    * for minhash dedup). */
+  def shingleProfile(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(array_distinct(shingles3(col("toks"))))
+          .cast("bigint").as("n_shingles"))
+      .orderBy("doc_id")
+
+  val shingleProfileSql: String =
+    """SELECT doc_id, CAST(len(list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 1, 1)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS BIGINT)
+      |    AS n_shingles
+      |FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x <> '') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t40_token_stats"     -> tokenStats _,
+    "t41_word_freq"       -> wordFreq _,
+    "t42_quality_score"   -> qualityScore _,
+    "t43_lang_id"         -> langId _,
+    "t44_fingerprint"     -> fingerprint _,
+    "t45_shingle_profile" -> shingleProfile _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t40_token_stats"     -> tokenStatsSql,
+    "t41_word_freq"       -> wordFreqSql,
+    "t42_quality_score"   -> qualityScoreSql,
+    "t43_lang_id"         -> langIdSql,
+    "t44_fingerprint"     -> fingerprintSql,
+    "t45_shingle_profile" -> shingleProfileSql,
+  )
+}
