@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Relational
 import graft.ext.{DedupOps, EventOps, SimilarityOps, TextOps}
+import graft.graph.GraphOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +22,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ EventOps.queries
+      SimilarityOps.queries ++ EventOps.queries ++ GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
-      SimilarityOps.oracleSql ++ EventOps.oracleSql
+      SimilarityOps.oracleSql ++ EventOps.oracleSql ++ GraphOps.oracleSql
 }

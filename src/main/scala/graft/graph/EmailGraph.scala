@@ -1,0 +1,149 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph layer over the email store (SURVEY.md §1.5, reference roadmap
+  * X3/X4: relationship agent README.md:88, thread_id placeholder
+  * ingest_enron.py:138).
+  *
+  * Design split, per the 100 TB north star:
+  *  - Traversal-shaped queries (folder listings, degree counts, neighbor
+  *    expansion) stay in DataFrame land — Catalyst + pushdown + AQE.
+  *  - Iterative algorithms (connected components, PageRank) drop to
+  *    GraphX, whose RDD representation is the right tool for fixpoint
+  *    loops, then the result joins straight back into DataFrames.
+  */
+object EmailGraph {
+
+  // ------------------------------------------------- vertex/edge builders
+
+  /** Typed vertex table: users, folders, messages, addresses.
+    * `id` is a stable 64-bit hash of (kind, natural key). */
+  def vertices(store: DataFrame): DataFrame = {
+    val users = store.select(explode(col("mailboxes.user")).as("key"))
+      .distinct().select(lit("user").as("kind"), col("key"))
+    val folders = store
+      .select(explode(col("mailboxes")).as("mb"))
+      .select(concat_ws("/", col("mb.user"), col("mb.folder")).as("key"))
+      .distinct().select(lit("folder").as("kind"), col("key"))
+    val messages = store.select(lit("message").as("kind"),
+      col("dedupe_key").as("key")).distinct()
+    val addresses = store
+      .select(explode(flatten(array(array(col("from")), col("to"), col("cc"),
+        col("bcc")))).as("key"))
+      .filter(col("key") =!= "").distinct()
+      .select(lit("address").as("kind"), col("key"))
+    users.unionByName(folders).unionByName(messages).unionByName(addresses)
+      .withColumn("id", xxhash64(col("kind"), col("key")))
+  }
+
+  /** Typed edge table: containment hierarchy + communication edges.
+    * kinds: contains(user→folder), contains(folder→message),
+    * sent(address→message), received(message→address). */
+  def edges(store: DataFrame): DataFrame = {
+    val mb = store.select(col("dedupe_key"), explode(col("mailboxes")).as("m"))
+    val userFolder = mb.select(
+      xxhash64(lit("user"), col("m.user")).as("src"),
+      xxhash64(lit("folder"), concat_ws("/", col("m.user"), col("m.folder")))
+        .as("dst"),
+      lit("contains").as("kind")).distinct()
+    val folderMsg = mb.select(
+      xxhash64(lit("folder"), concat_ws("/", col("m.user"), col("m.folder")))
+        .as("src"),
+      xxhash64(lit("message"), col("dedupe_key")).as("dst"),
+      lit("contains").as("kind")).distinct()
+    val sent = store.filter(col("from") =!= "").select(
+      xxhash64(lit("address"), col("from")).as("src"),
+      xxhash64(lit("message"), col("dedupe_key")).as("dst"),
+      lit("sent").as("kind"))
+    val received = store
+      .select(col("dedupe_key"),
+        explode(flatten(array(col("to"), col("cc"), col("bcc")))).as("addr"))
+      .filter(col("addr") =!= "")
+      .select(
+        xxhash64(lit("message"), col("dedupe_key")).as("src"),
+        xxhash64(lit("address"), col("addr")).as("dst"),
+        lit("received").as("kind")).distinct()
+    userFolder.unionByName(folderMsg).unionByName(sent).unionByName(received)
+  }
+
+  // ----------------------------------------------------- threading (X4)
+
+  /** Extract all RFC-822 message-id tokens ("<...>") from a header
+    * value (In-Reply-To may carry one, References many). */
+  private def msgIdTokens(c: org.apache.spark.sql.Column) =
+    regexp_extract_all(c, lit("<[^>]+>"), lit(0))
+
+  /** Assign `thread_id` by connected components over reply edges:
+    * a message links to every message-id in its In-Reply-To and
+    * References headers (ref: X4 — thread_id placeholder
+    * ingest_enron.py:138, headers map ingest_enron.py:106-111).
+    *
+    * thread_id = lexicographically smallest dedupe_key in the
+    * component (deterministic, human-readable root).
+    */
+  def assignThreadIds(spark: SparkSession, store: DataFrame): DataFrame = {
+    import spark.implicits._
+    val msgs = store.select(col("dedupe_key"), col("message_id"),
+      col("headers"))
+    // (dedupe_key, referenced message-id) pairs
+    val refs = msgs.select(col("dedupe_key"),
+      explode(array_distinct(concat(
+        msgIdTokens(coalesce(element_at(col("headers"), "in-reply-to"), lit(""))),
+        msgIdTokens(coalesce(element_at(col("headers"), "references"), lit(""))))))
+        .as("ref"))
+    // resolve ref → target dedupe_key (drop refs to unknown messages)
+    val targets = msgs.filter(col("message_id").isNotNull)
+      .select(col("message_id").as("ref"), col("dedupe_key").as("ref_key"))
+    val links = refs.join(targets, "ref")
+      .select(col("dedupe_key").as("a"), col("ref_key").as("b"))
+      .filter(col("a") =!= col("b"))
+
+    val vids = msgs.select(col("dedupe_key"))
+      .withColumn("vid", xxhash64(col("dedupe_key")))
+    val edgeRdd = links
+      .withColumn("va", xxhash64(col("a")))
+      .withColumn("vb", xxhash64(col("b")))
+      .select("va", "vb").as[(Long, Long)].rdd
+      .map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
+    val vertexRdd = vids.select("vid").as[Long].rdd.map(v => (v, 1))
+    val graph = Graph(vertexRdd, edgeRdd, defaultVertexAttr = 1)
+    val cc = graph.connectedComponents().vertices // (vid, componentVid)
+    val comp = spark.createDataFrame(cc).toDF("vid", "comp")
+
+    val withComp = vids.join(comp, "vid")
+    val roots = withComp.groupBy("comp")
+      .agg(min("dedupe_key").as("thread_id"))
+    val assignment = withComp.join(roots, "comp")
+      .select(col("dedupe_key"), col("thread_id"))
+    store.drop("thread_id").join(assignment, "dedupe_key")
+  }
+
+  // ------------------------------------------- generic CC over DataFrames
+
+  /** Connected components of an arbitrary (src: Long, dst: Long) edge
+    * DataFrame via GraphX; returns (id, component) where component is
+    * the smallest vertex id reachable (GraphX CC invariant — which is
+    * exactly what a transitive-closure SQL oracle can recompute). */
+  def components(spark: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edgeRdd = edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s: VertexId, d, 1) }
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1)
+    spark.createDataFrame(graph.connectedComponents().vertices)
+      .toDF("id", "component")
+  }
+
+  /** PageRank over an edge DataFrame (GraphX static PageRank). */
+  def pageRank(spark: SparkSession, edgeDf: DataFrame, iters: Int = 10,
+      resetProb: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    val edgeRdd = edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s: VertexId, d, 1) }
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1)
+    spark.createDataFrame(graph.staticPageRank(iters, resetProb).vertices)
+      .toDF("id", "pagerank")
+  }
+}

@@ -1,0 +1,159 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.ingest.EmailIngest
+import graft.store.EmailStore
+
+/** Driver-contract graph queries.
+  *
+  * g92/g93 run on the TPC-H fixtures with full DuckDB oracles (the CC
+  * oracle is a recursive transitive-closure CTE — GraphX's component id
+  * is the min reachable vertex id, which the closure recomputes
+  * exactly). g90/g91 exercise the email graph (threading, typed
+  * vertex/edge builders) over a deterministic in-memory corpus — not
+  * SQL-expressible, so they carry rows-only checks.
+  */
+object GraphOps {
+
+  // --------------------------- co-purchase graph over the fixtures
+
+  /** Sparsified co-purchase edges: parts appearing together in one
+    * order, both with near-max quantity — sparse enough for an exact
+    * SQL closure oracle, dense enough for non-trivial components. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val hi = lineitem(s, d).filter(col("l_quantity") >= 48)
+      .select("l_orderkey", "l_partkey")
+    hi.toDF("l_orderkey", "p1")
+      .join(hi.toDF("l_orderkey", "p2"), "l_orderkey")
+      .filter(col("p1") < col("p2"))
+      .select("p1", "p2").distinct()
+  }
+
+  private val copurchaseEdgesSql =
+    """SELECT DISTINCT a.l_partkey p1, b.l_partkey p2
+      |  FROM (SELECT l_orderkey, l_partkey FROM lineitem
+      |        WHERE l_quantity >= 48) a
+      |  JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+      |        WHERE l_quantity >= 48) b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin
+
+  /** g92: connected components of the co-purchase graph — GraphX
+    * (iterative Pregel fixpoint) checked against a recursive
+    * transitive-closure oracle. */
+  def copurchaseComponents(s: SparkSession, d: String): DataFrame =
+    EmailGraph.components(s,
+      copurchaseEdges(s, d).toDF("src", "dst"))
+      .select(col("id").as("part_id"), col("component"))
+      .orderBy("part_id")
+
+  val copurchaseComponentsSql: String =
+    s"""WITH RECURSIVE edges AS ($copurchaseEdgesSql),
+      |ue AS (SELECT p1 a, p2 b FROM edges UNION SELECT p2, p1 FROM edges),
+      |reach(a, b) AS (
+      |  SELECT p1, p1 FROM (SELECT p1 FROM edges UNION SELECT p2 FROM edges) t(p1)
+      |  UNION
+      |  SELECT reach.a, ue.b FROM reach JOIN ue ON reach.b = ue.a)
+      |SELECT a AS part_id, min(b) AS component FROM reach
+      |GROUP BY a ORDER BY part_id""".stripMargin
+
+  /** g93: degree centrality on the co-purchase graph (DataFrame-land
+    * graph query — no GraphX needed for one-hop shapes). */
+  def copurchaseDegrees(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d)
+    e.select(col("p1").as("part_id"))
+      .union(e.select(col("p2").as("part_id")))
+      .groupBy("part_id")
+      .agg(count(lit(1)).as("degree"))
+      .orderBy(col("degree").desc, col("part_id"))
+      .limit(25)
+  }
+
+  val copurchaseDegreesSql: String =
+    s"""WITH edges AS ($copurchaseEdgesSql)
+      |SELECT part_id, count(*) AS degree FROM (
+      |  SELECT p1 AS part_id FROM edges
+      |  UNION ALL SELECT p2 FROM edges)
+      |GROUP BY part_id ORDER BY degree DESC, part_id LIMIT 25""".stripMargin
+
+  // ------------------------------------ email graph demo corpus (g90/g91)
+
+  /** Deterministic in-memory RFC-822 corpus with reply threads — goes
+    * through the REAL parser + merge (integration, not fixture rows):
+    * 3 threads of depth 4/3/2 plus 3 standalone messages, some linked
+    * only via References. */
+  private[graph] def demoStore(s: SparkSession): DataFrame = {
+    import s.implicits._
+    def msg(id: Int, replyTo: Option[Int], refs: Seq[Int], user: String): String = {
+      val headers = Seq(
+        s"Message-ID: <m$id@corp>",
+        s"Date: ${1 + id % 27} May 2001 0${id % 10}:15:00 +0000",
+        s"From: $user@corp.com",
+        "To: team@corp.com",
+        s"Subject: ${if (replyTo.isDefined) "Re: " else ""}topic ${id / 10}") ++
+        replyTo.map(r => s"In-Reply-To: <m$r@corp>").toSeq ++
+        (if (refs.nonEmpty) Seq(s"References: ${refs.map(r => s"<m$r@corp>").mkString(" ")}")
+         else Seq.empty)
+      (headers ++ Seq("", s"body of message $id")).mkString("\r\n")
+    }
+    // thread 1: 10 <- 11 <- 12 <- 13 ; thread 2: 20 <- 21, 22 (refs-only)
+    // thread 3: 30 <- 31 ; standalone: 40, 41, 42
+    val raw: Seq[(Int, String)] = Seq(
+      10 -> msg(10, None, Nil, "alice"),
+      11 -> msg(11, Some(10), Seq(10), "bob"),
+      12 -> msg(12, Some(11), Seq(10, 11), "carol"),
+      13 -> msg(13, Some(12), Seq(10, 11, 12), "alice"),
+      20 -> msg(20, None, Nil, "dave"),
+      21 -> msg(21, Some(20), Seq(20), "erin"),
+      22 -> msg(22, None, Seq(20), "frank"),
+      30 -> msg(30, None, Nil, "gina"),
+      31 -> msg(31, Some(30), Seq(30), "hank"),
+      40 -> msg(40, None, Nil, "alice"),
+      41 -> msg(41, None, Nil, "bob"),
+      42 -> msg(42, None, Nil, "carol"))
+    val parsed = raw.map { case (id, text) =>
+      val doc = graft.codec.Rfc822Parser.parse(
+        text.getBytes("UTF-8"), s"user${id % 5}", "inbox", s"${id}_")
+      (s"mem://$id", doc)
+    }
+    val docs = s.createDataset(parsed).toDF("path", "doc")
+      .select(col("path"), col("doc.*"))
+    EmailStore.mergeBatch(docs)
+  }
+
+  /** g90: email threading — reply-edge connected components assign
+    * thread_id; output one row per message (rows-only check). */
+  def emailThreads(s: SparkSession, d: String): DataFrame =
+    EmailGraph.assignThreadIds(s, demoStore(s))
+      .select(col("dedupe_key"), col("thread_id"))
+      .orderBy("dedupe_key")
+
+  /** g91: typed vertex/edge census of the email graph (rows-only). */
+  def emailGraphCensus(s: SparkSession, d: String): DataFrame = {
+    val store = demoStore(s)
+    val v = EmailGraph.vertices(store)
+      .groupBy("kind").agg(count(lit(1)).as("n"))
+      .withColumn("element", lit("vertex"))
+    val e = EmailGraph.edges(store)
+      .groupBy("kind").agg(count(lit(1)).as("n"))
+      .withColumn("element", lit("edge"))
+    v.unionByName(e).select("element", "kind", "n")
+      .orderBy("element", "kind")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g90_email_threads"   -> emailThreads _,
+    "g91_email_graph"     -> emailGraphCensus _,
+    "g92_copurchase_cc"   -> copurchaseComponents _,
+    "g93_copurchase_deg"  -> copurchaseDegrees _,
+  )
+
+  /** g90/g91 are email-corpus ops (not expressible over the fixture
+    * tables) → rows-only checks. */
+  val oracleSql: Map[String, String] = Map(
+    "g92_copurchase_cc"  -> copurchaseComponentsSql,
+    "g93_copurchase_deg" -> copurchaseDegreesSql,
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{EmailGraph, GraphOps}
+
+/** Threading (X4) + graph-builder semantics over the deterministic
+  * demo corpus (3 reply threads + 3 standalone messages). */
+class EmailGraphSpec extends AnyFunSuite with SparkSpec {
+
+  test("reply-edge components assign one thread_id per thread") {
+    val assigned = GraphOps.emailThreads(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    def key(i: Int) = s"<m$i@corp>"
+    // thread 1: 10..13 all share the root thread id
+    val t1 = Seq(10, 11, 12, 13).map(i => assigned(key(i))).toSet
+    assert(t1.size == 1 && t1.head == key(10))
+    // thread 2 includes msg 22 linked ONLY via References (no In-Reply-To)
+    val t2 = Seq(20, 21, 22).map(i => assigned(key(i))).toSet
+    assert(t2.size == 1 && t2.head == key(20))
+    // thread 3
+    assert(assigned(key(30)) == key(30) && assigned(key(31)) == key(30))
+    // standalones are their own threads
+    Seq(40, 41, 42).foreach(i => assert(assigned(key(i)) == key(i)))
+    // threads are disjoint
+    assert(Set(t1.head, t2.head, assigned(key(30))).size == 3)
+  }
+
+  test("vertex/edge builders produce the typed graph") {
+    val census = GraphOps.emailGraphCensus(spark, "")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(census(("vertex", "message")) == 12L)
+    assert(census(("vertex", "address")) > 0)
+    assert(census(("edge", "sent")) == 12L)      // one sender per message
+    assert(census(("edge", "contains")) > 0)
+    assert(census(("edge", "received")) == 12L)  // all go to team@corp.com
+  }
+
+  test("generic components handles forests and isolated chains") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val comps = EmailGraph.components(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+}
