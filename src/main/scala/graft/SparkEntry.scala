@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Relational
-import graft.ext.{DedupOps, EventOps, SimilarityOps, TextOps}
+import graft.ext.{DedupOps, EventOps, Multimodal, SimilarityOps, TextOps}
 import graft.graph.GraphOps
+import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +23,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ EventOps.queries ++ GraphOps.queries
+      SimilarityOps.queries ++ EventOps.queries ++ GraphOps.queries ++
+      Multimodal.queries ++ Map(
+        // streaming twin of e80: same aggregation as a file-source
+        // stream drained into a memory sink — shares e80's oracle, so
+        // batch/stream parity is itself oracle-checked
+        "e84_stream_tumbling" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamTumblingCounts(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
-      SimilarityOps.oracleSql ++ EventOps.oracleSql ++ GraphOps.oracleSql
+      SimilarityOps.oracleSql ++ EventOps.oracleSql ++ GraphOps.oracleSql ++
+      Multimodal.oracleSql ++
+      Map("e84_stream_tumbling" -> EventOps.tumblingWindowSql)
 }

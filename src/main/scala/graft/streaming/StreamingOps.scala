@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.EmailIngest
+import graft.store.EmailStore
+
+/** Structured Streaming tier (SURVEY.md §2.8): the reference's Celery
+  * pipeline is an incremental, out-of-order ingest whose only state is
+  * the Mongo unique index; here that becomes file-source streams with
+  * keyed dedup state and foreachBatch merges.
+  */
+object StreamingOps {
+
+  /** events schema for streaming reads (must be explicit: file streams
+    * can't infer). `ts` is LongType — the parquet stores
+    * TIMESTAMP(NANOS), read as raw nanos under the nanosAsLong flag. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** e84: the e80 tumbling-window aggregation run as a STREAM — file
+    * source over the same parquet, complete-mode memory sink, drained
+    * synchronously. Output is identical to the batch twin, so it shares
+    * e80's DuckDB oracle: batch/stream parity is oracle-checked. */
+  def streamTumblingCounts(spark: SparkSession, d: String): DataFrame = {
+    val sink = "stream_out_" + UUID.randomUUID.toString.replace("-", "")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    // the file-stream source requires a DIRECTORY: stage a symlink to
+    // the single events.parquet file into a fresh temp dir
+    val stageDir = Files.createTempDirectory("graft-stream-src")
+    Files.createSymbolicLink(stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(stageDir.toString)
+      .withColumn("bucket", expr("(ts div 1000) div 300000000"))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+      .withColumn("window_start", timestamp_seconds(col("bucket") * 300))
+      .select("window_start", "event_type", "n_events", "total_value")
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Streaming maildir ingest: binaryFile stream → parse → per-batch
+    * merge into the store (foreachBatch = the reference's per-task
+    * upsert loop collapsed into idempotent batch merges). Returns the
+    * started query; callers drain with processAllAvailable. */
+  def streamIngest(spark: SparkSession, baseDir: String, store: EmailStore,
+      maxFilesPerTrigger: Int = 100)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    val scanned = spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(baseDir)
+      .select(
+        col("path"),
+        regexp_extract(col("path"), "([^/]+)/([^/]+)/([^/]+)$", 1).as("user"),
+        regexp_extract(col("path"), "([^/]+)/([^/]+)/([^/]+)$", 2).as("folder"),
+        regexp_extract(col("path"), "([^/]+)/([^/]+)/([^/]+)$", 3).as("filename"),
+        col("content"))
+    scanned.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = EmailIngest.docs(batch.sparkSession,
+          EmailIngest.parse(batch.sparkSession, batch))
+        if (!docs.isEmpty) store.upsert(docs)
+      }
+      .start()
+  }
+
+  /** Watermarked sliding-window aggregation over a timestamped event
+    * stream — the bounded-state deployment shape (§2.8): 10-minute
+    * windows sliding 5, 15-minute watermark, append mode (only
+    * finalized windows emit). */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "15 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"))
+}

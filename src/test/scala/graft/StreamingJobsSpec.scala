@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Multimodal
+import graft.ingest.ZipStaging
+import graft.jobs.JobTracker
+import graft.store.EmailStore
+import graft.streaming.StreamingOps
+
+/** Streaming ingest, job state machine, multimodal plumbing, zip
+  * staging — the control-plane + incremental tier (SURVEY §2.7/§2.8). */
+class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
+
+  private def writeMsg(base: Path, user: String, folder: String,
+      name: String, id: String): Unit = {
+    val dir = base.resolve(user).resolve(folder)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(name),
+      s"Message-ID: <$id@x>\r\nFrom: a@x.com\r\nTo: b@x.com\r\nSubject: $id\r\n\r\nbody $id"
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  test("streaming ingest merges out-of-order duplicate arrivals (§2.8)") {
+    val base = Files.createTempDirectory("graft-stream-maildir")
+    val storeDir = Files.createTempDirectory("graft-stream-store").toString
+    val store = new EmailStore(spark, storeDir)
+    // batch 1: two files
+    writeMsg(base, "alice", "sent", "1_", "m1")
+    writeMsg(base, "bob", "inbox", "2_", "m2")
+    val q = StreamingOps.streamIngest(spark, base.toString, store,
+      maxFilesPerTrigger = 2)
+    try {
+      q.processAllAvailable()
+      assert(store.read().count() == 2)
+      // batch 2: a DUPLICATE of m1 from another mailbox + a new message
+      writeMsg(base, "carol", "inbox", "3_", "m1")
+      writeMsg(base, "dave", "inbox", "4_", "m3")
+      q.processAllAvailable()
+      val rows = store.read()
+      assert(rows.count() == 3) // m1 merged, not duplicated
+      val m1 = rows.filter("dedupe_key = '<m1@x>'").collect().head
+      val mbs = m1.getAs[Seq[org.apache.spark.sql.Row]]("mailboxes")
+        .map(_.getString(0)).toSet
+      assert(mbs == Set("alice", "carol"))
+    } finally q.stop()
+  }
+
+  test("watermarked sliding windows emit only finalized windows (append)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val out = StreamingOps.windowedEventCounts(events)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L))
+      input.addData((t(1), "click"), (t(2), "click"), (t(7), "view"))
+      q.processAllAvailable()
+      // watermark hasn't passed any window end yet → nothing emitted
+      assert(spark.table("wm_out").count() == 0)
+      // event far in the future pushes watermark past the early windows
+      input.addData((t(60), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("wm_out")
+        .collect().map(r => (r.getTimestamp(0).toInstant.toString,
+          r.getString(2), r.getLong(3))).toSet
+      // finalized: windows fully below watermark 60-15=45min
+      assert(rows.contains(("2024-01-01T00:00:00Z", "click", 2L)))
+      assert(rows.contains(("2024-01-01T00:05:00Z", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("job lifecycle QUEUED→PARSING→PARSED and EMPTY short-circuit (D6)") {
+    val trackerDir = Files.createTempDirectory("graft-jobs").toString
+    val tracker = new JobTracker(spark, trackerDir)
+    val storeDir = Files.createTempDirectory("graft-job-store").toString
+    val store = new EmailStore(spark, storeDir)
+
+    val base = Files.createTempDirectory("graft-job-maildir")
+    writeMsg(base, "alice", "inbox", "1_", "j1")
+    writeMsg(base, "alice", "inbox", "2_", "j2")
+    val jobId = JobTracker.runIngestJob(spark, tracker, store, base.toString,
+      source = "unit-test")
+    assert(tracker.status(jobId).contains("PARSED"))
+    val st = tracker.currentState().filter(s"job_id = '$jobId'").collect().head
+    assert(st.getAs[Long]("file_count") == 2L)
+    assert(st.getAs[String]("source") == "unit-test")
+    assert(store.read().count() == 2)
+    // event log preserves the full transition history
+    val statuses = tracker.events().filter(s"job_id = '$jobId'")
+      .orderBy("event_ts").collect().map(_.getAs[String]("status")).toSeq
+    assert(statuses == Seq("QUEUED", "PARSING", "PARSED"))
+
+    // EMPTY short-circuit (ref: app/orchestrator.py:53-56)
+    val emptyDir = Files.createTempDirectory("graft-empty")
+    Files.createDirectories(emptyDir.resolve("nobody").resolve("nothing"))
+    val j2 = JobTracker.runIngestJob(spark, tracker, store, emptyDir.toString)
+    assert(tracker.status(j2).contains("EMPTY"))
+    assert(store.read().count() == 2) // untouched
+  }
+
+  test("zip staging → ingest (S3), zip-slip rejected") {
+    val zipPath = Files.createTempFile("graft", ".zip")
+    val zos = new ZipOutputStream(Files.newOutputStream(zipPath))
+    def add(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    add("erin/inbox/1_",
+      "Message-ID: <z1@x>\r\nFrom: z@x.com\r\nTo: b@x.com\r\nSubject: zipped\r\n\r\nzip body")
+    zos.close()
+    val staged = ZipStaging.stage(zipPath.toString)
+    try {
+      val docs = graft.ingest.EmailIngest.docs(spark,
+        graft.ingest.EmailIngest.ingest(spark, staged.toString))
+      val rows = docs.collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("dedupe_key") == "<z1@x>")
+      val mb = rows.head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+        "mailboxes").head
+      assert((mb.getString(0), mb.getString(1)) == ("erin", "inbox"))
+    } finally ZipStaging.cleanup(staged)
+
+    // zip-slip entry must be rejected
+    val evil = Files.createTempFile("graft-evil", ".zip")
+    val ez = new ZipOutputStream(Files.newOutputStream(evil))
+    ez.putNextEntry(new ZipEntry("../../outside.txt"))
+    ez.write("nope".getBytes); ez.closeEntry(); ez.close()
+    assertThrows[IllegalArgumentException](ZipStaging.stage(evil.toString))
+  }
+
+  test("multimodal: decode stub, frame sampling, feature extraction") {
+    val d = "/root/testdata/sf0.001"
+    val media = Multimodal.mediaTable(spark, d)
+    val meta = Multimodal.decodeStub(media).collect()
+    assert(meta.length == 500)
+    assert(meta.forall(m => m.width >= 64 && m.height >= 64))
+    assert(meta.filter(_.kind == "video").forall(_.n_frames >= 1))
+    val frames = Multimodal.sampleFrames(media)
+    val f = frames.filter(_.media_id == 0L).collect()
+    assert(f.nonEmpty && f.map(_.frame_idx).toSeq == f.indices.toSeq)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 500)
+    val v = feats.head.getAs[scala.collection.Seq[Float]]("features")
+    assert(v.length == 8)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3) // normalized
+  }
+}
