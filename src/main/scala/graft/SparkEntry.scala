@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Advanced, Relational}
 import graft.ext.{DedupOps, EventOps, Multimodal, SimilarityOps, TextOps}
 import graft.graph.GraphOps
 import graft.streaming.StreamingOps
@@ -22,7 +22,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
+    Relational.queries ++ Advanced.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ EventOps.queries ++ GraphOps.queries ++
       Multimodal.queries ++ Map(
         // streaming twin of e80: same aggregation as a file-source
@@ -34,7 +34,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
+    Relational.oracleSql ++ Advanced.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
       SimilarityOps.oracleSql ++ EventOps.oracleSql ++ GraphOps.oracleSql ++
       Multimodal.oracleSql ++
       Map("e84_stream_tumbling" -> EventOps.tumblingWindowSql)

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.RollingHash64.rolling_hash64
+
+/** Second relational tier: exact percentiles, ordered array aggregation,
+  * string-distance joins, and the SQL-text API (temp views + spark.sql
+  * with CTEs and subqueries — the same Catalyst plans as the DataFrame
+  * API, proving the engine serves both surfaces). */
+object Advanced {
+
+  /** q35: exact interpolated percentiles per market segment. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(
+        round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_bal"),
+        round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
+        round(min("c_acctbal"), 2).as("min_bal"),
+        round(max("c_acctbal"), 2).as("max_bal"))
+      .orderBy("c_mktsegment")
+
+  val percentilesSql: String =
+    """SELECT c_mktsegment,
+      |  round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+      |  round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+      |  round(min(c_acctbal), 2) AS min_bal,
+      |  round(max(c_acctbal), 2) AS max_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q37: ordered array aggregation — top-3 order totals per status as
+    * a sorted list column. */
+  def arrayAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(slice(reverse(array_sort(collect_list(round(col("o_totalprice"), 2)))),
+        1, 3).as("top3_totals"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  val arrayAggSql: String =
+    """SELECT o_orderstatus,
+      |  (list(round(o_totalprice, 2) ORDER BY round(o_totalprice, 2) DESC))[:3]
+      |    AS top3_totals,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q38: string-similarity self-join — near-identical part names by
+    * Levenshtein distance (bounded key range keeps the pair space flat
+    * across scale factors). */
+  def nameDistance(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).filter(col("p_partkey") < 200)
+      .select("p_partkey", "p_name")
+    p.toDF("a_key", "a_name")
+      .join(p.toDF("b_key", "b_name"), col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("bigint"))
+      .filter(col("dist") <= 4)
+      .select("a_key", "b_key", "a_name", "b_name", "dist")
+      .orderBy("a_key", "b_key")
+  }
+
+  val nameDistanceSql: String =
+    """SELECT a.p_partkey a_key, b.p_partkey b_key,
+      |  a.p_name a_name, b.p_name b_name,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM (SELECT p_partkey, p_name FROM part WHERE p_partkey < 200) a
+      |JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey < 200) b
+      |  ON a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** q39: string-function projection (pad/translate/reverse/position). */
+  def stringOps(s: SparkSession, d: String): DataFrame =
+    nation(s, d).select(
+      col("n_nationkey"),
+      lpad(col("n_name"), 12, ".").as("padded"),
+      translate(col("n_name"), "_", "-").as("translated"),
+      reverse(col("n_name")).as("reversed"),
+      instr(col("n_name"), "_").cast("bigint").as("underscore_at"),
+      repeat(substring(col("n_name"), 1, 2), 2).as("prefix_twice"),
+      length(col("n_name")).cast("bigint").as("name_len"))
+      .orderBy("n_nationkey")
+
+  val stringOpsSql: String =
+    """SELECT n_nationkey,
+      |  lpad(n_name, 12, '.') AS padded,
+      |  translate(n_name, '_', '-') AS translated,
+      |  reverse(n_name) AS reversed,
+      |  CAST(strpos(n_name, '_') AS BIGINT) AS underscore_at,
+      |  repeat(substring(n_name, 1, 2), 2) AS prefix_twice,
+      |  CAST(length(n_name) AS BIGINT) AS name_len
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** q40: the SQL-text surface — scalar subquery + IN subquery through
+    * spark.sql over registered views (same Catalyst plans as the
+    * DataFrame API). */
+  def sqlSubqueries(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("v_orders")
+    customer(s, d).createOrReplaceTempView("v_customer")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM v_orders
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM v_orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM v_customer
+        |                    WHERE c_mktsegment = 'MACHINERY')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val sqlSubqueriesSql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'MACHINERY')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q41: CTE + window over aggregate — month-over-month revenue delta
+    * through the SQL surface. */
+  def sqlCteWindows(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("v_orders")
+    s.sql(
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM v_orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta
+        |FROM monthly ORDER BY month""".stripMargin)
+  }
+
+  val sqlCteWindowsSql: String =
+    """WITH monthly AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |    round(sum(o_totalprice), 2) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT month, revenue,
+      |  round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta
+      |FROM monthly ORDER BY month""".stripMargin
+
+  /** t46: document fingerprints through the native codegen'd
+    * RollingHash64 Expression (rows-only: DuckDB BIGINT traps on
+    * overflow, so no SQL twin — contract pinned by FunctionsSpec). */
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      rolling_hash64(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        .as("rolling_fp"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_percentiles"     -> percentiles _,
+    "q37_array_agg"       -> arrayAgg _,
+    "q38_name_distance"   -> nameDistance _,
+    "q39_string_ops"      -> stringOps _,
+    "q40_sql_subqueries"  -> sqlSubqueries _,
+    "q41_sql_cte_window"  -> sqlCteWindows _,
+    "t46_rolling_fp"      -> rollingFingerprint _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q35_percentiles"    -> percentilesSql,
+    "q37_array_agg"      -> arrayAggSql,
+    "q38_name_distance"  -> nameDistanceSql,
+    "q39_string_ops"     -> stringOpsSql,
+    "q40_sql_subqueries" -> sqlSubqueriesSql,
+    "q41_sql_cte_window" -> sqlCteWindowsSql,
+  )
+}

@@ -94,6 +94,47 @@ object StreamingOps {
       .start()
   }
 
+  // ------------------------------------------- custom keyed state
+
+  case class SessionEvent(user_id: Long, ts_s: Double)
+  case class SessionState(start: Double, last: Double, n: Long)
+  case class ClosedSession(user_id: Long, start_s: Double, end_s: Double,
+      n_events: Long)
+
+  /** Gap-based sessionization with CUSTOM state via
+    * flatMapGroupsWithState (§2.8: the reference's unbounded keyed
+    * dedup/merge state generalized): per user, events extend the open
+    * session; a gap > `gapS` closes it and emits a ClosedSession row.
+    * Open sessions live in the state store across micro-batches. */
+  def sessionizeStream(
+      events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapS: Double = 1800.0)
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts_s)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.ts_s - st.last > gapS =>
+                closed += ClosedSession(uid, st.start, st.last, st.n)
+                cur = Some(SessionState(e.ts_s, e.ts_s, 1))
+              case Some(st) =>
+                cur = Some(st.copy(last = e.ts_s, n = st.n + 1))
+              case None =>
+                cur = Some(SessionState(e.ts_s, e.ts_s, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** Watermarked sliding-window aggregation over a timestamped event
     * stream — the bounded-state deployment shape (§2.8): 10-minute
     * windows sliding 5, 15-minute watermark, append mode (only

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` surface (Column ↔ Expression
+  * conversion moved behind ExpressionUtils in Spark 4.x). Lives in the
+  * org.apache.spark.sql package tree for access — the standard pattern
+  * for third-party native-Expression libraries. Keep this file tiny:
+  * everything else stays in the graft.* packages.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -78,6 +78,29 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization keeps state across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val out = StreamingOps.sessionizeStream(input.toDS(), gapS = 1800.0)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // batch 1: user 7 has two events 10 min apart → one OPEN session
+      input.addData(StreamingOps.SessionEvent(7, 1000.0),
+        StreamingOps.SessionEvent(7, 1600.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // nothing closed yet
+      // batch 2: event 2h later closes it (state survived the batch gap)
+      input.addData(StreamingOps.SessionEvent(7, 9000.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((7L, 1000.0, 1600.0, 2L)))
+    } finally q.stop()
+  }
+
   test("job lifecycle QUEUED→PARSING→PARSED and EMPTY short-circuit (D6)") {
     val trackerDir = Files.createTempDirectory("graft-jobs").toString
     val tracker = new JobTracker(spark, trackerDir)
