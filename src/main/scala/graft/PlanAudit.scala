@@ -1,0 +1,39 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: dump physical plans for key queries and grep for the
+  * properties the 100 TB design requires (pushdown, broadcast, codegen,
+  * no cartesian products). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    val interesting = Seq(
+      "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
+      "q06_revenue_forecast", "q21_top_order_per_cust", "q26_cust_urgent",
+      "d52_minhash_lsh", "s60_knn_brute", "e80_tumbling_window",
+      "t40_token_stats", "t46_rolling_fp")
+    interesting.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+      val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(plan).getOrElse("PushedFilters: NONE")
+      val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
+      val smj = plan.split("\n").count(_.contains("SortMergeJoin"))
+      val bnlj = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+      val cart = plan.split("\n").count(_.contains("CartesianProduct"))
+      val wsc = "WholeStageCodegen".r.findAllIn(plan).length
+      val udfs = plan.split("\n").count(p => p.contains("BatchEvalPython") || p.contains("ScalaUDF"))
+      println(f"$name%-24s BHJ=$bhj SMJ=$smj BNLJ=$bnlj CART=$cart WSC=$wsc UDF=$udfs | $pushed")
+    }
+    // full plan for the two most scale-critical ones
+    Seq("q03_shipping_priority", "d52_minhash_lsh").foreach { name =>
+      println(s"\n======== $name\n")
+      println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).take(4000))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Salting
+import graft.store.Bucketing
+
+/** Scale utilities: salted aggregation correctness, bucketed joins
+  * eliminating exchanges. */
+class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
+
+  test("salted aggregation equals plain aggregation (skew path)") {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val salted = Salting.saltedSumCount(li, Seq("l_returnflag"), "l_quantity")
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("bucketed join on matching buckets plans without shuffle") {
+    val d = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketing.writeBucketed(
+        Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
+          .withColumnRenamed("l_orderkey", "k"),
+        "b_lineitem", "k", numBuckets = 8, sortBy = Some("k"))
+      Bucketing.writeBucketed(
+        Tables.orders(spark, d).select("o_orderkey", "o_totalprice")
+          .withColumnRenamed("o_orderkey", "k"),
+        "b_orders", "k", numBuckets = 8, sortBy = Some("k"))
+      val joined = Bucketing.joinBucketed(spark, "b_lineitem", "b_orders", "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should have no shuffle:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+}
