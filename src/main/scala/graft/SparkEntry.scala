@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Advanced, Relational}
+import graft.operators.{Advanced, Classic, Relational}
+import graft.query.EmailOps
 import graft.ext.{DedupOps, EventOps, Multimodal, SimilarityOps, TextOps}
 import graft.graph.GraphOps
 import graft.streaming.StreamingOps
@@ -22,7 +23,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Advanced.queries ++ TextOps.queries ++ DedupOps.queries ++
+    Relational.queries ++ Advanced.queries ++ Classic.queries ++
+      EmailOps.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ EventOps.queries ++ GraphOps.queries ++
       Multimodal.queries ++ Map(
         // streaming twin of e80: same aggregation as a file-source
@@ -34,7 +36,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Advanced.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
+    Relational.oracleSql ++ Advanced.oracleSql ++ Classic.oracleSql ++
+      TextOps.oracleSql ++ DedupOps.oracleSql ++
       SimilarityOps.oracleSql ++ EventOps.oracleSql ++ GraphOps.oracleSql ++
       Multimodal.oracleSql ++
       Map("e84_stream_tumbling" -> EventOps.tumblingWindowSql)

@@ -84,7 +84,7 @@ object GraphOps {
     * through the REAL parser + merge (integration, not fixture rows):
     * 3 threads of depth 4/3/2 plus 3 standalone messages, some linked
     * only via References. */
-  private[graph] def demoStore(s: SparkSession): DataFrame = {
+  def demoStore(s: SparkSession): DataFrame = {
     import s.implicits._
     def msg(id: Int, replyTo: Option[Int], refs: Seq[Int], user: String): String = {
       val headers = Seq(

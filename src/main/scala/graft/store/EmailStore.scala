@@ -99,6 +99,24 @@ class EmailStore(spark: SparkSession, root: String) {
         graft.model.EmailDoc.schema)
     else spark.read.parquet(versionPath(currentVersion).toString)
 
+  /** Upsert with the reference's ingest counters (A4/A6: upserted vs
+    * matched — ref: ingest_enron.py:159-162,200-202; created/modified
+    * flags parsing_agent.py:84-86). Returns (created, matched): batch
+    * keys new to the store vs batch keys that merged into existing
+    * rows. */
+  def upsertWithCounters(batch: DataFrame): (Long, Long) = {
+    val batchKeys = batch.select("dedupe_key").distinct().cache()
+    try {
+      val created =
+        if (isEmpty) batchKeys.count()
+        else batchKeys.join(read().select("dedupe_key"), Seq("dedupe_key"),
+          "left_anti").count()
+      val matched = batchKeys.count() - created
+      upsert(batch)
+      (created, matched)
+    } finally batchKeys.unpersist()
+  }
+
   /** Upsert a batch (store schema + `path` column): read-merge-write a
     * new snapshot version, then flip the `_VERSION` pointer. */
   def upsert(batch: DataFrame): Unit = {

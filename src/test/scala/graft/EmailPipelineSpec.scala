@@ -132,6 +132,19 @@ class EmailPipelineSpec extends AnyFunSuite with SparkSpec {
     merged.unpersist()
   }
 
+  test("upsert counters report created vs matched (A4/A6)") {
+    val base = maildir()
+    val storeDir = Files.createTempDirectory("graft-cnt-store").toString
+    val store = new EmailStore(spark, storeDir)
+    val docs = EmailIngest.docs(spark, EmailIngest.ingest(spark, base.toString))
+    // first run: 4 unique keys, none existing
+    val (c1, m1) = store.upsertWithCounters(docs)
+    assert((c1, m1) == (4L, 0L))
+    // re-run: all 4 keys match, none created (idempotent, D7)
+    val (c2, m2) = store.upsertWithCounters(docs)
+    assert((c2, m2) == (0L, 4L))
+  }
+
   test("dry-run parses everything, writes nothing (D8)") {
     val base = maildir()
     val (ok, failed) = EmailIngest.dryRun(spark, base.toString)
