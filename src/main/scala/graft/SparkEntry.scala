@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Advanced, Classic, Relational}
 import graft.query.EmailOps
-import graft.ext.{DedupOps, EventOps, Multimodal, SimilarityOps, TextOps}
+import graft.ext.{DedupOps, EventOps, Multimodal, Ner, SimilarityOps, TextOps}
+import graft.ingest.Validation
 import graft.graph.GraphOps
 import graft.streaming.StreamingOps
 
@@ -26,7 +27,7 @@ object SparkEntry {
     Relational.queries ++ Advanced.queries ++ Classic.queries ++
       EmailOps.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ EventOps.queries ++ GraphOps.queries ++
-      Multimodal.queries ++ Map(
+      Multimodal.queries ++ Ner.queries ++ Validation.queries ++ Map(
         // streaming twin of e80: same aggregation as a file-source
         // stream drained into a memory sink — shares e80's oracle, so
         // batch/stream parity is itself oracle-checked
@@ -39,6 +40,6 @@ object SparkEntry {
     Relational.oracleSql ++ Advanced.oracleSql ++ Classic.oracleSql ++
       TextOps.oracleSql ++ DedupOps.oracleSql ++
       SimilarityOps.oracleSql ++ EventOps.oracleSql ++ GraphOps.oracleSql ++
-      Multimodal.oracleSql ++
+      Multimodal.oracleSql ++ Ner.oracleSql ++
       Map("e84_stream_tumbling" -> EventOps.tumblingWindowSql)
 }

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** X1 — entity extraction (ref: NER agent roadmap README.md:86, the
+  * always-empty `entities` field ingest_enron.py:137 and its planned
+  * index :152). Heavy model NER is out of scope offline (SURVEY.md
+  * §2.9); this is the deterministic tier: regex extractors for
+  * structured entities + gazetteer matching for domain terms. Both are
+  * pure Column expressions — codegen'd, partition-parallel, and (for
+  * the gazetteer tier) oracle-reproducible.
+  */
+object Ner {
+
+  /** entities struct array from a regex: every match of `pattern`
+    * becomes {text, type}. */
+  def regexEntities(c: Column, pattern: String, entityType: String): Column =
+    transform(regexp_extract_all(c, lit(pattern), lit(0)),
+      t => struct(t.as("text"), lit(entityType).as("type")))
+
+  /** entities from a gazetteer: tokens ∈ `terms` become {token, type}. */
+  def gazetteerEntities(toks: Column, terms: Seq[String],
+      entityType: String): Column =
+    transform(filter(toks, t => t.isin(terms.map(lit): _*)),
+      t => struct(t.as("text"), lit(entityType).as("type")))
+
+  private val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlPattern = "https?://[^\\s<>]+"
+  private val numberPattern = "[0-9]+(?:\\.[0-9]+)?"
+
+  /** Annotate an email store: EMAIL/URL/NUMBER entities extracted from
+    * subject+body replace the reference's empty placeholder — after
+    * this, Q6 (`byEntity`) returns real rows. */
+  def annotateEmails(store: DataFrame): DataFrame = {
+    val text = concat_ws(" ", col("subject"), col("body"))
+    store.withColumn("entities",
+      concat(
+        regexEntities(text, emailPattern, "EMAIL"),
+        regexEntities(text, urlPattern, "URL"),
+        regexEntities(text, numberPattern, "NUMBER")))
+  }
+
+  // ------------------------------------------------ driver queries
+
+  private val colorTerms = Seq("red", "blue", "green")
+  private val productTerms = Seq("bolt", "widget", "rod", "anvil", "ring",
+    "gear", "cog")
+
+  /** t47: gazetteer NER over part names — entity counts per type+text
+    * (oracle-checked: identical token matching in DuckDB). */
+  def gazetteerNer(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("p_name"), " ")
+    part(s, d)
+      .select(explode(concat(
+        gazetteerEntities(toks, colorTerms, "COLOR"),
+        gazetteerEntities(toks, productTerms, "PRODUCT"))).as("e"))
+      .groupBy(col("e.type").as("entity_type"), col("e.text").as("entity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("entity_type", "entity_text")
+  }
+
+  val gazetteerNerSql: String = {
+    def inList(terms: Seq[String]) = terms.map(t => s"'$t'").mkString(", ")
+    s"""SELECT entity_type, entity_text, count(*) AS n FROM (
+      |  SELECT 'COLOR' AS entity_type,
+      |    unnest(list_filter(string_split(p_name, ' '),
+      |      t -> t IN (${inList(colorTerms)}))) AS entity_text
+      |  FROM part
+      |  UNION ALL
+      |  SELECT 'PRODUCT',
+      |    unnest(list_filter(string_split(p_name, ' '),
+      |      t -> t IN (${inList(productTerms)})))
+      |  FROM part)
+      |GROUP BY 1, 2 ORDER BY entity_type, entity_text""".stripMargin
+  }
+
+  /** em67 / Q6: entity lookup over the annotated demo corpus — the
+    * previously-stubbed `byEntity` path end to end (rows-only). */
+  def byEntityDemo(s: SparkSession, d: String): DataFrame = {
+    val annotated = annotateEmails(graft.graph.GraphOps.demoStore(s))
+    graft.query.EmailQueries.byEntity(annotated, "10", "NUMBER")
+      .select("dedupe_key", "subject").orderBy("dedupe_key")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t47_gazetteer_ner" -> gazetteerNer _,
+    "em67_by_entity"    -> byEntityDemo _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t47_gazetteer_ner" -> gazetteerNerSql,
+  )
+}

@@ -1,0 +1,43 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X2 — validation/disambiguation pass (ref: README.md:87 "validation
+  * agent"): deterministic rule-based quality flags over the merged
+  * store. Pure Column expressions appended as a `validation` struct;
+  * rows are never dropped — downstream consumers filter on
+  * `validation.valid` (the quarantine philosophy of D5 extended to
+  * semantic checks).
+  */
+object Validation {
+
+  /** Append validation flags to a store-schema DataFrame. */
+  def validate(store: DataFrame): DataFrame =
+    store.withColumn("validation", struct(
+      (col("from") === "").as("missing_from"),
+      (size(col("to")) + size(col("cc")) + size(col("bcc")) === 0)
+        .as("no_recipients"),
+      (length(trim(col("body"))) === 0).as("empty_body"),
+      col("date").isNull.as("missing_date"),
+      (col("date") > lit("2030-01-01")).as("future_date"),
+      (length(col("subject")) === 0).as("empty_subject")))
+    .withColumn("validation", struct(
+      col("validation.*"),
+      (!col("validation.missing_from") && !col("validation.no_recipients") &&
+       !col("validation.empty_body") && !col("validation.missing_date"))
+        .as("valid")))
+
+  /** v70: validation summary over the demo corpus (rows-only). */
+  def validationSummary(s: SparkSession, d: String): DataFrame =
+    validate(graft.graph.GraphOps.demoStore(s))
+      .groupBy(col("validation.valid").as("valid"))
+      .agg(count(lit(1)).as("n_messages"),
+        sum(when(col("validation.empty_subject"), 1L).otherwise(0L))
+          .as("n_empty_subject"))
+      .orderBy("valid")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v70_validation" -> validationSummary _,
+  )
+}
