@@ -150,7 +150,23 @@ object Advanced {
         .as("rolling_fp"))
       .orderBy("doc_id")
 
+  /** q47: sketch tier — approximate distinct counts (HLL++) and
+    * approximate percentiles (KLL-style) per segment, with the exact
+    * values alongside for error inspection. Rows-only: sketch
+    * algorithms differ across engines by design. */
+  def sketches(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+          .as("approx_median"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_median"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_sketches"        -> sketches _,
     "q35_percentiles"     -> percentiles _,
     "q37_array_agg"       -> arrayAgg _,
     "q38_name_distance"   -> nameDistance _,

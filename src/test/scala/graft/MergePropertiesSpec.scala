@@ -66,6 +66,17 @@ class MergePropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("full parser never throws on arbitrary byte input (D5 upper bound)") {
+    // the quarantine path exists for genuine exceptions, but the parser
+    // should handle arbitrary garbage without one (Python's email
+    // parser has the same total-function behavior)
+    forAllSamples(byteArray, n = 300) { bytes =>
+      val doc = Rfc822Parser.parse(bytes, "u", "f", "x")
+      assert(doc.dedupe_key.nonEmpty)
+      assert(doc.mailboxes.nonEmpty)
+    }
+  }
+
   test("smartDecode never throws and is empty only for empty input") {
     forAllSamples(byteArray) { bytes =>
       val s = Rfc822Parser.smartDecode(bytes)

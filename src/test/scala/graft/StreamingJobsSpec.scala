@@ -78,6 +78,58 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dropDuplicates holds dedup state across batches (§2.8)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val out = input.toDF().toDF("dedupe_key", "payload")
+      .dropDuplicates("dedupe_key")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dd_out").start()
+    try {
+      input.addData(("k1", "a"), ("k2", "b"), ("k1", "dup-in-batch"))
+      q.processAllAvailable()
+      assert(spark.table("dd_out").count() == 2)
+      // duplicate arriving in a LATER batch is suppressed by state
+      input.addData(("k1", "dup-later-batch"), ("k3", "c"))
+      q.processAllAvailable()
+      val keys = spark.table("dd_out").select("dedupe_key")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(keys == Seq("k1", "k2", "k3"))
+    } finally q.stop()
+  }
+
+  test("stream-stream join within watermark bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L))
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().toDF("b_ts", "b_user").withWatermark("b_ts", "10 minutes")
+    // purchase attributed to a click within the prior 30 minutes
+    val joined = c.join(b,
+      org.apache.spark.sql.functions.expr(
+        "c_user = b_user AND b_ts BETWEEN c_ts AND c_ts + INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_out").start()
+    try {
+      clicks.addData((ts(0), 1L), (ts(5), 2L))
+      buys.addData((ts(10), 1L), (ts(50), 2L)) // user 2 buys too late
+      q.processAllAvailable()
+      clicks.addData((ts(120), 9L)) // advance watermarks
+      buys.addData((ts(120), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("ss_out")
+        .select("c_user").collect().map(_.getLong(0)).sorted.toSeq
+      assert(rows.contains(1L))      // in-window attribution joined
+      assert(!rows.contains(2L))     // out-of-window purchase did not
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization keeps state across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
