@@ -75,6 +75,7 @@ object DedupOps {
     // and bit-identical in the oracle)
     val sh = shingleRows(s, d)
       .select(col("doc_id"), md5Long(col("shingle")).as("sh"))
+      .cache() // feeds sizes + both join sides: explode+hash once
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("i", "sh")
     val b = sh.toDF("j", "sh")
@@ -235,7 +236,10 @@ object DedupOps {
     * of the 4 bytes is identical — banding has perfect recall at this
     * threshold. Integer comparisons → exact on both engines. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = simhash(s, d)
+    // the signature frame feeds both sides of the band self-join; cache
+    // it so the shingle→vote pipeline runs once, not twice (small:
+    // one row per doc)
+    val sh = simhash(s, d).cache()
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -285,18 +289,18 @@ object DedupOps {
     * within coarse clusters only). Cosine on doubles, rounded before
     * the threshold on both engines. */
   def embeddingDupPairs(s: SparkSession, d: String): DataFrame = {
+    // norms precomputed per VECTOR (n rows), not per pair (n²/blocks):
+    // the pair stage then runs one fold (dot) instead of three
     val e = embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val a = e.toDF("vec_a", "label", "va")
-    val b = e.toDF("vec_b", "label", "vb")
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+    val a = e.toDF("vec_a", "label", "va", "na")
+    val b = e.toDF("vec_b", "label", "vb", "nb")
     a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
       .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _),
         lit(0.0), (acc, x) => acc + x))
-      .withColumn("na", sqrt(aggregate(transform(col("va"), x => x * x),
-        lit(0.0), (acc, x) => acc + x)))
-      .withColumn("nb", sqrt(aggregate(transform(col("vb"), x => x * x),
-        lit(0.0), (acc, x) => acc + x)))
       .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= 0.4)
       .select("label", "vec_a", "vec_b", "cosine")

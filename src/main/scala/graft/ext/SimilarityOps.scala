@@ -142,11 +142,20 @@ object SimilarityOps {
 
   private val numPlanes = 16
 
-  /** Deterministic ±1 hyperplane component for (plane, dim): parity of
-    * an md5-derived integer — reproducible anywhere. */
-  private def planeSign(plane: Int, dim: Column): Column =
-    when(md5Long(concat(lit(s"plane$plane:"), dim.cast("string"))) % 2 === 0,
-      lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic ±1 hyperplanes: parity of an md5-derived integer per
+    * (plane, dim). Planes are CONSTANT, so they are computed once here
+    * on the driver and embedded as array literals — the original
+    * in-expression formulation re-derived every md5 per row × plane ×
+    * dim (2M hashes over the sf0.1 corpus, ~4s; now zero). */
+  private lazy val planes: IndexedSeq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until 64).map { dim =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"plane$p:$dim".getBytes("UTF-8"))
+        val hex15 = md.map("%02x".format(_)).mkString.take(15)
+        if (java.lang.Long.parseLong(hex15, 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
 
   /** s62: 16-bit sign-LSH signature per vector + bucket sizes — the
     * candidate-generation layer of hyperplane ANN (rows-only check: the
@@ -157,11 +166,9 @@ object SimilarityOps {
     val e = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val sigBits = (0 until numPlanes).map { p =>
-      // dot(v, plane_p) > 0 → bit p
+      // dot(v, plane_p) > 0 → bit p  (plane embedded as a literal)
       val planeDot = aggregate(
-        zip_with(col("v"),
-          transform(sequence(lit(0), lit(63)), i => planeSign(p, i)),
-          _ * _),
+        zip_with(col("v"), typedLit(planes(p)), _ * _),
         lit(0.0), (acc, x) => acc + x)
       when(planeDot > 0, lit(1L << p)).otherwise(lit(0L))
     }
