@@ -90,8 +90,8 @@ object IngestBench {
     // JVM/codegen warmup, so prime both code paths on a tiny slice first
     val warmDir = Files.createTempDirectory("graft-ingest-bench-warm")
     synthesize(warmDir, 200)
-    EmailStore.mergeBatch(EmailIngest.docs(spark,
-      EmailIngest.ingest(spark, warmDir.toString))).count()
+    EmailStore.mergeBatch(EmailIngest.docsFromScan(spark,
+      EmailIngest.scan(spark, warmDir.toString))).count()
 
     // phase 1: parse-only throughput (the stage comparable to the
     // reference's stdlib-email parse loop)
@@ -102,8 +102,8 @@ object IngestBench {
     // phase 2: full pipeline — scan → parse → dedup-merge → columnar
     // store write (strictly more work than the reference's parse stage)
     val t0 = System.nanoTime()
-    val docs = EmailIngest.docs(spark,
-      EmailIngest.ingest(spark, base.toString))
+    val docs = EmailIngest.docsFromScan(spark,
+      EmailIngest.scan(spark, base.toString))
     val store = new EmailStore(spark, storeDir.toString)
     store.upsert(docs)
     val rows = store.read().count()

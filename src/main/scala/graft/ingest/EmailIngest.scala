@@ -71,6 +71,42 @@ object EmailIngest {
       .select(col("path"), col("doc.*"))
   }
 
+  /** Flattened per-file row for the fast ingest path — one product
+    * encoder, no Option[EmailDoc] nesting, no second projection. */
+  case class EmailRow(
+      path: String, dedupe_key: String, message_id: Option[String],
+      date: Option[java.sql.Timestamp], from: String,
+      to: Seq[String], cc: Seq[String], bcc: Seq[String],
+      subject: String, body: String,
+      attachments: Seq[graft.model.Attachment],
+      mailboxes: Seq[graft.model.Mailbox],
+      headers: Map[String, String],
+      entities: Seq[graft.model.Entity],
+      thread_id: Option[String])
+
+  /** Direct path: scan → store-schema rows in ONE mapPartitions with a
+    * flat encoder. Steady-state cost matches the typed ParsedFile →
+    * flatten route (measured: both ~1.2s/25k files warm); the win is
+    * cold-start (single simpler codegen unit, 1.5s vs 3.0s first run).
+    * Parse failures are silently dropped here — use
+    * `ingest`+`quarantine` when the error stream matters. */
+  def docsFromScan(spark: SparkSession, scanned: DataFrame): DataFrame = {
+    import spark.implicits._
+    scanned
+      .select("path", "user", "folder", "filename", "content")
+      .as[(String, String, String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (path, user, folder, filename, content) =>
+          try {
+            val d = Rfc822Parser.parse(content, user, folder, filename)
+            Some(EmailRow(path, d.dedupe_key, d.message_id, d.date, d.from,
+              d.to, d.cc, d.bcc, d.subject, d.body, d.attachments,
+              d.mailboxes, d.headers, d.entities, d.thread_id))
+          } catch { case _: Exception => None }
+        }
+      }.toDF()
+  }
+
   /** Quarantined failures (D5): path + error, never kills the job. */
   def quarantine(spark: SparkSession, parsed: Dataset[ParsedFile]): DataFrame = {
     import spark.implicits._
