@@ -23,6 +23,28 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("date-partitioned store prunes partitions on range reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val store = graft.graph.GraphOps.demoStore(spark) // dates across May 2001
+    graft.store.Partitioning.writeByMonth(store, dir)
+    // partition dirs exist per month
+    val dirs = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("date_month=")).sorted
+    assert(dirs.contains("date_month=2001-05"))
+    val from = java.sql.Timestamp.from(java.time.Instant.parse("2001-05-01T00:00:00Z"))
+    val until = java.sql.Timestamp.from(java.time.Instant.parse("2001-06-01T00:00:00Z"))
+    val pruned = graft.store.Partitioning.readDateRange(spark, dir, from, until)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString
+    // the month predicate must appear as a PARTITION filter (pruned at
+    // planning), not only a data filter
+    assert(scan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*date_month".r.findFirstIn(scan).isDefined,
+      s"no partition pruning in plan:\n$scan")
+    assert(pruned.count() == store.filter(
+      col("date") >= from && col("date") < until).count())
+  }
+
   test("bucketed join on matching buckets plans without shuffle") {
     val d = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
