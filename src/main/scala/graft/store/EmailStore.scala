@@ -129,4 +129,17 @@ class EmailStore(spark: SparkSession, root: String) {
     val out = fs.create(versionFile, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
   }
+
+  /** Drop snapshot versions older than the newest `keepLast` (readers
+    * of the current version are unaffected; concurrent readers of
+    * ancient versions are the caller's coordination problem — same
+    * contract as any snapshot-retention vacuum). Returns dropped count. */
+  def vacuum(keepLast: Int = 2): Int = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val current = currentVersion
+    val dropped = (1 to current - keepLast).count { v =>
+      fs.delete(versionPath(v), true)
+    }
+    dropped
+  }
 }
