@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.ext.SimilarityOps
+
+/** Fourth relational tier: q2/q8/q9-family adaptations (correlated max
+  * join-back, market share, per-nation yearly profit) and an ANN
+  * quality-evaluation query (recall of the IVF tier against the
+  * brute-force ground truth — both engine-computed, so the whole
+  * evaluation is oracle-checked). */
+object Classic2 {
+
+  /** q2-style: per nation, the supplier(s) holding the maximum account
+    * balance — correlated aggregate + join-back. */
+  def topSupplierPerNation(s: SparkSession, d: String): DataFrame = {
+    val su = supplier(s, d)
+    val maxBal = su.groupBy(col("s_nationkey").as("mn_nationkey"))
+      .agg(max("s_acctbal").as("max_bal"))
+    val n = nation(s, d)
+    su.join(broadcast(maxBal),
+        su("s_nationkey") === maxBal("mn_nationkey") &&
+        su("s_acctbal") === maxBal("max_bal"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .select(col("n_name"), col("s_name"),
+        round(col("s_acctbal"), 2).as("s_acctbal"))
+      .orderBy("n_name", "s_name")
+  }
+
+  val topSupplierPerNationSql: String =
+    """SELECT n_name, s_name, round(s_acctbal, 2) AS s_acctbal
+      |FROM supplier s JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_acctbal = (SELECT max(s_acctbal) FROM supplier
+      |                   WHERE s_nationkey = s.s_nationkey)
+      |ORDER BY n_name, s_name""".stripMargin
+
+  /** q8-style: market share — the fraction of yearly ECONOMY-part
+    * revenue attributable to suppliers of one nation. */
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+    val o = orders(s, d)
+    val p = part(s, d).filter(col("p_type") === "ECONOMY")
+    val su = supplier(s, d)
+    val base = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .select(year(col("o_orderdate")).cast("bigint").as("o_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+        col("s_nationkey"))
+    base.groupBy("o_year")
+      .agg(round(
+        sum(when(col("s_nationkey") === 7, col("volume")).otherwise(0.0)) /
+          sum(col("volume")), 4).as("mkt_share_nation7"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_year")
+  }
+
+  val marketShareSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(sum(CASE WHEN s_nationkey = 7
+      |                 THEN l_extendedprice * (1 - l_discount)
+      |                 ELSE 0 END)
+      |        / sum(l_extendedprice * (1 - l_discount)), 4)
+      |    AS mkt_share_nation7,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE p_type = 'ECONOMY'
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  /** q9-style: yearly revenue by supplier nation (profit adaptation:
+    * the fixtures carry no supplycost, so the measure is discounted
+    * revenue less tax). */
+  def nationYearlyProfit(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+    val o = orders(s, d)
+    val su = supplier(s, d)
+    val n = nation(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+        (lit(1.0) - col("l_tax"))), 2).as("net_revenue"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val nationYearlyProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 - l_tax)), 2)
+      |    AS net_revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** s63: ANN quality evaluation — recall@3 of the IVF tier against
+    * the brute-force top-3 ground truth, per query vector. Both sides
+    * are engine results of already-oracle-checked queries, so the
+    * evaluation itself hash-checks too.
+    *
+    * Measured on the fixture corpus: mean recall@3 ≈ 0.1 — the `label`
+    * partition is NOT cosine-coherent (max pairwise cosine 0.51, so
+    * true neighbors scatter across clusters) and single-probe IVF
+    * misses them. This is the evaluation loop that tells a deployment
+    * to raise nprobe or re-cluster; the engine makes the measurement a
+    * first-class, oracle-checked query rather than a guess. */
+  def ivfRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = SimilarityOps.knnBrute(s, d).filter(col("rank") <= 3)
+      .select(col("q_id"), col("c_id"))
+    val approx = SimilarityOps.ivfKnn(s, d)
+      .select(col("q_id"), col("c_id"))
+    truth.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
+        .as("recall_at_3"))
+      .orderBy("q_id")
+  }
+
+  val ivfRecallSql: String = {
+    // compose the two existing oracle formulations as CTEs
+    val truth = SimilarityOps.knnBruteSql
+      .replaceAll("ORDER BY q_id, rank$", "")
+    val approx = SimilarityOps.ivfKnnSql
+      .replaceAll("ORDER BY q_id, rank$", "")
+    s"""WITH truth AS (SELECT q_id, c_id FROM ($truth) WHERE rank <= 3),
+      |approx AS (SELECT q_id, c_id FROM ($approx)),
+      |joined AS (
+      |  SELECT t.q_id,
+      |    CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM truth t LEFT JOIN approx a
+      |    ON a.q_id = t.q_id AND a.c_id = t.c_id)
+      |SELECT q_id, sum(hit) / count(*) AS recall_at_3
+      |FROM joined GROUP BY q_id ORDER BY q_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q02_top_supplier"   -> topSupplierPerNation _,
+    "q08_market_share"   -> marketShare _,
+    "q09_nation_profit"  -> nationYearlyProfit _,
+    "s63_ivf_recall"     -> ivfRecall _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q02_top_supplier"   -> topSupplierPerNationSql,
+    "q08_market_share"   -> marketShareSql,
+    "q09_nation_profit"  -> nationYearlyProfitSql,
+    "s63_ivf_recall"     -> ivfRecallSql,
+  )
+}
