@@ -140,17 +140,50 @@ object Classic2 {
       |FROM joined GROUP BY q_id ORDER BY q_id""".stripMargin
   }
 
+  /** s65: recall@3 of MULTI-PROBE IVF (nprobe=3) against the same
+    * ground truth — the measured improvement over s63's single-probe
+    * baseline. */
+  def ivfMultiprobeRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = SimilarityOps.knnBrute(s, d).filter(col("rank") <= 3)
+      .select(col("q_id"), col("c_id"))
+    val approx = SimilarityOps.ivfMultiprobeKnn(s, d)
+      .select(col("q_id"), col("c_id"))
+    truth.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
+        .as("recall_at_3"))
+      .orderBy("q_id")
+  }
+
+  val ivfMultiprobeRecallSql: String = {
+    val truth = SimilarityOps.knnBruteSql
+      .replaceAll("ORDER BY q_id, rank$", "")
+    val approx = SimilarityOps.ivfMultiprobeKnnSql
+      .replaceAll("ORDER BY q_id, rank$", "")
+    s"""WITH truth AS (SELECT q_id, c_id FROM ($truth) WHERE rank <= 3),
+      |approx AS (SELECT q_id, c_id FROM ($approx)),
+      |joined AS (
+      |  SELECT t.q_id,
+      |    CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM truth t LEFT JOIN approx a
+      |    ON a.q_id = t.q_id AND a.c_id = t.c_id)
+      |SELECT q_id, sum(hit) / count(*) AS recall_at_3
+      |FROM joined GROUP BY q_id ORDER BY q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q02_top_supplier"   -> topSupplierPerNation _,
-    "q08_market_share"   -> marketShare _,
-    "q09_nation_profit"  -> nationYearlyProfit _,
-    "s63_ivf_recall"     -> ivfRecall _,
+    "q02_top_supplier"     -> topSupplierPerNation _,
+    "q08_market_share"     -> marketShare _,
+    "q09_nation_profit"    -> nationYearlyProfit _,
+    "s63_ivf_recall"       -> ivfRecall _,
+    "s65_multiprobe_recall" -> ivfMultiprobeRecall _,
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q02_top_supplier"   -> topSupplierPerNationSql,
-    "q08_market_share"   -> marketShareSql,
-    "q09_nation_profit"  -> nationYearlyProfitSql,
-    "s63_ivf_recall"     -> ivfRecallSql,
+    "q02_top_supplier"     -> topSupplierPerNationSql,
+    "q08_market_share"     -> marketShareSql,
+    "q09_nation_profit"    -> nationYearlyProfitSql,
+    "s63_ivf_recall"       -> ivfRecallSql,
+    "s65_multiprobe_recall" -> ivfMultiprobeRecallSql,
   )
 }
