@@ -187,6 +187,47 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------------- d55 containment
+
+  /** d55: containment pairs — |A∩B| / min(|A|,|B|) ≥ 0.8. Catches the
+    * asymmetric near-dup case Jaccard under-scores: a short document
+    * quoted inside a much longer one (reply chains, boilerplate
+    * wrappers) has high containment but low Jaccard. Same
+    * inverted-index pair generation as d51. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)
+      .select(col("doc_id"), md5Long(col("shingle")).as("sh"))
+      .cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("i", "sh")
+    val b = sh.toDF("j", "sh")
+    val inter = a.join(b, "sh").filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("i", "ni"), "i")
+      .join(sizes.toDF("j", "nj"), "j")
+      .withColumn("containment",
+        round(col("inter") / least(col("ni"), col("nj")), 4))
+      .filter(col("containment") >= 0.8)
+      .select(col("i").as("doc_a"), col("j").as("doc_b"), col("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH shs AS ($shingleRowsSql),
+      |sh AS (SELECT doc_id,
+      |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh FROM shs),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id i, b.doc_id j, count(*) inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i AS doc_a, j AS doc_b,
+      |  round(inter * 1.0 / least(sa.n, sb.n), 4) AS containment
+      |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |WHERE round(inter * 1.0 / least(sa.n, sb.n), 4) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------ d53 simhash
 
   private val simhashBits = 32
@@ -327,6 +368,7 @@ object DedupOps {
     "d53_simhash"        -> simhash _,
     "d53b_simhash_pairs" -> simhashPairs _,
     "d54_embedding_dups" -> embeddingDupPairs _,
+    "d55_containment"    -> containmentPairs _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -336,5 +378,6 @@ object DedupOps {
     "d53_simhash"        -> simhashSql,
     "d53b_simhash_pairs" -> simhashPairsSql,
     "d54_embedding_dups" -> embeddingDupPairsSql,
+    "d55_containment"    -> containmentPairsSql,
   )
 }
