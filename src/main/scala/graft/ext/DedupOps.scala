@@ -268,7 +268,8 @@ object DedupOps {
       |  FROM tok, generate_series(0, ${simhashBits - 1}) AS g(k)
       |  GROUP BY doc_id, k)
       |SELECT doc_id,
-      |  sum(CASE WHEN v > 0 THEN CAST(2 ** k AS BIGINT) ELSE 0 END) AS simhash
+      |  CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** k AS BIGINT) ELSE 0 END)
+      |       AS BIGINT) AS simhash
       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** d53b: near-dup pairs by SimHash hamming distance ≤ 3. Candidate

@@ -75,19 +75,23 @@ object EventOps {
     * session) — the canonical stateful-stream op as a batch window
     * program: lag → new-session flag → running sum = session index. */
   def sessionize(s: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // all ordering + gap arithmetic on exact integer microseconds:
+    // both engines truncate the parquet ns identically, and a float
+    // seconds key could order sub-µs ties differently than DuckDB's
+    // µs-truncated timestamp. Floats appear only in the final rounding.
+    val byUser = Window.partitionBy("user_id").orderBy("tsus", "event_id")
     val sessions = events(s, d)
-      .withColumn("tsd", expr("ts div 1000") / lit(1e6))
-      .withColumn("prev", lag("tsd", 1).over(byUser))
+      .withColumn("tsus", expr("ts div 1000"))
+      .withColumn("prev", lag("tsus", 1).over(byUser))
       .withColumn("new_sess",
-        when(col("prev").isNull || col("tsd") - col("prev") > 1800, 1L)
+        when(col("prev").isNull || col("tsus") - col("prev") > 1800000000L, 1L)
           .otherwise(0L))
       .withColumn("sess_idx", sum("new_sess").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     sessions
       .groupBy("user_id", "sess_idx")
       .agg(count(lit(1)).as("n_events"),
-        round(max("tsd") - min("tsd"), 3).as("duration_s"))
+        round((max("tsus") - min("tsus")) / lit(1e6), 3).as("duration_s"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         sum("n_events").as("n_events"),
@@ -98,25 +102,26 @@ object EventOps {
 
   val sessionizeSql: String =
     """WITH t AS (
-      |  SELECT user_id, event_id, epoch_us(ts) / 1000000.0 AS tsd,
-      |    lag(epoch_us(ts) / 1000000.0) OVER (
-      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsus,
+      |    lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
       |  FROM events),
       |flagged AS (
-      |  SELECT user_id, event_id, tsd,
-      |    CASE WHEN prev IS NULL OR tsd - prev > 1800 THEN 1 ELSE 0 END
+      |  SELECT user_id, event_id, tsus,
+      |    CASE WHEN prev IS NULL OR tsus - prev > 1800000000 THEN 1 ELSE 0 END
       |      AS new_sess
       |  FROM t),
       |sess AS (
-      |  SELECT user_id, event_id, tsd,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsd, event_id
+      |  SELECT user_id, event_id, tsus,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsus, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
       |  FROM flagged),
       |per_session AS (
       |  SELECT user_id, sess_idx, count(*) AS n_events,
-      |    round(max(tsd) - min(tsd), 3) AS duration_s
+      |    round((max(tsus) - min(tsus)) / 1000000.0, 3) AS duration_s
       |  FROM sess GROUP BY user_id, sess_idx)
-      |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+      |SELECT user_id, count(*) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
       |  round(avg(n_events), 4) AS avg_events_per_session,
       |  round(max(duration_s), 3) AS longest_session_s
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin

@@ -31,22 +31,35 @@ object Advanced {
       |  round(max(c_acctbal), 2) AS max_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
-  /** q37: ordered array aggregation — top-3 order totals per status as
-    * a sorted list column. */
+  /** q37: ordered array aggregation — top-3 order totals per status
+    * built as a sorted list column, then unrolled to (rank, value) rows.
+    * The unroll keeps every output cell scalar so the driver's row
+    * compare can canonicalize it (array-typed cells are unhashable in
+    * the harness); the aggregation itself still exercises
+    * collect_list → array_sort → slice. Rank→value is deterministic
+    * because the values are emitted in sorted (desc) order. */
   def arrayAgg(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy("o_orderstatus")
       .agg(slice(reverse(array_sort(collect_list(round(col("o_totalprice"), 2)))),
         1, 3).as("top3_totals"),
         count(lit(1)).as("n"))
-      .orderBy("o_orderstatus")
+      .select(col("o_orderstatus"), col("n"),
+        posexplode(col("top3_totals")).as(Seq("pos", "total")))
+      .select(col("o_orderstatus"), (col("pos") + 1).cast("bigint").as("rnk"),
+        col("total"), col("n"))
+      .orderBy("o_orderstatus", "rnk")
 
   val arrayAggSql: String =
-    """SELECT o_orderstatus,
-      |  (list(round(o_totalprice, 2) ORDER BY round(o_totalprice, 2) DESC))[:3]
-      |    AS top3_totals,
-      |  count(*) AS n
-      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    """WITH ranked AS (
+      |  SELECT o_orderstatus, round(o_totalprice, 2) AS total,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY round(o_totalprice, 2) DESC) AS rnk,
+      |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+      |  FROM orders)
+      |SELECT o_orderstatus, CAST(rnk AS BIGINT) AS rnk, total, n
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY o_orderstatus, rnk""".stripMargin
 
   /** q38: string-similarity self-join — near-identical part names by
     * Levenshtein distance (bounded key range keeps the pair space flat

@@ -38,12 +38,32 @@ def main(sfdir, outdir):
         try:
             got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
-            got_rows = canon(got.select(", ".join(f'"{c}"' for c in got_cols)).fetchall())
+            got_sel = got.select(", ".join(f'"{c}"' for c in got_cols))
+            got_rows = canon(got_sel.fetchall())
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
-            exp_rows = canon(exp.select(", ".join(f'"{c}"' for c in exp_cols)).fetchall())
+            exp_sel = exp.select(", ".join(f'"{c}"' for c in exp_cols))
+            exp_rows = canon(exp_sel.fetchall())
+            # the driver compares through pandas: a HUGEINT oracle column
+            # lands as float64/object while Spark's BIGINT is int64, and
+            # list cells are unhashable — both pass a repr() compare but
+            # fail the driver. Replicate its dtype sensitivity here.
+            got_dt = [str(t) for t in got_sel.df().dtypes]
+            exp_dt = [str(t) for t in exp_sel.df().dtypes]
+            bad_cells = [c for c, t in zip(got_cols, got_dt) if t == "object"
+                         and any(isinstance(v, (list, tuple)) or
+                                 type(v).__name__ == "ndarray"
+                                 for v in got_sel.df()[c].head(5))]
             if got_cols != exp_cols:
                 print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+                n_fail += 1
+            elif got_dt != exp_dt:
+                print(f"FAIL {name}: dtypes {list(zip(got_cols, got_dt))} != "
+                      f"{list(zip(exp_cols, exp_dt))}")
+                n_fail += 1
+            elif bad_cells:
+                print(f"FAIL {name}: array-typed cells in {bad_cells} "
+                      f"(unhashable in driver compare)")
                 n_fail += 1
             elif got_rows != exp_rows:
                 diffs = [(a, b) for a, b in zip(got_rows, exp_rows) if a != b]
