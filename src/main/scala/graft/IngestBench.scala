@@ -38,7 +38,7 @@ object IngestBench {
       val content =
         if (multipart)
           s"""Message-ID: <bench$i@corp>\r
-             |Date: ${1 + (r2 % 28)} Jun 2001 ${(r3 % 24)}%02d:15:00 -0700\r
+             |Date: ${1 + (r2 % 28)} Jun 2001 %02d:15:00 -0700\r
              |From: $from@corp.com\r
              |To: $to@corp.com, team@corp.com\r
              |Subject: bench message $i\r

@@ -38,8 +38,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Advanced.oracleSql ++ Classic.oracleSql ++
-      Classic2.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
-      SimilarityOps.oracleSql ++ EventOps.oracleSql ++ GraphOps.oracleSql ++
-      Multimodal.oracleSql ++ Ner.oracleSql ++
+      Classic2.oracleSql ++ EmailOps.oracleSql ++ TextOps.oracleSql ++
+      DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ EventOps.oracleSql ++
+      GraphOps.oracleSql ++ Multimodal.oracleSql ++ Ner.oracleSql ++
+      Validation.oracleSql ++
       Map("e84_stream_tumbling" -> EventOps.tumblingWindowSql)
 }

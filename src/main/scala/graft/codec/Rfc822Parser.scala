@@ -48,13 +48,33 @@ object Rfc822Parser {
   private val CRLF = "\r\n"
 
   /** smart_decode: BOM-aware, declared-charset first, then strict UTF-8,
-    * then Latin-1 (which never fails); malformed input is dropped
-    * (Python errors="ignore"). */
+    * then a statistical 8-bit fallback (which never fails); malformed
+    * input is dropped (Python errors="ignore").
+    *
+    * The fallback stands in for the reference's chardet call
+    * (ingest_enron.py:20-32) with a deterministic heuristic instead of
+    * a trained model: bytes in the C1 control range 0x80–0x9F are
+    * unused control codes in ISO-8859-1 but printable punctuation in
+    * windows-1252 (curly quotes, em-dash, €) — real Western mail that
+    * fails UTF-8 and carries C1 bytes is what chardet labels
+    * windows-1252. Pure latin-1 text decodes identically either way. */
   def smartDecode(bytes: Array[Byte], declared: Option[String] = None): String = {
     if (bytes.isEmpty) return ""
     declared.flatMap(decodeWith(bytes, _))
       .orElse(decodeStrictUtf8(bytes))
-      .getOrElse(decodeWith(bytes, "ISO-8859-1").getOrElse(""))
+      .getOrElse(decodeWith(bytes, sniff8Bit(bytes)).getOrElse(""))
+  }
+
+  /** Statistical charset choice for non-UTF-8 8-bit text. */
+  private[codec] def sniff8Bit(bytes: Array[Byte]): String = {
+    var hasC1 = false
+    var i = 0
+    while (i < bytes.length && !hasC1) {
+      val b = bytes(i) & 0xff
+      if (b >= 0x80 && b <= 0x9f) hasC1 = true
+      i += 1
+    }
+    if (hasC1) "windows-1252" else "ISO-8859-1"
   }
 
   private def decodeStrictUtf8(bytes: Array[Byte]): Option[String] =
@@ -354,7 +374,14 @@ object Rfc822Parser {
         case odt: OffsetDateTime => odt.withOffsetSameInstant(ZoneOffset.UTC)
         case ldt: LocalDateTime  => ldt.atOffset(ZoneOffset.UTC)
       }
-      Some(Timestamp.from(utc.toInstant))
+      // RFC-2822 obsolete 2-digit years (parsedate_to_datetime semantics):
+      // 00-49 → 2000s, 50-99 → 1900s. The formatter parses them literally
+      // (year "01" → 1 AD), so window them here.
+      val windowed =
+        if (utc.getYear < 50) utc.plusYears(2000)
+        else if (utc.getYear < 100) utc.plusYears(1900)
+        else utc
+      Some(Timestamp.from(windowed.toInstant))
     } catch { case _: Exception => None }
   }
 
@@ -400,12 +427,23 @@ object Rfc822Parser {
     val date = headers.get("Date").flatMap(parseDate)
 
     val parts = walkParts(headers, bodyText)
-    // body: all text/plain parts WITHOUT a filename, concatenated in walk
-    // order (ingest_enron.py:84-92 skips attachment parts via get_filename)
-    val body = parts.iterator
-      .filter(p => p.contentType == "text/plain" && p.filename.isEmpty)
-      .map(p => smartDecode(p.payload, p.params.get("charset")))
-      .mkString("")
+    // body (ingest_enron.py:84-92): for a true multipart message, ALL
+    // text/plain parts concatenate in walk order — including parts that
+    // carry a filename (the reference's body loop has no get_filename
+    // check); for a non-multipart message the decoded payload is taken
+    // unconditionally, whatever its content type
+    val (topCt, topParams) = parseContentType(
+      headers.get("Content-Type").getOrElse("text/plain"))
+    val isMultipart =
+      topCt.startsWith("multipart/") && topParams.get("boundary").exists(_.nonEmpty)
+    val body =
+      if (isMultipart)
+        parts.iterator
+          .filter(_.contentType == "text/plain")
+          .map(p => smartDecode(p.payload, p.params.get("charset")))
+          .mkString("")
+      else
+        smartDecode(parts.head.payload, parts.head.params.get("charset"))
     val attachments = parts.iterator.flatMap { p =>
       p.filename.map(f => Attachment(f, p.contentType, p.payload.length.toLong))
     }.toVector

@@ -46,6 +46,54 @@ object DedupOps {
       |        regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
       |        FROM documents)""".stripMargin
 
+  // ---------------------------------------- shared cached shingle frame
+
+  // d51/d53/d55 all start from the same (doc_id, md5Long(shingle)) rows;
+  // materialize it once per (session, dir) and unpersist via clearCaches()
+  // from the harness epilogue — per-query .cache() calls leaked storage
+  // for the session lifetime (round-1 ADVICE).
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cached(key: String)(build: => DataFrame): DataFrame =
+    frameCache.computeIfAbsent(key, _ => build.cache())
+
+  /** Unpersist every frame this object materialized (call from the
+    * driver harness after results are written). */
+  def clearCaches(): Unit = {
+    frameCache.values.forEach(df => { df.unpersist(); () })
+    frameCache.clear()
+  }
+
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    cached(s"sh|${System.identityHashCode(s)}|$d") {
+      shingleRows(s, d).select(col("doc_id"), md5Long(col("shingle")).as("sh"))
+    }
+
+  /** Document-frequency cap for the inverted-index self-joins (d51/d55):
+    * a shingle present in n docs emits n² candidate rows, so one
+    * boilerplate 3-gram shared by 1M docs would emit 10¹² pairs. Shingles
+    * with DF > dfCap are dropped from the representation (sizes AND
+    * intersections — standard inverted-index practice; they carry no
+    * discriminating signal). Measured fixture max DF: 7 at sf0.01,
+    * 25 at sf0.1 — the 1000 cap is a pure scale guard with a 40×
+    * margin, so oracle results are unchanged. */
+  private[graft] val dfCap = 1000
+
+  private[graft] def dfCappedShingles(s: SparkSession, d: String): DataFrame =
+    dfCapped(hashedShingles(s, d))
+
+  /** The capped representation of an arbitrary (doc_id, sh) frame. The
+    * hot set is tiny by construction → broadcast anti-join, no extra
+    * shuffle of the postings. */
+  private[graft] def dfCapped(sh: DataFrame, cap: Int = dfCap): DataFrame = {
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("sh")
+    // the USING join moves `sh` first — restore (doc_id, sh) because the
+    // callers rename positionally via toDF
+    sh.join(broadcast(hot), Seq("sh"), "left_anti").select("doc_id", "sh")
+  }
+
   // ------------------------------------------------------ d50 exact
 
   /** d50: exact dedup on the normalized-text fingerprint — groups plus
@@ -72,10 +120,8 @@ object DedupOps {
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // join on 60-bit hashed shingle ids: ~4x smaller shuffle than the
     // raw shingle strings, same counts (md5-family, collision-free here
-    // and bit-identical in the oracle)
-    val sh = shingleRows(s, d)
-      .select(col("doc_id"), md5Long(col("shingle")).as("sh"))
-      .cache() // feeds sizes + both join sides: explode+hash once
+    // and bit-identical in the oracle); DF-capped against hot shingles
+    val sh = dfCappedShingles(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("i", "sh")
     val b = sh.toDF("j", "sh")
@@ -114,17 +160,31 @@ object DedupOps {
   /** d52: MinHash signatures + banded LSH candidates + exact verify.
     * Identical md5-derived hash family on both engines, so the whole
     * approximate pipeline is oracle-checked, not just smoke-tested. */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshImpl(s, d, shardDict = false)
+
+  /** The 100 TB dictionary path: instead of broadcasting the distinct-
+    * shingle dictionary (driver-memory-bound at scale), shard it by
+    * shingle hash — a plain shuffled hash join keyed on shingle, so
+    * both sides partition by the same key and no single node ever holds
+    * the whole dictionary. Same results as the broadcast path
+    * (spec-asserted); the broadcast stays the small-SF fast path. */
+  def minhashLshSharded(s: SparkSession, d: String): DataFrame =
+    minhashLshImpl(s, d, shardDict = true)
+
+  private def minhashLshImpl(s: SparkSession, d: String,
+      shardDict: Boolean): DataFrame = {
     val sh = shingleRows(s, d)
     // dictionary trick: hash each DISTINCT shingle once (9 md5s over the
-    // ~small dictionary), broadcast-join back — ~10x fewer md5 evals than
-    // hashing per (doc, shingle) row. At 100 TB the dictionary shards by
-    // shingle hash range instead of broadcasting.
+    // ~small dictionary), join back — ~10x fewer md5 evals than hashing
+    // per (doc, shingle) row.
     val dict = sh.select("shingle").distinct()
       .select(col("shingle") +: md5Long(col("shingle")).as("sh") +:
         (1 to numHashes).map(j =>
           md5Long(concat(lit(s"$j:"), col("shingle"))).as(s"hs$j")): _*)
-    val hashed = sh.join(broadcast(dict), "shingle").drop("shingle")
+    val hashed =
+      if (shardDict) sh.join(dict.hint("shuffle_hash"), "shingle").drop("shingle")
+      else sh.join(broadcast(dict), "shingle").drop("shingle")
     val sigCols = (1 to numHashes).map(j => min(col(s"hs$j")).as(s"h$j"))
     val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     // band buckets: (band, h_{2b-1}, h_{2b})
@@ -195,9 +255,7 @@ object DedupOps {
     * wrappers) has high containment but low Jaccard. Same
     * inverted-index pair generation as d51. */
   def containmentPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d)
-      .select(col("doc_id"), md5Long(col("shingle")).as("sh"))
-      .cache()
+    val sh = dfCappedShingles(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("i", "sh")
     val b = sh.toDF("j", "sh")
@@ -239,8 +297,9 @@ object DedupOps {
     * docs; shingles discriminate. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     // single pass: 32 conditional-sum aggregates in one groupBy — no
-    // 32x row explosion, stays inside whole-stage codegen
-    val withHash = shingleRows(s, d).withColumn("h", md5Long(col("shingle")))
+    // 32x row explosion, stays inside whole-stage codegen; reuses the
+    // shared hashed-shingle frame (uncapped: every shingle votes)
+    val withHash = hashedShingles(s, d).withColumnRenamed("sh", "h")
     val voteCols = (0 until simhashBits).map { k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"v$k")
@@ -279,9 +338,9 @@ object DedupOps {
     * threshold. Integer comparisons → exact on both engines. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     // the signature frame feeds both sides of the band self-join; cache
-    // it so the shingle→vote pipeline runs once, not twice (small:
-    // one row per doc)
-    val sh = simhash(s, d).cache()
+    // it (via the registry, one row per doc) so the shingle→vote
+    // pipeline runs once, not twice
+    val sh = cached(s"sig|${System.identityHashCode(s)}|$d")(simhash(s, d))
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -330,17 +389,35 @@ object DedupOps {
     * blocking: at 100 TB you never cross-join the corpus — you compare
     * within coarse clusters only). Cosine on doubles, rounded before
     * the threshold on both engines. */
-  def embeddingDupPairs(s: SparkSession, d: String): DataFrame = {
+  /** Max vectors per comparison block (d54). A label block of n vectors
+    * emits n²/2 pairs, so an oversized block (skewed label) is sub-split
+    * by a vec_id hash into ceil(n/maxBlock) sub-blocks before the
+    * self-join — pair count stays ~n·maxBlock. Pairs across sub-blocks
+    * are forfeited by design (IVF-style approximation, same contract as
+    * LSH banding). Measured fixture max block: 59 at sf0.01, 218 at
+    * sf0.1 → one sub-block, oracle results unchanged. */
+  private[graft] val maxBlock = 1024
+
+  def embeddingDupPairs(s: SparkSession, d: String): DataFrame =
+    embeddingPairsFrom(embeddings(s, d), maxBlock)
+
+  private[graft] def embeddingPairsFrom(emb: DataFrame, cap: Int): DataFrame = {
     // norms precomputed per VECTOR (n rows), not per pair (n²/blocks):
     // the pair stage then runs one fold (dot) instead of three
-    val e = embeddings(s, d)
+    val e = emb
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
         lit(0.0), (acc, x) => acc + x)))
-    val a = e.toDF("vec_a", "label", "va", "na")
-    val b = e.toDF("vec_b", "label", "vb", "nb")
-    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+    // block-size guard: sub-split oversized labels (see maxBlock)
+    val blockSizes = e.groupBy("label").agg(count(lit(1)).as("bn"))
+    val eb = e.join(broadcast(blockSizes), "label")
+      .withColumn("nsub", greatest(ceil(col("bn") / cap).cast("long"), lit(1L)))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("nsub")))
+      .select("vec_id", "label", "sub", "v", "nrm")
+    val a = eb.toDF("vec_a", "label", "sub", "va", "na")
+    val b = eb.toDF("vec_b", "label", "sub", "vb", "nb")
+    a.join(b, Seq("label", "sub")).filter(col("vec_a") < col("vec_b"))
       .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _),
         lit(0.0), (acc, x) => acc + x))
       .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))

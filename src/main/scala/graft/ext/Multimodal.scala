@@ -120,13 +120,25 @@ object Multimodal {
       |  md5(text) AS payload_md5
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** m71: decode + frame-sample through the real mapPartitions path
-    * (stub codec ⇒ rows-only check). */
+  /** m71: decode + frame-sample through the real mapPartitions path.
+    * Oracle-checked: the payload after the 12-byte header is the raw
+    * UTF-8 text (pure ASCII in the fixtures, verified), so every frame
+    * hash is md5 over a byte slice DuckDB reproduces with substring. */
   def mediaFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     sampleFrames(mediaTable(s, d)).toDF()
+      .withColumn("frame_idx", col("frame_idx").cast("bigint"))
       .orderBy("media_id", "frame_idx")
   }
+
+  val mediaFramesSql: String =
+    """SELECT doc_id AS media_id, i AS frame_idx,
+      |  substr(md5(substring(text, CAST(i * 64 + 1 AS INT), 64)), 1, 16)
+      |    AS frame_hash
+      |FROM (SELECT doc_id, text,
+      |        unnest(range(0, greatest(length(text) // 64, 1))) AS i
+      |      FROM documents)
+      |ORDER BY media_id, frame_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m70_media_meta"   -> mediaMeta _,
@@ -134,6 +146,7 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
-    "m70_media_meta" -> mediaMetaSql,
+    "m70_media_meta"   -> mediaMetaSql,
+    "m71_media_frames" -> mediaFramesSql,
   )
 }

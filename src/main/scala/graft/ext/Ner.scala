@@ -77,13 +77,22 @@ object Ner {
       |GROUP BY 1, 2 ORDER BY entity_type, entity_text""".stripMargin
   }
 
-  /** em67 / Q6: entity lookup over the annotated demo corpus — the
-    * previously-stubbed `byEntity` path end to end (rows-only). */
+  /** em67 / Q6: entity lookup over the annotated fixture corpus — the
+    * previously-stubbed `byEntity` path end to end, oracle-checked: the
+    * NUMBER regex runs identically in DuckDB over subject+body. */
   def byEntityDemo(s: SparkSession, d: String): DataFrame = {
-    val annotated = annotateEmails(graft.graph.GraphOps.demoStore(s))
+    val annotated = annotateEmails(graft.query.FixtureCorpus.store(s, d))
     graft.query.EmailQueries.byEntity(annotated, "10", "NUMBER")
       .select("dedupe_key", "subject").orderBy("dedupe_key")
   }
+
+  val byEntityDemoSql: String =
+    s"""${graft.query.FixtureCorpus.sqlPrelude}
+      |SELECT dedupe_key, subject FROM m
+      |WHERE list_contains(
+      |  regexp_extract_all(subject || ' ' || body, '[0-9]+(?:\\.[0-9]+)?'),
+      |  '10')
+      |ORDER BY dedupe_key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t47_gazetteer_ner" -> gazetteerNer _,
@@ -92,5 +101,6 @@ object Ner {
 
   val oracleSql: Map[String, String] = Map(
     "t47_gazetteer_ner" -> gazetteerNerSql,
+    "em67_by_entity"    -> byEntityDemoSql,
   )
 }

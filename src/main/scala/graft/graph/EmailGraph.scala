@@ -69,6 +69,35 @@ object EmailGraph {
     userFolder.unionByName(folderMsg).unionByName(sent).unionByName(received)
   }
 
+  // --------------------------------------------------- viz export (X3)
+
+  /** Cytoscape.js-style elements JSON for the email graph (ref: the
+    * reference's planned visualization layer, README.md:88-89):
+    * `{"nodes":[{"data":{id,kind,label}}...],"edges":[{"data":{id,
+    * source,target,kind}}...]}`. Serialization happens executor-side
+    * via `to_json`; the final assembly collects — a visualization
+    * export is a driver-bound artifact by nature, so cap the graph
+    * with `maxElements` (top-degree-first would be the 100 TB variant;
+    * here the cap just guards the collect). */
+  def toCytoscapeJson(store: DataFrame, maxElements: Int = 100000): String = {
+    val nodeJson = vertices(store).limit(maxElements)
+      .select(to_json(struct(struct(
+        col("id").cast("string").as("id"),
+        col("kind"),
+        col("key").as("label")).as("data"))).as("j"))
+    val edgeJson = edges(store).limit(maxElements)
+      .select(to_json(struct(struct(
+        concat_ws(":", col("kind"), col("src").cast("string"),
+          col("dst").cast("string")).as("id"),
+        col("src").cast("string").as("source"),
+        col("dst").cast("string").as("target"),
+        col("kind")).as("data"))).as("j"))
+    val nodes = nodeJson.collect().map(_.getString(0))
+    val edges0 = edgeJson.collect().map(_.getString(0))
+    nodes.mkString("{\"nodes\":[", ",", "],") +
+      edges0.mkString("\"edges\":[", ",", "]}")
+  }
+
   // ----------------------------------------------------- threading (X4)
 
   /** Extract all RFC-822 message-id tokens ("<...>") from a header

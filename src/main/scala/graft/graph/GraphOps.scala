@@ -124,15 +124,27 @@ object GraphOps {
   }
 
   /** g90: email threading — reply-edge connected components assign
-    * thread_id; output one row per message (rows-only check). */
+    * thread_id. Over the fixture-derived corpus the reply chains
+    * partition messages exactly by doc_id decade, so the GraphX CC
+    * output is oracle-checked: thread root = min dedupe_key in the
+    * component = the decade's smallest doc_id (same digit count within
+    * a decade → lexicographic min == numeric min). */
   def emailThreads(s: SparkSession, d: String): DataFrame =
-    EmailGraph.assignThreadIds(s, demoStore(s))
+    EmailGraph.assignThreadIds(s, graft.query.FixtureCorpus.store(s, d))
       .select(col("dedupe_key"), col("thread_id"))
       .orderBy("dedupe_key")
 
-  /** g91: typed vertex/edge census of the email graph (rows-only). */
+  val emailThreadsSql: String =
+    s"""${graft.query.FixtureCorpus.sqlPrelude}
+      |SELECT dedupe_key,
+      |  '<d' || min(doc_id) OVER (PARTITION BY doc_id // 10) || '@corp>'
+      |    AS thread_id
+      |FROM m ORDER BY dedupe_key""".stripMargin
+
+  /** g91: typed vertex/edge census of the email graph — counts per
+    * vertex/edge kind, each SQL-derivable from the synthesis rules. */
   def emailGraphCensus(s: SparkSession, d: String): DataFrame = {
-    val store = demoStore(s)
+    val store = graft.query.FixtureCorpus.store(s, d)
     val v = EmailGraph.vertices(store)
       .groupBy("kind").agg(count(lit(1)).as("n"))
       .withColumn("element", lit("vertex"))
@@ -150,9 +162,33 @@ object GraphOps {
     "g93_copurchase_deg"  -> copurchaseDegrees _,
   )
 
-  /** g90/g91 are email-corpus ops (not expressible over the fixture
-    * tables) → rows-only checks. */
+  val emailGraphCensusSql: String =
+    s"""${graft.query.FixtureCorpus.sqlPrelude},
+      |addr AS (
+      |  SELECT sender AS a FROM m
+      |  UNION SELECT 'team@corp.com' FROM m
+      |  UNION SELECT second_to FROM m WHERE has_second_to
+      |  UNION SELECT cc_addr FROM m WHERE has_cc)
+      |SELECT * FROM (
+      |  SELECT 'vertex' AS element, 'user' AS kind,
+      |    count(DISTINCT usr) AS n FROM m
+      |  UNION ALL SELECT 'vertex', 'folder',
+      |    count(DISTINCT usr || '/' || folder) FROM m
+      |  UNION ALL SELECT 'vertex', 'message', count(*) FROM m
+      |  UNION ALL SELECT 'vertex', 'address', count(*) FROM addr
+      |  UNION ALL SELECT 'edge', 'contains',
+      |    (SELECT count(DISTINCT (usr, folder)) FROM m)
+      |      + (SELECT count(*) FROM m)
+      |  UNION ALL SELECT 'edge', 'sent', count(*) FROM m
+      |  UNION ALL SELECT 'edge', 'received',
+      |    (SELECT count(*) FROM m)
+      |      + (SELECT count(*) FROM m WHERE has_second_to)
+      |      + (SELECT count(*) FROM m WHERE has_cc))
+      |ORDER BY element, kind""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "g90_email_threads"  -> emailThreadsSql,
+    "g91_email_graph"    -> emailGraphCensusSql,
     "g92_copurchase_cc"  -> copurchaseComponentsSql,
     "g93_copurchase_deg" -> copurchaseDegreesSql,
   )

@@ -24,17 +24,51 @@ import graft.model.ParsedFile
   */
 object EmailIngest {
 
-  /** S1/S2: recursive binary scan + hierarchy columns from the path. */
-  def scan(spark: SparkSession, baseDir: String): DataFrame =
-    spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(baseDir)
+  /** Base-anchored depth-3 pattern: `<base>/<user>/<folder>/<file>`.
+    * The reference walk (ingest_enron.py:164-178) ingests files at
+    * exactly depth 3 and skips everything else — a recursive scan with
+    * a last-3-segments regex would misattribute deeper files (an
+    * intermediate directory becomes "user") and fabricate hierarchy for
+    * shallower ones. */
+  private[graft] def depth3Pattern(spark: SparkSession, baseDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(p).toString.stripSuffix("/")
+    "^" + java.util.regex.Pattern.quote(base) + "/([^/]+)/([^/]+)/([^/]+)$"
+  }
+
+  private def emptyScan(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("path", StringType), StructField("user", StringType),
+        StructField("folder", StringType), StructField("filename", StringType),
+        StructField("content", BinaryType))))
+  }
+
+  /** S1/S2: depth-3 glob scan + hierarchy columns anchored at `baseDir`.
+    * The `*{slash}*{slash}*` glob prunes the listing at the source (no
+    * full-tree walk — at 100 TB the namenode listing is the bottleneck,
+    * not the read), and the anchored filter drops depth-4+ files reached
+    * through a directory whose name matched the glob's last segment. */
+  def scan(spark: SparkSession, baseDir: String): DataFrame = {
+    val pat = depth3Pattern(spark, baseDir)
+    val df =
+      try spark.read.format("binaryFile").load(s"$baseDir/*/*/*")
+      catch {
+        // no depth-3 entries at all → empty ingest (the reference's
+        // EMPTY short-circuit, app/orchestrator.py:53-56)
+        case _: org.apache.spark.sql.AnalysisException => return emptyScan(spark)
+      }
+    df.filter(col("path").rlike(pat))
       .select(
         col("path"),
-        regexp_extract(col("path"), "([^/]+)/([^/]+)/([^/]+)$", 1).as("user"),
-        regexp_extract(col("path"), "([^/]+)/([^/]+)/([^/]+)$", 2).as("folder"),
-        regexp_extract(col("path"), "([^/]+)/([^/]+)/([^/]+)$", 3).as("filename"),
+        regexp_extract(col("path"), pat, 1).as("user"),
+        regexp_extract(col("path"), pat, 2).as("folder"),
+        regexp_extract(col("path"), pat, 3).as("filename"),
         col("content"))
+  }
 
   /** S4 + D5: parse each file into an EmailDoc row with error isolation. */
   def parse(spark: SparkSession, scanned: DataFrame): Dataset[ParsedFile] = {

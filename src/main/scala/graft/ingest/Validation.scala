@@ -28,16 +28,31 @@ object Validation {
        !col("validation.empty_body") && !col("validation.missing_date"))
         .as("valid")))
 
-  /** v70: validation summary over the demo corpus (rows-only). */
+  /** v70: validation summary over the fixture corpus — docs with
+    * id%50==0 carry an empty body, so both branches of `valid` are
+    * exercised and the rule evaluation is oracle-checked. */
   def validationSummary(s: SparkSession, d: String): DataFrame =
-    validate(graft.graph.GraphOps.demoStore(s))
+    validate(graft.query.FixtureCorpus.store(s, d))
       .groupBy(col("validation.valid").as("valid"))
       .agg(count(lit(1)).as("n_messages"),
         sum(when(col("validation.empty_subject"), 1L).otherwise(0L))
           .as("n_empty_subject"))
       .orderBy("valid")
 
+  val validationSummarySql: String =
+    s"""${graft.query.FixtureCorpus.sqlPrelude}
+      |SELECT (sender <> '' AND length(trim(body)) > 0 AND dt IS NOT NULL)
+      |    AS valid,
+      |  count(*) AS n_messages,
+      |  CAST(sum(CASE WHEN length(subject) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_empty_subject
+      |FROM m GROUP BY 1 ORDER BY valid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v70_validation" -> validationSummary _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "v70_validation" -> validationSummarySql,
   )
 }

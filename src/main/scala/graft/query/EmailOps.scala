@@ -6,52 +6,94 @@ import java.time.Instant
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.GraphOps
-
 /** Driver-contract entries for the reference's own indexed query
-  * surface (SURVEY.md §2.5 Q1–Q6) over the deterministic demo corpus —
+  * surface (SURVEY.md §2.5 Q1–Q6, indexes ingest_enron.py:144-152) —
   * every entry runs the REAL pipeline (RFC-822 parse → merge → query
-  * builders). Email tables are not part of the fixture set, so these
-  * are rows-only checks; the same builders are oracle-equivalently
-  * exercised by EmailPipelineSpec assertions. */
+  * builders) over the [[FixtureCorpus]] store, whose synthesis rules
+  * make each query's expected output SQL-expressible over `documents`:
+  * the core product surface is DuckDB-oracle-checked end to end. */
 object EmailOps {
 
-  private def store(s: SparkSession): DataFrame = GraphOps.demoStore(s)
+  import FixtureCorpus.sqlPrelude
 
-  /** em60 / Q5: mailbox (hierarchy) listing. */
+  private def store(s: SparkSession, d: String): DataFrame =
+    FixtureCorpus.store(s, d)
+
+  /** em60 / Q5: mailbox (hierarchy) listing — user0/inbox. */
   def byMailbox(s: SparkSession, d: String): DataFrame =
-    EmailQueries.byMailbox(store(s), "user0", "inbox")
+    EmailQueries.byMailbox(store(s, d), "user0", "inbox")
       .select("dedupe_key", "from", "subject").orderBy("dedupe_key")
+
+  val byMailboxSql: String =
+    s"""$sqlPrelude
+      |SELECT dedupe_key, sender AS "from", subject FROM m
+      |WHERE doc_id % 15 = 0 ORDER BY dedupe_key""".stripMargin
 
   /** em61 / Q3: recipient lookup across to/cc/bcc. */
   def byRecipient(s: SparkSession, d: String): DataFrame =
-    EmailQueries.byRecipient(store(s), "team@corp.com", includeCcBcc = true)
+    EmailQueries.byRecipient(store(s, d), "u3@corp.com", includeCcBcc = true)
       .select("dedupe_key", "from").orderBy("dedupe_key")
+
+  val byRecipientSql: String =
+    s"""$sqlPrelude
+      |SELECT dedupe_key, sender AS "from" FROM m
+      |WHERE has_second_to AND second_to = 'u3@corp.com'
+      |ORDER BY dedupe_key""".stripMargin
 
   /** em62 / Q2: sender lookup. */
   def bySender(s: SparkSession, d: String): DataFrame =
-    EmailQueries.bySender(store(s), "alice@corp.com")
+    EmailQueries.bySender(store(s, d), "u1@corp.com")
       .select("dedupe_key", "subject").orderBy("dedupe_key")
+
+  val bySenderSql: String =
+    s"""$sqlPrelude
+      |SELECT dedupe_key, subject FROM m
+      |WHERE doc_id % 7 = 1 ORDER BY dedupe_key""".stripMargin
 
   /** em63 / Q4: date-range scan. */
   def byDateRange(s: SparkSession, d: String): DataFrame =
-    EmailQueries.byDateRange(store(s),
-      Timestamp.from(Instant.parse("2001-05-01T00:00:00Z")),
-      Timestamp.from(Instant.parse("2001-05-15T00:00:00Z")))
+    EmailQueries.byDateRange(store(s, d),
+      Timestamp.from(Instant.parse("2001-05-05T00:00:00Z")),
+      Timestamp.from(Instant.parse("2001-05-10T00:00:00Z")))
       .select("dedupe_key", "date").orderBy("dedupe_key")
+
+  val byDateRangeSql: String =
+    s"""$sqlPrelude
+      |SELECT dedupe_key, dt AS "date" FROM m
+      |WHERE dt >= TIMESTAMP '2001-05-05 00:00:00'
+      |  AND dt < TIMESTAMP '2001-05-10 00:00:00'
+      |ORDER BY dedupe_key""".stripMargin
 
   /** em64: communication-graph edges (§1.5 graph 2). */
   def commEdges(s: SparkSession, d: String): DataFrame =
-    EmailQueries.communicationEdges(store(s)).orderBy("src", "dst")
+    EmailQueries.communicationEdges(store(s, d)).orderBy("src", "dst")
+
+  val commEdgesSql: String =
+    s"""$sqlPrelude
+      |SELECT src, dst, count(*) AS n_messages FROM (
+      |  SELECT sender AS src, 'team@corp.com' AS dst FROM m
+      |  UNION ALL SELECT sender, second_to FROM m WHERE has_second_to
+      |  UNION ALL SELECT sender, cc_addr FROM m WHERE has_cc)
+      |GROUP BY src, dst ORDER BY src, dst""".stripMargin
 
   /** em65: hierarchy rollup (messages per user/folder). */
   def mailboxCounts(s: SparkSession, d: String): DataFrame =
-    EmailQueries.mailboxCounts(store(s)).orderBy("user", "folder")
+    EmailQueries.mailboxCounts(store(s, d)).orderBy("user", "folder")
+
+  val mailboxCountsSql: String =
+    s"""$sqlPrelude
+      |SELECT usr AS "user", folder, count(*) AS n_messages FROM m
+      |GROUP BY usr, folder ORDER BY "user", folder""".stripMargin
 
   /** em66 / Q1: point lookup by unique key. */
   def byKey(s: SparkSession, d: String): DataFrame =
-    EmailQueries.byKey(store(s), "<m10@corp>")
+    EmailQueries.byKey(store(s, d), "<d10@corp>")
       .select("dedupe_key", "from", "subject", "date")
+
+  val byKeySql: String =
+    s"""$sqlPrelude
+      |SELECT dedupe_key, sender AS "from", subject, dt AS "date"
+      |FROM m WHERE doc_id = 10""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "em60_by_mailbox"    -> byMailbox _,
@@ -61,5 +103,15 @@ object EmailOps {
     "em64_comm_edges"    -> commEdges _,
     "em65_mailbox_counts" -> mailboxCounts _,
     "em66_by_key"        -> byKey _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "em60_by_mailbox"    -> byMailboxSql,
+    "em61_by_recipient"  -> byRecipientSql,
+    "em62_by_sender"     -> bySenderSql,
+    "em63_by_date_range" -> byDateRangeSql,
+    "em64_comm_edges"    -> commEdgesSql,
+    "em65_mailbox_counts" -> mailboxCountsSql,
+    "em66_by_key"        -> byKeySql,
   )
 }

@@ -1,0 +1,113 @@
+package graft.query
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.codec.Rfc822Parser
+import graft.store.EmailStore
+
+/** Deterministic email corpus derived from the `documents` fixture.
+  *
+  * Each documents row becomes one RFC-822 message whose every header is
+  * a pure function of `doc_id` (modular arithmetic) and whose body is
+  * the row's `text`. The messages run through the REAL pipeline
+  * (Rfc822Parser.parse → EmailStore.mergeBatch), so the email query
+  * surface (SURVEY.md §2.5 Q1–Q6, reference indexes
+  * ingest_enron.py:144-152) exercises actual parse/merge code — while
+  * the expected output of every query is SQL-expressible over
+  * `documents`, which lets the driver's DuckDB oracle hash-check the
+  * core product surface instead of settling for rows-only checks.
+  *
+  * Synthesis rules (shared with [[sqlPrelude]] — keep in sync):
+  *  - Message-ID / dedupe_key: `<d{id}@corp>`
+  *  - mailbox: user{id%5} / (inbox|sent|archive by id%3) / {id}_
+  *  - From: u{id%7}@corp.com
+  *  - To: team@corp.com, plus u{(id+1)%7}@corp.com when id even
+  *  - Cc: cc{id%4}@corp.com when id%3 == 0
+  *  - Date: {1+id%28} May 2001 {id%24}:15:00 +0000
+  *  - Subject: msg {id}
+  *  - body: the document text, except empty when id%50 == 0 (feeds the
+  *    validation surface)
+  *  - In-Reply-To: the previous existing doc_id in the same decade
+  *    (id div 10), so reply chains partition the corpus into
+  *    thread components exactly by decade
+  */
+object FixtureCorpus {
+
+  val folders: Vector[String] = Vector("inbox", "sent", "archive")
+
+  /** Render the synthetic RFC-822 message for one documents row. */
+  def message(id: Long, text: String, prev: Option[Long]): String = {
+    val to =
+      if (id % 2 == 0) s"team@corp.com, u${(id + 1) % 7}@corp.com"
+      else "team@corp.com"
+    val headers = Seq(
+      s"Message-ID: <d$id@corp>",
+      f"Date: ${1 + id % 28}%d May 2001 ${id % 24}%02d:15:00 +0000",
+      s"From: u${id % 7}@corp.com",
+      s"To: $to") ++
+      (if (id % 3 == 0) Seq(s"Cc: cc${id % 4}@corp.com") else Nil) ++
+      prev.map(p => s"In-Reply-To: <d$p@corp>") ++
+      Seq(s"Subject: msg $id")
+    val body = if (id % 50 == 0) "" else text
+    (headers ++ Seq("", body)).mkString("\r\n")
+  }
+
+  // one materialized store per (session, sf dir): the ~10 email-surface
+  // driver queries share a single parse+merge instead of re-running it
+  // per query (round-1 bench showed ~2-4 s of re-parse per query)
+  private val cache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** The merged email store derived from `documents` at `dir`, built
+    * through the real parse→merge pipeline and cached per session. */
+  def store(s: SparkSession, dir: String): DataFrame =
+    cache.computeIfAbsent(System.identityHashCode(s) + "|" + dir,
+      _ => build(s, dir))
+
+  /** Unpersist all materialized stores (harness epilogue). */
+  def clear(): Unit = {
+    cache.values.forEach(df => { df.unpersist(); () })
+    cache.clear()
+  }
+
+  private def build(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(expr("doc_id div 10")).orderBy("doc_id")
+    val rows = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .withColumn("prev", lag("doc_id", 1).over(w))
+      .as[(Long, String, Option[Long])]
+    val parsed = rows.map { case (id, text, prev) =>
+      val doc = Rfc822Parser.parse(
+        message(id, text, prev).getBytes("UTF-8"),
+        s"user${id % 5}", folders((id % 3).toInt), s"${id}_")
+      (s"fixture://$id", doc)
+    }
+    val docs = parsed.toDF("path", "doc").select(col("path"), col("doc.*"))
+    EmailStore.mergeBatch(docs).cache()
+  }
+
+  /** The same synthesis rules as a DuckDB CTE over `documents` — every
+    * oracle for the email surface starts from this. */
+  val sqlPrelude: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    '<d' || doc_id || '@corp>' AS dedupe_key,
+      |    'user' || (doc_id % 5) AS usr,
+      |    CASE doc_id % 3 WHEN 0 THEN 'inbox' WHEN 1 THEN 'sent'
+      |      ELSE 'archive' END AS folder,
+      |    'u' || (doc_id % 7) || '@corp.com' AS sender,
+      |    make_timestamp(2001, 5, CAST(1 + doc_id % 28 AS INT),
+      |      CAST(doc_id % 24 AS INT), 15, 0) AS dt,
+      |    'msg ' || doc_id AS subject,
+      |    CASE WHEN doc_id % 50 = 0 THEN '' ELSE text END AS body,
+      |    doc_id % 2 = 0 AS has_second_to,
+      |    'u' || ((doc_id + 1) % 7) || '@corp.com' AS second_to,
+      |    doc_id % 3 = 0 AS has_cc,
+      |    'cc' || (doc_id % 4) || '@corp.com' AS cc_addr
+      |  FROM documents)""".stripMargin
+}

@@ -68,21 +68,25 @@ object StreamingOps {
       maxFilesPerTrigger: Int = 100)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    // same depth-3 contract as the batch scan (EmailIngest.scan): the
+    // glob lists only base/<user>/<folder>/<file>, the anchored pattern
+    // recovers hierarchy relative to baseDir
+    val pat = EmailIngest.depth3Pattern(spark, baseDir)
     val scanned = spark.readStream
       .format("binaryFile")
-      .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .schema(StructType(Seq(
         StructField("path", StringType),
         StructField("modificationTime", TimestampType),
         StructField("length", LongType),
         StructField("content", BinaryType))))
-      .load(baseDir)
+      .load(s"$baseDir/*/*/*")
+      .filter(col("path").rlike(pat))
       .select(
         col("path"),
-        regexp_extract(col("path"), "([^/]+)/([^/]+)/([^/]+)$", 1).as("user"),
-        regexp_extract(col("path"), "([^/]+)/([^/]+)/([^/]+)$", 2).as("folder"),
-        regexp_extract(col("path"), "([^/]+)/([^/]+)/([^/]+)$", 3).as("filename"),
+        regexp_extract(col("path"), pat, 1).as("user"),
+        regexp_extract(col("path"), pat, 2).as("folder"),
+        regexp_extract(col("path"), pat, 3).as("filename"),
         col("content"))
     scanned.writeStream
       .option("checkpointLocation", ckpt)

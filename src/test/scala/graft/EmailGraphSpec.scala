@@ -9,7 +9,9 @@ import graft.graph.{EmailGraph, GraphOps}
 class EmailGraphSpec extends AnyFunSuite with SparkSpec {
 
   test("reply-edge components assign one thread_id per thread") {
-    val assigned = GraphOps.emailThreads(spark, "")
+    val assigned = EmailGraph
+      .assignThreadIds(spark, GraphOps.demoStore(spark))
+      .select("dedupe_key", "thread_id")
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     def key(i: Int) = s"<m$i@corp>"
     // thread 1: 10..13 all share the root thread id
@@ -27,7 +29,13 @@ class EmailGraphSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("vertex/edge builders produce the typed graph") {
-    val census = GraphOps.emailGraphCensus(spark, "")
+    import org.apache.spark.sql.functions._
+    val store = GraphOps.demoStore(spark)
+    val v = EmailGraph.vertices(store).groupBy("kind")
+      .agg(count(lit(1)).as("n")).withColumn("element", lit("vertex"))
+    val e = EmailGraph.edges(store).groupBy("kind")
+      .agg(count(lit(1)).as("n")).withColumn("element", lit("edge"))
+    val census = v.unionByName(e).select("element", "kind", "n")
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(census(("vertex", "message")) == 12L)
     assert(census(("vertex", "address")) > 0)

@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.DedupOps
+import graft.graph.{EmailGraph, GraphOps}
+import graft.ingest.EmailIngest
+import graft.jobs.{IngestApi, JobTracker}
+import graft.query.FixtureCorpus
+import graft.store.{EmailStore, PartitionedEmailStore}
+
+/** Round-2 additions: scale guards (DF cap, block sub-split, sharded
+  * dictionary), depth-3 scan contract, partition-scoped upsert, the
+  * composed ingest-job API, graph viz export, and the fixture-derived
+  * email corpus. */
+class Round2Spec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------ scale guards
+
+  test("DF cap drops hot shingles from the representation") {
+    import spark.implicits._
+    // 6 docs sharing one boilerplate shingle (df=6) + disjoint rest
+    val sh = (0 until 6).flatMap(i => Seq((i.toLong, 999L), (i.toLong, 100L + i)))
+      .toDF("doc_id", "sh")
+    val capped = DedupOps.dfCapped(sh, cap = 5)
+    assert(capped.filter(col("sh") === 999L).count() == 0)
+    assert(capped.count() == 6) // per-doc unique shingles survive
+    // cap above max DF → identity (the fixture regime)
+    assert(DedupOps.dfCapped(sh, cap = 6).count() == 12)
+  }
+
+  test("oversized embedding blocks are sub-split; fixture-size blocks are not") {
+    import spark.implicits._
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, "same_label", Array.fill(4)(1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    // one 40-vector block of identical vectors: uncapped → C(40,2) pairs
+    val uncapped = DedupOps.embeddingPairsFrom(vecs, cap = 1024).count()
+    assert(uncapped == 40L * 39 / 2)
+    // cap 10 → ceil(40/10)=4 sub-blocks → only within-sub-block pairs
+    val split = DedupOps.embeddingPairsFrom(vecs, cap = 10).count()
+    assert(split < uncapped && split > 0)
+  }
+
+  test("sharded-dictionary minhash LSH matches the broadcast path") {
+    val a = DedupOps.minhashLsh(spark, sf).collect().toSeq
+    val b = DedupOps.minhashLshSharded(spark, sf).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  // --------------------------------------------------- depth-3 scan
+
+  test("scan ingests exactly depth-3 files and anchors hierarchy at base") {
+    val base = Files.createTempDirectory("graft-depth3").toString
+    def put(rel: String): Unit = {
+      val p = java.nio.file.Paths.get(base, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, "Message-ID: <x@y>\r\n\r\nhi".getBytes)
+    }
+    put("alice/inbox/1_")            // depth 3: ingested
+    put("alice/inbox/sub/2_")        // depth 4: skipped (ref walk skips)
+    put("alice/3_")                  // depth 2: skipped
+    val rows = EmailIngest.scan(spark, base)
+      .select("user", "folder", "filename").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet == Set(("alice", "inbox", "1_")))
+  }
+
+  test("scan of a dir with no depth-3 files is empty, not an error") {
+    val base = Files.createTempDirectory("graft-depth3-empty").toString
+    assert(EmailIngest.scan(spark, base).count() == 0)
+  }
+
+  // ------------------------------------------- partition-scoped upsert
+
+  test("partitioned upsert rewrites only affected months") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-pstore").toString
+    val store = new PartitionedEmailStore(spark, root)
+    def doc(id: Int, month: Int): graft.model.EmailDoc =
+      graft.codec.Rfc822Parser.parse(
+        (s"Message-ID: <p$id@x>\r\nDate: 10 ${Seq("Jan","Feb","Mar")(month)} 2001 10:00:00 +0000\r\n" +
+          s"From: a@x.com\r\nTo: b@x.com\r\nSubject: s$id\r\n\r\nbody $id").getBytes,
+        "u", "f", s"${id}_")
+    def batch(ids: Seq[(Int, Int)]) =
+      spark.createDataset(ids.map { case (id, m) => (s"mem://$id", doc(id, m)) })
+        .toDF("path", "doc").select(col("path"), col("doc.*"))
+
+    store.upsert(batch(Seq(1 -> 0, 2 -> 1)))     // Jan + Feb
+    val janDir = new java.io.File(s"$root/date_month=2001-01")
+    val janFiles = janDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    store.upsert(batch(Seq(3 -> 2)))             // Mar only
+    val janAfter = janDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    assert(janFiles == janAfter, "untouched month must not be rewritten")
+    assert(store.read().count() == 3)
+
+    // duplicate key arriving in a DIFFERENT month merges into the
+    // existing row's month (first-writer-wins), no cross-partition dup
+    store.upsert(batch(Seq(1 -> 2)))
+    val rows = store.read().filter(col("dedupe_key") === "<p1@x>")
+      .select("date_month").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "2001-01")
+  }
+
+  // ------------------------------------------------- composed job API
+
+  test("ingest API: submitArchive → PARSED; empty archive → EMPTY") {
+    val dir = Files.createTempDirectory("graft-api")
+    // build a zip with one depth-3 message
+    val zipPath = dir.resolve("in.zip")
+    val zos = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("u1/inbox/m1"))
+    zos.write("Message-ID: <z1@x>\r\nFrom: a@x.com\r\nTo: b@x.com\r\nSubject: s\r\n\r\nhello".getBytes)
+    zos.closeEntry(); zos.close()
+
+    val tracker = new JobTracker(spark, dir.resolve("jobs").toString)
+    val store = new EmailStore(spark, dir.resolve("store").toString)
+    val api = new IngestApi(spark, tracker, store)
+
+    val jobId = api.submitArchive(zipPath.toString)
+    assert(api.pollJob(jobId).contains("PARSED"))
+    assert(store.read().filter(col("dedupe_key") === "<z1@x>").count() == 1)
+
+    val emptyZip = dir.resolve("empty.zip")
+    val z2 = new java.util.zip.ZipOutputStream(Files.newOutputStream(emptyZip))
+    z2.putNextEntry(new java.util.zip.ZipEntry("just_a_file.txt"))
+    z2.write("not at depth 3".getBytes)
+    z2.closeEntry(); z2.close()
+    val j2 = api.submitArchive(emptyZip.toString)
+    assert(api.pollJob(j2).contains("EMPTY"))
+  }
+
+  // ------------------------------------------------------- viz export
+
+  test("cytoscape export round-trips vertex/edge counts") {
+    val store = GraphOps.demoStore(spark)
+    val json = EmailGraph.toCytoscapeJson(store)
+    val nV = EmailGraph.vertices(store).count()
+    val nE = EmailGraph.edges(store).count()
+    // each element renders as one {"data":{...}} object
+    assert(json.startsWith("{\"nodes\":["))
+    assert("\\{\"data\":".r.findAllIn(json).size == nV + nE)
+    assert("\"source\":".r.findAllIn(json).size == nE)
+  }
+
+  // ------------------------------------------------- fixture corpus
+
+  test("fixture corpus parses every documents row through the pipeline") {
+    val store = FixtureCorpus.store(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(store.count() == n)
+    assert(store.filter(col("dedupe_key") === "<d10@corp>")
+      .select("subject").head().getString(0) == "msg 10")
+    // reply chain: non-decade-start docs carry In-Reply-To
+    val withRef = store.filter(
+      element_at(col("headers"), "in-reply-to").isNotNull).count()
+    assert(withRef == n - n / 10)
+  }
+
+  test("charset sniffing: C1 bytes select windows-1252 over latin-1") {
+    import graft.codec.Rfc822Parser.smartDecode
+    // 0x93/0x94 = curly quotes in cp1252, unassigned controls in latin-1
+    val curly = Array[Byte]('h', 'i', 0x93.toByte, 'q', 0x94.toByte)
+    assert(smartDecode(curly) == "hi“q”")
+    // pure latin-1 high bytes (no C1) keep the latin-1 mapping
+    val latin = Array[Byte]('c', 'a', 'f', 0xe9.toByte)
+    assert(smartDecode(latin) == "café")
+    // valid UTF-8 still wins before the sniffer runs
+    assert(smartDecode("grüße".getBytes("UTF-8")) == "grüße")
+  }
+
+  test("2-digit RFC-822 years window to 19xx/20xx") {
+    import graft.codec.Rfc822Parser.parseDate
+    assert(parseDate("10 Jun 01 10:00:00 +0000").get.toInstant.toString
+      .startsWith("2001-06-10"))
+    assert(parseDate("10 Jun 99 10:00:00 +0000").get.toInstant.toString
+      .startsWith("1999-06-10"))
+  }
+
+  test("body parity: multipart keeps text/plain attachments; singlepart is unconditional") {
+    import graft.codec.Rfc822Parser.parse
+    // text/plain part WITH a filename still concatenates into body
+    // (ingest_enron.py:85-92 has no filename check in the body loop)
+    val multi = parse((
+      "Content-Type: multipart/mixed; boundary=B\r\n\r\n" +
+        "--B\r\n\r\nmain.\r\n" +
+        "--B\r\nContent-Type: text/plain\r\n" +
+        "Content-Disposition: attachment; filename=\"a.txt\"\r\n\r\natt.\r\n" +
+        "--B--\r\n").getBytes, "u", "f", "1_")
+    assert(multi.body == "main.att.")
+    assert(multi.attachments.map(_.filename) == Seq("a.txt"))
+    // non-multipart html: payload becomes body regardless of type
+    val html = parse(
+      "Content-Type: text/html\r\n\r\n<b>hi</b>".getBytes, "u", "f", "2_")
+    assert(html.body == "<b>hi</b>")
+  }
+}
