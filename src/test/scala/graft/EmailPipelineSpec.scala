@@ -132,6 +132,40 @@ class EmailPipelineSpec extends AnyFunSuite with SparkSpec {
     merged.unpersist()
   }
 
+  test("partitioned store: same merge contract through the pipeline (D7/A2/A3)") {
+    import org.apache.spark.sql.functions._
+    val base = maildir()
+    val root = Files.createTempDirectory("graft-pstore-pipe").toString
+    val store = new graft.store.PartitionedEmailStore(spark, root)
+    val docs = EmailIngest.docs(spark, EmailIngest.ingest(spark, base.toString))
+
+    store.upsert(docs)
+    assert(store.read().count() == 4)
+    assert(EmailStore.duplicateKeys(store.read()).count() == 0)
+
+    // idempotent re-upsert (D7)
+    store.upsert(docs)
+    assert(store.read().count() == 4)
+
+    // conflicting write: frozen fields keep, mailboxes union (A2/A3)
+    val conflict = docs.filter(docs("dedupe_key") === "<shared@x>")
+      .withColumn("subject", lit("CHANGED"))
+      .withColumn("mailboxes", expr(
+        "array(named_struct('user','eve','folder','stolen','filename','9_'))"))
+    store.upsert(conflict)
+    val row = store.read().filter("dedupe_key = '<shared@x>'").collect().head
+    assert(row.getAs[String]("subject") == "shared message")
+    assert(row.getAs[Seq[org.apache.spark.sql.Row]]("mailboxes")
+      .map(_.getString(0)).toSet == Set("alice", "bob", "eve"))
+
+    // null-date rows land in (and stay in) the unknown partition
+    assert(new java.io.File(s"$root/date_month=unknown").exists())
+    // month-pruned read path returns the May rows
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2001-05-01T00:00:00Z"))
+    val until = java.sql.Timestamp.from(java.time.Instant.parse("2001-06-01T00:00:00Z"))
+    assert(store.readDateRange(ts, until).count() == 2)
+  }
+
   test("upsert counters report created vs matched (A4/A6)") {
     val base = maildir()
     val storeDir = Files.createTempDirectory("graft-cnt-store").toString
