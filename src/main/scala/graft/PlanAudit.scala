@@ -15,8 +15,9 @@ object PlanAudit {
     val interesting = Seq(
       "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
       "q06_revenue_forecast", "q21_top_order_per_cust", "q26_cust_urgent",
-      "d52_minhash_lsh", "s60_knn_brute", "e80_tumbling_window",
-      "t40_token_stats", "t46_rolling_fp")
+      "d51_jaccard_pairs", "d52_minhash_lsh", "s60_knn_brute",
+      "e80_tumbling_window", "t40_token_stats", "t46_rolling_fp",
+      "t48_split_by_hash", "t49_decontamination", "em63_by_date_range")
     interesting.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(plan).getOrElse("PushedFilters: NONE")

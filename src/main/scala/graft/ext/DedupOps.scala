@@ -439,6 +439,66 @@ object DedupOps {
       |FROM p WHERE round(dot / (na * nb), 6) >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // --------------------------------------- d56 dedup cluster assignment
+
+  /** d56: near-dup CLUSTER assignment — the step after pair generation
+    * in a real dedup pipeline: connected components over the d51 pair
+    * graph pick one canonical representative (min doc_id) per cluster,
+    * so "drop all but the representative" is a single anti-join. GraphX
+    * CC (min-reachable-id invariant) checked against a recursive
+    * transitive-closure oracle, the g92 pattern applied to dedup. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.graph.EmailGraph.components(s, pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($jaccardPairsSql)),
+      |ue AS (SELECT doc_a a, doc_b b FROM pairs
+      |       UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM (SELECT doc_a a FROM pairs
+      |                    UNION SELECT doc_b FROM pairs) t
+      |  UNION
+      |  SELECT reach.a, ue.b FROM reach JOIN ue ON reach.b = ue.a)
+      |SELECT a AS doc_id, min(b) AS cluster_rep FROM reach
+      |GROUP BY a ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------- t49 benchmark decontamination
+
+  /** t49: decontamination scan — flag training documents sharing word
+    * 3-grams with a benchmark/eval set (here: the deterministic
+    * doc_id%97 slice). The join is inverted-index on shingle hash with
+    * the benchmark side broadcast (eval sets are small by nature), so
+    * the corpus never shuffles — the right 100 TB shape for "check the
+    * whole training set against the eval suite". */
+  def decontamination(s: SparkSession, d: String): DataFrame = {
+    val sh = hashedShingles(s, d)
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    train.join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .join(sizes, "doc_id")
+      .withColumn("contamination", round(col("n_hit") / col("n"), 4))
+      .select("doc_id", "n_hit", "contamination")
+      .orderBy("doc_id")
+  }
+
+  val decontaminationSql: String =
+    s"""WITH shs AS ($shingleRowsSql),
+      |bench AS (SELECT DISTINCT shingle FROM shs WHERE doc_id % 97 = 0),
+      |train AS (SELECT * FROM shs WHERE doc_id % 97 <> 0),
+      |sizes AS (SELECT doc_id, count(*) n FROM train GROUP BY 1),
+      |hits AS (
+      |  SELECT t.doc_id, count(*) n_hit FROM train t
+      |  JOIN bench b ON t.shingle = b.shingle GROUP BY 1)
+      |SELECT doc_id, n_hit, round(n_hit * 1.0 / sizes.n, 4) AS contamination
+      |FROM hits JOIN sizes USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_exact_dedup"    -> exactDedup _,
     "d51_jaccard_pairs"  -> jaccardPairs _,
@@ -447,6 +507,8 @@ object DedupOps {
     "d53b_simhash_pairs" -> simhashPairs _,
     "d54_embedding_dups" -> embeddingDupPairs _,
     "d55_containment"    -> containmentPairs _,
+    "d56_dedup_clusters" -> dedupClusters _,
+    "t49_decontamination" -> decontamination _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -457,5 +519,7 @@ object DedupOps {
     "d53b_simhash_pairs" -> simhashPairsSql,
     "d54_embedding_dups" -> embeddingDupPairsSql,
     "d55_containment"    -> containmentPairsSql,
+    "d56_dedup_clusters" -> dedupClustersSql,
+    "t49_decontamination" -> decontaminationSql,
   )
 }

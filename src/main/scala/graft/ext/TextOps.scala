@@ -227,6 +227,43 @@ object TextOps {
       |      x -> x <> '') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- t48 deterministic split
+
+  /** t48: deterministic train/validation/test split by key hash —
+    * the standard "stable 80/10/10" a training pipeline needs: the
+    * assignment depends only on doc_id (never on partitioning, row
+    * order or sampling state), so re-runs, backfills and incremental
+    * appends all land each document in the same split. Pure projection
+    * + one aggregation: embarrassingly parallel at any scale. */
+  def splitByHash(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket",
+        md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_doc_id"))
+      .orderBy("split")
+
+  val splitByHashSql: String =
+    """SELECT split, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN bucket < 80 THEN 'train'
+      |         WHEN bucket < 90 THEN 'validation'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, n_chars,
+      |          ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100
+      |            AS bucket
+      |        FROM documents))
+      |GROUP BY split ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -234,6 +271,7 @@ object TextOps {
     "t43_lang_id"         -> langId _,
     "t44_fingerprint"     -> fingerprint _,
     "t45_shingle_profile" -> shingleProfile _,
+    "t48_split_by_hash"   -> splitByHash _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -243,5 +281,6 @@ object TextOps {
     "t43_lang_id"         -> langIdSql,
     "t44_fingerprint"     -> fingerprintSql,
     "t45_shingle_profile" -> shingleProfileSql,
+    "t48_split_by_hash"   -> splitByHashSql,
   )
 }

@@ -154,14 +154,33 @@ object Advanced {
       |FROM monthly ORDER BY month""".stripMargin
 
   /** t46: document fingerprints through the native codegen'd
-    * RollingHash64 Expression (rows-only: DuckDB BIGINT traps on
-    * overflow, so no SQL twin — contract pinned by FunctionsSpec). */
+    * RollingHash64 Expression. Oracle-checked: DuckDB BIGINT traps on
+    * overflow, so the twin emulates the 64-bit wraparound in HUGEINT
+    * (fold over code points — the fixture text is pure ASCII, verified,
+    * so ord(char) == byte) with mod 2⁶⁴ per step, then maps back to the
+    * signed representation. */
   def rollingFingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
       col("doc_id"),
       rolling_hash64(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
         .as("rolling_fp"))
       .orderBy("doc_id")
+
+  val rollingFingerprintSql: String =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+      |            THEN v - 18446744073709551616::HUGEINT
+      |            ELSE v END AS BIGINT) AS rolling_fp
+      |FROM (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(0::HUGEINT,
+      |      list_transform(range(1, length(t) + 1),
+      |        i -> ord(substring(t, CAST(i AS INT), 1))::HUGEINT)),
+      |    (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS v
+      |  FROM (SELECT doc_id,
+      |          regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
 
   /** q47: sketch tier — approximate distinct counts (HLL++) and
     * approximate percentiles (KLL-style) per segment, with the exact
@@ -196,5 +215,6 @@ object Advanced {
     "q39_string_ops"     -> stringOpsSql,
     "q40_sql_subqueries" -> sqlSubqueriesSql,
     "q41_sql_cte_window" -> sqlCteWindowsSql,
+    "t46_rolling_fp"     -> rollingFingerprintSql,
   )
 }

@@ -138,6 +138,27 @@ class Round2Spec extends AnyFunSuite with SparkSpec {
     assert(api.pollJob(j2).contains("EMPTY"))
   }
 
+  // ------------------------------------------------------ mbox source
+
+  test("mbox ingest: envelope split, >From unescape, merge-ready rows") {
+    val dir = Files.createTempDirectory("graft-mbox")
+    val mbox =
+      "From alice@x.com Thu Jun 14 10:00:00 2001\n" +
+        "Message-ID: <mb1@x>\nFrom: alice@x.com\nTo: bob@x.com\n" +
+        "Subject: one\n\nbody one\n>From here escaped\n" +
+        "From bob@x.com Thu Jun 14 11:00:00 2001\n" +
+        "Message-ID: <mb2@x>\nFrom: bob@x.com\nTo: alice@x.com\n" +
+        "Subject: two\n\nbody two\n"
+    Files.write(dir.resolve("team.mbox"), mbox.getBytes)
+    val docs = graft.ingest.MboxIngest.docs(spark, dir.toString)
+    assert(docs.count() == 2)
+    val one = docs.filter(col("dedupe_key") === "<mb1@x>").collect().head
+    assert(one.getAs[String]("body") == "body one\nFrom here escaped")
+    val mb = one.getAs[Seq[org.apache.spark.sql.Row]]("mailboxes").head
+    assert((mb.getString(0), mb.getString(1)) == ("team", "mbox"))
+    assert(EmailStore.mergeBatch(docs).count() == 2)
+  }
+
   // ------------------------------------------------------- viz export
 
   test("cytoscape export round-trips vertex/edge counts") {
