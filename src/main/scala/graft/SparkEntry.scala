@@ -32,7 +32,11 @@ object SparkEntry {
         // stream drained into a memory sink — shares e80's oracle, so
         // batch/stream parity is itself oracle-checked
         "e84_stream_tumbling" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamTumblingCounts(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamTumblingCounts(s, d)),
+        // streaming twin of d50: same dedup aggregation as a stream →
+        // shares d50's oracle (stream/batch parity on the dedup tier)
+        "e85_stream_dedup" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamExactDedup(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +46,6 @@ object SparkEntry {
       DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ EventOps.oracleSql ++
       GraphOps.oracleSql ++ Multimodal.oracleSql ++ Ner.oracleSql ++
       Validation.oracleSql ++
-      Map("e84_stream_tumbling" -> EventOps.tumblingWindowSql)
+      Map("e84_stream_tumbling" -> EventOps.tumblingWindowSql,
+        "e85_stream_dedup" -> DedupOps.exactDedupSql)
 }

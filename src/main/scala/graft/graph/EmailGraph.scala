@@ -113,6 +113,16 @@ object EmailGraph {
     * thread_id = lexicographically smallest dedupe_key in the
     * component (deterministic, human-readable root).
     */
+  /** Partition count for a Pregel job over `n` edge/vertex rows: ~50k
+    * rows per partition, floored at 1, capped at session parallelism.
+    * Pregel pays per-TASK overhead on every iteration, so a 5k-edge
+    * graph on 32 partitions runs 32 near-empty tasks × ~10 iterations ×
+    * several internal RDDs — sizing to volume cuts that ~10× at fixture
+    * scale while still using full parallelism on a real corpus. */
+  private def pregelParts(spark: SparkSession, n: Long): Int =
+    math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      ((n + 49999) / 50000).toInt))
+
   def assignThreadIds(spark: SparkSession, store: DataFrame): DataFrame = {
     import spark.implicits._
     val msgs = store.select(col("dedupe_key"), col("message_id"),
@@ -132,12 +142,13 @@ object EmailGraph {
 
     val vids = msgs.select(col("dedupe_key"))
       .withColumn("vid", xxhash64(col("dedupe_key")))
+    val p = pregelParts(spark, store.count())
     val edgeRdd = links
       .withColumn("va", xxhash64(col("a")))
       .withColumn("vb", xxhash64(col("b")))
-      .select("va", "vb").as[(Long, Long)].rdd
+      .select("va", "vb").as[(Long, Long)].rdd.coalesce(p)
       .map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
-    val vertexRdd = vids.select("vid").as[Long].rdd.map(v => (v, 1))
+    val vertexRdd = vids.select("vid").as[Long].rdd.coalesce(p).map(v => (v, 1))
     val graph = Graph(vertexRdd, edgeRdd, defaultVertexAttr = 1)
     val cc = graph.connectedComponents().vertices // (vid, componentVid)
     val comp = spark.createDataFrame(cc).toDF("vid", "comp")
@@ -158,8 +169,10 @@ object EmailGraph {
     * exactly what a transitive-closure SQL oracle can recompute). */
   def components(spark: SparkSession, edgeDf: DataFrame): DataFrame = {
     import spark.implicits._
-    val edgeRdd = edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s: VertexId, d, 1) }
+    val edges = edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
+    val p = pregelParts(spark, edges.count())
+    val edgeRdd = edges
+      .as[(Long, Long)].rdd.coalesce(p).map { case (s, d) => Edge(s: VertexId, d, 1) }
     val graph = Graph.fromEdges(edgeRdd, defaultValue = 1)
     spark.createDataFrame(graph.connectedComponents().vertices)
       .toDF("id", "component")

@@ -95,6 +95,24 @@ object EmailOps {
       |SELECT dedupe_key, sender AS "from", subject, dt AS "date"
       |FROM m WHERE doc_id = 10""".stripMargin
 
+  /** em68: attachment metadata census — exercises the MIME walk +
+    * base64 transfer decoding + attachment extraction (F7/F8) through
+    * the oracle gate: the multipart fixture messages carry one
+    * attachment whose decoded size the oracle derives from the text. */
+  def attachmentMeta(s: SparkSession, d: String): DataFrame =
+    store(s, d)
+      .select(col("dedupe_key"), explode(col("attachments")).as("a"))
+      .select(col("dedupe_key"), col("a.filename"), col("a.content_type"),
+        col("a.size"))
+      .orderBy("dedupe_key")
+
+  val attachmentMetaSql: String =
+    s"""$sqlPrelude
+      |SELECT dedupe_key, 'a' || doc_id || '.dat' AS filename,
+      |  'application/octet-stream' AS content_type,
+      |  CAST(least(48, length(text)) AS BIGINT) AS size
+      |FROM m WHERE doc_id % 25 = 0 ORDER BY dedupe_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "em60_by_mailbox"    -> byMailbox _,
     "em61_by_recipient"  -> byRecipient _,
@@ -103,6 +121,7 @@ object EmailOps {
     "em64_comm_edges"    -> commEdges _,
     "em65_mailbox_counts" -> mailboxCounts _,
     "em66_by_key"        -> byKey _,
+    "em68_attachments"   -> attachmentMeta _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -113,5 +132,6 @@ object EmailOps {
     "em64_comm_edges"    -> commEdgesSql,
     "em65_mailbox_counts" -> mailboxCountsSql,
     "em66_by_key"        -> byKeySql,
+    "em68_attachments"   -> attachmentMetaSql,
   )
 }

@@ -40,11 +40,16 @@ object FixtureCorpus {
 
   val folders: Vector[String] = Vector("inbox", "sent", "archive")
 
-  /** Render the synthetic RFC-822 message for one documents row. */
+  /** Render the synthetic RFC-822 message for one documents row.
+    * Every 25th message is multipart/mixed with a base64 attachment
+    * (payload = first 48 bytes of the text), so the MIME walk, body
+    * assembly and attachment metadata all pass through the driver's
+    * oracle gate, not just unit specs. */
   def message(id: Long, text: String, prev: Option[Long]): String = {
     val to =
       if (id % 2 == 0) s"team@corp.com, u${(id + 1) % 7}@corp.com"
       else "team@corp.com"
+    val multipart = id % 25 == 0
     val headers = Seq(
       s"Message-ID: <d$id@corp>",
       f"Date: ${1 + id % 28}%d May 2001 ${id % 24}%02d:15:00 +0000",
@@ -52,9 +57,28 @@ object FixtureCorpus {
       s"To: $to") ++
       (if (id % 3 == 0) Seq(s"Cc: cc${id % 4}@corp.com") else Nil) ++
       prev.map(p => s"In-Reply-To: <d$p@corp>") ++
-      Seq(s"Subject: msg $id")
+      Seq(s"Subject: msg $id") ++
+      (if (multipart) Seq(s"Content-Type: multipart/mixed; boundary=B$id")
+       else Nil)
     val body = if (id % 50 == 0) "" else text
-    (headers ++ Seq("", body)).mkString("\r\n")
+    val content =
+      if (multipart) {
+        val b64 = java.util.Base64.getEncoder.encodeToString(
+          text.getBytes("UTF-8").take(48))
+        Seq(
+          s"--B$id",
+          "Content-Type: text/plain",
+          "",
+          body,
+          s"--B$id",
+          "Content-Type: application/octet-stream",
+          s"""Content-Disposition: attachment; filename="a$id.dat"""",
+          "Content-Transfer-Encoding: base64",
+          "",
+          b64,
+          s"--B$id--")
+      } else Seq(body)
+    (headers ++ Seq("") ++ content).mkString("\r\n")
   }
 
   // one materialized store per (session, sf dir): the ~10 email-surface
@@ -104,6 +128,7 @@ object FixtureCorpus {
       |    make_timestamp(2001, 5, CAST(1 + doc_id % 28 AS INT),
       |      CAST(doc_id % 24 AS INT), 15, 0) AS dt,
       |    'msg ' || doc_id AS subject,
+      |    text,
       |    CASE WHEN doc_id % 50 = 0 THEN '' ELSE text END AS body,
       |    doc_id % 2 = 0 AS has_second_to,
       |    'u' || ((doc_id + 1) % 7) || '@corp.com' AS second_to,

@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * map-side, the only shuffle is on the dedup key, and there is no
   * window sort. Persistence uses versioned snapshot directories with a
   * `_VERSION` pointer (read-merge-write; no ACID table format available
-  * offline — SURVEY.md §7.4); at 100 TB the same merge would write
-  * date-partitioned and overwrite only affected partitions.
+  * offline — SURVEY.md §7.4). At 100 TB use [[PartitionedEmailStore]],
+  * which applies the same merge per `date_month` partition and rewrites
+  * only affected months via dynamic partition overwrite.
   */
 object EmailStore {
 

@@ -60,6 +60,45 @@ object StreamingOps {
       .orderBy("window_start", "event_type")
   }
 
+  /** documents schema for streaming reads. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** e85: the d50 exact-dedup aggregation run as a STREAM — the
+    * "dedup a corpus as it arrives" shape: per-fingerprint keeper +
+    * copy count maintained as streaming state (complete-mode memory
+    * sink). Output is identical to the batch twin, so it shares d50's
+    * DuckDB oracle — stream/batch parity on the dedup tier is itself
+    * oracle-checked, the e84/e80 pattern applied to dedup. */
+  def streamExactDedup(spark: SparkSession, d: String): DataFrame = {
+    val sink = "stream_out_" + UUID.randomUUID.toString.replace("-", "")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val stageDir = Files.createTempDirectory("graft-stream-src")
+    Files.createSymbolicLink(stageDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(d, "documents.parquet").toAbsolutePath)
+    val normText = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val stream = spark.readStream
+      .schema(documentsSchema)
+      .parquet(stageDir.toString)
+      .select(col("doc_id"), md5(normText).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+      .select("fp", "keep_doc_id", "n_copies")
+      .orderBy("keep_doc_id")
+  }
+
   /** Streaming maildir ingest: binaryFile stream → parse → per-batch
     * merge into the store (foreachBatch = the reference's per-task
     * upsert loop collapsed into idempotent batch merges). Returns the
