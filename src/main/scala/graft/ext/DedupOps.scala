@@ -448,8 +448,12 @@ object DedupOps {
     * CC (min-reachable-id invariant) checked against a recursive
     * transitive-closure oracle, the g92 pattern applied to dedup. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(s, d)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // the pair graph is tiny relative to the corpus but expensive to
+    // produce; cache it — the CC path reads it three times (partition
+    // sizing count, vertex derivation, edge RDD)
+    val pairs = cached(s"pairs|${System.identityHashCode(s)}|$d") {
+      jaccardPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    }
     graft.graph.EmailGraph.components(s, pairs)
       .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
       .orderBy("doc_id")

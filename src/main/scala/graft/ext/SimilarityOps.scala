@@ -202,6 +202,160 @@ object SimilarityOps {
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // --------------------------------------------- s66/s67 k-means IVF
+
+  private val kmK = 8        // clusters
+  private val kmIters = 2    // full Lloyd iterations before the final assign
+  private val kmScale = 1000 // fixed-point quantization scale
+
+  /** Quantized-embedding frame: qv = round(x·1000) per dim. All k-means
+    * arithmetic runs on these integers so the whole iteration is exact
+    * (BIGINT sums, argmin on integer squared-L2, one deterministic
+    * rounding per centroid update) — which is what lets a CLUSTERING
+    * loop be DuckDB-oracle-checked bit-for-bit, where fp means would
+    * drift with summation order. Quantization error (≤0.0005/dim ≈ 0.1%
+    * of the value range) is far below cluster separation. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("qv",
+        transform(col("v"), x => round(x * kmScale, 0).cast("long")))
+
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Nearest-centroid assignment (ties → smallest cid). */
+  private def kmAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "v", "qv", "cid")
+  }
+
+  /** Integer centroid update: per-dim mean of members, rounded back to
+    * the fixed-point grid. */
+  private def kmMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(round(sum("x") / count(lit(1)), 0).cast("long").as("cx"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        p => p.getField("cx")).as("cv"))
+
+  /** Final (post-iteration) assignment of every vector. */
+  private def kmFinal(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    var cent = e.filter(col("vec_id") < kmK)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    for (_ <- 1 to kmIters) cent = kmMeans(kmAssign(e, cent))
+    kmAssign(e, cent)
+  }
+
+  /** s66: k-means cluster census after `kmIters` Lloyd iterations —
+    * a REAL trained coarse quantizer (vs s61's label blocking), the
+    * index-build half of IVF. Everything incl. the iteration is
+    * oracle-checked thanks to the fixed-point arithmetic. */
+  def kmeansCensus(s: SparkSession, d: String): DataFrame =
+    kmFinal(s, d)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
+      .orderBy("cid")
+
+  /** s67: ANN through the trained quantizer — probe the nearest
+    * centroid (integer distance), exact rounded-cosine top-3 within
+    * that cluster. The serving half of k-means IVF. */
+  def kmeansIvfKnn(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    var cent = e.filter(col("vec_id") < kmK)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    for (_ <- 1 to kmIters) cent = kmMeans(kmAssign(e, cent))
+    val members = kmAssign(e, cent)
+      .select(col("vec_id").as("c_id"), col("cid"), col("v").as("cv2"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv2"), col("qv"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cid"))
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") === 1)
+      .select(col("q_id"), col("qv2"), col("cid"))
+    val wRank = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("c_id"))
+    probe.join(members, Seq("cid"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(dot(col("qv2"), col("cv2")) / (norm(col("qv2")) * norm(col("cv2"))), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("cid"), col("c_id"), col("cosine"),
+        col("rank").cast("bigint").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val kmDistSql =
+    "list_sum(list_transform(range(1, 65), i -> (AQ[i] - CV[i]) * (AQ[i] - CV[i])))"
+
+  /** Shared CTE prefix: quantize → seeds → kmIters × (assign, update).
+    * `cN` is the final centroid set, `aF` the final assignment. */
+  private val kmSqlPrefix: String = {
+    def assignCte(name: String, centName: String) = {
+      val dist = kmDistSql.replace("AQ", "q.qv").replace("CV", "c.cv")
+      s"""$name AS (
+        |  SELECT vec_id, v, qv, cid FROM (
+        |    SELECT q.vec_id, q.v, q.qv, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY $dist ASC, c.cid) rn
+        |    FROM q, $centName c) WHERE rn = 1)""".stripMargin
+    }
+    def meansCte(name: String, assignName: String) =
+      s"""$name AS (
+        |  SELECT cid, list(cx ORDER BY pos) cv FROM (
+        |    SELECT cid, pos, CAST(round(sum(x) * 1.0 / count(*), 0) AS BIGINT) cx
+        |    FROM (SELECT cid, unnest(qv) x, generate_subscripts(qv, 1) pos
+        |          FROM $assignName)
+        |    GROUP BY cid, pos)
+        |  GROUP BY cid)""".stripMargin
+    val iters = (1 to kmIters).map { i =>
+      assignCte(s"a$i", if (i == 1) "c0" else s"c${i - 1}") + ",\n" +
+        meansCte(s"c$i", s"a$i")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |q AS (SELECT vec_id, v,
+      |  list_transform(v, x -> CAST(round(x * $kmScale, 0) AS BIGINT)) qv
+      |  FROM e),
+      |c0 AS (SELECT vec_id cid, qv cv FROM q WHERE vec_id < $kmK),
+      |$iters,
+      |${assignCte("aF", s"c$kmIters")}""".stripMargin
+  }
+
+  val kmeansCensusSql: String =
+    s"""$kmSqlPrefix
+      |SELECT cid, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+      |FROM aF GROUP BY cid ORDER BY cid""".stripMargin
+
+  val kmeansIvfKnnSql: String = {
+    val probeDist = kmDistSql.replace("AQ", "qq.qv").replace("CV", "c.cv")
+    val cosine = cosineSqlSnippet.replace("QV", "p.v").replace("CV", "m.v")
+    s"""$kmSqlPrefix,
+      |probe AS (
+      |  SELECT q_id, v, cid FROM (
+      |    SELECT qq.vec_id q_id, qq.v, c.cid,
+      |      row_number() OVER (PARTITION BY qq.vec_id
+      |        ORDER BY $probeDist ASC, c.cid) rn
+      |    FROM q qq, c$kmIters c WHERE qq.vec_id < 10) WHERE rn = 1),
+      |scored AS (
+      |  SELECT p.q_id, p.cid, m.vec_id c_id, round($cosine, 6) AS cosine
+      |  FROM probe p JOIN aF m ON m.cid = p.cid AND m.vec_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, cid, c_id, cosine, CAST(row_number() OVER (
+      |    PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT q_id, cid, c_id, cosine, rank FROM ranked
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------- s62 sign-LSH
 
   private val numPlanes = 16
@@ -272,6 +426,8 @@ object SimilarityOps {
     "s61_ivf_knn"       -> ivfKnn _,
     "s62_signlsh"       -> signLshBuckets _,
     "s64_ivf_multiprobe" -> ((s: SparkSession, d: String) => ivfMultiprobeKnn(s, d)),
+    "s66_kmeans_census" -> kmeansCensus _,
+    "s67_kmeans_ivf"    -> kmeansIvfKnn _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -279,5 +435,7 @@ object SimilarityOps {
     "s61_ivf_knn"       -> ivfKnnSql,
     "s62_signlsh"       -> signLshBucketsSql,
     "s64_ivf_multiprobe" -> ivfMultiprobeKnnSql,
+    "s66_kmeans_census" -> kmeansCensusSql,
+    "s67_kmeans_ivf"    -> kmeansIvfKnnSql,
   )
 }

@@ -264,6 +264,44 @@ object TextOps {
       |        FROM documents))
       |GROUP BY split ORDER BY split""".stripMargin
 
+  // --------------------------------------- t51 intra-doc repetition
+
+  /** t51: intra-document repetition score — the fraction of word
+    * 3-grams that are repeats of an earlier 3-gram in the same document
+    * (a Gopher-style quality rule: high repetition marks boilerplate,
+    * keyboard-mash and template text for removal). Pure array
+    * expressions per row — no shuffle at all, embarrassingly parallel. */
+  def repetitionScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(shingles3(col("toks"))).cast("bigint").as("n_shingles"),
+        size(array_distinct(shingles3(col("toks")))).cast("bigint")
+          .as("n_distinct"))
+      .withColumn("repetition",
+        when(col("n_shingles") > 0,
+          round(lit(1.0) - col("n_distinct") / col("n_shingles"), 4))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "n_shingles", "repetition")
+      .orderBy("doc_id")
+
+  val repetitionScoreSql: String =
+    """SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+      |  CASE WHEN n_shingles > 0
+      |       THEN round(1.0 - n_distinct * 1.0 / n_shingles, 4)
+      |       ELSE 0.0 END AS repetition
+      |FROM (
+      |  SELECT doc_id, len(sh) AS n_shingles,
+      |    len(list_distinct(sh)) AS n_distinct
+      |  FROM (
+      |    SELECT doc_id, list_transform(
+      |      range(1, greatest(len(toks) - 1, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+      |    FROM (SELECT doc_id, list_filter(
+      |          regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      |          FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -272,6 +310,7 @@ object TextOps {
     "t44_fingerprint"     -> fingerprint _,
     "t45_shingle_profile" -> shingleProfile _,
     "t48_split_by_hash"   -> splitByHash _,
+    "t51_repetition"      -> repetitionScore _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -282,5 +321,6 @@ object TextOps {
     "t44_fingerprint"     -> fingerprintSql,
     "t45_shingle_profile" -> shingleProfileSql,
     "t48_split_by_hash"   -> splitByHashSql,
+    "t51_repetition"      -> repetitionScoreSql,
   )
 }
