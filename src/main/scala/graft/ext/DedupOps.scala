@@ -55,8 +55,19 @@ object DedupOps {
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def cached(key: String)(build: => DataFrame): DataFrame =
-    frameCache.computeIfAbsent(key, _ => build.cache())
+  // get-then-putIfAbsent rather than computeIfAbsent: builders nest
+  // (the d56 pair cache builds the shingle cache inside its own entry),
+  // and ConcurrentHashMap throws "Recursive update" on reentrant
+  // computeIfAbsent
+  private def cached(key: String)(build: => DataFrame): DataFrame = {
+    val existing = frameCache.get(key)
+    if (existing != null) existing
+    else {
+      val df = build.cache()
+      val prev = frameCache.putIfAbsent(key, df)
+      if (prev != null) { df.unpersist(); prev } else df
+    }
+  }
 
   /** Unpersist every frame this object materialized (call from the
     * driver harness after results are written). */

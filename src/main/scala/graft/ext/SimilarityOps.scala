@@ -245,14 +245,31 @@ object SimilarityOps {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         p => p.getField("cx")).as("cv"))
 
-  /** Final (post-iteration) assignment of every vector. */
-  private def kmFinal(s: SparkSession, d: String): DataFrame = {
-    val e = quantized(s, d)
-    var cent = e.filter(col("vec_id") < kmK)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    for (_ <- 1 to kmIters) cent = kmMeans(kmAssign(e, cent))
-    kmAssign(e, cent)
+  // the trained model is shared by s66 (census), s67 (serving) and s68
+  // (recall eval) — train once per (session, dir), unpersist from the
+  // harness epilogue
+  private val kmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  def clearCaches(): Unit = {
+    kmCache.values.forEach { case (c, a) => c.unpersist(); a.unpersist(); () }
+    kmCache.clear()
   }
+
+  /** Train the quantizer: returns (centroids, final assignment), both
+    * cached. */
+  private def kmModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    kmCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
+      val e = quantized(s, d)
+      var cent = e.filter(col("vec_id") < kmK)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      for (_ <- 1 to kmIters) cent = kmMeans(kmAssign(e, cent))
+      (cent.cache(), kmAssign(e, cent).cache())
+    })
+
+  /** Final (post-iteration) assignment of every vector. */
+  private def kmFinal(s: SparkSession, d: String): DataFrame =
+    kmModel(s, d)._2
 
   /** s66: k-means cluster census after `kmIters` Lloyd iterations —
     * a REAL trained coarse quantizer (vs s61's label blocking), the
@@ -269,10 +286,8 @@ object SimilarityOps {
     * that cluster. The serving half of k-means IVF. */
   def kmeansIvfKnn(s: SparkSession, d: String): DataFrame = {
     val e = quantized(s, d)
-    var cent = e.filter(col("vec_id") < kmK)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    for (_ <- 1 to kmIters) cent = kmMeans(kmAssign(e, cent))
-    val members = kmAssign(e, cent)
+    val (cent, assigned) = kmModel(s, d)
+    val members = assigned
       .select(col("vec_id").as("c_id"), col("cid"), col("v").as("cv2"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv2"), col("qv"))

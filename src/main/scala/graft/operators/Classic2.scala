@@ -171,7 +171,39 @@ object Classic2 {
       |FROM joined GROUP BY q_id ORDER BY q_id""".stripMargin
   }
 
+  /** s68: recall@3 of the TRAINED k-means IVF (s67) against the brute
+    * ground truth — closes the evaluation loop for the learned
+    * quantizer the same way s63/s65 close it for label-IVF. */
+  def kmeansRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = SimilarityOps.knnBrute(s, d).filter(col("rank") <= 3)
+      .select(col("q_id"), col("c_id"))
+    val approx = SimilarityOps.kmeansIvfKnn(s, d)
+      .select(col("q_id"), col("c_id"))
+    truth.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
+        .as("recall_at_3"))
+      .orderBy("q_id")
+  }
+
+  val kmeansRecallSql: String = {
+    val truth = SimilarityOps.knnBruteSql
+      .replaceAll("ORDER BY q_id, rank$", "")
+    val approx = SimilarityOps.kmeansIvfKnnSql
+      .replaceAll("ORDER BY q_id, rank$", "")
+    s"""WITH truth AS (SELECT q_id, c_id FROM ($truth) WHERE rank <= 3),
+      |approx AS (SELECT q_id, c_id FROM ($approx)),
+      |joined AS (
+      |  SELECT t.q_id,
+      |    CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM truth t LEFT JOIN approx a
+      |    ON a.q_id = t.q_id AND a.c_id = t.c_id)
+      |SELECT q_id, sum(hit) / count(*) AS recall_at_3
+      |FROM joined GROUP BY q_id ORDER BY q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s68_kmeans_recall"    -> kmeansRecall _,
     "q02_top_supplier"     -> topSupplierPerNation _,
     "q08_market_share"     -> marketShare _,
     "q09_nation_profit"    -> nationYearlyProfit _,
@@ -185,5 +217,6 @@ object Classic2 {
     "q09_nation_profit"    -> nationYearlyProfitSql,
     "s63_ivf_recall"       -> ivfRecallSql,
     "s65_multiprobe_recall" -> ivfMultiprobeRecallSql,
+    "s68_kmeans_recall"    -> kmeansRecallSql,
   )
 }
