@@ -11,7 +11,7 @@ import graft.store.EmailStore
   * lifecycle (QUEUED → PARSING → PARSED | EMPTY) → store upsert, so a
   * library user has the same two-verb surface the reference's FastAPI
   * app exposes. */
-class IngestApi(spark: SparkSession, tracker: JobTracker, store: EmailStore) {
+class IngestApi(spark: SparkSession, tracker: JobTracker, store: graft.store.DocStore) {
 
   /** POST /ingest analogue: stage the zip into a temp maildir, run the
     * full ingest job against it, clean the staging dir; returns the job

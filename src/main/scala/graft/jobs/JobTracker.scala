@@ -86,7 +86,7 @@ object JobTracker {
     * EMPTY short-circuit | PARSING(file_count) → parse+merge into the
     * store → PARSED. Returns the job id. */
   def runIngestJob(spark: SparkSession, tracker: JobTracker,
-      store: EmailStore, inputDir: String,
+      store: graft.store.DocStore, inputDir: String,
       source: String = "manual_trigger"): String = {
     val jobId = tracker.create(source, inputDir)
     val scanned = EmailIngest.scan(spark, inputDir).cache()

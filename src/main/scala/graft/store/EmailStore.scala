@@ -71,8 +71,18 @@ object EmailStore {
     store.groupBy("dedupe_key").count().filter(col("count") > 1)
 }
 
+/** Common contract of the two store backends: the versioned-snapshot
+  * [[EmailStore]] and the month-partitioned [[PartitionedEmailStore]].
+  * The job pipeline (JobTracker/IngestApi/streamIngest) is written
+  * against this, so either write path plugs into the same lifecycle. */
+trait DocStore {
+  def upsert(batch: org.apache.spark.sql.DataFrame): Unit
+  def read(): org.apache.spark.sql.DataFrame
+  def isEmpty: Boolean
+}
+
 /** Versioned snapshot persistence for the email store. */
-class EmailStore(spark: SparkSession, root: String) {
+class EmailStore(spark: SparkSession, root: String) extends DocStore {
   import EmailStore._
 
   private val fs = new Path(root)

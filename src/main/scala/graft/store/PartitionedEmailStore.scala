@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   * e.g. a bucketed key index, the probe becomes a pruned lookup; at
   * fixture scale the scan is the right simplicity/scale trade.
   */
-class PartitionedEmailStore(spark: SparkSession, root: String) {
+class PartitionedEmailStore(spark: SparkSession, root: String)
+    extends DocStore {
 
   private val monthCol =
     coalesce(date_format(col("date"), "yyyy-MM"), lit("unknown"))

@@ -103,7 +103,7 @@ object StreamingOps {
     * merge into the store (foreachBatch = the reference's per-task
     * upsert loop collapsed into idempotent batch merges). Returns the
     * started query; callers drain with processAllAvailable. */
-  def streamIngest(spark: SparkSession, baseDir: String, store: EmailStore,
+  def streamIngest(spark: SparkSession, baseDir: String, store: graft.store.DocStore,
       maxFilesPerTrigger: Int = 100)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
@@ -119,7 +119,7 @@ object StreamingOps {
         StructField("modificationTime", TimestampType),
         StructField("length", LongType),
         StructField("content", BinaryType))))
-      .load(s"$baseDir/*/*/*")
+      .load(s"$baseDir/*/*")
       .filter(col("path").rlike(pat))
       .select(
         col("path"),

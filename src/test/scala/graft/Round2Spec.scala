@@ -136,6 +136,15 @@ class Round2Spec extends AnyFunSuite with SparkSpec {
     z2.closeEntry(); z2.close()
     val j2 = api.submitArchive(emptyZip.toString)
     assert(api.pollJob(j2).contains("EMPTY"))
+
+    // the same composed lifecycle runs against the partitioned backend
+    // through the shared DocStore contract
+    val pstore = new PartitionedEmailStore(spark,
+      dir.resolve("pstore").toString)
+    val papi = new IngestApi(spark, tracker, pstore)
+    val j3 = papi.submitArchive(zipPath.toString)
+    assert(papi.pollJob(j3).contains("PARSED"))
+    assert(pstore.read().filter(col("dedupe_key") === "<z1@x>").count() == 1)
   }
 
   // ------------------------------------------------------ mbox source
