@@ -260,11 +260,19 @@ object SimilarityOps {
     * cached. */
   private def kmModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
     kmCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
-      val e = quantized(s, d)
-      var cent = e.filter(col("vec_id") < kmK)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      for (_ <- 1 to kmIters) cent = kmMeans(kmAssign(e, cent))
-      (cent.cache(), kmAssign(e, cent).cache())
+      val e = quantized(s, d).cache()
+      // the training loop shuffles ~corpus×K rows many times; size the
+      // stages to that volume (full width at real scale, narrow on the
+      // fixtures) and materialize the cached model inside the scope
+      graft.operators.Salting.withVolumeShuffle(s, e.count() * kmK) {
+        var cent = e.filter(col("vec_id") < kmK)
+          .select(col("vec_id").as("cid"), col("qv").as("cv"))
+        for (_ <- 1 to kmIters) cent = kmMeans(kmAssign(e, cent))
+        val model = (cent.cache(), kmAssign(e, cent).cache())
+        model._1.count(); model._2.count()
+        e.unpersist()
+        model
+      }
     })
 
   /** Final (post-iteration) assignment of every vector. */

@@ -78,6 +78,77 @@ object GraphOps {
       |  UNION ALL SELECT p2 FROM edges)
       |GROUP BY part_id ORDER BY degree DESC, part_id LIMIT 25""".stripMargin
 
+  // --------------------------------------- g94 fixed-point PageRank
+
+  private val prScale = 1000000L // rank 1.0 == 1e6
+  private val prIters = 10
+
+  /** g94: PageRank over the co-purchase graph in FIXED-POINT integer
+    * arithmetic — contributions use integer division by out-degree and
+    * the damping step is (85·x) div 100, so every iteration is exact
+    * BIGINT math and the ten-step loop is bit-reproducible in the
+    * DuckDB oracle (measured: double PageRank lands values exactly on
+    * round() tie boundaries, so no float formulation can hash-check).
+    * Quantization error ≤ 1e-6·deg per step — far below rank gaps.
+    *
+    * DataFrame iteration with an eager localCheckpoint per step: the
+    * checkpoint breaks lineage so the plan stays constant-size across
+    * iterations (and avoids self-join ambiguity) — the standard shape
+    * for iterative DataFrame algorithms at scale. GraphX double-typed
+    * PageRank remains available as [[EmailGraph.pageRank]]. */
+  private def withVolumeShuffle[T](s: SparkSession, rows: Long)(body: => T): T =
+    graft.operators.Salting.withVolumeShuffle(s, rows)(body)
+
+  def pagerankFixed(s: SparkSession, d: String): DataFrame = {
+    val edges = copurchaseEdges(s, d).toDF("src", "dst").cache()
+    try withVolumeShuffle(s, edges.count()) {
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst"))).distinct()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      var r = verts.withColumn("rank", lit(prScale)).localCheckpoint(true)
+      for (i <- 1 to prIters) {
+        val contrib = r.join(outdeg, r("id") === outdeg("src"))
+          .select(col("src"), expr("rank div deg").as("c"))
+          .join(edges, "src")
+          .groupBy("dst").agg(sum("c").as("s"))
+        val next = r.alias("l")
+          .join(contrib.alias("co"), col("l.id") === col("co.dst"), "left")
+          .select(col("l.id").as("id"),
+            (lit(prScale * 15 / 100) +
+              expr("(coalesce(s, 0) * 85) div 100")).as("rank"))
+        // checkpoint every few iterations, not every one: each eager
+        // localCheckpoint is a full job (~1s of scheduling at fixture
+        // scale); a 5-deep iteration lineage is still a small plan
+        r = if (i % 5 == 0 || i == prIters) next.localCheckpoint(true)
+            else next
+      }
+      r.select(col("id").as("part_id"), col("rank").as("rank_fp"))
+        .orderBy("part_id")
+    } finally { edges.unpersist(); () }
+  }
+  // (the returned plan reads only the final checkpointed RDD, so the
+  // restored shuffle setting applies just to the trivial orderBy)
+
+  val pagerankFixedSql: String = {
+    val iters = (1 to prIters).map { k =>
+      s"""pr$k AS (
+        |  SELECT v.id,
+        |    ${prScale * 15 / 100} + (coalesce(c.s, 0) * 85) // 100 AS rank
+        |  FROM verts v LEFT JOIN (
+        |    SELECT e.p2 id, sum(p.rank // d.deg) s
+        |    FROM pr${k - 1} p JOIN edges e ON e.p1 = p.id
+        |    JOIN outdeg d ON d.src = p.id GROUP BY 1) c ON c.id = v.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($copurchaseEdgesSql),
+      |verts AS (SELECT p1 id FROM edges UNION SELECT p2 FROM edges),
+      |outdeg AS (SELECT p1 src, count(*) deg FROM edges GROUP BY 1),
+      |pr0 AS (SELECT id, CAST($prScale AS BIGINT) rank FROM verts),
+      |$iters
+      |SELECT id AS part_id, CAST(rank AS BIGINT) AS rank_fp
+      |FROM pr$prIters ORDER BY part_id""".stripMargin
+  }
+
   // ------------------------------------ email graph demo corpus (g90/g91)
 
   /** Deterministic in-memory RFC-822 corpus with reply threads — goes
@@ -160,6 +231,7 @@ object GraphOps {
     "g91_email_graph"     -> emailGraphCensus _,
     "g92_copurchase_cc"   -> copurchaseComponents _,
     "g93_copurchase_deg"  -> copurchaseDegrees _,
+    "g94_pagerank"        -> pagerankFixed _,
   )
 
   val emailGraphCensusSql: String =
@@ -191,5 +263,6 @@ object GraphOps {
     "g91_email_graph"    -> emailGraphCensusSql,
     "g92_copurchase_cc"  -> copurchaseComponentsSql,
     "g93_copurchase_deg" -> copurchaseDegreesSql,
+    "g94_pagerank"       -> pagerankFixedSql,
   )
 }

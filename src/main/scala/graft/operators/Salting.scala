@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Run `body` with shuffle parallelism sized to `rows` (~50k rows per
+    * partition, floored at 1, capped at the session setting), restoring
+    * the session value after. Iterative jobs over small-after-filter
+    * inputs otherwise pay dozens of near-empty full-width stages; at
+    * real scale the formula returns the session parallelism unchanged.
+    * Any DataFrame `body` returns must be MATERIALIZED inside it
+    * (checkpoint / cache+count) — a lazy plan would execute under the
+    * restored setting instead. */
+  def withVolumeShuffle[T](s: org.apache.spark.sql.SparkSession, rows: Long)
+      (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val p = math.max(1L, math.min(prev.toLong, (rows + 49999) / 50000))
+    s.conf.set(key, p.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** saltedAggregate(df, keys, partial, final):
     * df.groupBy(keys :+ salt).agg(partials) → groupBy(keys).agg(finals).
     *
