@@ -19,13 +19,17 @@ object PlanAudit {
       "e80_tumbling_window", "t40_token_stats", "t46_rolling_fp",
       "t48_split_by_hash", "t49_decontamination", "em63_by_date_range")
     interesting.foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+      val df = SparkEntry.queries(name)(spark, d)
+      df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)
+      val plan = df.queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(plan).getOrElse("PushedFilters: NONE")
       val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
       val smj = plan.split("\n").count(_.contains("SortMergeJoin"))
       val bnlj = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
       val cart = plan.split("\n").count(_.contains("CartesianProduct"))
-      val wsc = "WholeStageCodegen".r.findAllIn(plan).length
+      // codegen stages render as "*(n)" in toString mode (PLANS.md)
+      val wsc = """\*\((\d+)\)""".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size
       val udfs = plan.split("\n").count(p => p.contains("BatchEvalPython") || p.contains("ScalaUDF"))
       println(f"$name%-24s BHJ=$bhj SMJ=$smj BNLJ=$bnlj CART=$cart WSC=$wsc UDF=$udfs | $pushed")
     }
