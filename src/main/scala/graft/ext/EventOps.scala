@@ -25,20 +25,29 @@ object EventOps {
 
   // ----------------------------------------------- e80 tumbling
 
-  /** e80: 5-minute tumbling window counts + value sums per event_type. */
+  /** e80: 5-minute tumbling window counts + value sums per event_type.
+    *
+    * `value` carries exactly 2 decimals (fixture-verified), so the sum
+    * runs on integer cents and divides once at the end — an EXACT
+    * result on both engines. `round(sum(double), 2)` is not: Spark
+    * rounds the double's shortest decimal rendering, DuckDB rounds in
+    * float space, and a true sum landing on a .xx5 boundary flips
+    * between them (observed on e81 at sf0.1). */
   def tumblingWindow(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .withColumn("bucket", expr("(ts div 1000) div 300000000"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
       .groupBy("bucket", "event_type")
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("total_value"))
+        (sum("cents") / 100.0).as("total_value"))
       .withColumn("window_start", timestamp_seconds(col("bucket") * 300))
       .select("window_start", "event_type", "n_events", "total_value")
       .orderBy("window_start", "event_type")
 
   val tumblingWindowSql: String =
     """SELECT CAST(to_timestamp(bucket * 300) AS TIMESTAMP) AS window_start,
-      |  event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+      |  event_type, count(*) AS n_events,
+      |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
       |FROM (SELECT epoch_us(ts) // 300000000 AS bucket, *
       |      FROM events)
       |GROUP BY bucket, event_type ORDER BY window_start, event_type""".stripMargin
@@ -46,24 +55,31 @@ object EventOps {
   // ------------------------------------------------ e81 hopping
 
   /** e81: 10-minute windows hopping every 5 minutes — each event lands
-    * in two windows (explode over the two covering hops). */
+    * in two windows (explode over the two covering hops). The 4-decimal
+    * average is computed by integer half-up rounding of the exact
+    * rational sum(cents)·100 / n — see e80 for why float round() can't
+    * hash-check here. */
   def hoppingWindow(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .withColumn("bucket", expr("(ts div 1000) div 300000000"))
-      .select(col("event_type"), col("value"),
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .select(col("event_type"), col("cents"),
         explode(array(col("bucket"), col("bucket") - 1)).as("win"))
       .groupBy("win", "event_type")
       .agg(count(lit(1)).as("n_events"),
-        round(avg("value"), 4).as("avg_value"))
+        expr("((2 * sum(cents) * 100 + count(1)) div (2 * count(1))) / 10000.0D")
+          .as("avg_value"))
       .withColumn("window_start", timestamp_seconds(col("win") * 300))
       .select("window_start", "event_type", "n_events", "avg_value")
       .orderBy("window_start", "event_type")
 
   val hoppingWindowSql: String =
     """SELECT CAST(to_timestamp(win * 300) AS TIMESTAMP) AS window_start,
-      |  event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value
+      |  event_type, count(*) AS n_events,
+      |  ((2 * sum(cents) * 100 + count(*)) // (2 * count(*))) / 10000.0
+      |    AS avg_value
       |FROM (
-      |  SELECT event_type, value,
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
       |    unnest([bucket, bucket - 1]) AS win
       |  FROM (SELECT epoch_us(ts) // 300000000 AS bucket, *
       |        FROM events))
@@ -88,15 +104,18 @@ object EventOps {
           .otherwise(0L))
       .withColumn("sess_idx", sum("new_sess").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // durations/averages via integer half-up rounding of exact µs /
+    // count rationals (see e80 — float round() ties flip across engines)
     sessions
       .groupBy("user_id", "sess_idx")
       .agg(count(lit(1)).as("n_events"),
-        round((max("tsus") - min("tsus")) / lit(1e6), 3).as("duration_s"))
+        expr("(2 * (max(tsus) - min(tsus)) + 1000) div 2000").as("dur_ms"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         sum("n_events").as("n_events"),
-        round(avg("n_events"), 4).as("avg_events_per_session"),
-        round(max("duration_s"), 3).as("longest_session_s"))
+        expr("((2 * sum(n_events) * 10000 + count(1)) div (2 * count(1)))" +
+          " / 10000.0D").as("avg_events_per_session"),
+        (max("dur_ms") / 1000.0).as("longest_session_s"))
       .orderBy("user_id")
   }
 
@@ -118,12 +137,13 @@ object EventOps {
       |  FROM flagged),
       |per_session AS (
       |  SELECT user_id, sess_idx, count(*) AS n_events,
-      |    round((max(tsus) - min(tsus)) / 1000000.0, 3) AS duration_s
+      |    (2 * (max(tsus) - min(tsus)) + 1000) // 2000 AS dur_ms
       |  FROM sess GROUP BY user_id, sess_idx)
       |SELECT user_id, count(*) AS n_sessions,
       |  CAST(sum(n_events) AS BIGINT) AS n_events,
-      |  round(avg(n_events), 4) AS avg_events_per_session,
-      |  round(max(duration_s), 3) AS longest_session_s
+      |  ((2 * sum(n_events) * 10000 + count(*)) // (2 * count(*))) / 10000.0
+      |    AS avg_events_per_session,
+      |  max(dur_ms) / 1000.0 AS longest_session_s
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------- e83 json

@@ -44,9 +44,10 @@ object StreamingOps {
       .schema(eventsSchema)
       .parquet(stageDir.toString)
       .withColumn("bucket", expr("(ts div 1000) div 300000000"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
       .groupBy("bucket", "event_type")
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("total_value"))
+        (sum("cents") / 100.0).as("total_value"))
     val q = stream.writeStream
       .outputMode("complete")
       .format("memory")
