@@ -169,7 +169,14 @@ object Classic {
   def unpivotSegmentStats(s: SparkSession, d: String): DataFrame = {
     val wide = customer(s, d)
       .groupBy("c_mktsegment")
-      .agg(round(avg("c_acctbal"), 2).as("avg_bal"),
+      // exact 2-decimal mean over integer cents, half-AWAY-FROM-ZERO to
+      // match both engines' round() (acctbal group sums can be negative)
+      .agg(expr(
+        "CASE WHEN sum(CAST(round(c_acctbal * 100) AS BIGINT)) >= 0" +
+          " THEN (2 * sum(CAST(round(c_acctbal * 100) AS BIGINT))" +
+          "   + count(1)) div (2 * count(1))" +
+          " ELSE -((-2 * sum(CAST(round(c_acctbal * 100) AS BIGINT))" +
+          "   + count(1)) div (2 * count(1))) END / 100.0D").as("avg_bal"),
         round(max("c_acctbal"), 2).as("max_bal"),
         round(min("c_acctbal"), 2).as("min_bal"))
     wide.unpivot(Array(col("c_mktsegment")),
@@ -182,7 +189,11 @@ object Classic {
     """SELECT c_mktsegment, metric, value FROM (
       |  UNPIVOT (
       |    SELECT c_mktsegment,
-      |      round(avg(c_acctbal), 2) AS avg_bal,
+      |      CASE WHEN sum(CAST(round(c_acctbal * 100) AS BIGINT)) >= 0
+      |        THEN (2 * sum(CAST(round(c_acctbal * 100) AS BIGINT))
+      |          + count(*)) // (2 * count(*))
+      |        ELSE -((-2 * sum(CAST(round(c_acctbal * 100) AS BIGINT))
+      |          + count(*)) // (2 * count(*))) END / 100.0 AS avg_bal,
       |      round(max(c_acctbal), 2) AS max_bal,
       |      round(min(c_acctbal), 2) AS min_bal
       |    FROM customer GROUP BY c_mktsegment)

@@ -34,8 +34,14 @@ object Relational {
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        // 4-decimal means via integer half-up rounding of the exact
+        // rational: l_quantity is integer-valued, l_discount 2-decimal
+        // (fixture-verified) — float round(avg) flips on .xxxx5 ties
+        // across engines (the e81 lesson)
+        expr("((2 * sum(CAST(round(l_quantity) AS BIGINT)) * 10000" +
+          " + count(1)) div (2 * count(1))) / 10000.0D").as("avg_qty"),
+        expr("((2 * sum(CAST(round(l_discount * 100) AS BIGINT)) * 100" +
+          " + count(1)) div (2 * count(1))) / 10000.0D").as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -44,8 +50,10 @@ object Relational {
       |  round(sum(l_quantity), 2) AS sum_qty,
       |  round(sum(l_extendedprice), 2) AS sum_base_price,
       |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  ((2 * sum(CAST(round(l_quantity) AS BIGINT)) * 10000
+      |    + count(*)) // (2 * count(*))) / 10000.0 AS avg_qty,
+      |  ((2 * sum(CAST(round(l_discount * 100) AS BIGINT)) * 100
+      |    + count(*)) // (2 * count(*))) / 10000.0 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -179,14 +187,18 @@ object Relational {
       .groupBy("p_brand")
       .agg(
         round(sum("l_quantity"), 2).as("total_qty"),
-        round(avg("l_extendedprice"), 2).as("avg_price"),
+        // exact 2-decimal mean over integer cents (see pricingSummary)
+        expr("((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT))" +
+          " + count(1)) div (2 * count(1))) / 100.0D").as("avg_price"),
         count(lit(1)).as("n_lines"))
       .orderBy("p_brand")
   }
 
   val brandQuantitySql: String =
     """SELECT p_brand, round(sum(l_quantity), 2) AS total_qty,
-      |  round(avg(l_extendedprice), 2) AS avg_price, count(*) AS n_lines
+      |  ((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |    + count(*)) // (2 * count(*))) / 100.0 AS avg_price,
+      |  count(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
