@@ -264,6 +264,64 @@ object TextOps {
       |        FROM documents))
       |GROUP BY split ORDER BY split""".stripMargin
 
+  // ------------------------------------------- t50 quality filter
+
+  /** t50: the composite KEEP/DROP decision a corpus pipeline actually
+    * executes — length bounds, punctuation ratio, stopword presence and
+    * intra-doc repetition in one pass, summarized by first failing
+    * rule. Every threshold is an integer cross-multiplication
+    * (punct·10 ≤ chars ⇔ ratio ≤ 0.1), so the decision is exact on
+    * both engines — no fp ratio ever meets a threshold. */
+  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val t = col("__toks")
+    val sh = shingles3(t)
+    documents(s, d)
+      .withColumn("__toks", tokens(col("text")))
+      .withColumn("len", length(col("text")).cast("long"))
+      .withColumn("punct", (length(col("text")) -
+        length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("long"))
+      .withColumn("stop",
+        size(filter(t, x => x.isin("the", "a", "of", "and"))).cast("long"))
+      .withColumn("n_toks", size(t).cast("long"))
+      .withColumn("n_sh", size(sh).cast("long"))
+      .withColumn("n_sh_d", size(array_distinct(sh)).cast("long"))
+      .withColumn("reason",
+        when(!col("len").between(100L, 2000L), "length")
+          .when(col("punct") * 10 > col("len"), "punct")
+          .when(col("stop") * 20 < col("n_toks"), "stopwords")
+          .when((col("n_sh") - col("n_sh_d")) * 5 > col("n_sh"), "repetition")
+          .otherwise("kept"))
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      .orderBy("reason")
+  }
+
+  val qualityFilterSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, length(text) AS len,
+      |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+      |      AS punct,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+      |      AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, len, punct, len(toks) AS n_toks,
+      |    len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS stop,
+      |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+      |  FROM f),
+      |h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN NOT (len BETWEEN 100 AND 2000) THEN 'length'
+      |         WHEN punct * 10 > len THEN 'punct'
+      |         WHEN stop * 20 < n_toks THEN 'stopwords'
+      |         WHEN (len(sh) - len(list_distinct(sh))) * 5 > len(sh)
+      |           THEN 'repetition'
+      |         ELSE 'kept' END AS reason
+      |  FROM g)
+      |SELECT reason, count(*) AS n_docs, min(doc_id) AS min_doc_id
+      |FROM h GROUP BY reason ORDER BY reason""".stripMargin
+
   // --------------------------------------- t51 intra-doc repetition
 
   /** t51: intra-document repetition score — the fraction of word
@@ -310,6 +368,7 @@ object TextOps {
     "t44_fingerprint"     -> fingerprint _,
     "t45_shingle_profile" -> shingleProfile _,
     "t48_split_by_hash"   -> splitByHash _,
+    "t50_quality_filter"  -> qualityFilter _,
     "t51_repetition"      -> repetitionScore _,
   )
 
@@ -321,6 +380,7 @@ object TextOps {
     "t44_fingerprint"     -> fingerprintSql,
     "t45_shingle_profile" -> shingleProfileSql,
     "t48_split_by_hash"   -> splitByHashSql,
+    "t50_quality_filter"  -> qualityFilterSql,
     "t51_repetition"      -> repetitionScoreSql,
   )
 }
