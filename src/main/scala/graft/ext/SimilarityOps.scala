@@ -256,6 +256,9 @@ object SimilarityOps {
     kmCache.clear()
   }
 
+  /** Pre-train the shared k-means model (bench pre-warm line item). */
+  def warm(s: SparkSession, d: String): Unit = { kmModel(s, d); () }
+
   /** Train the quantizer: returns (centroids, final assignment), both
     * cached. */
   private def kmModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
