@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.ext.TextOps.md5Long
 import graft.functions.RollingHash64.rolling_hash64
 
 /** Second relational tier: exact percentiles, ordered array aggregation,
@@ -182,20 +183,72 @@ object Advanced {
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
-  /** q47: sketch tier — approximate distinct counts (HLL++) and
-    * approximate percentiles (KLL-style) per segment, with the exact
-    * values alongside for error inspection. Rows-only: sketch
-    * algorithms differ across engines by design. */
-  def sketches(s: SparkSession, d: String): DataFrame =
+  /** q47: sketch tier — a KMV (k-minimum-values) distinct-count sketch
+    * per segment plus exact quantiles, all oracle-checked:
+    *  - KMV: keep the k=8 smallest distinct `md5Long(custkey)` hashes
+    *    per group via a bounded-heap typed Aggregator (≤ k rows leave
+    *    each map partition — the mergeable-sketch shape HLL serves at
+    *    scale, but on a hash family DuckDB reproduces bit-for-bit, so
+    *    the estimate itself is hash-checked, not just smoke-tested);
+    *    est = (k-1)·2^60 div kth_min, integer division on both engines.
+    *  - Quantiles on integer CENTS at dyadic probabilities (.25/.5/.75):
+    *    p·(n-1) and the interpolation weights are exact binary
+    *    fractions, so Spark's `percentile` and DuckDB's `quantile_cont`
+    *    produce bit-identical doubles (0.9 would not — 9(n-1)/10 is not
+    *    representable). Values stay in cents, undivided: dividing by
+    *    100 would leave the binary grid and re-open round-tie skew. */
+  def sketches(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val bottomK = udaf(new graft.functions.BoundedAggs.BottomKDistinct(k),
+      Encoders.scalaLong)
     orders(s, d)
+      .select(col("o_orderstatus"),
+        md5Long(col("o_custkey").cast("string")).as("h"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       .groupBy("o_orderstatus")
-      .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_custs"),
-        countDistinct(col("o_custkey")).as("exact_custs"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
-          .as("approx_median"),
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_median"))
+      .agg(bottomK(col("h")).as("kmv"),
+        count_distinct(col("h")).as("exact_custs"),
+        expr("percentile(cents, 0.25D)").as("p25_cents"),
+        expr("percentile(cents, 0.5D)").as("median_cents"),
+        expr("percentile(cents, 0.75D)").as("p75_cents"))
+      .withColumn("n_seen", size(col("kmv.items")).cast("long"))
+      .withColumn("kmv_est",
+        when(col("n_seen") < k, col("n_seen"))
+          .otherwise(expr(s"${(k - 1).toLong * (1L << 60)} div element_at(kmv.items, $k)")))
+      .select("o_orderstatus", "kmv_est", "exact_custs",
+        "p25_cents", "median_cents", "p75_cents")
       .orderBy("o_orderstatus")
+  }
+
+  /** DuckDB twin of the KMV sketch: `SELECT DISTINCT hash ORDER BY hash
+    * LIMIT k` per group, same integer estimator. */
+  val sketchesSql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus,
+      |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders),
+      |hs AS (SELECT DISTINCT o_orderstatus, h FROM o),
+      |ranked AS (
+      |  SELECT o_orderstatus, h,
+      |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn
+      |  FROM hs),
+      |kmv AS (
+      |  SELECT o_orderstatus, count(*) AS exact_custs,
+      |    CASE WHEN count(*) < 8 THEN count(*)
+      |         ELSE 8070450532247928832 // max(CASE WHEN rn <= 8 THEN h END)
+      |    END AS kmv_est
+      |  FROM ranked GROUP BY 1),
+      |qs AS (
+      |  SELECT o_orderstatus,
+      |    quantile_cont(cents, 0.25) AS p25_cents,
+      |    quantile_cont(cents, 0.5) AS median_cents,
+      |    quantile_cont(cents, 0.75) AS p75_cents
+      |  FROM o GROUP BY 1)
+      |SELECT o_orderstatus, kmv_est, exact_custs,
+      |  p25_cents, median_cents, p75_cents
+      |FROM kmv JOIN qs USING (o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_sketches"        -> sketches _,
@@ -209,6 +262,7 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q47_sketches"       -> sketchesSql,
     "q35_percentiles"    -> percentilesSql,
     "q37_array_agg"      -> arrayAggSql,
     "q38_name_distance"  -> nameDistanceSql,
