@@ -16,6 +16,7 @@ object PlanAudit {
       "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
       "q06_revenue_forecast", "q21_top_order_per_cust", "q26_cust_urgent",
       "d51_jaccard_pairs", "d52_minhash_lsh", "s60_knn_brute",
+      "s66_kmeans_census", "s67_kmeans_ivf", "q47_sketches",
       "e80_tumbling_window", "t40_token_stats", "t46_rolling_fp",
       "t48_split_by_hash", "t49_decontamination", "em63_by_date_range")
     interesting.foreach { name =>
@@ -31,7 +32,11 @@ object PlanAudit {
       val wsc = """\*\((\d+)\)""".r.findAllMatchIn(plan)
         .map(_.group(1)).toSet.size
       val udfs = plan.split("\n").count(p => p.contains("BatchEvalPython") || p.contains("ScalaUDF"))
-      println(f"$name%-24s BHJ=$bhj SMJ=$smj BNLJ=$bnlj CART=$cart WSC=$wsc UDF=$udfs | $pushed")
+      // sort-window stages funnel whole inputs through few tasks — the
+      // ANN/argmin tiers must show 0 (bounded-heap aggregates instead)
+      val win = plan.split("\n").count(p =>
+        p.trim.startsWith("Window") || p.contains(") Window"))
+      println(f"$name%-24s BHJ=$bhj SMJ=$smj BNLJ=$bnlj CART=$cart WSC=$wsc UDF=$udfs WIN=$win | $pushed")
     }
     // full plan for the two most scale-critical ones
     Seq("q03_shipping_priority", "d52_minhash_lsh").foreach { name =>

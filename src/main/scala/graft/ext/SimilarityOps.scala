@@ -1,10 +1,11 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.ext.TextOps.md5Long
+import graft.functions.BoundedAggs.{Scored, TopKScored}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -34,6 +35,23 @@ object SimilarityOps {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Bounded-heap top-k by (score DESC, id ASC) — replaces the
+    * `row_number over partitionBy(q_id)` idiom, which funnels the whole
+    * scored corpus through #queries tasks; the Aggregator's partial
+    * buffers cap every map partition at k rows before the exchange. */
+  private def topkUdaf(k: Int) =
+    udaf(new TopKScored(k), Encoders.product[Scored])
+
+  /** Explode a `tk` top-k column into (id, score, rank) rows, keeping
+    * `keep` lead columns. */
+  private def explodeTopK(df: DataFrame, keep: Seq[String],
+      idName: String, scoreName: String): DataFrame =
+    df.select(keep.map(col) :+
+        posexplode(col("tk.items")).as(Seq("pos", "it")): _*)
+      .select(keep.map(col) ++ Seq(
+        col("it.id").as(idName), col("it.score").as(scoreName),
+        (col("pos") + 1).cast("bigint").as("rank")): _*)
+
   private val cosineSqlSnippet =
     """list_sum(list_transform(range(1, len(QV) + 1), i -> QV[i] * CV[i]))
       | / (sqrt(list_sum(list_transform(QV, x -> x * x)))
@@ -41,21 +59,23 @@ object SimilarityOps {
 
   // ----------------------------------------------- s60 brute force
 
-  /** s60: exact cosine top-5 for each query vector (vec_id < 10). */
+  /** s60: exact cosine top-5 for each query vector (vec_id < 10).
+    * Queries broadcast, corpus never shuffles wide: the bounded-heap
+    * aggregate reduces each scan partition to ≤ 5 rows per query before
+    * the single narrow exchange (vs the previous window sort that
+    * pushed every scored row through 10 tasks). */
   def knnBrute(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 10).toDF("q_id", "qv")
     val c = e.toDF("c_id", "cv")
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("c_id"))
-    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("c_id"), col("cosine"),
-        col("rank").cast("bigint").as("rank"))
+      .groupBy("q_id")
+      .agg(topkUdaf(5)(col("cosine"), col("c_id")).as("tk"))
+    explodeTopK(scored, Seq("q_id"), "c_id", "cosine")
+      .select("q_id", "c_id", "cosine", "rank")
       .orderBy("q_id", "rank")
   }
 
@@ -88,25 +108,24 @@ object SimilarityOps {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         p => p.getField("cx")).as("cv"))
     val q = e.filter(col("vec_id") < 10).toDF("q_id", "q_label", "qv")
-    val wProbe = Window.partitionBy("q_id")
-      .orderBy(col("cent_cos").desc, col("label"))
+    // probe = argmax over centroids: min(struct(-cos, label)) — a plain
+    // aggregate with map-side partials (ties → smallest label, matching
+    // the previous `orderBy(cent_cos.desc, label)` row_number)
     val probe = q.crossJoin(broadcast(cent))
       .withColumn("cent_cos",
         round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") === 1)
-      .select(col("q_id"), col("qv"), col("label").as("probe_label"))
-    val wRank = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("c_id"))
-    probe
+      .groupBy("q_id", "qv")
+      .agg(min(struct((-col("cent_cos")).as("nc"), col("label").as("l"))).as("m"))
+      .select(col("q_id"), col("qv"), col("m.l").as("probe_label"))
+    val ranked = probe
       .join(e.toDF("c_id", "probe_label", "cv"), Seq("probe_label"))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("cosine",
         round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("probe_label"), col("c_id"), col("cosine"),
-        col("rank").cast("bigint").as("rank"))
+      .groupBy("q_id", "probe_label")
+      .agg(topkUdaf(3)(col("cosine"), col("c_id")).as("tk"))
+    explodeTopK(ranked, Seq("q_id", "probe_label"), "c_id", "cosine")
+      .select("q_id", "probe_label", "c_id", "cosine", "rank")
       .orderBy("q_id", "rank")
   }
 
@@ -161,17 +180,15 @@ object SimilarityOps {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("qv"), col("label").as("probe_label"))
-    val wRank = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("c_id"))
-    probes
+    val ranked = probes
       .join(e.toDF("c_id", "probe_label", "cv"), Seq("probe_label"))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("cosine",
         round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("c_id"), col("cosine"),
-        col("rank").cast("bigint").as("rank"))
+      .groupBy("q_id")
+      .agg(topkUdaf(3)(col("cosine"), col("c_id")).as("tk"))
+    explodeTopK(ranked, Seq("q_id"), "c_id", "cosine")
+      .select("q_id", "c_id", "cosine", "rank")
       .orderBy("q_id", "rank")
   }
 
@@ -225,14 +242,17 @@ object SimilarityOps {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
-  /** Nearest-centroid assignment (ties → smallest cid). */
-  private def kmAssign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid"))
+  /** Nearest-centroid assignment (ties → smallest cid). Argmin as
+    * `min(struct(d2, cid))` — map-side partial aggregation shrinks the
+    * corpus×k scored rows to one row per vector before the exchange,
+    * where the previous per-vec_id row_number window shuffled and
+    * sorted all corpus×k rows. */
+  private def kmAssign(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .withColumn("d2", dist2(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("vec_id", "v", "qv", "cid")
-  }
+      .groupBy("vec_id", "v", "qv")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("v"), col("qv"), col("m.cid").as("cid"))
 
   /** Integer centroid update: per-dim mean of members, rounded back to
     * the fixed-point grid. */
@@ -302,21 +322,19 @@ object SimilarityOps {
       .select(col("vec_id").as("c_id"), col("cid"), col("v").as("cv2"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv2"), col("qv"))
-    val wProbe = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cid"))
     val probe = q.crossJoin(broadcast(cent))
       .withColumn("d2", dist2(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") === 1)
-      .select(col("q_id"), col("qv2"), col("cid"))
-    val wRank = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("c_id"))
-    probe.join(members, Seq("cid"))
+      .groupBy("q_id", "qv2")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("q_id"), col("qv2"), col("m.cid").as("cid"))
+    val ranked = probe.join(members, Seq("cid"))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("cosine",
         round(dot(col("qv2"), col("cv2")) / (norm(col("qv2")) * norm(col("cv2"))), 6))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("cid"), col("c_id"), col("cosine"),
-        col("rank").cast("bigint").as("rank"))
+      .groupBy("q_id", "cid")
+      .agg(topkUdaf(3)(col("cosine"), col("c_id")).as("tk"))
+    explodeTopK(ranked, Seq("q_id", "cid"), "c_id", "cosine")
+      .select("q_id", "cid", "c_id", "cosine", "rank")
       .orderBy("q_id", "rank")
   }
 
