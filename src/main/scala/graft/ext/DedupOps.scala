@@ -180,11 +180,30 @@ object DedupOps {
   private val numHashes = 8
   private val bandSize = 2 // 4 bands of 2 → catches jaccard ≳ 0.5 w.h.p.
 
+  /** Broadcast ceiling for the shingle dictionary, in DISTINCT-shingle
+    * entries. Each dictionary row carries the shingle string plus 9
+    * 8-byte hashes (~100 B hashed-relation overhead included), so 4M
+    * entries ≈ 400 MB on the driver — beyond that the sharded
+    * shuffle_hash path wins and there is no driver-memory ceiling. */
+  private[graft] val dictBroadcastCeiling = 4000000L
+
   /** d52: MinHash signatures + banded LSH candidates + exact verify.
     * Identical md5-derived hash family on both engines, so the whole
-    * approximate pipeline is oracle-checked, not just smoke-tested. */
+    * approximate pipeline is oracle-checked, not just smoke-tested.
+    *
+    * The dictionary join auto-selects broadcast vs sharded by an upper
+    * bound on the distinct-shingle count — `sum(n_chars)/6` (≈ one
+    * shingle per token, ≥ distinct): a single-column parquet aggregate,
+    * far cheaper than counting the dictionary it sizes. */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
-    minhashLshImpl(s, d, shardDict = false)
+    minhashLshAuto(s, d)
+
+  private[graft] def minhashLshAuto(s: SparkSession, d: String,
+      ceiling: Long = dictBroadcastCeiling): DataFrame = {
+    val estShingles = documents(s, d).agg(sum("n_chars"))
+      .head.getLong(0) / 6
+    minhashLshImpl(s, d, shardDict = estShingles > ceiling)
+  }
 
   /** The 100 TB dictionary path: instead of broadcasting the distinct-
     * shingle dictionary (driver-memory-bound at scale), shard it by

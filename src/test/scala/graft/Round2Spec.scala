@@ -53,6 +53,20 @@ class Round2Spec extends AnyFunSuite with SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("d52 dictionary path auto-selects by estimated dictionary size") {
+    // fixture corpus is far below the ceiling → broadcast dictionary
+    val small = DedupOps.minhashLshAuto(spark, sf)
+    small.collect()
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin"))
+    assert(!smallPlan.contains("ShuffledHashJoin"))
+    // ceiling forced to 0 → every corpus exceeds it → sharded path
+    val big = DedupOps.minhashLshAuto(spark, sf, ceiling = 0L)
+    val bigRows = big.collect().toSeq
+    assert(big.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    assert(bigRows == DedupOps.minhashLsh(spark, sf).collect().toSeq)
+  }
+
   // --------------------------------------------------- depth-3 scan
 
   test("scan ingests exactly depth-3 files and anchors hierarchy at base") {
