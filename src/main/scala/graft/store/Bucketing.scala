@@ -1,6 +1,9 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed co-located joins: pre-shuffle both sides of a repeated
   * fact-fact join ONCE at write time so every subsequent join on the
@@ -27,4 +30,68 @@ object Bucketing {
   def joinBucketed(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+}
+
+/** Hash-bucketed (dedupe_key → date_month) secondary index — the
+  * pruned answer to "which months already hold these keys", which the
+  * partitioned upsert previously answered with a 2-column scan of the
+  * ENTIRE store per ingest batch (cheap at fixture scale, a full-store
+  * probe at 100 TB).
+  *
+  * Layout: parquet partitioned by `kb = pmod(hash(dedupe_key), B)` —
+  * the directory form of a bucketed table (catalog-free, so it can
+  * live next to a path-addressed store; `bucketBy` requires the
+  * session catalog). A probe for a batch's keys prunes to the batch's
+  * bucket dirs at planning time, reading min(|batch keys|, B)/B of an
+  * index that is itself only 2 columns of the store. Maintenance after
+  * an upsert is read-modify-write of ONLY the touched buckets via
+  * dynamic partition overwrite.
+  */
+class KeyIndex(spark: SparkSession, val path: String, numBuckets: Int = 64) {
+
+  private def kb(c: Column): Column = pmod(hash(c), lit(numBuckets))
+
+  private val fs =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean =
+    fs.exists(new Path(path)) && fs.listStatus(new Path(path)).nonEmpty
+
+  private def write(entries: DataFrame, overwriteMode: String): Unit =
+    entries
+      .select(col("dedupe_key"), col("date_month"),
+        kb(col("dedupe_key")).as("kb"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", overwriteMode)
+      .partitionBy("kb")
+      .parquet(path)
+
+  /** Full (re)build from (dedupe_key, date_month) rows — bootstrap for
+    * stores created before the index existed. */
+  def rebuild(entries: DataFrame): Unit = write(entries, "static")
+
+  /** The index restricted to `keys`' buckets — a planning-time-pruned
+    * read (`PartitionFilters: [kb IN ...]`), never a full-index scan.
+    * The collected bucket-id list is bounded by `numBuckets`. */
+  private[store] def prunedFor(keys: DataFrame): DataFrame = {
+    val kbs = keys.select(kb(col("dedupe_key")).as("kb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(path).filter(col("kb").isin(kbs: _*))
+  }
+
+  /** Months holding any of `keys` (bucket-pruned probe). */
+  def monthsFor(keys: DataFrame): DataFrame =
+    prunedFor(keys).join(keys, Seq("dedupe_key"), "left_semi")
+      .select("date_month").distinct()
+
+  /** Replace the entries of `keys` with `entries` (the post-merge
+    * (dedupe_key, date_month) rows for those keys), rewriting only the
+    * touched buckets (dynamic overwrite: every touched bucket appears
+    * in the written frame because each batch key carries an entry). */
+  def refresh(keys: DataFrame, entries: DataFrame): Unit = {
+    val kept = prunedFor(keys)
+      .join(keys, Seq("dedupe_key"), "left_anti")
+      .select("dedupe_key", "date_month")
+    write(kept.union(entries.select("dedupe_key", "date_month")), "dynamic")
+  }
 }

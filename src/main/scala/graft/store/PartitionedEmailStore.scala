@@ -18,15 +18,22 @@ import org.apache.spark.sql.functions._
   * (parsing_agent.py:67-86) — at partition granularity.
   *
   * Affected months = months carried by the batch ∪ months already
-  * holding any of the batch's dedupe_keys. The second set requires a
-  * key→month probe of the store, but it is a 2-column column-pruned
-  * scan (dedupe_key + the partition value), ~1% of store bytes — the
-  * price of global key uniqueness without a secondary index. With one,
-  * e.g. a bucketed key index, the probe becomes a pruned lookup; at
-  * fixture scale the scan is the right simplicity/scale trade.
+  * holding any of the batch's dedupe_keys. The second set is answered
+  * by a hash-bucketed (dedupe_key → date_month) [[KeyIndex]] kept at
+  * `<root>_keyidx`: the probe reads only the batch's bucket dirs
+  * (planning-time partition pruning), never the store — the secondary
+  * index that makes global key uniqueness affordable when the store is
+  * 100 TB and a batch touches a handful of months. The index is
+  * maintained incrementally (touched buckets only) after each upsert,
+  * and bootstrap-built from a one-time 2-column store scan for stores
+  * that predate it.
   */
 class PartitionedEmailStore(spark: SparkSession, root: String)
     extends DocStore {
+
+  /** Bucket-pruned key→month probe; sibling path so store reads never
+    * pick up index files. */
+  private[graft] val index = new KeyIndex(spark, root + "_keyidx")
 
   private val monthCol =
     coalesce(date_format(col("date"), "yyyy-MM"), lit("unknown"))
@@ -53,22 +60,34 @@ class PartitionedEmailStore(spark: SparkSession, root: String)
     try {
       if (isEmpty) {
         write(compact)
+        index.rebuild(read().select(col("dedupe_key"), col("date_month")))
       } else {
-        val batchKeys = compact.select("dedupe_key")
-        // months already holding any batch key (2-column pruned probe)
-        val keyMonths = read().select(col("dedupe_key"), col("date_month"))
-          .join(batchKeys, Seq("dedupe_key"), "left_semi")
-          .select("date_month").distinct()
-        // months the batch itself lands in
-        val batchMonths = compact.select(monthCol.as("date_month")).distinct()
-        val affected = keyMonths.union(batchMonths).distinct()
-          .collect().map(_.getString(0))
-        val existing = read()
-          .filter(col("date_month").isin(affected.toSeq: _*))
-          .drop("date_month")
-        val merged = EmailStore.merge(existing,
-          compact.withColumn("path", lit("")))
-        write(merged)
+        val batchKeys = compact.select("dedupe_key").cache()
+        try {
+          // one-time bootstrap for stores created before the index
+          if (!index.exists)
+            index.rebuild(read().select(col("dedupe_key"), col("date_month")))
+          // months already holding any batch key: bucket-pruned index
+          // probe — reads the batch's kb dirs, not the store
+          val keyMonths = index.monthsFor(batchKeys)
+          // months the batch itself lands in
+          val batchMonths = compact.select(monthCol.as("date_month")).distinct()
+          val affected = keyMonths.union(batchMonths).distinct()
+            .collect().map(_.getString(0))
+          val existing = read()
+            .filter(col("date_month").isin(affected.toSeq: _*))
+            .drop("date_month")
+          val merged = EmailStore.merge(existing,
+            compact.withColumn("path", lit("")))
+          write(merged)
+          // refresh the batch keys' index entries from what is now on
+          // disk (merge may keep an existing row's month, not the batch's)
+          val entries = read()
+            .filter(col("date_month").isin(affected.toSeq: _*))
+            .join(batchKeys, Seq("dedupe_key"), "left_semi")
+            .select("dedupe_key", "date_month")
+          index.refresh(batchKeys, entries)
+        } finally { batchKeys.unpersist(); () }
       }
     } finally { compact.unpersist(); () }
   }

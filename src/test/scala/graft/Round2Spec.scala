@@ -123,6 +123,57 @@ class Round2Spec extends AnyFunSuite with SparkSpec {
     assert(rows.length == 1 && rows.head.getString(0) == "2001-01")
   }
 
+  test("key-index probe reads only the batch's buckets (pruned scan)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-kidx").toString
+    val store = new PartitionedEmailStore(spark, root)
+    def doc(id: Int, month: Int): graft.model.EmailDoc =
+      graft.codec.Rfc822Parser.parse(
+        (s"Message-ID: <p$id@x>\r\nDate: 10 ${Seq("Jan","Feb","Mar")(month)} 2001 10:00:00 +0000\r\n" +
+          s"From: a@x.com\r\nTo: b@x.com\r\nSubject: s$id\r\n\r\nbody $id").getBytes,
+        "u", "f", s"${id}_")
+    def batch(ids: Seq[(Int, Int)]) =
+      spark.createDataset(ids.map { case (id, m) => (s"mem://$id", doc(id, m)) })
+        .toDF("path", "doc").select(col("path"), col("doc.*"))
+
+    store.upsert(batch((1 to 60).map(i => i -> (i % 3))))
+    // incremental path: second upsert exercises probe + bucket refresh
+    store.upsert(batch(Seq(61 -> 0, 7 -> 2)))
+
+    val keys = Seq("<p7@x>").toDF("dedupe_key")
+    // index agrees with a full-store reference probe: key 7 kept its
+    // original month (first-writer-wins), not the second batch's
+    val ref = store.read().select("dedupe_key", "date_month")
+      .join(keys, Seq("dedupe_key"), "left_semi")
+      .select("date_month").distinct().collect().map(_.getString(0)).toSet
+    assert(ref == Set("2001-02"))
+
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = store.index.monthsFor(keys)
+      assert(probe.collect().map(_.getString(0)).toSet == ref)
+      // the probe's file scan must be partition-pruned to the one
+      // bucket holding the key, not the whole index (let alone the store)
+      val plan = probe.queryExecution.executedPlan
+      val scanned = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+      val totalIdxFiles = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1L else 0L
+        walk(new java.io.File(store.index.path))
+      }
+      assert(plan.toString.contains("PartitionFilters"))
+      assert(scanned >= 1 && totalIdxFiles >= 20,
+        s"scanned=$scanned total=$totalIdxFiles")
+      assert(scanned * 4 < totalIdxFiles,
+        s"probe not pruned: scanned=$scanned of $totalIdxFiles index files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   // ------------------------------------------------- composed job API
 
   test("ingest API: submitArchive → PARSED; empty archive → EMPTY") {
