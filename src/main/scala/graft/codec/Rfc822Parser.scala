@@ -60,9 +60,36 @@ object Rfc822Parser {
     * windows-1252. Pure latin-1 text decodes identically either way. */
   def smartDecode(bytes: Array[Byte], declared: Option[String] = None): String = {
     if (bytes.isEmpty) return ""
-    declared.flatMap(decodeWith(bytes, _))
-      .orElse(decodeStrictUtf8(bytes))
-      .getOrElse(decodeWith(bytes, sniff8Bit(bytes)).getOrElse(""))
+    // a BOM is authoritative: chardet reports the BOM charset before
+    // any statistical guess, and a UTF-16/32 body would otherwise fall
+    // through strict-UTF-8 into the 8-bit sniffer as NUL-ridden latin-1
+    detectBom(bytes) match {
+      case Some((cs, skip)) =>
+        decodeWith(bytes.drop(skip), cs).getOrElse("")
+      case None =>
+        declared.flatMap(decodeWith(bytes, _))
+          .orElse(decodeStrictUtf8(bytes))
+          .getOrElse(decodeWith(bytes, sniff8Bit(bytes)).getOrElse(""))
+    }
+  }
+
+  /** (charset, bom length) when the buffer opens with a known BOM.
+    * UTF-32 forms share a prefix with UTF-16 — longest match first. */
+  private[codec] def detectBom(bytes: Array[Byte]): Option[(String, Int)] = {
+    def at(i: Int) = bytes(i) & 0xff
+    if (bytes.length >= 3 && at(0) == 0xef && at(1) == 0xbb && at(2) == 0xbf)
+      Some(("UTF-8", 3))
+    else if (bytes.length >= 4 &&
+        at(0) == 0xff && at(1) == 0xfe && at(2) == 0 && at(3) == 0)
+      Some(("UTF-32LE", 4))
+    else if (bytes.length >= 4 &&
+        at(0) == 0 && at(1) == 0 && at(2) == 0xfe && at(3) == 0xff)
+      Some(("UTF-32BE", 4))
+    else if (bytes.length >= 2 && at(0) == 0xff && at(1) == 0xfe)
+      Some(("UTF-16LE", 2))
+    else if (bytes.length >= 2 && at(0) == 0xfe && at(1) == 0xff)
+      Some(("UTF-16BE", 2))
+    else None
   }
 
   /** Statistical charset choice for non-UTF-8 8-bit text. */

@@ -168,6 +168,26 @@ class Rfc822ParserSpec extends AnyFunSuite {
     assert(doc.body == "grüße")
   }
 
+  test("BOM beats declared charset and the statistical fallback (F1)") {
+    // UTF-16LE body with BOM: strict UTF-8 fails and the 8-bit sniffer
+    // would produce NUL-ridden latin-1 — the BOM must win
+    val utf16 = Array(0xff, 0xfe).map(_.toByte) ++
+      "hello naïve".getBytes(StandardCharsets.UTF_16LE)
+    assert(Rfc822Parser.smartDecode(utf16) == "hello naïve")
+    val utf16be = Array(0xfe, 0xff).map(_.toByte) ++
+      "grüße".getBytes(StandardCharsets.UTF_16BE)
+    assert(Rfc822Parser.smartDecode(utf16be) == "grüße")
+    // UTF-8 BOM is consumed, not leaked into the text
+    val utf8bom = Array(0xef, 0xbb, 0xbf).map(_.toByte) ++
+      "plain".getBytes(StandardCharsets.UTF_8)
+    assert(Rfc822Parser.smartDecode(utf8bom) == "plain")
+    // BOM overrides a (wrong) declared charset
+    assert(Rfc822Parser.smartDecode(utf16, Some("iso-8859-1")) == "hello naïve")
+    // no BOM → declared charset still wins as before
+    val latin = "café".getBytes(StandardCharsets.ISO_8859_1)
+    assert(Rfc822Parser.smartDecode(latin, Some("iso-8859-1")) == "café")
+  }
+
   test("quoted-printable transfer encoding decodes (incl. soft breaks)") {
     val doc = Rfc822Parser.parse(msg(
       "From: a@x.com",
