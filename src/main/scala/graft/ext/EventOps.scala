@@ -166,11 +166,117 @@ object EventOps {
       |      FROM events)
       |GROUP BY 1 ORDER BY k_decile""".stripMargin
 
+  // ------------------------------------------------ e86 as-of join
+
+  /** e86: AS-OF join — each purchase matched to the user's most recent
+    * click at-or-before it. Spark has no asof operator; the scalable
+    * formulation is the tagged-union merge: clicks and purchases union
+    * into one frame ordered by (tsus, tag) per user, and
+    * `last(click_id, ignoreNulls)` over an unbounded-preceding frame
+    * carries the newest click forward. One shuffle on user_id (high
+    * cardinality — fully parallel), no join explosion, no per-row
+    * probes: exactly how an asof join should run at 100 TB.
+    *
+    * Clicks are first deduped to one per (user, tsus) with max(event_id)
+    * as the deterministic keeper, so equal-timestamp ties can't flip
+    * between engines. All arithmetic is integer micros. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("tsus", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "tsus").agg(max("event_id").as("click_event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("tsus"))
+    val tagged = clicks
+      .select(col("user_id"), col("tsus"), lit(0).as("tag"),
+        col("click_event_id"), lit(null).cast("long").as("event_id"))
+      .unionByName(purchases
+        .select(col("user_id"), col("tsus"), lit(1).as("tag"),
+          lit(null).cast("long").as("click_event_id"), col("event_id")))
+    // tag orders a click BEFORE a purchase at the same tsus (>= asof)
+    val w = Window.partitionBy("user_id").orderBy(col("tsus"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_id",
+        last(col("click_event_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_tsus",
+        last(when(col("tag") === 0, col("tsus")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("last_click_id").isNotNull)
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("tsus").as("purchase_tsus"),
+        col("last_click_id").as("click_event_id"),
+        col("last_click_tsus").as("click_tsus"),
+        (col("tsus") - col("last_click_tsus")).as("gap_us"))
+      .orderBy("purchase_event_id")
+  }
+
+  /** DuckDB twin: native ASOF JOIN over the same deduped click set. */
+  val asofJoinSql: String =
+    """WITH ev AS (SELECT event_id, epoch_us(ts) AS tsus, user_id, event_type
+      |            FROM events),
+      |clicks AS (
+      |  SELECT user_id, tsus, max(event_id) AS click_event_id
+      |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+      |purchases AS (
+      |  SELECT user_id, event_id, tsus FROM ev WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id AS purchase_event_id,
+      |  p.tsus AS purchase_tsus, c.click_event_id, c.tsus AS click_tsus,
+      |  p.tsus - c.tsus AS gap_us
+      |FROM purchases p ASOF JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.tsus >= c.tsus
+      |ORDER BY purchase_event_id""".stripMargin
+
+  // ----------------------------------------------- e87 range join
+
+  private val rangeUs = 600000000L // 10 minutes in micros
+
+  /** e87: RANGE join — clicks by the same user in the 10 minutes before
+    * each error. The scalable shape is time-bucket blocking: clicks key
+    * by their Δ-bucket, each error probes its own and the previous
+    * bucket (a band of width Δ spans at most 2 buckets), and the exact
+    * band predicate filters after the equi-join on (user, bucket). The
+    * pair space is bounded by co-bucketed rows — never a full
+    * inequality cross join, which is what a naive range join plans. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("tsus", expr("ts div 1000"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_event_id"), col("tsus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsus").as("ctsus"))
+      .withColumn("bucket", expr(s"ctsus div $rangeUs"))
+    val probes = errors.withColumn("bucket",
+      explode(array(expr(s"tsus div $rangeUs"), expr(s"tsus div $rangeUs - 1"))))
+    val hits = probes.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("ctsus") >= col("tsus") - rangeUs && col("ctsus") < col("tsus"))
+      .groupBy("error_event_id").agg(count(lit(1)).as("n"))
+    errors.join(hits, Seq("error_event_id"), "left")
+      .select(col("error_event_id"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_clicks_10m"))
+      .orderBy("error_event_id")
+  }
+
+  /** DuckDB twin: plain inequality-band left join (same semantics the
+    * bucketed plan computes). */
+  val rangeJoinSql: String =
+    s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS tsus, user_id, event_type
+      |            FROM events),
+      |errors AS (SELECT user_id, event_id AS error_event_id, tsus
+      |           FROM ev WHERE event_type = 'error'),
+      |clicks AS (SELECT user_id, tsus AS ctsus FROM ev
+      |           WHERE event_type = 'click')
+      |SELECT e.error_event_id, e.user_id,
+      |  CAST(count(c.ctsus) AS BIGINT) AS n_clicks_10m
+      |FROM errors e LEFT JOIN clicks c
+      |  ON c.user_id = e.user_id
+      |  AND c.ctsus >= e.tsus - $rangeUs AND c.ctsus < e.tsus
+      |GROUP BY 1, 2 ORDER BY error_event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e80_tumbling_window" -> tumblingWindow _,
     "e81_hopping_window"  -> hoppingWindow _,
     "e82_sessionize"      -> sessionize _,
     "e83_json_props"      -> jsonProps _,
+    "e86_asof_join"       -> asofJoin _,
+    "e87_range_join"      -> rangeJoin _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -178,5 +284,7 @@ object EventOps {
     "e81_hopping_window"  -> hoppingWindowSql,
     "e82_sessionize"      -> sessionizeSql,
     "e83_json_props"      -> jsonPropsSql,
+    "e86_asof_join"       -> asofJoinSql,
+    "e87_range_join"      -> rangeJoinSql,
   )
 }
