@@ -449,8 +449,8 @@ object DedupOps {
     val e = emb
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
-        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm",
+        sqrt(graft.functions.VecExprs.dot_d(col("v"), col("v"))))
     // block-size guard: sub-split oversized labels (see maxBlock)
     val blockSizes = e.groupBy("label").agg(count(lit(1)).as("bn"))
     val eb = e.join(broadcast(blockSizes), "label")
@@ -460,8 +460,8 @@ object DedupOps {
     val a = eb.toDF("vec_a", "label", "sub", "va", "na")
     val b = eb.toDF("vec_b", "label", "sub", "vb", "nb")
     a.join(b, Seq("label", "sub")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("dot",
+        graft.functions.VecExprs.dot_d(col("va"), col("vb")))
       .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= 0.4)
       .select("label", "vec_a", "vec_b", "cosine")

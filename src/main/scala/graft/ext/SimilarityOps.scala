@@ -21,17 +21,20 @@ import graft.functions.BoundedAggs.{Scored, TopKScored}
   *    md5-derived ±1 planes) — bucketed candidate generation when no
   *    cluster structure is known.
   *
-  * Dot products run as `zip_with` + left-fold `aggregate` over doubles
-  * (sequential, deterministic) and cosines are rounded to 6 digits
-  * BEFORE ranking on both engines, so ordering is stable under fp.
+  * Dot products run through the codegen'd [[graft.functions.VecExprs]]
+  * kernels (index-ascending left fold — sequential, deterministic) and
+  * cosines are rounded to 6 digits BEFORE ranking on both engines, so
+  * ordering is stable under fp.
   */
 object SimilarityOps {
 
+  // codegen'd native kernels (VecExprs) — bit-identical to the HOF
+  // left folds they replaced (same index-ascending summation order)
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecExprs.dot_d(a, b)
 
   private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    sqrt(graft.functions.VecExprs.dot_d(a, a))
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -239,8 +242,7 @@ object SimilarityOps {
         transform(col("v"), x => round(x * kmScale, 0).cast("long")))
 
   private def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VecExprs.dist_sq_l(a, b)
 
   /** Nearest-centroid assignment (ties → smallest cid). Argmin as
     * `min(struct(d2, cid))` — map-side partial aggregation shrinks the
@@ -429,9 +431,8 @@ object SimilarityOps {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val sigBits = (0 until numPlanes).map { p =>
       // dot(v, plane_p) > 0 → bit p  (plane embedded as a literal)
-      val planeDot = aggregate(
-        zip_with(col("v"), typedLit(planes(p)), _ * _),
-        lit(0.0), (acc, x) => acc + x)
+      val planeDot =
+        graft.functions.VecExprs.dot_d(col("v"), typedLit(planes(p)))
       when(planeDot > 0, lit(1L << p)).otherwise(lit(0L))
     }
     e.withColumn("signature", sigBits.reduce(_ + _))

@@ -28,6 +28,43 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(n.forall(_.isNullAt(0)))
   }
 
+  test("vector kernels match the HOF left fold bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.VecExprs.{dist_sq_l, dot_d}
+    val rng = new scala.util.Random(42)
+    val vecs = Seq.fill(50)(
+      (Array.fill(64)(rng.nextDouble() * 2 - 1),
+        Array.fill(64)(rng.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    // the HOF formulation the kernels replaced — same fold order
+    val hofDot = aggregate(zip_with(col("a"), col("b"), _ * _),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(dot_d(col("a"), col("b")).as("k"), hofDot.as("h"))
+      .collect()
+    // bit-identical, not approximately equal: to-the-bit comparison
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    // integer distance kernel vs the HOF fold
+    val lv = Seq((Array(1L, -2L, 3L), Array(4L, 0L, -1L)))
+    val ld = lv.toDF("a", "b")
+    val hofD2 = aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val got = ld.select(dist_sq_l(col("a"), col("b")), hofD2).collect().head
+    assert(got.getLong(0) == (9L + 4L + 16L) && got.getLong(1) == got.getLong(0))
+    // interpreted path (eval on literals, driver-side)
+    val one = spark.range(1).select(
+      dot_d(typedLit(Seq(1.0, 2.0)), typedLit(Seq(3.0, 4.0)))).collect().head
+    assert(one.getDouble(0) == 11.0)
+    // the kernel stays inside whole-stage codegen (no CodegenFallback);
+    // repartition first or ConvertToLocalRelation folds the projection
+    // into a LocalTableScan and no stage exists to inspect
+    val staged = df.repartition(2).select(dot_d(col("a"), col("b")))
+    staged.collect()
+    val plan = staged.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected codegen stage, got:\n$plan")
+  }
+
   test("extensions register the SQL function and the optimizer rule") {
     // force the shared SparkSpec session to materialize FIRST, then
     // build a sibling session (same SparkContext) with extensions:
