@@ -88,6 +88,18 @@ object DedupOps {
     ()
   }
 
+  /** Estimated distinct-shingle count — upper bound from a one-column
+    * parquet aggregate (≈ one shingle per token at ~6 chars/token;
+    * total occurrences ≥ distinct). Shared by every dictionary-join
+    * path selection. */
+  private[graft] def estShingles(s: SparkSession, d: String): Long =
+    documents(s, d).agg(sum("n_chars")).head.getLong(0) / 6
+
+  // NOTE: d52's dictionary trick (md5 distinct shingles once, join
+  // back) was tried here and measured SLOWER (+3.3s at sf0.1): with no
+  // per-shingle hash amortization to win back, the extra distinct is a
+  // full shuffle of the raw shingle strings. Direct per-row hashing is
+  // the right shape for the single-hash frame.
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
     cached(s"sh|${System.identityHashCode(s)}|$d") {
       shingleRows(s, d).select(col("doc_id"), md5Long(col("shingle")).as("sh"))
@@ -199,11 +211,8 @@ object DedupOps {
     minhashLshAuto(s, d)
 
   private[graft] def minhashLshAuto(s: SparkSession, d: String,
-      ceiling: Long = dictBroadcastCeiling): DataFrame = {
-    val estShingles = documents(s, d).agg(sum("n_chars"))
-      .head.getLong(0) / 6
-    minhashLshImpl(s, d, shardDict = estShingles > ceiling)
-  }
+      ceiling: Long = dictBroadcastCeiling): DataFrame =
+    minhashLshImpl(s, d, shardDict = estShingles(s, d) > ceiling)
 
   /** The 100 TB dictionary path: instead of broadcasting the distinct-
     * shingle dictionary (driver-memory-bound at scale), shard it by
