@@ -140,13 +140,76 @@ object Multimodal {
       |      FROM documents)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** m72: feature extraction as a driver-contract op — a fixed-width
+    * unit vector per media row, derived from SHA-256 over the payload's
+    * lowercase-hex encoding (hex, not raw bytes: DuckDB's sha256 hashes
+    * VARCHAR only, and the hex string is pure ASCII on both engines).
+    * Exploded to (media_id, dim_idx, feature) scalar rows — array cells
+    * don't hash in the driver compare. Every double op is a fixed
+    * left-associated chain, so features are bit-identical across
+    * engines with NO rounding step. */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).flatMap { m =>
+      val hexStr = m.payload.map("%02x".format(_)).mkString
+      val digest = MessageDigest.getInstance("SHA-256")
+        .digest(hexStr.getBytes(StandardCharsets.UTF_8))
+      val r = (0 until 8).map(i => (digest(i) & 0xff) / 255.0)
+      val norm = math.max(math.sqrt(
+        r(0) * r(0) + r(1) * r(1) + r(2) * r(2) + r(3) * r(3) +
+          r(4) * r(4) + r(5) * r(5) + r(6) * r(6) + r(7) * r(7)), 1e-9)
+      (0 until 8).map(i => (m.media_id, i.toLong, r(i) / norm))
+    }.toDF("media_id", "dim_idx", "feature")
+      .orderBy("media_id", "dim_idx")
+  }
+
+  /** DuckDB twin: rebuilds the 12-byte header in hex with printf,
+    * re-derives the digest, and applies the same left-assoc math. */
+  val mediaFeaturesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    64 + (doc_id * 31) % 1024 AS w,
+      |    64 + (doc_id * 17) % 768 AS h,
+      |    length(text) AS blen, text
+      |  FROM documents),
+      |digs AS (
+      |  SELECT media_id, sha256(
+      |    '47465431' || printf('%02x%02x%02x%02x%02x%02x%02x%02x',
+      |      w // 256, w % 256, h // 256, h % 256,
+      |      (blen // 256) % 256, blen % 256, media_id % 3, 0)
+      |    || lower(hex(text::BLOB))) AS dg
+      |  FROM m),
+      |raws AS (
+      |  SELECT media_id,
+      |    ('0x' || substr(dg, 1, 2))::INT / 255.0 AS r0,
+      |    ('0x' || substr(dg, 3, 2))::INT / 255.0 AS r1,
+      |    ('0x' || substr(dg, 5, 2))::INT / 255.0 AS r2,
+      |    ('0x' || substr(dg, 7, 2))::INT / 255.0 AS r3,
+      |    ('0x' || substr(dg, 9, 2))::INT / 255.0 AS r4,
+      |    ('0x' || substr(dg, 11, 2))::INT / 255.0 AS r5,
+      |    ('0x' || substr(dg, 13, 2))::INT / 255.0 AS r6,
+      |    ('0x' || substr(dg, 15, 2))::INT / 255.0 AS r7
+      |  FROM digs),
+      |norms AS (
+      |  SELECT *, greatest(sqrt(r0*r0 + r1*r1 + r2*r2 + r3*r3
+      |    + r4*r4 + r5*r5 + r6*r6 + r7*r7), 1e-9) AS nrm
+      |  FROM raws)
+      |SELECT media_id, CAST(i AS BIGINT) AS dim_idx,
+      |  CASE i WHEN 0 THEN r0 WHEN 1 THEN r1 WHEN 2 THEN r2
+      |         WHEN 3 THEN r3 WHEN 4 THEN r4 WHEN 5 THEN r5
+      |         WHEN 6 THEN r6 ELSE r7 END / nrm AS feature
+      |FROM norms, generate_series(0, 7) AS g(i)
+      |ORDER BY media_id, dim_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m70_media_meta"   -> mediaMeta _,
-    "m71_media_frames" -> mediaFrames _,
+    "m70_media_meta"     -> mediaMeta _,
+    "m71_media_frames"   -> mediaFrames _,
+    "m72_media_features" -> mediaFeatures _,
   )
 
   val oracleSql: Map[String, String] = Map(
-    "m70_media_meta"   -> mediaMetaSql,
-    "m71_media_frames" -> mediaFramesSql,
+    "m70_media_meta"     -> mediaMetaSql,
+    "m71_media_frames"   -> mediaFramesSql,
+    "m72_media_features" -> mediaFeaturesSql,
   )
 }
