@@ -226,12 +226,74 @@ object GraphOps {
       .orderBy("element", "kind")
   }
 
+  // --------------------------------------- g95 triangle counting
+
+  /** g95: per-vertex triangle counts on the co-purchase graph via
+    * DEGREE-ORDERED orientation — each undirected edge points from its
+    * (degree, id)-smaller endpoint to the larger, so every wedge is
+    * generated at its lowest-degree apex and the join fan-out is
+    * bounded by Σ min-deg² (the arboricity bound of the standard
+    * distributed triangle algorithm) instead of Σ deg², which a hub
+    * vertex would otherwise blow up. Three equi-joins on integers —
+    * DuckDB repeats them exactly, so the counts hash-check. */
+  def triangleCounts(s: SparkSession, d: String): DataFrame =
+    trianglesFrom(copurchaseEdges(s, d))
+
+  /** Degree-ordered triangle counting over (p1, p2) undirected distinct
+    * edges with p1 < p2. */
+  private[graft] def trianglesFrom(e: DataFrame): DataFrame = {
+    val deg = e.select(col("p1").as("v")).union(e.select(col("p2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.toDF("p1", "da"), "p1")
+      .join(deg.toDF("p2", "db"), "p2")
+    val lowFirst = struct(col("da"), col("p1")) < struct(col("db"), col("p2"))
+    val o = withDeg.select(
+      when(lowFirst, col("p1")).otherwise(col("p2")).as("src"),
+      when(lowFirst, col("p2")).otherwise(col("p1")).as("dst"))
+    val od = o.join(deg.toDF("dst", "ddeg"), "dst").select("src", "dst", "ddeg")
+    val tri = od.toDF("src", "b", "db_")
+      .join(od.toDF("src", "c", "dc_"), "src")
+      .filter(struct(col("db_"), col("b")) < struct(col("dc_"), col("c")))
+      .join(o.toDF("b", "c"), Seq("b", "c")) // closing edge (oriented b→c)
+      .select(col("src").as("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
+      .groupBy("part_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("part_id")
+  }
+
+  val triangleCountsSql: String =
+    s"""WITH edges AS ($copurchaseEdgesSql),
+      |deg AS (
+      |  SELECT v, count(*) AS deg FROM (
+      |    SELECT p1 AS v FROM edges UNION ALL SELECT p2 FROM edges)
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN (da.deg, e.p1) < (db.deg, e.p2)
+      |              THEN e.p1 ELSE e.p2 END AS src,
+      |         CASE WHEN (da.deg, e.p1) < (db.deg, e.p2)
+      |              THEN e.p2 ELSE e.p1 END AS dst
+      |  FROM edges e JOIN deg da ON da.v = e.p1 JOIN deg db ON db.v = e.p2),
+      |od AS (SELECT o.src, o.dst, dd.deg AS ddeg
+      |       FROM o JOIN deg dd ON dd.v = o.dst),
+      |tri AS (
+      |  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+      |  FROM od w1 JOIN od w2 ON w1.src = w2.src
+      |    AND (w1.ddeg, w1.dst) < (w2.ddeg, w2.dst)
+      |  JOIN o cl ON cl.src = w1.dst AND cl.dst = w2.dst)
+      |SELECT part_id, count(*) AS n_triangles FROM (
+      |  SELECT a AS part_id FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |GROUP BY 1 ORDER BY part_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g90_email_threads"   -> emailThreads _,
     "g91_email_graph"     -> emailGraphCensus _,
     "g92_copurchase_cc"   -> copurchaseComponents _,
     "g93_copurchase_deg"  -> copurchaseDegrees _,
     "g94_pagerank"        -> pagerankFixed _,
+    "g95_triangles"       -> triangleCounts _,
   )
 
   val emailGraphCensusSql: String =
@@ -264,5 +326,6 @@ object GraphOps {
     "g92_copurchase_cc"  -> copurchaseComponentsSql,
     "g93_copurchase_deg" -> copurchaseDegreesSql,
     "g94_pagerank"       -> pagerankFixedSql,
+    "g95_triangles"      -> triangleCountsSql,
   )
 }

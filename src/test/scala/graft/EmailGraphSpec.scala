@@ -52,4 +52,17 @@ class EmailGraphSpec extends AnyFunSuite with SparkSpec {
     assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
+
+  test("degree-ordered triangle counts: clique, dangling edge, hub wedges") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} (4 triangles, each vertex in 3), a dangling
+    // edge 4-5 (no triangle), and a hub 6 wedging 7,8 WITHOUT the
+    // closing 7-8 edge (no triangle despite the shared apex)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (6L, 8L)).toDF("p1", "p2")
+    val got = GraphOps.trianglesFrom(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }
