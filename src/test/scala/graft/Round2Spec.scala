@@ -174,6 +174,42 @@ class Round2Spec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("partitioned vs snapshot store: differential equivalence over random upserts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = Files.createTempDirectory("graft-diff").toString
+    val pstore = new PartitionedEmailStore(spark, s"$base/p")
+    val sstore = new EmailStore(spark, s"$base/s")
+    def doc(id: Int, month: Int): graft.model.EmailDoc =
+      graft.codec.Rfc822Parser.parse(
+        (s"Message-ID: <r$id@x>\r\nDate: ${1 + id % 27} ${Seq("Jan","Feb","Mar","Apr")(month)} 2001 10:00:00 +0000\r\n" +
+          s"From: a$id@x.com\r\nTo: b@x.com\r\nSubject: s$id\r\n\r\nbody $id").getBytes,
+        s"u${id % 4}", "f", s"${id}_")
+    // 6 random batches with overlapping keys and shifting months — the
+    // sequence that exercises index refresh, month keeps, and re-keys
+    (1 to 6).foreach { _ =>
+      val ids = Seq.fill(1 + rng.nextInt(8))((rng.nextInt(25), rng.nextInt(4)))
+      val batch = spark
+        .createDataset(ids.map { case (id, m) => (s"mem://$id", doc(id, m)) })
+        .toDF("path", "doc").select(col("path"), col("doc.*"))
+      pstore.upsert(batch)
+      sstore.upsert(batch)
+    }
+    val a = pstore.read().drop("date_month")
+    val b = sstore.read().drop("path")
+    val cols = b.columns.sorted.toSeq
+    val av = a.select(cols.map(col): _*).orderBy("dedupe_key").collect().toSeq
+    val bv = b.select(cols.map(col): _*).orderBy("dedupe_key").collect().toSeq
+    assert(av == bv && av.nonEmpty)
+    // and the key index agrees with the store it indexes
+    val idx = spark.read.parquet(pstore.index.path)
+      .select("dedupe_key", "date_month")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val ref = pstore.read().select("dedupe_key", "date_month")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(idx == ref)
+  }
+
   // ------------------------------------------------- composed job API
 
   test("ingest API: submitArchive → PARSED; empty archive → EMPTY") {
