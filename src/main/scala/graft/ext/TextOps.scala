@@ -264,6 +264,40 @@ object TextOps {
       |        FROM documents))
       |GROUP BY split ORDER BY split""".stripMargin
 
+  // -------------------------------------- t53 stratified sampling
+
+  /** t53: language-stratified deterministic sampling — the corpus-
+    * rebalancing shape (downsample the dominant language, keep all of
+    * the low-resource one): per-lang keep rates applied through the
+    * same stable md5 bucket as t48, so the sample is a pure function of
+    * doc_id — reproducible across re-runs, backfills, and engines, with
+    * no sampling state. One projection + one aggregation. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val rate = when(col("lang") === "en", 25L)
+      .when(col("lang") === "zh", 100L).otherwise(50L)
+    documents(s, d)
+      .withColumn("bucket",
+        md5Long(concat(lit("sample:"), col("doc_id").cast("string"))) % 100)
+      .withColumn("kept", col("bucket") < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"),
+        min(when(col("kept"), col("doc_id"))).as("first_kept"))
+      .orderBy("lang")
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  min(CASE WHEN kept THEN doc_id END) AS first_kept
+      |FROM (
+      |  SELECT lang, doc_id,
+      |    ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 100
+      |      < CASE WHEN lang = 'en' THEN 25
+      |             WHEN lang = 'zh' THEN 100 ELSE 50 END AS kept
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------- t50 quality filter
 
   /** t50: the composite KEEP/DROP decision a corpus pipeline actually
@@ -370,6 +404,7 @@ object TextOps {
     "t48_split_by_hash"   -> splitByHash _,
     "t50_quality_filter"  -> qualityFilter _,
     "t51_repetition"      -> repetitionScore _,
+    "t53_stratified_sample" -> stratifiedSample _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -382,5 +417,6 @@ object TextOps {
     "t48_split_by_hash"   -> splitByHashSql,
     "t50_quality_filter"  -> qualityFilterSql,
     "t51_repetition"      -> repetitionScoreSql,
+    "t53_stratified_sample" -> stratifiedSampleSql,
   )
 }
