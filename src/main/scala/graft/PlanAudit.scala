@@ -17,8 +17,10 @@ object PlanAudit {
       "q06_revenue_forecast", "q21_top_order_per_cust", "q26_cust_urgent",
       "d51_jaccard_pairs", "d52_minhash_lsh", "s60_knn_brute",
       "s66_kmeans_census", "s67_kmeans_ivf", "q47_sketches",
-      "e80_tumbling_window", "t40_token_stats", "t46_rolling_fp",
-      "t48_split_by_hash", "t49_decontamination", "em63_by_date_range")
+      "e80_tumbling_window", "e86_asof_join", "e87_range_join",
+      "g95_triangles", "t40_token_stats", "t46_rolling_fp",
+      "t48_split_by_hash", "t49_decontamination", "t53_stratified_sample",
+      "m72_media_features", "em63_by_date_range")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)
@@ -34,8 +36,7 @@ object PlanAudit {
       val udfs = plan.split("\n").count(p => p.contains("BatchEvalPython") || p.contains("ScalaUDF"))
       // sort-window stages funnel whole inputs through few tasks — the
       // ANN/argmin tiers must show 0 (bounded-heap aggregates instead)
-      val win = plan.split("\n").count(p =>
-        p.trim.startsWith("Window") || p.contains(") Window"))
+      val win = plan.split("\n").count(_.contains("Window ["))
       println(f"$name%-24s BHJ=$bhj SMJ=$smj BNLJ=$bnlj CART=$cart WSC=$wsc UDF=$udfs WIN=$win | $pushed")
     }
     // full plan for the two most scale-critical ones
