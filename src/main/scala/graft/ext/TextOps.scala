@@ -298,6 +298,56 @@ object TextOps {
       |  FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------- t54 top shingles per language
+
+  /** t54: the 5 most frequent word-3-grams per language — corpus
+    * phrase profiling. Ranking reuses the bounded-heap TopKScored
+    * aggregator from the ANN tier instead of a sort window over 5
+    * language partitions: each map partition emits ≤ 5 candidates per
+    * language before the exchange, so the count table never funnels
+    * through #languages tasks. Ties break on the md5-derived shingle
+    * hash (engine-stable); counts < 2⁵³ round-trip exactly through the
+    * aggregator's double score. */
+  def topShinglesPerLang(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.functions.BoundedAggs.{Scored, TopKScored}
+    val topk = udaf(new TopKScored(5), Encoders.product[Scored])
+    val sh = documents(s, d)
+      .select(col("lang"), tokens(col("text")).as("toks"))
+      .select(col("lang"), explode(shingles3(col("toks"))).as("shingle"))
+    val counts = sh.groupBy("lang", "shingle")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("sh", md5Long(col("shingle")))
+    val ranked = counts.groupBy("lang")
+      .agg(topk(col("cnt").cast("double"), col("sh")).as("tk"))
+      .select(col("lang"), posexplode(col("tk.items")).as(Seq("pos", "it")))
+      .select(col("lang"), col("it.id").as("sh"),
+        col("it.score").cast("long").as("cnt"),
+        (col("pos") + 1).cast("bigint").as("rank"))
+    ranked.join(counts.select("lang", "sh", "shingle"), Seq("lang", "sh"))
+      .select("lang", "rank", "shingle", "cnt")
+      .orderBy("lang", "rank")
+  }
+
+  val topShinglesPerLangSql: String =
+    """WITH sh AS (
+      |  SELECT lang, unnest(list_transform(
+      |    range(1, greatest(len(toks) - 1, 1)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM (SELECT lang, list_filter(
+      |        regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      |        FROM documents)),
+      |counts AS (
+      |  SELECT lang, shingle, count(*) AS cnt,
+      |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+      |  FROM sh GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT lang, shingle, cnt, CAST(row_number() OVER (
+      |    PARTITION BY lang ORDER BY cnt DESC, h) AS BIGINT) AS rank
+      |  FROM counts)
+      |SELECT lang, rank, shingle, CAST(cnt AS BIGINT) AS cnt
+      |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   // ------------------------------------------- t50 quality filter
 
   /** t50: the composite KEEP/DROP decision a corpus pipeline actually
@@ -405,6 +455,7 @@ object TextOps {
     "t50_quality_filter"  -> qualityFilter _,
     "t51_repetition"      -> repetitionScore _,
     "t53_stratified_sample" -> stratifiedSample _,
+    "t54_top_shingles"    -> topShinglesPerLang _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -418,5 +469,6 @@ object TextOps {
     "t50_quality_filter"  -> qualityFilterSql,
     "t51_repetition"      -> repetitionScoreSql,
     "t53_stratified_sample" -> stratifiedSampleSql,
+    "t54_top_shingles"    -> topShinglesPerLangSql,
   )
 }
