@@ -287,6 +287,52 @@ object GraphOps {
       |  UNION ALL SELECT c FROM tri)
       |GROUP BY 1 ORDER BY part_id""".stripMargin
 
+  // ------------------------------------------ g96 2-core peeling
+
+  private val coreRounds = 4
+
+  /** g96: bounded 2-core decomposition — `coreRounds` rounds of degree
+    * peeling (drop vertices with degree < 2, with their edges, repeat).
+    * The iterative-subgraph shape: each round is one aggregation + two
+    * semi-joins, lineage kept flat by the fixed unroll. Like the
+    * k-means tier, the round count is part of the operator definition,
+    * which is what lets DuckDB replay the exact same peels as an
+    * unrolled CTE chain and hash-check an iterative graph algorithm.
+    * Output: vertices surviving all rounds with their residual degree. */
+  def twoCore(s: SparkSession, d: String): DataFrame = {
+    var e = copurchaseEdges(s, d)
+    for (_ <- 1 to coreRounds) {
+      val keep = e.select(col("p1").as("v"))
+        .union(e.select(col("p2").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+      e = e.join(keep.select(col("v").as("p1")), Seq("p1"), "left_semi")
+        .join(keep.select(col("v").as("p2")), Seq("p2"), "left_semi")
+    }
+    e.select(col("p1").as("part_id"))
+      .union(e.select(col("p2").as("part_id")))
+      .groupBy("part_id").agg(count(lit(1)).as("core_degree"))
+      .orderBy("part_id")
+  }
+
+  val twoCoreSql: String = {
+    def peel(i: Int) =
+      s"""deg$i AS (
+        |  SELECT v, count(*) AS deg FROM (
+        |    SELECT p1 AS v FROM e$i UNION ALL SELECT p2 FROM e$i)
+        |  GROUP BY 1),
+        |e${i + 1} AS (
+        |  SELECT e.p1, e.p2 FROM e$i e
+        |  JOIN deg$i a ON a.v = e.p1 AND a.deg >= 2
+        |  JOIN deg$i b ON b.v = e.p2 AND b.deg >= 2)""".stripMargin
+    s"""WITH e0 AS ($copurchaseEdgesSql),
+      |${(0 until coreRounds).map(peel).mkString(",\n")}
+      |SELECT part_id, count(*) AS core_degree FROM (
+      |  SELECT p1 AS part_id FROM e$coreRounds
+      |  UNION ALL SELECT p2 FROM e$coreRounds)
+      |GROUP BY 1 ORDER BY part_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g90_email_threads"   -> emailThreads _,
     "g91_email_graph"     -> emailGraphCensus _,
@@ -294,6 +340,7 @@ object GraphOps {
     "g93_copurchase_deg"  -> copurchaseDegrees _,
     "g94_pagerank"        -> pagerankFixed _,
     "g95_triangles"       -> triangleCounts _,
+    "g96_two_core"        -> twoCore _,
   )
 
   val emailGraphCensusSql: String =
@@ -327,5 +374,6 @@ object GraphOps {
     "g93_copurchase_deg" -> copurchaseDegreesSql,
     "g94_pagerank"       -> pagerankFixedSql,
     "g95_triangles"      -> triangleCountsSql,
+    "g96_two_core"       -> twoCoreSql,
   )
 }
