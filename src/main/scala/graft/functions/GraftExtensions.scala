@@ -11,8 +11,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`:
   *
-  *  - SQL function `rolling_hash64(str)` backed by the codegen'd
-  *    native Expression (usable from pure SQL, not just the Scala API)
+  *  - SQL functions `rolling_hash64(str)`, `dot_d(arr, arr)` and
+  *    `dist_sq_l(arr, arr)` backed by the codegen'd native Expressions
+  *    (usable from pure SQL, not just the Scala API)
   *  - optimizer rule collapsing nested `array_distinct(array_distinct(x))`
   *    — a shape our merge/dedup pipelines can produce when composed,
   *    and one Catalyst does not simplify on its own.
@@ -24,6 +25,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash64(Cast(children.head, StringType))))
+    e.injectFunction((
+      FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DotProductD].getName, "dot_d"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProductD(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("dist_sq_l"),
+      new ExpressionInfo(classOf[DistSqL].getName, "dist_sq_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DistSqL(children(0), children(1))))
     e.injectOptimizerRule(_ => CollapseArrayDistinct)
   }
 }

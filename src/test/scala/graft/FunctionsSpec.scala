@@ -77,10 +77,15 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
-      // SQL-registered native function
+      // SQL-registered native functions
       val viaSql = s2.sql("SELECT rolling_hash64('abc') AS h")
         .collect().head.getLong(0)
       assert(viaSql == RollingHash64.reference("abc".getBytes("UTF-8")))
+      val vec = s2.sql(
+        """SELECT dot_d(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |  dist_sq_l(array(1L, 5L), array(4L, 1L)) AS q""".stripMargin)
+        .collect().head
+      assert(vec.getDouble(0) == 11.0 && vec.getLong(1) == 25L)
       // optimizer rule: nested array_distinct over NON-foldable input
       // (constant folding would otherwise hide the rewrite)
       s2.range(3).createOrReplaceTempView("ext_r")
