@@ -36,7 +36,11 @@ object SparkEntry {
         // streaming twin of d50: same dedup aggregation as a stream →
         // shares d50's oracle (stream/batch parity on the dedup tier)
         "e85_stream_dedup" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamExactDedup(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamExactDedup(s, d)),
+        // stream-stream interval join (watermarked both sides); the
+        // DuckDB twin is the equivalent batch inequality join
+        "e88_stream_join" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamRangeJoin(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +51,6 @@ object SparkEntry {
       GraphOps.oracleSql ++ Multimodal.oracleSql ++ Ner.oracleSql ++
       Validation.oracleSql ++
       Map("e84_stream_tumbling" -> EventOps.tumblingWindowSql,
-        "e85_stream_dedup" -> DedupOps.exactDedupSql)
+        "e85_stream_dedup" -> DedupOps.exactDedupSql,
+        "e88_stream_join" -> StreamingOps.streamRangeJoinSql)
 }

@@ -75,6 +75,61 @@ object StreamingOps {
     * sink). Output is identical to the batch twin, so it shares d50's
     * DuckDB oracle — stream/batch parity on the dedup tier is itself
     * oracle-checked, the e84/e80 pattern applied to dedup. */
+  /** e88: STREAM-STREAM interval join — clicks joined to errors of the
+    * same user within the 10 minutes before each error, as two
+    * watermarked file-source streams (the canonical stream-stream
+    * inner-join shape: equality key + event-time band, both sides
+    * buffered in watermark-bounded state). Output is the raw matched
+    * pairs in append mode; shares e87's band semantics, so the DuckDB
+    * twin is a plain inequality inner join — the streaming JOIN
+    * operator itself is oracle-checked, like e84/e85 for windows and
+    * dedup. */
+  def streamRangeJoin(spark: SparkSession, d: String): DataFrame = {
+    val sink = "stream_out_" + UUID.randomUUID.toString.replace("-", "")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    def src(): DataFrame = {
+      val stageDir = Files.createTempDirectory("graft-stream-src")
+      Files.createSymbolicLink(stageDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
+      spark.readStream.schema(eventsSchema).parquet(stageDir.toString)
+        .withColumn("tsus", expr("ts div 1000"))
+        .withColumn("etime", timestamp_micros(col("tsus")))
+    }
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_event_id"),
+        col("tsus").as("etsus"), col("etime").as("err_time"))
+      .withWatermark("err_time", "1 hour")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tsus").as("ctsus"),
+        col("etime").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val joined = errors.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_time") >= col("err_time") - expr("INTERVAL 10 MINUTES") &&
+        col("click_time") < col("err_time"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+      .select(col("user_id"), col("error_event_id"), col("ctsus"))
+      .orderBy("error_event_id", "ctsus")
+  }
+
+  /** DuckDB twin of [[streamRangeJoin]]: inequality-band inner join. */
+  val streamRangeJoinSql: String =
+    """WITH ev AS (SELECT event_id, epoch_us(ts) AS tsus, user_id, event_type
+      |            FROM events)
+      |SELECT e.user_id, e.event_id AS error_event_id, c.tsus AS ctsus
+      |FROM ev e JOIN ev c
+      |  ON e.event_type = 'error' AND c.event_type = 'click'
+      |  AND c.user_id = e.user_id
+      |  AND c.tsus >= e.tsus - 600000000 AND c.tsus < e.tsus
+      |ORDER BY error_event_id, ctsus""".stripMargin
+
   def streamExactDedup(spark: SparkSession, d: String): DataFrame = {
     val sink = "stream_out_" + UUID.randomUUID.toString.replace("-", "")
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
