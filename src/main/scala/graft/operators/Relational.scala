@@ -286,6 +286,26 @@ object Relational {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  /** Cube over (status, priority): all four grouping sets in one pass —
+    * the grouping-sets companion to q24's hierarchical rollup (same
+    * expr()-not-col() workaround for DetectAmbiguousSelfJoin). */
+  def priorityCube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(expr("o_orderstatus"), expr("o_orderpriority"))
+      .agg(round(sum("o_totalprice"), 2).as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val priorityCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  round(sum(o_totalprice), 2) AS total_revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
   /** Anti join: customers with no open orders (NOT EXISTS). */
   def customersWithoutOrders(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d)
@@ -487,6 +507,7 @@ object Relational {
     "q22_running_revenue"    -> runningCustomerRevenue _,
     "q23_order_gap_days"     -> orderGapDays _,
     "q24_revenue_rollup"     -> revenueRollup _,
+    "q48_priority_cube"      -> priorityCube _,
     "q25_cust_no_orders"     -> customersWithoutOrders _,
     "q26_cust_urgent"        -> customersWithUrgentOrders _,
     "q27_distinct_open"      -> distinctOpenCustomers _,
@@ -511,6 +532,7 @@ object Relational {
     "q22_running_revenue"    -> runningCustomerRevenueSql,
     "q23_order_gap_days"     -> orderGapDaysSql,
     "q24_revenue_rollup"     -> revenueRollupSql,
+    "q48_priority_cube"      -> priorityCubeSql,
     "q25_cust_no_orders"     -> customersWithoutOrdersSql,
     "q26_cust_urgent"        -> customersWithUrgentOrdersSql,
     "q27_distinct_open"      -> distinctOpenCustomersSql,
