@@ -31,10 +31,13 @@ object Bench {
     if (failed) -1.0 else times.sorted.apply(1)
   }
 
-  private def timeOnce(f: () => Unit): Double = {
+  /** (elapsed, succeeded) — a throwing cache warm must surface in the
+    * JSON (its cost re-smears onto whichever query rebuilds the cache),
+    * not vanish into a quiet catch. */
+  private def timeOnce(f: () => Unit): (Double, Boolean) = {
     val t0 = System.nanoTime()
-    try f() catch { case _: Throwable => () }
-    (System.nanoTime() - t0) / 1e9
+    val ok = try { f(); true } catch { case _: Throwable => false }
+    ((System.nanoTime() - t0) / 1e9, ok)
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,13 +56,15 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // shared caches, each its own line item (timed once: they are
     // idempotent no-ops on re-entry, so a median would measure nothing)
-    val cacheTimes: Seq[(String, Double)] = Seq(
+    val cacheRuns: Seq[(String, (Double, Boolean))] = Seq(
       "cache_dedup_frames" ->
         timeOnce(() => graft.ext.DedupOps.warm(spark, sfDir)),
       "cache_kmeans_model" ->
         timeOnce(() => graft.ext.SimilarityOps.warm(spark, sfDir)),
       "cache_fixture_corpus" ->
         timeOnce(() => { graft.query.FixtureCorpus.store(spark, sfDir).count(); () }))
+    val cacheTimes: Seq[(String, Double)] =
+      cacheRuns.map { case (k, (t, _)) => k -> t }
     val queryTimes: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> median3(() => { fn(spark, sfDir).count(); () })
@@ -68,11 +73,20 @@ object Bench {
     if (contended)
       System.err.println("[bench] WARNING: q32 scalar baseline exceeded 2s " +
         "median — machine is contended, timings unreliable")
+    // a crashed query records -1 and is excluded from the total, which
+    // would otherwise make the headline SMALLER — surface every such
+    // name top-level so the gate can't mistake a crash for a speedup
+    val failed = cacheRuns.collect { case (k, (_, false)) => k } ++
+      queryTimes.collect { case (k, t) if t < 0 => k }
+    if (failed.nonEmpty)
+      System.err.println("[bench] WARNING: failed (excluded from total): " +
+        failed.mkString(", "))
     val all = cacheTimes ++ queryTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":3,"contended":$contended,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":3,"contended":$contended,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     graft.ext.DedupOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
     graft.query.FixtureCorpus.clear()

@@ -76,15 +76,30 @@ object DedupOps {
     frameCache.clear()
   }
 
+  // the cached-frame builders are shared between the query sites and
+  // warm(): warm re-stating the build expressions under the same keys
+  // meant an edited query site could silently bench the stale
+  // warm-built frame while Verify checked the new one
+
+  /** Cached SimHash signature frame (d53's output; both sides of the
+    * d53b band self-join). */
+  private def simhashCached(s: SparkSession, d: String): DataFrame =
+    cached(s"sig|${System.identityHashCode(s)}|$d")(simhash(s, d))
+
+  /** Cached d51 pair graph as (src, dst) edges (read three times by the
+    * d56 CC path: partition sizing, vertices, edges). */
+  private def pairEdgesCached(s: SparkSession, d: String): DataFrame =
+    cached(s"pairs|${System.identityHashCode(s)}|$d") {
+      jaccardPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    }
+
   /** Materialize the shared cached frames (bench pre-warm: their build
     * cost becomes a separately-timed line item instead of being charged
     * to whichever query hits the registry first). */
   def warm(s: SparkSession, d: String): Unit = {
     hashedShingles(s, d).count()
-    cached(s"sig|${System.identityHashCode(s)}|$d")(simhash(s, d)).count()
-    cached(s"pairs|${System.identityHashCode(s)}|$d") {
-      jaccardPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    }.count()
+    simhashCached(s, d).count()
+    pairEdgesCached(s, d).count()
     ()
   }
 
@@ -391,7 +406,7 @@ object DedupOps {
     // the signature frame feeds both sides of the band self-join; cache
     // it (via the registry, one row per doc) so the shingle→vote
     // pipeline runs once, not twice
-    val sh = cached(s"sig|${System.identityHashCode(s)}|$d")(simhash(s, d))
+    val sh = simhashCached(s, d)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -502,9 +517,7 @@ object DedupOps {
     // the pair graph is tiny relative to the corpus but expensive to
     // produce; cache it — the CC path reads it three times (partition
     // sizing count, vertex derivation, edge RDD)
-    val pairs = cached(s"pairs|${System.identityHashCode(s)}|$d") {
-      jaccardPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    }
+    val pairs = pairEdgesCached(s, d)
     graft.graph.EmailGraph.components(s, pairs)
       .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
       .orderBy("doc_id")

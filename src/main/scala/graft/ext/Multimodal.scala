@@ -170,7 +170,7 @@ object Multimodal {
       |  SELECT doc_id AS media_id,
       |    64 + (doc_id * 31) % 1024 AS w,
       |    64 + (doc_id * 17) % 768 AS h,
-      |    length(text) AS blen, text
+      |    octet_length(text::BLOB) AS blen, text
       |  FROM documents),
       |digs AS (
       |  SELECT media_id, sha256(

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.graft.Bridge.AbstractType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native vector kernels for the similarity/dedup tiers (SURVEY.md §4
   * candidate (b)): the `aggregate(zip_with(a, b, _*_), 0.0, _+_)` HOF
@@ -21,8 +22,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * fixture vectors are fixed-width, this is a guard, not a semantic.
   */
 case class DotProductD(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  // declared input types: the SQL surface (dot_d registered by
+  // GraftExtensions) would otherwise hand ArrayData of the wrong
+  // element width to getDouble, silently reinterpreting the buffer;
+  // with these, analysis inserts casts (array<int> → array<double>)
+  // or rejects the call outright
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_d"
 
@@ -59,8 +67,10 @@ case class DotProductD(left: Expression, right: Expression)
 /** Integer squared-L2 distance over long arrays (the fixed-point
   * k-means representation): Σ (aᵢ-bᵢ)² as exact BIGINT math. */
 case class DistSqL(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "dist_sq_l"
 

@@ -54,10 +54,18 @@ class KeyIndex(spark: SparkSession, val path: String, numBuckets: Int = 64) {
   private val fs =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists: Boolean =
-    fs.exists(new Path(path)) && fs.listStatus(new Path(path)).nonEmpty
+  /** Validity marker, dropped before any mutation and re-created only
+    * after a successful commit. Partition-overwrite commits are not
+    * atomic (deletes happen file-by-file inside commitJob), so a crash
+    * mid-refresh must leave the index LOOKING absent — the store then
+    * falls back to [[rebuild]] instead of trusting a half-rewritten
+    * bucket and silently missing a month that holds a batch key. */
+  private val okMarker = new Path(path, "_GRAFT_INDEX_OK")
 
-  private def write(entries: DataFrame, overwriteMode: String): Unit =
+  def exists: Boolean = fs.exists(okMarker)
+
+  private def write(entries: DataFrame, overwriteMode: String): Unit = {
+    fs.delete(okMarker, false)
     entries
       .select(col("dedupe_key"), col("date_month"),
         kb(col("dedupe_key")).as("kb"))
@@ -65,6 +73,8 @@ class KeyIndex(spark: SparkSession, val path: String, numBuckets: Int = 64) {
       .option("partitionOverwriteMode", overwriteMode)
       .partitionBy("kb")
       .parquet(path)
+    fs.create(okMarker, true).close()
+  }
 
   /** Full (re)build from (dedupe_key, date_month) rows — bootstrap for
     * stores created before the index existed. */
@@ -89,9 +99,14 @@ class KeyIndex(spark: SparkSession, val path: String, numBuckets: Int = 64) {
     * touched buckets (dynamic overwrite: every touched bucket appears
     * in the written frame because each batch key carries an entry). */
   def refresh(keys: DataFrame, entries: DataFrame): Unit = {
+    // materialize `kept` BEFORE the overwrite: the frame reads the same
+    // parquet path the write then rewrites, and relying on deferred
+    // commit-time deletes would break under task retry/speculation
+    // re-reading a source file the commit already removed
     val kept = prunedFor(keys)
       .join(keys, Seq("dedupe_key"), "left_anti")
       .select("dedupe_key", "date_month")
+      .localCheckpoint()
     write(kept.union(entries.select("dedupe_key", "date_month")), "dynamic")
   }
 }

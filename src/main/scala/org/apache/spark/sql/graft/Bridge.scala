@@ -13,4 +13,8 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Public alias for the `private[sql]` type-expectation supertype, so
+    * graft Expressions can declare `inputTypes` (ExpectsInputTypes). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

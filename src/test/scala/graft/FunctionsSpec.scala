@@ -86,6 +86,18 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
           |  dist_sq_l(array(1L, 5L), array(4L, 1L)) AS q""".stripMargin)
         .collect().head
       assert(vec.getDouble(0) == 11.0 && vec.getLong(1) == 25L)
+      // declared inputTypes: int-array args are implicitly CAST to the
+      // declared element widths (previously ArrayData.getDouble/getLong
+      // reinterpreted the narrower buffer and returned garbage), and
+      // non-array args are rejected at analysis
+      val castVec = s2.sql(
+        "SELECT dot_d(array(1, 2), array(3, 4)) AS d, " +
+          "dist_sq_l(array(1, 5), array(4, 1)) AS q")
+        .collect().head
+      assert(castVec.getDouble(0) == 11.0 && castVec.getLong(1) == 25L)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT dot_d(1.0D, 2.0D)").collect()
+      }
       // optimizer rule: nested array_distinct over NON-foldable input
       // (constant folding would otherwise hide the rewrite)
       s2.range(3).createOrReplaceTempView("ext_r")

@@ -174,6 +174,38 @@ class Round2Spec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("key-index validity marker: torn refresh falls back to rebuild") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-kmark").toString
+    val store = new PartitionedEmailStore(spark, root)
+    def doc(id: Int, month: Int): graft.model.EmailDoc =
+      graft.codec.Rfc822Parser.parse(
+        (s"Message-ID: <p$id@x>\r\nDate: 10 ${Seq("Jan","Feb","Mar")(month)} 2001 10:00:00 +0000\r\n" +
+          s"From: a@x.com\r\nTo: b@x.com\r\nSubject: s$id\r\n\r\nbody $id").getBytes,
+        "u", "f", s"${id}_")
+    def batch(ids: Seq[(Int, Int)]) =
+      spark.createDataset(ids.map { case (id, m) => (s"mem://$id", doc(id, m)) })
+        .toDF("path", "doc").select(col("path"), col("doc.*"))
+
+    store.upsert(batch(Seq(1 -> 0, 2 -> 1)))
+    assert(store.index.exists, "successful upsert must leave a valid index")
+    // simulate a crash mid-commit: write() drops the marker before any
+    // mutation, so a torn refresh leaves the index looking absent
+    val marker = new java.io.File(store.index.path, "_GRAFT_INDEX_OK")
+    assert(marker.delete())
+    assert(!store.index.exists, "missing marker must invalidate the index")
+    // the next upsert must not trust the torn index: it rebuilds from
+    // the store and the uniqueness invariant holds across months
+    store.upsert(batch(Seq(1 -> 2)))  // duplicate key, different month
+    assert(store.index.exists)
+    val rows = store.read().filter(col("dedupe_key") === "<p1@x>")
+      .select("date_month").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "2001-01")
+    val probed = store.index.monthsFor(Seq("<p1@x>").toDF("dedupe_key"))
+      .collect().map(_.getString(0)).toSet
+    assert(probed == Set("2001-01"))
+  }
+
   test("partitioned vs snapshot store: differential equivalence over random upserts") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
