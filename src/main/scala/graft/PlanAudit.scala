@@ -20,7 +20,9 @@ object PlanAudit {
       "e80_tumbling_window", "e86_asof_join", "e87_range_join",
       "g95_triangles", "t40_token_stats", "t46_rolling_fp",
       "t48_split_by_hash", "t49_decontamination", "t53_stratified_sample",
-      "m72_media_features", "em63_by_date_range")
+      "m72_media_features", "em63_by_date_range",
+      "q07_nation_trade", "q11_important_parts", "q14_promo_revenue",
+      "q16_supplier_parts")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Advanced, Classic, Classic2, Relational}
+import graft.operators.{Advanced, Classic, Classic2, Classic3, Relational}
 import graft.query.EmailOps
 import graft.ext.{DedupOps, EventOps, Multimodal, Ner, SimilarityOps, TextOps}
 import graft.ingest.Validation
@@ -25,7 +25,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ Classic.queries ++
-      Classic2.queries ++ EmailOps.queries ++ TextOps.queries ++ DedupOps.queries ++
+      Classic2.queries ++ Classic3.queries ++
+      EmailOps.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ EventOps.queries ++ GraphOps.queries ++
       Multimodal.queries ++ Ner.queries ++ Validation.queries ++ Map(
         // streaming twin of e80: same aggregation as a file-source
@@ -46,7 +47,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Advanced.oracleSql ++ Classic.oracleSql ++
-      Classic2.oracleSql ++ EmailOps.oracleSql ++ TextOps.oracleSql ++
+      Classic2.oracleSql ++ Classic3.oracleSql ++
+      EmailOps.oracleSql ++ TextOps.oracleSql ++
       DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ EventOps.oracleSql ++
       GraphOps.oracleSql ++ Multimodal.oracleSql ++ Ner.oracleSql ++
       Validation.oracleSql ++

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Fifth relational tier — the remaining classic TPC-H query shapes
+  * adapted to this schema (no partsupp/shipmode columns in the driver
+  * fixtures): cross-nation trade volume (q7), important-parts threshold
+  * against a global aggregate (q11), promo revenue ratio (q14), and
+  * distinct-count grouping (q16).
+  *
+  * Scale notes:
+  *  - q07 is the one genuinely fact-fact join here (lineitem ⋈ orders ⋈
+  *    customer): both big sides shuffle on their join keys once; the
+  *    nation/supplier dims are broadcast so the fact rows never
+  *    re-shuffle for them.
+  *  - q11's global total is a 1-row aggregate broadcast back over the
+  *    per-part rollup — the "compare each group to the grand total"
+  *    shape without a second scan or a window over all rows.
+  *  - Money thresholds/ratios run on exact BIGINT ten-thousandths
+  *    (prices are 2-decimal, discounts 2-decimal → volumes 4-decimal
+  *    exact), so cross-engine fp summation order can never flip a
+  *    boundary row (the round-2 lesson; see graft-spark memory notes).
+  */
+object Classic3 {
+
+  /** Line revenue in exact integer ten-thousandths (4-decimal volume). */
+  private val vol4: org.apache.spark.sql.Column =
+    expr("CAST(round(l_extendedprice * (1.0D - l_discount) * 10000) AS BIGINT)")
+
+  // ------------------------------------------------- q07 nation trade
+
+  /** q7-style: revenue shipped between different nations, by supplier
+    * nation × customer nation × ship year (1996–1997). */
+  def nationTrade(s: SparkSession, d: String): DataFrame = {
+    // range predicate on the raw column (not year()) so the filter
+    // pushes to the parquet scan and prunes row groups by min/max
+    val l = lineitem(s, d).filter(
+      col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+    val o = orders(s, d)
+    val cu = customer(s, d)
+    val su = supplier(s, d)
+    val n1 = nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(cu, o("o_custkey") === cu("c_custkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .select(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"), vol4.as("v4"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg((sum("v4") / 10000.0).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val nationTradeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      |    / 10000.0 AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE year(l_shipdate) IN (1996, 1997) AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // --------------------------------------------- q11 important parts
+
+  /** q11-style: parts whose total revenue exceeds 1.5× the average
+    * per-part revenue (as 2·v·n > 3·total in exact integer math) — each
+    * group compared against a broadcast 1-row grand total. The
+    * multiple-of-average criterion is scale-free: the classic
+    * fixed-fraction-of-total cutoff selects everything at one SF and
+    * nothing at another. */
+  def importantParts(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d).select(col("l_partkey"), vol4.as("v4"))
+      .groupBy("l_partkey").agg(sum("v4").as("v4"))
+    val total = rev.agg(sum("v4").as("t4"), count(lit(1)).as("np"))
+    rev.crossJoin(broadcast(total))
+      .filter(col("v4") * col("np") * 2 > col("t4") * 3)
+      .select(col("l_partkey"), (col("v4") / 10000.0).as("part_value"))
+      .orderBy("l_partkey")
+  }
+
+  val importantPartsSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      |      AS v4
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT sum(v4) AS t4, count(*) AS np FROM rev)
+      |SELECT l_partkey, v4 / 10000.0 AS part_value
+      |FROM rev, tot WHERE v4 * np * 2 > t4 * 3
+      |ORDER BY l_partkey""".stripMargin
+
+  // ----------------------------------------------- q14 promo revenue
+
+  /** q14-style: monthly share of PROMO-part revenue in 1997 — the ratio
+    * of two exact BIGINT sums via integer half-down division (`div` ==
+    * DuckDB `//` for positives), so the percentage is bit-stable. */
+  def promoRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).filter(
+      col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(month(col("l_shipdate")).cast("bigint").as("l_month"),
+        vol4.as("v4"), (col("p_type") === "PROMO").as("is_promo"))
+      .groupBy("l_month")
+      .agg(sum(when(col("is_promo"), col("v4")).otherwise(lit(0L))).as("p4"),
+        sum("v4").as("t4"), count(lit(1)).as("n_lines"))
+      .select(col("l_month"),
+        (expr("(p4 * 10000) div t4") / 100.0).as("promo_pct"),
+        col("n_lines"))
+      .orderBy("l_month")
+
+  val promoRevenueSql: String =
+    """WITH m AS (
+      |  SELECT CAST(month(l_shipdate) AS BIGINT) AS l_month,
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+      |        ELSE 0 END) AS p4,
+      |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      |      AS t4,
+      |    count(*) AS n_lines
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE year(l_shipdate) = 1997
+      |  GROUP BY 1)
+      |SELECT l_month, ((p4 * 10000) // t4) / 100.0 AS promo_pct, n_lines
+      |FROM m ORDER BY l_month""".stripMargin
+
+  // ------------------------------------------ q16 supplier-part count
+
+  /** q16-style: distinct suppliers shipping each (brand, type, size)
+    * part family, excluding one brand and large sizes — exact distinct
+    * aggregation over the fact table with the part dim broadcast. */
+  def supplierCountByPart(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 25)
+    lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val supplierCountByPartSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size <= 25
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q07_nation_trade"   -> nationTrade _,
+    "q11_important_parts" -> importantParts _,
+    "q14_promo_revenue"  -> promoRevenue _,
+    "q16_supplier_parts" -> supplierCountByPart _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q07_nation_trade"   -> nationTradeSql,
+    "q11_important_parts" -> importantPartsSql,
+    "q14_promo_revenue"  -> promoRevenueSql,
+    "q16_supplier_parts" -> supplierCountByPartSql,
+  )
+}
