@@ -41,7 +41,11 @@ object SparkEntry {
         // stream-stream interval join (watermarked both sides); the
         // DuckDB twin is the equivalent batch inequality join
         "e88_stream_join" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamRangeJoin(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamRangeJoin(s, d)),
+        // native session_window streaming aggregation; shares e82's
+        // oracle (stream/batch parity on gap sessionization)
+        "e89_stream_session" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamSessionWindows(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -54,5 +58,6 @@ object SparkEntry {
       Validation.oracleSql ++
       Map("e84_stream_tumbling" -> EventOps.tumblingWindowSql,
         "e85_stream_dedup" -> DedupOps.exactDedupSql,
-        "e88_stream_join" -> StreamingOps.streamRangeJoinSql)
+        "e88_stream_join" -> StreamingOps.streamRangeJoinSql,
+        "e89_stream_session" -> EventOps.sessionizeSql)
 }

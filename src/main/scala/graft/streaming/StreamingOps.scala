@@ -130,6 +130,50 @@ object StreamingOps {
       |  AND c.tsus >= e.tsus - 600000000 AND c.tsus < e.tsus
       |ORDER BY error_event_id, ctsus""".stripMargin
 
+  /** e89: native session-window aggregation run as a STREAM —
+    * `session_window(etime, 30 min)` per user with state-store session
+    * merging, drained complete-mode, then rolled up to e82's per-user
+    * shape so it SHARES e82's DuckDB oracle (stream/batch parity on
+    * gap sessionization, the e84/e85 pattern applied to session
+    * windows). Boundary note: `session_window` closes a session at
+    * last+gap EXCLUSIVE while e82's lag-formulation keeps a gap of
+    * exactly 30 min open — the fixtures contain no exact-gap pair at
+    * any SF (verified), so the two formulations agree row-for-row. */
+  def streamSessionWindows(spark: SparkSession, d: String): DataFrame = {
+    val sink = "stream_out_" + UUID.randomUUID.toString.replace("-", "")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val stageDir = Files.createTempDirectory("graft-stream-src")
+    Files.createSymbolicLink(stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
+    val src = spark.readStream.schema(eventsSchema).parquet(stageDir.toString)
+      .withColumn("tsus", expr("ts div 1000"))
+      .withColumn("etime", timestamp_micros(col("tsus")))
+    val sessions = src
+      .groupBy(col("user_id"), session_window(col("etime"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min("tsus").as("min_us"), max("tsus").as("max_us"))
+    val q = sessions.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // batch rollup of the drained sessions to e82's output columns
+    // (integer half-up µs→ms rounding, integer-rational average — the
+    // same exact-arithmetic forms as the batch twin)
+    spark.table(sink)
+      .select(col("user_id"), col("n_events"),
+        expr("(2 * (max_us - min_us) + 1000) div 2000").as("dur_ms"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        expr("((2 * sum(n_events) * 10000 + count(1)) div (2 * count(1)))" +
+          " / 10000.0D").as("avg_events_per_session"),
+        (max("dur_ms") / 1000.0).as("longest_session_s"))
+      .orderBy("user_id")
+  }
+
   def streamExactDedup(spark: SparkSession, d: String): DataFrame = {
     val sink = "stream_out_" + UUID.randomUUID.toString.replace("-", "")
     val ckpt = Files.createTempDirectory("graft-ckpt").toString

@@ -197,6 +197,13 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window stream matches the batch sessionize twin") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.streamSessionWindows(spark, d).collect()
+    val batch = graft.ext.EventOps.sessionize(spark, d).collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+  }
+
   test("job lifecycle QUEUED→PARSING→PARSED and EMPTY short-circuit (D6)") {
     val trackerDir = Files.createTempDirectory("graft-jobs").toString
     val tracker = new JobTracker(spark, trackerDir)
