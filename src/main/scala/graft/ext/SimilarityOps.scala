@@ -402,6 +402,98 @@ object SimilarityOps {
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------- s69 product quantization
+
+  private val pqM = 4     // subspaces
+  private val pqSub = 16  // dims per subspace (4 × 16 = 64)
+  private val pqK = 4     // codewords per subspace → 4^4 = 256 codes
+
+  /** s69: product quantization — the memory-bounded ANN companion to
+    * the IVF tier: each vector is encoded as `pqM` codebook indices
+    * (here 8 bits total vs 64 × 8 B raw, the compression that lets a
+    * 100 TB corpus' index live in RAM), with the integer reconstruction
+    * error as the quality signal. All `pqM` per-subspace codebooks are
+    * trained SIMULTANEOUSLY by keying every stage on the subspace id —
+    * one Lloyd pass over one exploded frame, not `pqM` sequential jobs —
+    * on the same fixed-point integer arithmetic as s66, so training,
+    * encoding, and the error sums are all oracle-checked bit-for-bit.
+    *
+    * Scale shape: seeds and codebooks are tiny (pqM × pqK rows) and
+    * broadcast; the corpus explodes ×pqM but every aggregate is
+    * map-side-partial'd (the argmin is `min(struct)`, never a window);
+    * nothing larger than corpus×pqK ever shuffles. */
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val subs = quantized(s, d)
+      .select(col("vec_id"), explode(array((0 until pqM).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("qv"), j * pqSub + 1, pqSub).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+    // seeds: the first pqK vectors' subvectors, per subspace
+    val seeds = subs.filter(col("vec_id") < pqK)
+      .select(col("j"), col("vec_id").as("cid"), col("sv").as("cv"))
+    // one Lloyd round: integer argmin assign → integer-rounded means
+    val assigned = subs.join(broadcast(seeds), Seq("j"))
+      .withColumn("d2", dist2(col("sv"), col("cv")))
+      .groupBy("vec_id", "j", "sv")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("j"), col("sv"), col("m.cid").as("cid"))
+    val cb = assigned
+      .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("j", "cid", "pos")
+      .agg(round(sum("x") / count(lit(1)), 0).cast("long").as("cx"))
+      .groupBy("j", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        p => p.getField("cx")).as("cv"))
+    // encode: nearest codeword per subspace; pq_code packs the pqM
+    // 2-bit indices via exact integer weights (no fp pow)
+    val enc = subs.join(broadcast(cb), Seq("j"))
+      .withColumn("d2", dist2(col("sv"), col("cv")))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("j"),
+        col("m.cid").as("cid"), col("m.d2").as("d2"))
+    enc.groupBy("vec_id")
+      .agg(sum(col("cid") *
+          expr("CASE j WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 64 END"))
+          .as("pq_code"),
+        sum("d2").as("recon_d2"))
+      .orderBy("vec_id")
+  }
+
+  val pqCodesSql: String = {
+    val d16 = "list_sum(list_transform(range(1, 17)," +
+      " i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+      |    x -> CAST(round(x * $kmScale, 0) AS BIGINT)) qv FROM embeddings),
+      |subs AS (
+      |  SELECT vec_id, j, qv[j * $pqSub + 1 : j * $pqSub + $pqSub] AS sv
+      |  FROM e, generate_series(0, ${pqM - 1}) g(j)),
+      |seeds AS (SELECT j, vec_id cid, sv cv FROM subs WHERE vec_id < $pqK),
+      |a1 AS (
+      |  SELECT vec_id, j, sv, cid FROM (
+      |    SELECT s.vec_id, s.j, s.sv, c.cid,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.j
+      |        ORDER BY $d16 ASC, c.cid) rn
+      |    FROM subs s JOIN seeds c ON c.j = s.j) WHERE rn = 1),
+      |cb AS (
+      |  SELECT j, cid, list(cx ORDER BY pos) cv FROM (
+      |    SELECT j, cid, pos, CAST(round(sum(x) * 1.0 / count(*), 0) AS BIGINT) cx
+      |    FROM (SELECT j, cid, unnest(sv) x, generate_subscripts(sv, 1) pos
+      |          FROM a1)
+      |    GROUP BY j, cid, pos) GROUP BY j, cid),
+      |enc AS (
+      |  SELECT vec_id, j, cid, d2 FROM (
+      |    SELECT s.vec_id, s.j, c.cid, $d16 AS d2,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.j
+      |        ORDER BY $d16 ASC, c.cid) rn
+      |    FROM subs s JOIN cb c ON c.j = s.j) WHERE rn = 1)
+      |SELECT vec_id,
+      |  CAST(sum(cid * CASE j WHEN 0 THEN 1 WHEN 1 THEN 4
+      |                        WHEN 2 THEN 16 ELSE 64 END) AS BIGINT) AS pq_code,
+      |  CAST(sum(d2) AS BIGINT) AS recon_d2
+      |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------- s62 sign-LSH
 
   private val numPlanes = 16
@@ -473,6 +565,7 @@ object SimilarityOps {
     "s64_ivf_multiprobe" -> ((s: SparkSession, d: String) => ivfMultiprobeKnn(s, d)),
     "s66_kmeans_census" -> kmeansCensus _,
     "s67_kmeans_ivf"    -> kmeansIvfKnn _,
+    "s69_pq_codes"      -> pqCodes _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -482,5 +575,6 @@ object SimilarityOps {
     "s64_ivf_multiprobe" -> ivfMultiprobeKnnSql,
     "s66_kmeans_census" -> kmeansCensusSql,
     "s67_kmeans_ivf"    -> kmeansIvfKnnSql,
+    "s69_pq_codes"      -> pqCodesSql,
   )
 }

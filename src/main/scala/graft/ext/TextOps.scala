@@ -444,6 +444,63 @@ object TextOps {
       |          FROM documents)))
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- t56 TF-IDF distinctive terms
+
+  /** t56: the 5 most distinctive terms per language — language-level
+    * term frequency weighted against corpus-wide document frequency.
+    * The score is the exact integer `(tf · 10⁶) div df` (a monotone
+    * stand-in for tf·idf: ln() is not bit-stable across engines, an
+    * integer rational is), so ranking is cross-engine exact; ties break
+    * on the term's md5 hash, the oracle-reproducible hash family.
+    *
+    * Scale shape: DF is a vocabulary-sized aggregate of the distinct
+    * (doc, term) pairs; TF aggregates (lang, term); both shuffle on
+    * term once and join term-to-term. The per-language top-5 is the
+    * bounded-heap aggregate (no global sort, no full window). */
+  def tfIdfTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.functions.BoundedAggs.{Scored, TopKScored}
+    val topk = udaf(new TopKScored(5), Encoders.product[Scored])
+    val terms = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("term"))
+    val dfreq = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score", expr("(tf * 1000000) div df"))
+      .withColumn("h", md5Long(col("term")))
+    val ranked = scored.groupBy("lang")
+      .agg(topk(col("score").cast("double"), col("h")).as("tk"))
+      .select(col("lang"), posexplode(col("tk.items")).as(Seq("pos", "it")))
+      .select(col("lang"), col("it.id").as("h"),
+        (col("pos") + 1).cast("bigint").as("rank"))
+    ranked.join(scored.select("lang", "h", "term", "tf", "df", "score"),
+        Seq("lang", "h"))
+      .select("lang", "rank", "term", "tf", "df", "score")
+      .orderBy("lang", "rank")
+  }
+
+  val tfIdfTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |dfreq AS (
+      |  SELECT term, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+      |tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT lang, term, tf, df, (tf * 1000000) // df AS score,
+      |    ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+      |  FROM tf JOIN dfreq USING (term)),
+      |ranked AS (
+      |  SELECT lang, term, tf, df, score, CAST(row_number() OVER (
+      |    PARTITION BY lang ORDER BY score DESC, h) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT lang, rank, term, tf, df, score
+      |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -456,6 +513,7 @@ object TextOps {
     "t51_repetition"      -> repetitionScore _,
     "t53_stratified_sample" -> stratifiedSample _,
     "t54_top_shingles"    -> topShinglesPerLang _,
+    "t56_tfidf_terms"     -> tfIdfTerms _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -470,5 +528,6 @@ object TextOps {
     "t51_repetition"      -> repetitionScoreSql,
     "t53_stratified_sample" -> stratifiedSampleSql,
     "t54_top_shingles"    -> topShinglesPerLangSql,
+    "t56_tfidf_terms"     -> tfIdfTermsSql,
   )
 }
