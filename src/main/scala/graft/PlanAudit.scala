@@ -22,7 +22,8 @@ object PlanAudit {
       "t48_split_by_hash", "t49_decontamination", "t53_stratified_sample",
       "m72_media_features", "em63_by_date_range",
       "q07_nation_trade", "q11_important_parts", "q14_promo_revenue",
-      "q16_supplier_parts", "t56_tfidf_terms", "s69_pq_codes")
+      "q16_supplier_parts", "t56_tfidf_terms", "s69_pq_codes",
+      "s70_pq_adc_knn")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)

@@ -422,7 +422,10 @@ object SimilarityOps {
     * broadcast; the corpus explodes ×pqM but every aggregate is
     * map-side-partial'd (the argmin is `min(struct)`, never a window);
     * nothing larger than corpus×pqK ever shuffles. */
-  def pqCodes(s: SparkSession, d: String): DataFrame = {
+  /** PQ model parts: (subvector frame, trained codebooks, per-vector
+    * encodings). Shared by s69 (codes) and s70 (ADC serving). */
+  private def pqParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val subs = quantized(s, d)
       .select(col("vec_id"), explode(array((0 until pqM).map(j =>
         struct(lit(j).as("j"),
@@ -444,14 +447,20 @@ object SimilarityOps {
       .groupBy("j", "cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         p => p.getField("cx")).as("cv"))
-    // encode: nearest codeword per subspace; pq_code packs the pqM
-    // 2-bit indices via exact integer weights (no fp pow)
+    // encode: nearest codeword per subspace
     val enc = subs.join(broadcast(cb), Seq("j"))
       .withColumn("d2", dist2(col("sv"), col("cv")))
       .groupBy("vec_id", "j")
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("j"),
         col("m.cid").as("cid"), col("m.d2").as("d2"))
+    (subs, cb, enc)
+  }
+
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    // pq_code packs the pqM 2-bit indices via exact integer weights
+    // (no fp pow)
+    val (_, _, enc) = pqParts(s, d)
     enc.groupBy("vec_id")
       .agg(sum(col("cid") *
           expr("CASE j WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 64 END"))
@@ -460,9 +469,12 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
-  val pqCodesSql: String = {
-    val d16 = "list_sum(list_transform(range(1, 17)," +
-      " i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))"
+  private val pqD16 = "list_sum(list_transform(range(1, 17)," +
+    " i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))"
+
+  /** Shared CTE prefix: quantize → subvectors → seeds → one Lloyd round
+    * → codebooks `cb` → encodings `enc`. */
+  private val pqSqlPrefix: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
       |    x -> CAST(round(x * $kmScale, 0) AS BIGINT)) qv FROM embeddings),
       |subs AS (
@@ -473,7 +485,7 @@ object SimilarityOps {
       |  SELECT vec_id, j, sv, cid FROM (
       |    SELECT s.vec_id, s.j, s.sv, c.cid,
       |      row_number() OVER (PARTITION BY s.vec_id, s.j
-      |        ORDER BY $d16 ASC, c.cid) rn
+      |        ORDER BY $pqD16 ASC, c.cid) rn
       |    FROM subs s JOIN seeds c ON c.j = s.j) WHERE rn = 1),
       |cb AS (
       |  SELECT j, cid, list(cx ORDER BY pos) cv FROM (
@@ -483,15 +495,65 @@ object SimilarityOps {
       |    GROUP BY j, cid, pos) GROUP BY j, cid),
       |enc AS (
       |  SELECT vec_id, j, cid, d2 FROM (
-      |    SELECT s.vec_id, s.j, c.cid, $d16 AS d2,
+      |    SELECT s.vec_id, s.j, c.cid, $pqD16 AS d2,
       |      row_number() OVER (PARTITION BY s.vec_id, s.j
-      |        ORDER BY $d16 ASC, c.cid) rn
-      |    FROM subs s JOIN cb c ON c.j = s.j) WHERE rn = 1)
+      |        ORDER BY $pqD16 ASC, c.cid) rn
+      |    FROM subs s JOIN cb c ON c.j = s.j) WHERE rn = 1)""".stripMargin
+
+  val pqCodesSql: String =
+    s"""$pqSqlPrefix
       |SELECT vec_id,
       |  CAST(sum(cid * CASE j WHEN 0 THEN 1 WHEN 1 THEN 4
       |                        WHEN 2 THEN 16 ELSE 64 END) AS BIGINT) AS pq_code,
       |  CAST(sum(d2) AS BIGINT) AS recon_d2
       |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** s70: PQ serving via asymmetric distance computation — each query
+    * builds a pqM×pqK lookup table of exact integer distances from its
+    * RAW subvectors to every codeword; the corpus is then scored from
+    * its 8-bit codes alone by summing table entries. This is the 100 TB
+    * read path PQ exists for: the scan touches only the code column
+    * (pqM small ints per vector, not pqM·pqSub floats), the LUT
+    * (queries × pqM × pqK rows) broadcasts, and the per-query top-k is
+    * the bounded-heap aggregate. Every distance is an integer sum, so
+    * ranking (ties → smallest id) is cross-engine exact. */
+  def pqAdcKnn(s: SparkSession, d: String): DataFrame = {
+    val (subs, cb, enc) = pqParts(s, d)
+    val lut = subs.filter(col("vec_id") < 10).toDF("q_id", "j", "qsv")
+      .join(cb, Seq("j"))
+      .withColumn("qd2", dist2(col("qsv"), col("cv")))
+      .select("q_id", "j", "cid", "qd2")
+    val scored = enc.select("vec_id", "j", "cid")
+      .join(broadcast(lut), Seq("j", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("qd2").as("ad2"))
+      // bounded-heap top-3 by (ad2 ASC, id ASC) — negate for the
+      // score-DESC heap; the integer is exact as a double (< 2^53)
+      .groupBy("q_id")
+      .agg(topkUdaf(3)((-col("ad2")).cast("double"), col("vec_id")).as("tk"))
+    explodeTopK(scored, Seq("q_id"), "c_id", "nad2")
+      .select(col("q_id"), col("c_id"),
+        (-col("nad2")).cast("bigint").as("ad2"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val pqAdcKnnSql: String = {
+    val lutD16 = pqD16 // s = query subvectors, c = codebook
+    s"""$pqSqlPrefix,
+      |lut AS (
+      |  SELECT s.vec_id q_id, s.j, c.cid, $lutD16 AS qd2
+      |  FROM subs s JOIN cb c ON c.j = s.j WHERE s.vec_id < 10),
+      |scored AS (
+      |  SELECT l.q_id, e2.vec_id c_id, sum(l.qd2) AS ad2
+      |  FROM enc e2 JOIN lut l ON l.j = e2.j AND l.cid = e2.cid
+      |  WHERE e2.vec_id <> l.q_id GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT q_id, c_id, ad2, CAST(row_number() OVER (
+      |    PARTITION BY q_id ORDER BY ad2 ASC, c_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT q_id, c_id, CAST(ad2 AS BIGINT) AS ad2, rank
+      |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
   // ------------------------------------------------- s62 sign-LSH
@@ -566,6 +628,7 @@ object SimilarityOps {
     "s66_kmeans_census" -> kmeansCensus _,
     "s67_kmeans_ivf"    -> kmeansIvfKnn _,
     "s69_pq_codes"      -> pqCodes _,
+    "s70_pq_adc_knn"    -> pqAdcKnn _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -576,5 +639,6 @@ object SimilarityOps {
     "s66_kmeans_census" -> kmeansCensusSql,
     "s67_kmeans_ivf"    -> kmeansIvfKnnSql,
     "s69_pq_codes"      -> pqCodesSql,
+    "s70_pq_adc_knn"    -> pqAdcKnnSql,
   )
 }
