@@ -40,21 +40,28 @@ object StreamingOps {
     val stageDir = Files.createTempDirectory("graft-stream-src")
     Files.createSymbolicLink(stageDir.resolve("events.parquet"),
       java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .parquet(stageDir.toString)
-      .withColumn("bucket", expr("(ts div 1000) div 300000000"))
-      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
-      .groupBy("bucket", "event_type")
-      .agg(count(lit(1)).as("n_events"),
-        (sum("cents") / 100.0).as("total_value"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // streaming state partitioning is fixed by shuffle.partitions at
+    // the first batch — size it to the input volume (metadata-only
+    // count) so fixture-scale runs don't commit 32 near-empty state
+    // stores per micro-batch; at real scale the session width holds
+    val nIn = spark.read.parquet(s"$d/events.parquet").count()
+    graft.operators.Salting.withVolumeShuffle(spark, nIn) {
+      val stream = spark.readStream
+        .schema(eventsSchema)
+        .parquet(stageDir.toString)
+        .withColumn("bucket", expr("(ts div 1000) div 300000000"))
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum("cents") / 100.0).as("total_value"))
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(sink)
       .withColumn("window_start", timestamp_seconds(col("bucket") * 300))
       .select("window_start", "event_type", "n_events", "total_value")
@@ -95,25 +102,35 @@ object StreamingOps {
         .withColumn("tsus", expr("ts div 1000"))
         .withColumn("etime", timestamp_micros(col("tsus")))
     }
-    val errors = src().filter(col("event_type") === "error")
-      .select(col("user_id"), col("event_id").as("error_event_id"),
-        col("tsus").as("etsus"), col("etime").as("err_time"))
-      .withWatermark("err_time", "1 hour")
-    val clicks = src().filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("tsus").as("ctsus"),
-        col("etime").as("click_time"))
-      .withWatermark("click_time", "1 hour")
-    val joined = errors.join(clicks,
-      col("user_id") === col("c_user") &&
-        col("click_time") >= col("err_time") - expr("INTERVAL 10 MINUTES") &&
-        col("click_time") < col("err_time"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // a stream-stream join maintains 4 state stores per side per
+    // shuffle partition, committed every micro-batch — size the state
+    // partitioning to the joined volume (metadata-only count), not the
+    // session width (32 near-empty partitions were pure commit
+    // overhead at fixture scale; at real scale the formula returns the
+    // session width unchanged)
+    val nIn = spark.read.parquet(s"$d/events.parquet")
+      .filter(col("event_type").isin("error", "click")).count()
+    graft.operators.Salting.withVolumeShuffle(spark, nIn) {
+      val errors = src().filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_event_id"),
+          col("tsus").as("etsus"), col("etime").as("err_time"))
+        .withWatermark("err_time", "1 hour")
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("tsus").as("ctsus"),
+          col("etime").as("click_time"))
+        .withWatermark("click_time", "1 hour")
+      val joined = errors.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_time") >= col("err_time") - expr("INTERVAL 10 MINUTES") &&
+          col("click_time") < col("err_time"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(sink)
       .select(col("user_id"), col("error_event_id"), col("ctsus"))
       .orderBy("error_event_id", "ctsus")
@@ -145,20 +162,23 @@ object StreamingOps {
     val stageDir = Files.createTempDirectory("graft-stream-src")
     Files.createSymbolicLink(stageDir.resolve("events.parquet"),
       java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
-    val src = spark.readStream.schema(eventsSchema).parquet(stageDir.toString)
-      .withColumn("tsus", expr("ts div 1000"))
-      .withColumn("etime", timestamp_micros(col("tsus")))
-    val sessions = src
-      .groupBy(col("user_id"), session_window(col("etime"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"),
-        min("tsus").as("min_us"), max("tsus").as("max_us"))
-    val q = sessions.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val nIn = spark.read.parquet(s"$d/events.parquet").count()
+    graft.operators.Salting.withVolumeShuffle(spark, nIn) {
+      val src = spark.readStream.schema(eventsSchema).parquet(stageDir.toString)
+        .withColumn("tsus", expr("ts div 1000"))
+        .withColumn("etime", timestamp_micros(col("tsus")))
+      val sessions = src
+        .groupBy(col("user_id"), session_window(col("etime"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min("tsus").as("min_us"), max("tsus").as("max_us"))
+      val q = sessions.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // batch rollup of the drained sessions to e82's output columns
     // (integer half-up µs→ms rounding, integer-rational average — the
     // same exact-arithmetic forms as the batch twin)
@@ -181,19 +201,22 @@ object StreamingOps {
     Files.createSymbolicLink(stageDir.resolve("documents.parquet"),
       java.nio.file.Paths.get(d, "documents.parquet").toAbsolutePath)
     val normText = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-    val stream = spark.readStream
-      .schema(documentsSchema)
-      .parquet(stageDir.toString)
-      .select(col("doc_id"), md5(normText).as("fp"))
-      .groupBy("fp")
-      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val nIn = spark.read.parquet(s"$d/documents.parquet").count()
+    graft.operators.Salting.withVolumeShuffle(spark, nIn) {
+      val stream = spark.readStream
+        .schema(documentsSchema)
+        .parquet(stageDir.toString)
+        .select(col("doc_id"), md5(normText).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(sink)
       .select("fp", "keep_doc_id", "n_copies")
       .orderBy("keep_doc_id")
