@@ -535,6 +535,40 @@ object DedupOps {
       |SELECT a AS doc_id, min(b) AS cluster_rep FROM reach
       |GROUP BY a ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ d57 dedup apply
+
+  /** d57: apply the dedup decision — the end-to-end deliverable the
+    * pair/cluster tiers exist for: every document outside the pair
+    * graph keeps itself; inside a cluster only the canonical
+    * representative (min doc_id) survives. Reported as per-language
+    * kept/dropped counts. Scale shape: the cluster table is tiny
+    * relative to the corpus (only near-dup members appear), so the
+    * corpus LEFT-joins it by broadcast — the full corpus never
+    * shuffles to be deduplicated. */
+  def dedupApply(s: SparkSession, d: String): DataFrame = {
+    val clusters = dedupClusters(s, d)
+      .select(col("doc_id"), col("cluster_rep"))
+    documents(s, d).select("doc_id", "lang")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("kept",
+        col("cluster_rep").isNull || col("cluster_rep") === col("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+      .orderBy("lang")
+  }
+
+  val dedupApplySql: String =
+    s"""WITH clusters AS ($dedupClustersSql)
+      |SELECT lang, count(*) AS n_docs,
+      |  sum(CASE WHEN cluster_rep IS NULL OR cluster_rep = doc_id
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      |  sum(CASE WHEN cluster_rep IS NULL OR cluster_rep = doc_id
+      |      THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+      |FROM documents LEFT JOIN clusters USING (doc_id)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ----------------------------------------- t49 benchmark decontamination
 
   /** t49: decontamination scan — flag training documents sharing word
@@ -576,6 +610,7 @@ object DedupOps {
     "d54_embedding_dups" -> embeddingDupPairs _,
     "d55_containment"    -> containmentPairs _,
     "d56_dedup_clusters" -> dedupClusters _,
+    "d57_dedup_apply"    -> dedupApply _,
     "t49_decontamination" -> decontamination _,
   )
 
@@ -588,6 +623,7 @@ object DedupOps {
     "d54_embedding_dups" -> embeddingDupPairsSql,
     "d55_containment"    -> containmentPairsSql,
     "d56_dedup_clusters" -> dedupClustersSql,
+    "d57_dedup_apply"    -> dedupApplySql,
     "t49_decontamination" -> decontaminationSql,
   )
 }

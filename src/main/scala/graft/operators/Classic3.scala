@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -163,11 +164,43 @@ object Classic3 {
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  // -------------------------------------------- q49 ntile quartiles
+
+  /** q49: ntile quartile bucketing of customers by account balance per
+    * market segment — the one window shape the suite didn't exercise.
+    * The order is totalized by (2-decimal balance, custkey) so bucket
+    * boundaries are engine-exact. At 100 TB a global per-segment sort
+    * gives way to approximate percentile boundaries + a bucketing
+    * join; this exercises the exact window operator itself. */
+  def customerQuartiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("acctbal"), col("c_custkey"))
+    customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .groupBy("c_mktsegment", "quartile")
+      .agg(count(lit(1)).as("n_cust"),
+        min("acctbal").as("min_bal"), max("acctbal").as("max_bal"))
+      .orderBy("c_mktsegment", "quartile")
+  }
+
+  val customerQuartilesSql: String =
+    """WITH q AS (
+      |  SELECT c_mktsegment, round(c_acctbal, 2) AS acctbal,
+      |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY round(c_acctbal, 2), c_custkey) AS BIGINT) AS quartile
+      |  FROM customer)
+      |SELECT c_mktsegment, quartile, count(*) AS n_cust,
+      |  min(acctbal) AS min_bal, max(acctbal) AS max_bal
+      |FROM q GROUP BY 1, 2 ORDER BY c_mktsegment, quartile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_nation_trade"   -> nationTrade _,
     "q11_important_parts" -> importantParts _,
     "q14_promo_revenue"  -> promoRevenue _,
     "q16_supplier_parts" -> supplierCountByPart _,
+    "q49_cust_quartiles" -> customerQuartiles _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -175,5 +208,6 @@ object Classic3 {
     "q11_important_parts" -> importantPartsSql,
     "q14_promo_revenue"  -> promoRevenueSql,
     "q16_supplier_parts" -> supplierCountByPartSql,
+    "q49_cust_quartiles" -> customerQuartilesSql,
   )
 }
