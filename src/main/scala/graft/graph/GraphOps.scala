@@ -129,6 +129,64 @@ object GraphOps {
   // (the returned plan reads only the final checkpointed RDD, so the
   // restored shuffle setting applies just to the trivial orderBy)
 
+  /** g97: PERSONALIZED PageRank — the teleport mass lands only on a
+    * seed set (part_id % 50 == 0) instead of uniformly, ranking every
+    * part RELATIVE to the seeds (topic-sensitive ranking / related-item
+    * discovery over the co-purchase graph). Same fixed-point integer
+    * arithmetic and checkpointed DataFrame loop as g94, so the whole
+    * 10-iteration personalized walk is oracle-checked bit-for-bit. */
+  def personalizedPagerankFixed(s: SparkSession, d: String): DataFrame = {
+    val edges = copurchaseEdges(s, d).toDF("src", "dst").cache()
+    def teleport(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(id % 50 === 0, lit(prScale * 15 / 100)).otherwise(lit(0L))
+    try withVolumeShuffle(s, edges.count()) {
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst"))).distinct()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      var r = verts.withColumn("rank",
+          when(col("id") % 50 === 0, lit(prScale)).otherwise(lit(0L)))
+        .localCheckpoint(true)
+      for (i <- 1 to prIters) {
+        val contrib = r.join(outdeg, r("id") === outdeg("src"))
+          .select(col("src"), expr("rank div deg").as("c"))
+          .join(edges, "src")
+          .groupBy("dst").agg(sum("c").as("s"))
+        val next = r.alias("l")
+          .join(contrib.alias("co"), col("l.id") === col("co.dst"), "left")
+          .select(col("l.id").as("id"),
+            (teleport(col("l.id")) +
+              expr("(coalesce(s, 0) * 85) div 100")).as("rank"))
+        r = if (i % 5 == 0 || i == prIters) next.localCheckpoint(true)
+            else next
+      }
+      r.select(col("id").as("part_id"), col("rank").as("pprank_fp"))
+        .orderBy("part_id")
+    } finally { edges.unpersist(); () }
+  }
+
+  val personalizedPagerankSql: String = {
+    val tele = "CASE WHEN v.id % 50 = 0 THEN " + (prScale * 15 / 100) +
+      " ELSE 0 END"
+    val iters = (1 to prIters).map { k =>
+      s"""pp$k AS (
+        |  SELECT v.id,
+        |    $tele + (coalesce(c.s, 0) * 85) // 100 AS rank
+        |  FROM verts v LEFT JOIN (
+        |    SELECT e.p2 id, sum(p.rank // d.deg) s
+        |    FROM pp${k - 1} p JOIN edges e ON e.p1 = p.id
+        |    JOIN outdeg d ON d.src = p.id GROUP BY 1) c ON c.id = v.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($copurchaseEdgesSql),
+      |verts AS (SELECT p1 id FROM edges UNION SELECT p2 FROM edges),
+      |outdeg AS (SELECT p1 src, count(*) deg FROM edges GROUP BY 1),
+      |pp0 AS (SELECT id, CAST(CASE WHEN id % 50 = 0 THEN $prScale ELSE 0 END
+      |  AS BIGINT) rank FROM verts),
+      |$iters
+      |SELECT id AS part_id, CAST(rank AS BIGINT) AS pprank_fp
+      |FROM pp$prIters ORDER BY part_id""".stripMargin
+  }
+
   val pagerankFixedSql: String = {
     val iters = (1 to prIters).map { k =>
       s"""pr$k AS (
@@ -346,6 +404,7 @@ object GraphOps {
     "g94_pagerank"        -> pagerankFixed _,
     "g95_triangles"       -> triangleCounts _,
     "g96_two_core"        -> twoCore _,
+    "g97_personalized_pr" -> personalizedPagerankFixed _,
   )
 
   val emailGraphCensusSql: String =
@@ -380,5 +439,6 @@ object GraphOps {
     "g94_pagerank"       -> pagerankFixedSql,
     "g95_triangles"      -> triangleCountsSql,
     "g96_two_core"       -> twoCoreSql,
+    "g97_personalized_pr" -> personalizedPagerankSql,
   )
 }
