@@ -63,6 +63,8 @@ object Bench {
         timeOnce(() => graft.ext.DedupOps.warm(spark, sfDir)),
       "cache_kmeans_model" ->
         timeOnce(() => graft.ext.SimilarityOps.warm(spark, sfDir)),
+      "cache_graph_edges" ->
+        timeOnce(() => graft.graph.GraphOps.warm(spark, sfDir)),
       "cache_fixture_corpus" ->
         timeOnce(() => { graft.query.FixtureCorpus.store(spark, sfDir).count(); () }))
     val cacheTimes: Seq[(String, Double)] =
@@ -113,6 +115,7 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"contended":$contended,"failed":$failedJson,"queries":$qsTop,"sf":"$sfDir"}""")
     graft.ext.DedupOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
+    graft.graph.GraphOps.clearCaches()
     graft.query.FixtureCorpus.clear()
     spark.stop()
   }

@@ -48,6 +48,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.ext.DedupOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
+    graft.graph.GraphOps.clearCaches()
     graft.query.FixtureCorpus.clear()
     spark.stop()
   }

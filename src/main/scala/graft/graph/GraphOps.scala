@@ -23,13 +23,36 @@ object GraphOps {
   /** Sparsified co-purchase edges: parts appearing together in one
     * order, both with near-max quantity — sparse enough for an exact
     * SQL closure oracle, dense enough for non-trivial components. */
+  // six driver queries (g92–g97) start from the same edge frame; the
+  // lineitem self-join + distinct is the expensive part, so cache it
+  // per (session, dir) — same registry pattern as DedupOps (get-then-
+  // putIfAbsent: safe under nested builds)
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def clearCaches(): Unit = {
+    frameCache.values.forEach(df => { df.unpersist(); () })
+    frameCache.clear()
+  }
+
+  /** Materialize the shared edge frame (bench pre-warm line item). */
+  def warm(s: SparkSession, d: String): Unit = { copurchaseEdges(s, d).count(); () }
+
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val hi = lineitem(s, d).filter(col("l_quantity") >= 48)
-      .select("l_orderkey", "l_partkey")
-    hi.toDF("l_orderkey", "p1")
-      .join(hi.toDF("l_orderkey", "p2"), "l_orderkey")
-      .filter(col("p1") < col("p2"))
-      .select("p1", "p2").distinct()
+    val key = s"edges|${System.identityHashCode(s)}|$d"
+    val existing = frameCache.get(key)
+    if (existing != null) existing
+    else {
+      val hi = lineitem(s, d).filter(col("l_quantity") >= 48)
+        .select("l_orderkey", "l_partkey")
+      val df = hi.toDF("l_orderkey", "p1")
+        .join(hi.toDF("l_orderkey", "p2"), "l_orderkey")
+        .filter(col("p1") < col("p2"))
+        .select("p1", "p2").distinct()
+        .cache()
+      val prev = frameCache.putIfAbsent(key, df)
+      if (prev != null) { df.unpersist(); prev } else df
+    }
   }
 
   private val copurchaseEdgesSql =
