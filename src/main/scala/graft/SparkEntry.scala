@@ -45,7 +45,11 @@ object SparkEntry {
         // native session_window streaming aggregation; shares e82's
         // oracle (stream/batch parity on gap sessionization)
         "e89_stream_session" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamSessionWindows(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamSessionWindows(s, d)),
+        // custom keyed state (flatMapGroupsWithState): closed sessions
+        // only — each user's open tail stays in the state store
+        "e90_stream_closed_sessions" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamClosedSessions(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +63,6 @@ object SparkEntry {
       Map("e84_stream_tumbling" -> EventOps.tumblingWindowSql,
         "e85_stream_dedup" -> DedupOps.exactDedupSql,
         "e88_stream_join" -> StreamingOps.streamRangeJoinSql,
-        "e89_stream_session" -> EventOps.sessionizeSql)
+        "e89_stream_session" -> EventOps.sessionizeSql,
+        "e90_stream_closed_sessions" -> StreamingOps.streamClosedSessionsSql)
 }

@@ -164,6 +164,40 @@ object Classic3 {
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  // -------------------------------------------- q15 top supplier
+
+  /** q15-style: the supplier(s) with maximum revenue in 1997 Q1 —
+    * per-supplier rollup compared against a broadcast 1-row maximum.
+    * Revenue stays in exact BIGINT ten-thousandths, so the equality
+    * with the max can never be split by fp summation order. */
+  def topSupplierByRevenue(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy("l_suppkey").agg(sum(vol4).as("r4"))
+    val maxRev = rev.agg(max("r4").as("m4"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("r4") === col("m4"))
+      .join(broadcast(supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("r4") / 10000.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierByRevenueSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      |      AS r4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, r4 / 10000.0 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE r4 = (SELECT max(r4) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   // -------------------------------------------- q49 ntile quartiles
 
   /** q49: ntile quartile bucketing of customers by account balance per
@@ -199,6 +233,7 @@ object Classic3 {
     "q07_nation_trade"   -> nationTrade _,
     "q11_important_parts" -> importantParts _,
     "q14_promo_revenue"  -> promoRevenue _,
+    "q15_top_supplier_rev" -> topSupplierByRevenue _,
     "q16_supplier_parts" -> supplierCountByPart _,
     "q49_cust_quartiles" -> customerQuartiles _,
   )
@@ -207,6 +242,7 @@ object Classic3 {
     "q07_nation_trade"   -> nationTradeSql,
     "q11_important_parts" -> importantPartsSql,
     "q14_promo_revenue"  -> promoRevenueSql,
+    "q15_top_supplier_rev" -> topSupplierByRevenueSql,
     "q16_supplier_parts" -> supplierCountByPartSql,
     "q49_cust_quartiles" -> customerQuartilesSql,
   )

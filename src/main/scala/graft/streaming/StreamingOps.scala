@@ -194,6 +194,74 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** e90: CLOSED sessions via custom keyed state — the
+    * flatMapGroupsWithState sessionizer run as a driver query: a
+    * session is emitted only when a later event arrives past the gap,
+    * so each user's final (still-open) session stays in the state
+    * store. Complements e89 (native session_window, ALL sessions):
+    * this is the reference's unbounded-keyed-state shape (§2.8) under
+    * the oracle gate — the DuckDB twin reproduces closed = all minus
+    * each user's last. Timestamps flow as integer microseconds carried
+    * in doubles (exact below 2^53), so gap comparisons and session
+    * bounds are engine-exact. */
+  def streamClosedSessions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sink = "stream_out_" + UUID.randomUUID.toString.replace("-", "")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val stageDir = Files.createTempDirectory("graft-stream-src")
+    Files.createSymbolicLink(stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
+    val nIn = spark.read.parquet(s"$d/events.parquet").count()
+    graft.operators.Salting.withVolumeShuffle(spark, nIn) {
+      val ev = spark.readStream.schema(eventsSchema).parquet(stageDir.toString)
+        .select(col("user_id"),
+          expr("ts div 1000").cast("double").as("ts_s"))
+        .as[SessionEvent]
+      val closed = sessionizeStream(ev, gapS = 1800e6) // gap in µs
+      val q = closed.toDF().writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(sink)
+      .select(col("user_id"),
+        col("start_s").cast("bigint").as("start_us"),
+        col("end_s").cast("bigint").as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** DuckDB twin of [[streamClosedSessions]]: e82's lag/flag session
+    * derivation, keeping every session except each user's last. */
+  val streamClosedSessionsSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsus,
+      |    lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, tsus,
+      |    CASE WHEN prev IS NULL OR tsus - prev > 1800000000 THEN 1 ELSE 0 END
+      |      AS new_sess
+      |  FROM t),
+      |sess AS (
+      |  SELECT user_id, tsus,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsus
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, sess_idx, min(tsus) AS start_us, max(tsus) AS end_us,
+      |    count(*) AS n_events
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events
+      |FROM per_session p
+      |WHERE sess_idx < (SELECT max(sess_idx) FROM per_session q
+      |                  WHERE q.user_id = p.user_id)
+      |ORDER BY user_id, start_us""".stripMargin
+
   def streamExactDedup(spark: SparkSession, d: String): DataFrame = {
     val sink = "stream_out_" + UUID.randomUUID.toString.replace("-", "")
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
