@@ -67,8 +67,12 @@ object Bench {
         timeOnce(() => graft.graph.GraphOps.warm(spark, sfDir)),
       "cache_fixture_corpus" ->
         timeOnce(() => { graft.query.FixtureCorpus.store(spark, sfDir).count(); () }))
+    // a FAILED warm's elapsed is dropped from the line items entirely:
+    // its cost re-lands on whichever query rebuilds the cache, so
+    // keeping it would double-count (and contradict the "excluded from
+    // total" warning below)
     val cacheTimes: Seq[(String, Double)] =
-      cacheRuns.map { case (k, (t, _)) => k -> t }
+      cacheRuns.collect { case (k, (t, true)) => k -> t }
     val queryTimes: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> median3(() => { fn(spark, sfDir).count(); () })
@@ -87,8 +91,11 @@ object Bench {
         failed.mkString(", "))
     val all = cacheTimes ++ queryTimes
     // ms precision: enough for a wall-clock gate, and it keeps the
-    // detail line (100+ entries) from bloating past capture buffers
-    def fmt(v: Double): String = f"$v%.3f"
+    // detail line (100+ entries) from bloating past capture buffers.
+    // Locale.ROOT: a comma-decimal default locale would render 61,234
+    // and silently break both JSON lines.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     // Full per-query detail: one line WITHOUT the "metric" key (so

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Per-(session, dir) cached-DataFrame registry shared by the query
+  * tiers that reuse expensive frames across driver queries (dedup
+  * shingles/pairs, graph edges, PQ model frames).
+  *
+  * get-then-putIfAbsent rather than computeIfAbsent: builders nest
+  * (one cached frame may be built inside another's builder), and
+  * ConcurrentHashMap throws "Recursive update" on reentrant
+  * computeIfAbsent. The losing side of a putIfAbsent race unpersists
+  * its duplicate. Callers expose their own `clearCaches()` delegating
+  * to [[clear]] so the harness epilogue can release storage.
+  */
+final class FrameRegistry {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def cached(key: String)(build: => DataFrame): DataFrame = {
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
+      val df = build.cache()
+      val prev = cache.putIfAbsent(key, df)
+      if (prev != null) { df.unpersist(); prev } else df
+    }
+  }
+
+  def clear(): Unit = {
+    cache.values.forEach(df => { df.unpersist(); () })
+    cache.clear()
+  }
+}

@@ -52,29 +52,14 @@ object DedupOps {
   // materialize it once per (session, dir) and unpersist via clearCaches()
   // from the harness epilogue — per-query .cache() calls leaked storage
   // for the session lifetime (round-1 ADVICE).
-  private val frameCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val frames = new graft.FrameRegistry
 
-  // get-then-putIfAbsent rather than computeIfAbsent: builders nest
-  // (the d56 pair cache builds the shingle cache inside its own entry),
-  // and ConcurrentHashMap throws "Recursive update" on reentrant
-  // computeIfAbsent
-  private def cached(key: String)(build: => DataFrame): DataFrame = {
-    val existing = frameCache.get(key)
-    if (existing != null) existing
-    else {
-      val df = build.cache()
-      val prev = frameCache.putIfAbsent(key, df)
-      if (prev != null) { df.unpersist(); prev } else df
-    }
-  }
+  private def cached(key: String)(build: => DataFrame): DataFrame =
+    frames.cached(key)(build)
 
   /** Unpersist every frame this object materialized (call from the
     * driver harness after results are written). */
-  def clearCaches(): Unit = {
-    frameCache.values.forEach(df => { df.unpersist(); () })
-    frameCache.clear()
-  }
+  def clearCaches(): Unit = frames.clear()
 
   // the cached-frame builders are shared between the query sites and
   // warm(): warm re-stating the build expressions under the same keys

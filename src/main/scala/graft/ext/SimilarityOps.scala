@@ -276,6 +276,7 @@ object SimilarityOps {
   def clearCaches(): Unit = {
     kmCache.values.forEach { case (c, a) => c.unpersist(); a.unpersist(); () }
     kmCache.clear()
+    pqFrames.clear()
   }
 
   /** Pre-train the shared k-means model (bench pre-warm line item). */
@@ -422,38 +423,52 @@ object SimilarityOps {
     * broadcast; the corpus explodes ×pqM but every aggregate is
     * map-side-partial'd (the argmin is `min(struct)`, never a window);
     * nothing larger than corpus×pqK ever shuffles. */
+  // PQ model frames cached per (session, dir): within one s70 plan,
+  // `subs` feeds seeds/assign/encode/LUT and `cb` feeds encode+LUT —
+  // uncached, Spark re-ran the quantize+explode scan and the Lloyd
+  // round once per occurrence
+  private val pqFrames = new graft.FrameRegistry
+
   /** PQ model parts: (subvector frame, trained codebooks, per-vector
     * encodings). Shared by s69 (codes) and s70 (ADC serving). */
   private def pqParts(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val subs = quantized(s, d)
-      .select(col("vec_id"), explode(array((0 until pqM).map(j =>
-        struct(lit(j).as("j"),
-          slice(col("qv"), j * pqSub + 1, pqSub).as("sv"))): _*)).as("s"))
-      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+    val sk = s"${System.identityHashCode(s)}|$d"
+    val subs = pqFrames.cached(s"pqsubs|$sk") {
+      quantized(s, d)
+        .select(col("vec_id"), explode(array((0 until pqM).map(j =>
+          struct(lit(j).as("j"),
+            slice(col("qv"), j * pqSub + 1, pqSub).as("sv"))): _*)).as("s"))
+        .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+    }
     // seeds: the first pqK vectors' subvectors, per subspace
-    val seeds = subs.filter(col("vec_id") < pqK)
-      .select(col("j"), col("vec_id").as("cid"), col("sv").as("cv"))
-    // one Lloyd round: integer argmin assign → integer-rounded means
-    val assigned = subs.join(broadcast(seeds), Seq("j"))
-      .withColumn("d2", dist2(col("sv"), col("cv")))
-      .groupBy("vec_id", "j", "sv")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("j"), col("sv"), col("m.cid").as("cid"))
-    val cb = assigned
-      .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
-      .groupBy("j", "cid", "pos")
-      .agg(round(sum("x") / count(lit(1)), 0).cast("long").as("cx"))
-      .groupBy("j", "cid")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        p => p.getField("cx")).as("cv"))
-    // encode: nearest codeword per subspace
-    val enc = subs.join(broadcast(cb), Seq("j"))
-      .withColumn("d2", dist2(col("sv"), col("cv")))
-      .groupBy("vec_id", "j")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("j"),
-        col("m.cid").as("cid"), col("m.d2").as("d2"))
+    val cb = pqFrames.cached(s"pqcb|$sk") {
+      val seeds = subs.filter(col("vec_id") < pqK)
+        .select(col("j"), col("vec_id").as("cid"), col("sv").as("cv"))
+      // one Lloyd round: integer argmin assign → integer-rounded means
+      val assigned = subs.join(broadcast(seeds), Seq("j"))
+        .withColumn("d2", dist2(col("sv"), col("cv")))
+        .groupBy("vec_id", "j", "sv")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("j"), col("sv"), col("m.cid").as("cid"))
+      assigned
+        .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("j", "cid", "pos")
+        .agg(round(sum("x") / count(lit(1)), 0).cast("long").as("cx"))
+        .groupBy("j", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          p => p.getField("cx")).as("cv"))
+    }
+    // encode: nearest codeword per subspace (the persisted "index" a
+    // real deployment would store — cached for the same reason)
+    val enc = pqFrames.cached(s"pqenc|$sk") {
+      subs.join(broadcast(cb), Seq("j"))
+        .withColumn("d2", dist2(col("sv"), col("cv")))
+        .groupBy("vec_id", "j")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("j"),
+          col("m.cid").as("cid"), col("m.d2").as("d2"))
+    }
     (subs, cb, enc)
   }
 

@@ -28,39 +28,56 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** e84: the e80 tumbling-window aggregation run as a STREAM — file
-    * source over the same parquet, complete-mode memory sink, drained
-    * synchronously. Output is identical to the batch twin, so it shares
-    * e80's DuckDB oracle: batch/stream parity is oracle-checked. */
-  def streamTumblingCounts(spark: SparkSession, d: String): DataFrame = {
-    val sink = "stream_out_" + UUID.randomUUID.toString.replace("-", "")
-    val ckpt = Files.createTempDirectory("graft-ckpt").toString
-    // the file-stream source requires a DIRECTORY: stage a symlink to
-    // the single events.parquet file into a fresh temp dir
-    val stageDir = Files.createTempDirectory("graft-stream-src")
-    Files.createSymbolicLink(stageDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
-    // streaming state partitioning is fixed by shuffle.partitions at
-    // the first batch — size it to the input volume (metadata-only
-    // count) so fixture-scale runs don't commit 32 near-empty state
-    // stores per micro-batch; at real scale the session width holds
-    val nIn = spark.read.parquet(s"$d/events.parquet").count()
+  /** Stage a single parquet file behind a fresh temp directory — the
+    * file-stream source requires a DIRECTORY, not a file. */
+  private def stageFile(d: String, name: String): String = {
+    val dir = Files.createTempDirectory("graft-stream-src")
+    Files.createSymbolicLink(dir.resolve(name),
+      java.nio.file.Paths.get(d, name).toAbsolutePath)
+    dir.toString
+  }
+
+  /** Drain a streaming frame into a named memory sink, with the state
+    * partitioning sized to `nIn` input rows: streaming state-store
+    * partitioning is fixed by shuffle.partitions at the first batch,
+    * and fixture-scale runs would otherwise commit 32 near-empty
+    * state stores per micro-batch (a stream-stream join maintains four
+    * per side per partition). At real scale the volume formula returns
+    * the session width unchanged. */
+  private def drainToMemorySink(spark: SparkSession, sink: String,
+      mode: String, nIn: Long)(buildQuery: => DataFrame): Unit =
     graft.operators.Salting.withVolumeShuffle(spark, nIn) {
-      val stream = spark.readStream
-        .schema(eventsSchema)
-        .parquet(stageDir.toString)
-        .withColumn("bucket", expr("(ts div 1000) div 300000000"))
-        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
-        .groupBy("bucket", "event_type")
-        .agg(count(lit(1)).as("n_events"),
-          (sum("cents") / 100.0).as("total_value"))
-      val q = stream.writeStream
-        .outputMode("complete")
+      val ckpt = Files.createTempDirectory("graft-ckpt").toString
+      val q = buildQuery.writeStream
+        .outputMode(mode)
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", ckpt)
         .start()
       try q.processAllAvailable() finally q.stop()
+    }
+
+  private def newSink(): String =
+    "stream_out_" + UUID.randomUUID.toString.replace("-", "")
+
+  /** e84: the e80 tumbling-window aggregation run as a STREAM — file
+    * source over the same parquet, complete-mode memory sink, drained
+    * synchronously. Output is identical to the batch twin, so it shares
+    * e80's DuckDB oracle: batch/stream parity is oracle-checked. */
+  def streamTumblingCounts(spark: SparkSession, d: String): DataFrame = {
+    val sink = newSink()
+    val stageDir = stageFile(d, "events.parquet")
+    // metadata-only count (no filter → answered from parquet footers)
+    val nIn = spark.read.parquet(s"$d/events.parquet").count()
+    drainToMemorySink(spark, sink, "complete", nIn) {
+      spark.readStream
+        .schema(eventsSchema)
+        .parquet(stageDir)
+        .withColumn("bucket", expr("(ts div 1000) div 300000000"))
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum("cents") / 100.0).as("total_value"))
     }
     spark.table(sink)
       .withColumn("window_start", timestamp_seconds(col("bucket") * 300))
@@ -92,25 +109,18 @@ object StreamingOps {
     * operator itself is oracle-checked, like e84/e85 for windows and
     * dedup. */
   def streamRangeJoin(spark: SparkSession, d: String): DataFrame = {
-    val sink = "stream_out_" + UUID.randomUUID.toString.replace("-", "")
-    val ckpt = Files.createTempDirectory("graft-ckpt").toString
-    def src(): DataFrame = {
-      val stageDir = Files.createTempDirectory("graft-stream-src")
-      Files.createSymbolicLink(stageDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
-      spark.readStream.schema(eventsSchema).parquet(stageDir.toString)
+    val sink = newSink()
+    def src(): DataFrame =
+      spark.readStream.schema(eventsSchema)
+        .parquet(stageFile(d, "events.parquet"))
         .withColumn("tsus", expr("ts div 1000"))
         .withColumn("etime", timestamp_micros(col("tsus")))
-    }
-    // a stream-stream join maintains 4 state stores per side per
-    // shuffle partition, committed every micro-batch — size the state
-    // partitioning to the joined volume (metadata-only count), not the
-    // session width (32 near-empty partitions were pure commit
-    // overhead at fixture scale; at real scale the formula returns the
-    // session width unchanged)
+    // sized to the JOINED volume: a one-column scan of event_type
+    // (cheap; not footer-only like the unfiltered counts) — the join
+    // state holds only the two filtered streams
     val nIn = spark.read.parquet(s"$d/events.parquet")
       .filter(col("event_type").isin("error", "click")).count()
-    graft.operators.Salting.withVolumeShuffle(spark, nIn) {
+    drainToMemorySink(spark, sink, "append", nIn) {
       val errors = src().filter(col("event_type") === "error")
         .select(col("user_id"), col("event_id").as("error_event_id"),
           col("tsus").as("etsus"), col("etime").as("err_time"))
@@ -119,17 +129,10 @@ object StreamingOps {
         .select(col("user_id").as("c_user"), col("tsus").as("ctsus"),
           col("etime").as("click_time"))
         .withWatermark("click_time", "1 hour")
-      val joined = errors.join(clicks,
+      errors.join(clicks,
         col("user_id") === col("c_user") &&
           col("click_time") >= col("err_time") - expr("INTERVAL 10 MINUTES") &&
           col("click_time") < col("err_time"))
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .start()
-      try q.processAllAvailable() finally q.stop()
     }
     spark.table(sink)
       .select(col("user_id"), col("error_event_id"), col("ctsus"))
@@ -157,27 +160,16 @@ object StreamingOps {
     * exactly 30 min open — the fixtures contain no exact-gap pair at
     * any SF (verified), so the two formulations agree row-for-row. */
   def streamSessionWindows(spark: SparkSession, d: String): DataFrame = {
-    val sink = "stream_out_" + UUID.randomUUID.toString.replace("-", "")
-    val ckpt = Files.createTempDirectory("graft-ckpt").toString
-    val stageDir = Files.createTempDirectory("graft-stream-src")
-    Files.createSymbolicLink(stageDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
+    val sink = newSink()
+    val stageDir = stageFile(d, "events.parquet")
     val nIn = spark.read.parquet(s"$d/events.parquet").count()
-    graft.operators.Salting.withVolumeShuffle(spark, nIn) {
-      val src = spark.readStream.schema(eventsSchema).parquet(stageDir.toString)
+    drainToMemorySink(spark, sink, "complete", nIn) {
+      spark.readStream.schema(eventsSchema).parquet(stageDir)
         .withColumn("tsus", expr("ts div 1000"))
         .withColumn("etime", timestamp_micros(col("tsus")))
-      val sessions = src
         .groupBy(col("user_id"), session_window(col("etime"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"),
           min("tsus").as("min_us"), max("tsus").as("max_us"))
-      val q = sessions.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .start()
-      try q.processAllAvailable() finally q.stop()
     }
     // batch rollup of the drained sessions to e82's output columns
     // (integer half-up µs→ms rounding, integer-rational average — the
@@ -206,25 +198,15 @@ object StreamingOps {
     * bounds are engine-exact. */
   def streamClosedSessions(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val sink = "stream_out_" + UUID.randomUUID.toString.replace("-", "")
-    val ckpt = Files.createTempDirectory("graft-ckpt").toString
-    val stageDir = Files.createTempDirectory("graft-stream-src")
-    Files.createSymbolicLink(stageDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
+    val sink = newSink()
+    val stageDir = stageFile(d, "events.parquet")
     val nIn = spark.read.parquet(s"$d/events.parquet").count()
-    graft.operators.Salting.withVolumeShuffle(spark, nIn) {
-      val ev = spark.readStream.schema(eventsSchema).parquet(stageDir.toString)
+    drainToMemorySink(spark, sink, "append", nIn) {
+      val ev = spark.readStream.schema(eventsSchema).parquet(stageDir)
         .select(col("user_id"),
           expr("ts div 1000").cast("double").as("ts_s"))
         .as[SessionEvent]
-      val closed = sessionizeStream(ev, gapS = 1800e6) // gap in µs
-      val q = closed.toDF().writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      sessionizeStream(ev, gapS = 1800e6).toDF() // gap in µs
     }
     spark.table(sink)
       .select(col("user_id"),
@@ -263,27 +245,17 @@ object StreamingOps {
       |ORDER BY user_id, start_us""".stripMargin
 
   def streamExactDedup(spark: SparkSession, d: String): DataFrame = {
-    val sink = "stream_out_" + UUID.randomUUID.toString.replace("-", "")
-    val ckpt = Files.createTempDirectory("graft-ckpt").toString
-    val stageDir = Files.createTempDirectory("graft-stream-src")
-    Files.createSymbolicLink(stageDir.resolve("documents.parquet"),
-      java.nio.file.Paths.get(d, "documents.parquet").toAbsolutePath)
+    val sink = newSink()
+    val stageDir = stageFile(d, "documents.parquet")
     val normText = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
     val nIn = spark.read.parquet(s"$d/documents.parquet").count()
-    graft.operators.Salting.withVolumeShuffle(spark, nIn) {
-      val stream = spark.readStream
+    drainToMemorySink(spark, sink, "complete", nIn) {
+      spark.readStream
         .schema(documentsSchema)
-        .parquet(stageDir.toString)
+        .parquet(stageDir)
         .select(col("doc_id"), md5(normText).as("fp"))
         .groupBy("fp")
         .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
-      val q = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .start()
-      try q.processAllAvailable() finally q.stop()
     }
     spark.table(sink)
       .select("fp", "keep_doc_id", "n_copies")

@@ -204,6 +204,25 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.length == batch.length && streamed.sameElements(batch))
   }
 
+  test("fixtures hold no exact-30-minute gap (e89 oracle-sharing invariant)") {
+    // session_window closes a session at last+gap EXCLUSIVE while the
+    // batch lag-formulation keeps a gap of exactly 30 min open — e89
+    // may share e82's oracle only while no consecutive same-user
+    // events sit exactly 30 minutes apart; pin that data property here
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")
+      val n = spark.read.parquet(s"/root/testdata/$sf/events.parquet")
+        .withColumn("tsus", expr("ts div 1000"))
+        .withColumn("prev", lag("tsus", 1).over(w))
+        .filter(col("tsus") - col("prev") === 1800000000L)
+        .count()
+      assert(n == 0,
+        s"$sf has $n exact-gap pairs: e89 can no longer share e82's oracle")
+    }
+  }
+
   test("job lifecycle QUEUED→PARSING→PARSED and EMPTY short-circuit (D6)") {
     val trackerDir = Files.createTempDirectory("graft-jobs").toString
     val tracker = new JobTracker(spark, trackerDir)
