@@ -23,7 +23,8 @@ object PlanAudit {
       "m72_media_features", "em63_by_date_range",
       "q07_nation_trade", "q11_important_parts", "q14_promo_revenue",
       "q16_supplier_parts", "t56_tfidf_terms", "s69_pq_codes",
-      "s70_pq_adc_knn")
+      "s70_pq_adc_knn", "q15_top_supplier_rev", "q49_cust_quartiles",
+      "q50_brand_leaders", "d57_dedup_apply", "g97_personalized_pr")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)

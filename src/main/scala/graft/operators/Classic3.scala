@@ -229,6 +229,41 @@ object Classic3 {
       |  min(acctbal) AS min_bal, max(acctbal) AS max_bal
       |FROM q GROUP BY 1, 2 ORDER BY c_mktsegment, quartile""".stripMargin
 
+  // --------------------------------------------- q50 dense-rank leaders
+
+  /** q50: per-brand revenue leaders by DENSE rank ≤ 2 — unlike the
+    * row_number top-k queries, ties share a rank and every tied part
+    * is kept. Ranking runs on exact BIGINT revenue, so the tie set is
+    * identical across engines; the output order is then totalized by
+    * part key. */
+  def brandLeaders(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .join(broadcast(part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "l_partkey").agg(sum(vol4).as("r4"))
+    val w = Window.partitionBy("p_brand").orderBy(col("r4").desc)
+    rev.withColumn("rnk", dense_rank().over(w).cast("bigint"))
+      .filter(col("rnk") <= 2)
+      .select(col("p_brand"), col("rnk"), col("l_partkey"),
+        (col("r4") / 10000.0).as("part_revenue"))
+      .orderBy("p_brand", "rnk", "l_partkey")
+  }
+
+  val brandLeadersSql: String =
+    """WITH rev AS (
+      |  SELECT p_brand, l_partkey,
+      |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      |      AS r4
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT p_brand, l_partkey, r4, CAST(dense_rank() OVER (
+      |    PARTITION BY p_brand ORDER BY r4 DESC) AS BIGINT) AS rnk
+      |  FROM rev)
+      |SELECT p_brand, rnk, l_partkey, r4 / 10000.0 AS part_revenue
+      |FROM ranked WHERE rnk <= 2
+      |ORDER BY p_brand, rnk, l_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_nation_trade"   -> nationTrade _,
     "q11_important_parts" -> importantParts _,
@@ -236,6 +271,7 @@ object Classic3 {
     "q15_top_supplier_rev" -> topSupplierByRevenue _,
     "q16_supplier_parts" -> supplierCountByPart _,
     "q49_cust_quartiles" -> customerQuartiles _,
+    "q50_brand_leaders"  -> brandLeaders _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -245,5 +281,6 @@ object Classic3 {
     "q15_top_supplier_rev" -> topSupplierByRevenueSql,
     "q16_supplier_parts" -> supplierCountByPartSql,
     "q49_cust_quartiles" -> customerQuartilesSql,
+    "q50_brand_leaders"  -> brandLeadersSql,
   )
 }
