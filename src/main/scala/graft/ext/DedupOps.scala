@@ -80,11 +80,20 @@ object DedupOps {
 
   /** Materialize the shared cached frames (bench pre-warm: their build
     * cost becomes a separately-timed line item instead of being charged
-    * to whichever query hits the registry first). */
+    * to whichever query hits the registry first). The signature and
+    * pair frames both derive from the (already-cached) shingle frame
+    * and are independent of each other, so they build CONCURRENTLY —
+    * Spark schedules jobs from both threads and fills scheduler gaps
+    * (shuffle barriers) with the other job's tasks. */
   def warm(s: SparkSession, d: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     hashedShingles(s, d).count()
-    simhashCached(s, d).count()
-    pairEdgesCached(s, d).count()
+    val sig = Future { simhashCached(s, d).count() }
+    val pairs = Future { pairEdgesCached(s, d).count() }
+    Await.result(sig, Duration.Inf)
+    Await.result(pairs, Duration.Inf)
     ()
   }
 
