@@ -201,15 +201,49 @@ object Multimodal {
       |FROM norms, generate_series(0, 7) AS g(i)
       |ORDER BY media_id, dim_idx""".stripMargin
 
+  /** m73: stub RESIZE/downsample — the remaining multimodal verb:
+    * image rows get halved dimensions and a 2:1 byte-stride downsample
+    * of the payload (a real codec would interpolate; the stub keeps
+    * every other byte), fingerprinted per thumbnail. Exercises the
+    * executor-side payload TRANSFORM shape — metadata recomputed,
+    * payload rewritten per partition, nothing collected. The DuckDB
+    * twin reproduces the stride with `regexp_replace('(.).','\\1','gs')`
+    * (keep the first of each char pair + the odd tail — ASCII
+    * payloads, so bytes == chars, the m71 assumption). */
+  def mediaResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).filter(_.kind == "image").map { m =>
+      val p = m.payload
+      val w = ((p(4) & 0xff) << 8) | (p(5) & 0xff)
+      val h = ((p(6) & 0xff) << 8) | (p(7) & 0xff)
+      val body = p.drop(12)
+      val half = Array.tabulate((body.length + 1) / 2)(i => body(2 * i))
+      val digest = MessageDigest.getInstance("MD5").digest(half)
+      (m.media_id, (w / 2).toLong, (h / 2).toLong,
+        digest.map("%02x".format(_)).mkString.take(16))
+    }.toDF("media_id", "new_w", "new_h", "thumb_md5")
+      .orderBy("media_id")
+  }
+
+  val mediaResizeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST((64 + (doc_id * 31) % 1024) // 2 AS BIGINT) AS new_w,
+      |  CAST((64 + (doc_id * 17) % 768) // 2 AS BIGINT) AS new_h,
+      |  substr(md5(regexp_replace(text, '(.).', '\1', 'gs')), 1, 16)
+      |    AS thumb_md5
+      |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m70_media_meta"     -> mediaMeta _,
     "m71_media_frames"   -> mediaFrames _,
     "m72_media_features" -> mediaFeatures _,
+    "m73_media_resize"   -> mediaResize _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "m70_media_meta"     -> mediaMetaSql,
     "m71_media_frames"   -> mediaFramesSql,
     "m72_media_features" -> mediaFeaturesSql,
+    "m73_media_resize"   -> mediaResizeSql,
   )
 }

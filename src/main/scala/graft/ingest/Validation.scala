@@ -48,11 +48,56 @@ object Validation {
       |    AS n_empty_subject
       |FROM m GROUP BY 1 ORDER BY valid""".stripMargin
 
+  /** v71: referential-integrity audit across the star schema — orphan
+    * counts for every FK edge, each a LEFT-ANTI join against the
+    * referenced key set. The data-quality gate a pipeline runs before
+    * trusting joins; at scale each anti-join broadcasts the (distinct)
+    * key side or falls back to a shuffled semi-difference — never a
+    * full materialization of matches. Expected all-zero on the
+    * fixtures: the SHAPE is the operator, and a nonzero count is the
+    * alarm the query exists to raise. */
+  def refIntegrity(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    def orphans(rel: String, fk: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey)), Seq(childKey),
+          "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(rel).as("relation"), lit(fk).as("fk"), col("n_orphans"))
+    orphans("lineitem", "l_orderkey",
+        lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey")
+      .union(orphans("lineitem", "l_partkey",
+        lineitem(s, d), "l_partkey", part(s, d), "p_partkey"))
+      .union(orphans("lineitem", "l_suppkey",
+        lineitem(s, d), "l_suppkey", supplier(s, d), "s_suppkey"))
+      .union(orphans("orders", "o_custkey",
+        orders(s, d), "o_custkey", customer(s, d), "c_custkey"))
+      .orderBy("relation", "fk")
+  }
+
+  val refIntegritySql: String =
+    """SELECT * FROM (
+      |  SELECT 'lineitem' AS relation, 'l_orderkey' AS fk, count(*) AS n_orphans
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_partkey', count(*)
+      |  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_suppkey', count(*)
+      |  FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'orders', 'o_custkey', count(*)
+      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |ORDER BY relation, fk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v70_validation" -> validationSummary _,
+    "v71_ref_integrity" -> refIntegrity _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "v70_validation" -> validationSummarySql,
+    "v71_ref_integrity" -> refIntegritySql,
   )
 }
