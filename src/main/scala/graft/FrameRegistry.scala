@@ -17,6 +17,13 @@ final class FrameRegistry {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Session+dir-scoped lookup — the scoping lives HERE so no call
+    * site can forget the session component and leak one session's
+    * cached plan into another. */
+  def cached(s: org.apache.spark.sql.SparkSession, d: String, name: String)
+      (build: => DataFrame): DataFrame =
+    cached(s"$name|${System.identityHashCode(s)}|$d")(build)
+
   def cached(key: String)(build: => DataFrame): DataFrame = {
     val existing = cache.get(key)
     if (existing != null) existing

@@ -54,9 +54,6 @@ object DedupOps {
   // for the session lifetime (round-1 ADVICE).
   private val frames = new graft.FrameRegistry
 
-  private def cached(key: String)(build: => DataFrame): DataFrame =
-    frames.cached(key)(build)
-
   /** Unpersist every frame this object materialized (call from the
     * driver harness after results are written). */
   def clearCaches(): Unit = frames.clear()
@@ -69,12 +66,12 @@ object DedupOps {
   /** Cached SimHash signature frame (d53's output; both sides of the
     * d53b band self-join). */
   private def simhashCached(s: SparkSession, d: String): DataFrame =
-    cached(s"sig|${System.identityHashCode(s)}|$d")(simhash(s, d))
+    frames.cached(s, d, "sig")(simhash(s, d))
 
   /** Cached d51 pair graph as (src, dst) edges (read three times by the
     * d56 CC path: partition sizing, vertices, edges). */
   private def pairEdgesCached(s: SparkSession, d: String): DataFrame =
-    cached(s"pairs|${System.identityHashCode(s)}|$d") {
+    frames.cached(s, d, "pairs") {
       jaccardPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst"))
     }
 
@@ -92,8 +89,12 @@ object DedupOps {
     hashedShingles(s, d).count()
     val sig = Future { simhashCached(s, d).count() }
     val pairs = Future { pairEdgesCached(s, d).count() }
-    Await.result(sig, Duration.Inf)
-    Await.result(pairs, Duration.Inf)
+    // await BOTH before propagating a failure: bailing on the first
+    // would leave the other future's Spark job running underneath the
+    // next timed bench line item
+    val r1 = scala.util.Try(Await.result(sig, Duration.Inf))
+    val r2 = scala.util.Try(Await.result(pairs, Duration.Inf))
+    r1.get; r2.get
     ()
   }
 
@@ -110,7 +111,7 @@ object DedupOps {
   // full shuffle of the raw shingle strings. Direct per-row hashing is
   // the right shape for the single-hash frame.
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    cached(s"sh|${System.identityHashCode(s)}|$d") {
+    frames.cached(s, d, "sh") {
       shingleRows(s, d).select(col("doc_id"), md5Long(col("shingle")).as("sh"))
     }
 

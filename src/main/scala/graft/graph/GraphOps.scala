@@ -34,7 +34,7 @@ object GraphOps {
   def warm(s: SparkSession, d: String): Unit = { copurchaseEdges(s, d).count(); () }
 
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
-    frames.cached(s"edges|${System.identityHashCode(s)}|$d") {
+    frames.cached(s, d, "edges") {
       val hi = lineitem(s, d).filter(col("l_quantity") >= 48)
         .select("l_orderkey", "l_partkey")
       hi.toDF("l_orderkey", "p1")

@@ -76,19 +76,27 @@ object Validation {
       .orderBy("relation", "fk")
   }
 
+  /** NOT EXISTS, not NOT IN: a NULL FK (or a NULL in the referenced
+    * key set) makes NOT IN evaluate to NULL and silently drop the row,
+    * while the Spark side's LEFT-ANTI counts it as an orphan — and a
+    * NULL key is exactly the violation this audit exists to surface. */
   val refIntegritySql: String =
     """SELECT * FROM (
       |  SELECT 'lineitem' AS relation, 'l_orderkey' AS fk, count(*) AS n_orphans
-      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  FROM lineitem l WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
       |  UNION ALL
       |  SELECT 'lineitem', 'l_partkey', count(*)
-      |  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      |  FROM lineitem l WHERE NOT EXISTS (
+      |    SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
       |  UNION ALL
       |  SELECT 'lineitem', 'l_suppkey', count(*)
-      |  FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+      |  FROM lineitem l WHERE NOT EXISTS (
+      |    SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
       |  UNION ALL
       |  SELECT 'orders', 'o_custkey', count(*)
-      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |  FROM orders o WHERE NOT EXISTS (
+      |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
       |ORDER BY relation, fk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

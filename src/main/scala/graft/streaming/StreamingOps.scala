@@ -225,13 +225,13 @@ object StreamingOps {
       |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
       |  FROM events),
       |flagged AS (
-      |  SELECT user_id, tsus,
+      |  SELECT user_id, event_id, tsus,
       |    CASE WHEN prev IS NULL OR tsus - prev > 1800000000 THEN 1 ELSE 0 END
       |      AS new_sess
       |  FROM t),
       |sess AS (
       |  SELECT user_id, tsus,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsus
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsus, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
       |  FROM flagged),
       |per_session AS (

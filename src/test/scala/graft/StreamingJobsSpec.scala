@@ -211,15 +211,25 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     // events sit exactly 30 minutes apart; pin that data property here
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    for (sf <- Seq("sf0.001", "sf0.01")) {
-      val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")
-      val n = spark.read.parquet(s"/root/testdata/$sf/events.parquet")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val ev = spark.read.parquet(s"/root/testdata/$sf/events.parquet")
         .withColumn("tsus", expr("ts div 1000"))
+      val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")
+      val n = ev
         .withColumn("prev", lag("tsus", 1).over(w))
         .filter(col("tsus") - col("prev") === 1800000000L)
         .count()
       assert(n == 0,
         s"$sf has $n exact-gap pairs: e89 can no longer share e82's oracle")
+      // e90's custom-state sessionizer sorts by timestamp alone, so
+      // same-user duplicate timestamps would order nondeterministically
+      // — pin that the fixtures have none (verified property, like the
+      // gap invariant above)
+      val dups = ev.groupBy("user_id", "tsus").count()
+        .filter(col("count") > 1).count()
+      assert(dups == 0,
+        s"$sf has $dups same-user duplicate timestamps: e90's in-batch " +
+          "sort is no longer total")
     }
   }
 
