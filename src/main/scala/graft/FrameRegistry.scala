@@ -19,10 +19,18 @@ final class FrameRegistry {
 
   /** Session+dir-scoped lookup — the scoping lives HERE so no call
     * site can forget the session component and leak one session's
-    * cached plan into another. */
+    * cached plan into another. Keyed on `sessionUUID` (stable and
+    * unique per session), not identityHashCode: a hash can alias after
+    * the session is GC'd, handing out a cached frame bound to a dead
+    * session. */
   def cached(s: org.apache.spark.sql.SparkSession, d: String, name: String)
       (build: => DataFrame): DataFrame =
-    cached(s"$name|${System.identityHashCode(s)}|$d")(build)
+    cached(s"$name|${sessionKey(s)}|$d")(build)
+
+  /** `sessionUUID` is `private[sql]`; the Bridge exposes it (with an
+    * identity-hash fallback for non-classic sessions). */
+  private def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    org.apache.spark.sql.graft.Bridge.sessionUUID(s)
 
   def cached(key: String)(build: => DataFrame): DataFrame = {
     val existing = cache.get(key)

@@ -257,12 +257,17 @@ object SimilarityOps {
       .select(col("vec_id"), col("v"), col("qv"), col("m.cid").as("cid"))
 
   /** Integer centroid update: per-dim mean of members, rounded back to
-    * the fixed-point grid. */
+    * the fixed-point grid via EXACT integer half-away-from-zero
+    * division — round(sum/count) double division can land on
+    * cross-engine .5 tie boundaries; the integer formula is
+    * engine-identical by construction. */
   private def kmMeans(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy("cid", "pos")
-      .agg(round(sum("x") / count(lit(1)), 0).cast("long").as("cx"))
+      .agg(expr("CASE WHEN sum(x) >= 0" +
+        " THEN (2 * sum(x) + count(1)) div (2 * count(1))" +
+        " ELSE -((-2 * sum(x) + count(1)) div (2 * count(1))) END").as("cx"))
       .groupBy("cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         p => p.getField("cx")).as("cv"))
@@ -368,7 +373,9 @@ object SimilarityOps {
     def meansCte(name: String, assignName: String) =
       s"""$name AS (
         |  SELECT cid, list(cx ORDER BY pos) cv FROM (
-        |    SELECT cid, pos, CAST(round(sum(x) * 1.0 / count(*), 0) AS BIGINT) cx
+        |    SELECT cid, pos, CASE WHEN sum(x) >= 0
+      THEN (2 * sum(x) + count(*)) // (2 * count(*))
+      ELSE -((-2 * sum(x) + count(*)) // (2 * count(*))) END cx
         |    FROM (SELECT cid, unnest(qv) x, generate_subscripts(qv, 1) pos
         |          FROM $assignName)
         |    GROUP BY cid, pos)
@@ -462,7 +469,9 @@ object SimilarityOps {
       assigned
         .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("j", "cid", "pos")
-        .agg(round(sum("x") / count(lit(1)), 0).cast("long").as("cx"))
+        .agg(expr("CASE WHEN sum(x) >= 0" +
+        " THEN (2 * sum(x) + count(1)) div (2 * count(1))" +
+        " ELSE -((-2 * sum(x) + count(1)) div (2 * count(1))) END").as("cx"))
         .groupBy("j", "cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
           p => p.getField("cx")).as("cv"))
@@ -512,7 +521,9 @@ object SimilarityOps {
       |    FROM subs s JOIN seeds c ON c.j = s.j) WHERE rn = 1),
       |cb AS (
       |  SELECT j, cid, list(cx ORDER BY pos) cv FROM (
-      |    SELECT j, cid, pos, CAST(round(sum(x) * 1.0 / count(*), 0) AS BIGINT) cx
+      |    SELECT j, cid, pos, CASE WHEN sum(x) >= 0
+      THEN (2 * sum(x) + count(*)) // (2 * count(*))
+      ELSE -((-2 * sum(x) + count(*)) // (2 * count(*))) END cx
       |    FROM (SELECT j, cid, unnest(sv) x, generate_subscripts(sv, 1) pos
       |          FROM a1)
       |    GROUP BY j, cid, pos) GROUP BY j, cid),

@@ -202,31 +202,37 @@ object Classic3 {
 
   /** q49: ntile quartile bucketing of customers by account balance per
     * market segment — the one window shape the suite didn't exercise.
-    * The order is totalized by (2-decimal balance, custkey) so bucket
-    * boundaries are engine-exact. At 100 TB a global per-segment sort
-    * gives way to approximate percentile boundaries + a bucketing
-    * join; this exercises the exact window operator itself. */
+    * The order runs on exact integer CENTS (round(bal*100) AS BIGINT),
+    * not on round(bal, 2) doubles: cross-engine round() on doubles can
+    * land on .5 tie boundaries, and the window order key must be
+    * bitwise-identical for the bucket boundaries to match. Reported
+    * min/max divide the cents once at the end. At 100 TB a global
+    * per-segment sort gives way to approximate percentile boundaries +
+    * a bucketing join; this exercises the exact window operator. */
   def customerQuartiles(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("c_mktsegment")
-      .orderBy(col("acctbal"), col("c_custkey"))
+      .orderBy(col("cents"), col("c_custkey"))
     customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"),
-        round(col("c_acctbal"), 2).as("acctbal"))
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
       .withColumn("quartile", ntile(4).over(w).cast("bigint"))
       .groupBy("c_mktsegment", "quartile")
       .agg(count(lit(1)).as("n_cust"),
-        min("acctbal").as("min_bal"), max("acctbal").as("max_bal"))
+        (min("cents") / 100.0).as("min_bal"),
+        (max("cents") / 100.0).as("max_bal"))
       .orderBy("c_mktsegment", "quartile")
   }
 
   val customerQuartilesSql: String =
     """WITH q AS (
-      |  SELECT c_mktsegment, round(c_acctbal, 2) AS acctbal,
+      |  SELECT c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
       |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
-      |      ORDER BY round(c_acctbal, 2), c_custkey) AS BIGINT) AS quartile
+      |      ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey)
+      |      AS BIGINT) AS quartile
       |  FROM customer)
       |SELECT c_mktsegment, quartile, count(*) AS n_cust,
-      |  min(acctbal) AS min_bal, max(acctbal) AS max_bal
+      |  min(cents) / 100.0 AS min_bal, max(cents) / 100.0 AS max_bal
       |FROM q GROUP BY 1, 2 ORDER BY c_mktsegment, quartile""".stripMargin
 
   // --------------------------------------------- q50 dense-rank leaders

@@ -28,13 +28,31 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Stage a single parquet file behind a fresh temp directory — the
-    * file-stream source requires a DIRECTORY, not a file. */
-  private def stageFile(d: String, name: String): String = {
-    val dir = Files.createTempDirectory("graft-stream-src")
-    Files.createSymbolicLink(dir.resolve(name),
-      java.nio.file.Paths.get(d, name).toAbsolutePath)
-    dir.toString
+  /** Stage a single parquet file behind a temp directory — the
+    * file-stream source requires a DIRECTORY, not a file. Staging dirs
+    * are cached per (d, name): repeated invocations (bench median-of-3
+    * runs every streaming query 3×) reuse one symlink dir instead of
+    * accumulating fresh ones for the JVM's lifetime. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def stageFile(d: String, name: String): String =
+    stagedDirs.computeIfAbsent((d, name), { _ =>
+      val dir = Files.createTempDirectory("graft-stream-src")
+      Files.createSymbolicLink(dir.resolve(name),
+        java.nio.file.Paths.get(d, name).toAbsolutePath)
+      dir.toFile.deleteOnExit()
+      dir.toString
+    })
+
+  /** Best-effort recursive delete for per-run scratch (checkpoints). */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val all = Files.walk(root).iterator().asScala.toSeq
+      all.reverseIterator.foreach(p => try Files.deleteIfExists(p) catch {
+        case _: java.io.IOException => ()
+      })
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Drain a streaming frame into a named memory sink, with the state
@@ -47,14 +65,15 @@ object StreamingOps {
   private def drainToMemorySink(spark: SparkSession, sink: String,
       mode: String, nIn: Long)(buildQuery: => DataFrame): Unit =
     graft.operators.Salting.withVolumeShuffle(spark, nIn) {
-      val ckpt = Files.createTempDirectory("graft-ckpt").toString
+      val ckpt = Files.createTempDirectory("graft-ckpt")
       val q = buildQuery.writeStream
         .outputMode(mode)
         .format("memory")
         .queryName(sink)
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", ckpt.toString)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable()
+      finally { q.stop(); deleteRecursively(ckpt) }
     }
 
   private def newSink(): String =
@@ -204,14 +223,14 @@ object StreamingOps {
     drainToMemorySink(spark, sink, "append", nIn) {
       val ev = spark.readStream.schema(eventsSchema).parquet(stageDir)
         .select(col("user_id"),
-          expr("ts div 1000").cast("double").as("ts_s"))
+          expr("ts div 1000").cast("double").as("ts"))
         .as[SessionEvent]
-      sessionizeStream(ev, gapS = 1800e6).toDF() // gap in µs
+      sessionizeStream(ev, gap = 1800e6).toDF() // gap in µs
     }
     spark.table(sink)
       .select(col("user_id"),
-        col("start_s").cast("bigint").as("start_us"),
-        col("end_s").cast("bigint").as("end_us"),
+        col("start").cast("bigint").as("start_us"),
+        col("end").cast("bigint").as("end_us"),
         col("n_events"))
       .orderBy("user_id", "start_us")
   }
@@ -302,19 +321,22 @@ object StreamingOps {
 
   // ------------------------------------------- custom keyed state
 
-  case class SessionEvent(user_id: Long, ts_s: Double)
+  case class SessionEvent(user_id: Long, ts: Double)
   case class SessionState(start: Double, last: Double, n: Long)
-  case class ClosedSession(user_id: Long, start_s: Double, end_s: Double,
+  case class ClosedSession(user_id: Long, start: Double, end: Double,
       n_events: Long)
 
   /** Gap-based sessionization with CUSTOM state via
     * flatMapGroupsWithState (§2.8: the reference's unbounded keyed
     * dedup/merge state generalized): per user, events extend the open
-    * session; a gap > `gapS` closes it and emits a ClosedSession row.
-    * Open sessions live in the state store across micro-batches. */
+    * session; a gap > `gap` closes it and emits a ClosedSession row.
+    * Open sessions live in the state store across micro-batches.
+    * `ts` and `gap` are unit-neutral — any consistent time unit works
+    * (e90 feeds integer microseconds carried in doubles; the spec
+    * feeds seconds); the emitted start/end are in the same unit. */
   def sessionizeStream(
       events: org.apache.spark.sql.Dataset[SessionEvent],
-      gapS: Double = 1800.0)
+      gap: Double = 1800.0)
       : org.apache.spark.sql.Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -322,18 +344,18 @@ object StreamingOps {
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.ts_s)
+          val sorted = it.toSeq.sortBy(_.ts)
           var cur = state.getOption
           val closed = Seq.newBuilder[ClosedSession]
           sorted.foreach { e =>
             cur match {
-              case Some(st) if e.ts_s - st.last > gapS =>
+              case Some(st) if e.ts - st.last > gap =>
                 closed += ClosedSession(uid, st.start, st.last, st.n)
-                cur = Some(SessionState(e.ts_s, e.ts_s, 1))
+                cur = Some(SessionState(e.ts, e.ts, 1))
               case Some(st) =>
-                cur = Some(st.copy(last = e.ts_s, n = st.n + 1))
+                cur = Some(st.copy(last = e.ts, n = st.n + 1))
               case None =>
-                cur = Some(SessionState(e.ts_s, e.ts_s, 1))
+                cur = Some(SessionState(e.ts, e.ts, 1))
             }
           }
           cur.foreach(state.update)

@@ -17,4 +17,11 @@ object Bridge {
   /** Public alias for the `private[sql]` type-expectation supertype, so
     * graft Expressions can declare `inputTypes` (ExpectsInputTypes). */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** Stable per-session identity (`sessionUUID` is `private[sql]`);
+    * non-classic sessions fall back to identity hashing. */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): String = s match {
+    case cs: org.apache.spark.sql.classic.SparkSession => cs.sessionUUID
+    case other => String.valueOf(System.identityHashCode(other))
+  }
 }

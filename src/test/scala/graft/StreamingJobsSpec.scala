@@ -179,7 +179,7 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.SessionEvent]
-    val out = StreamingOps.sessionizeStream(input.toDS(), gapS = 1800.0)
+    val out = StreamingOps.sessionizeStream(input.toDS(), gap = 1800.0)
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName("sess_out").start()
     try {
