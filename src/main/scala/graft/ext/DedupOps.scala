@@ -596,6 +596,74 @@ object DedupOps {
       |SELECT doc_id, n_hit, round(n_hit * 1.0 / sizes.n, 4) AS contamination
       |FROM hits JOIN sizes USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------ d58 incremental dedup
+
+  /** d58: incremental near-dup dedup — a "new crawl batch" (doc_id % 7
+    * == 3, ~1/7 of the corpus) checked against the EXISTING corpus by
+    * 3-gram Jaccard ≥ 0.5, without ever re-pairing the corpus against
+    * itself. This is the shape that matters at 100 TB: the corpus-side
+    * postings stream through the inverted-index equi-join against the
+    * BROADCAST new-batch postings (a crawl increment is small by
+    * definition), intersection counts partial-aggregate map-side, and
+    * the corpus is never shuffled or self-joined. Output is one row per
+    * new doc: its best corpus match (max Jaccard, ties → smallest
+    * corpus id, via `min(struct(-jaccard, c_id))` — no window sort) or
+    * NULL/is_dup=0 if novel. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val sh = dfCappedShingles(s, d)
+    val newSh = sh.filter(col("doc_id") % 7 === 3).toDF("n_id", "sh")
+    val corpSh = sh.filter(col("doc_id") % 7 =!= 3).toDF("c_id", "sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = corpSh.join(broadcast(newSh), "sh")
+      .groupBy("n_id", "c_id").agg(count(lit(1)).as("inter"))
+    // `inter` is bounded by the new batch's candidate fan-out — broadcast
+    // it against the per-doc size frame (big at scale) on both joins
+    val scored = broadcast(inter)
+      .join(sizes.toDF("n_id", "nn"), "n_id")
+      .join(sizes.toDF("c_id", "nc"), "c_id")
+      .withColumn("jaccard",
+        round(col("inter") / (col("nn") + col("nc") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+    val best = scored.groupBy("n_id")
+      .agg(min(struct((-col("jaccard")).as("nj"), col("c_id").as("cid"))).as("m"))
+      .select(col("n_id").as("new_doc_id"), col("m.cid").as("dup_of"),
+        (-col("m.nj")).as("best_jaccard"))
+    documents(s, d).filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id").as("new_doc_id"))
+      .join(broadcast(best), Seq("new_doc_id"), "left")
+      .select(col("new_doc_id"), col("dup_of"), col("best_jaccard"),
+        when(col("dup_of").isNotNull, 1L).otherwise(0L).as("is_dup"))
+      .orderBy("new_doc_id")
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH shs AS ($shingleRowsSql),
+      |sh AS (SELECT doc_id,
+      |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh FROM shs),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT b.doc_id n_id, a.doc_id c_id, count(*) inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh
+      |  WHERE a.doc_id % 7 <> 3 AND b.doc_id % 7 = 3
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT n_id, c_id,
+      |    round(inter * 1.0 / (sn.n + sc.n - inter), 4) AS j
+      |  FROM inter
+      |    JOIN sizes sn ON sn.doc_id = n_id
+      |    JOIN sizes sc ON sc.doc_id = c_id
+      |  WHERE round(inter * 1.0 / (sn.n + sc.n - inter), 4) >= 0.5),
+      |best AS (
+      |  SELECT n_id, c_id, j FROM scored
+      |  QUALIFY row_number() OVER (PARTITION BY n_id
+      |    ORDER BY j DESC, c_id) = 1)
+      |SELECT d.doc_id AS new_doc_id, best.c_id AS dup_of,
+      |  best.j AS best_jaccard,
+      |  CAST(CASE WHEN best.c_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_dup
+      |FROM documents d LEFT JOIN best ON best.n_id = d.doc_id
+      |WHERE d.doc_id % 7 = 3 ORDER BY new_doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_exact_dedup"    -> exactDedup _,
     "d51_jaccard_pairs"  -> jaccardPairs _,
@@ -606,6 +674,7 @@ object DedupOps {
     "d55_containment"    -> containmentPairs _,
     "d56_dedup_clusters" -> dedupClusters _,
     "d57_dedup_apply"    -> dedupApply _,
+    "d58_incremental_dedup" -> incrementalDedup _,
     "t49_decontamination" -> decontamination _,
   )
 
@@ -619,6 +688,7 @@ object DedupOps {
     "d55_containment"    -> containmentPairsSql,
     "d56_dedup_clusters" -> dedupClustersSql,
     "d57_dedup_apply"    -> dedupApplySql,
+    "d58_incremental_dedup" -> incrementalDedupSql,
     "t49_decontamination" -> decontaminationSql,
   )
 }

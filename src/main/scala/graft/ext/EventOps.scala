@@ -270,6 +270,39 @@ object EventOps {
       |  AND c.ctsus >= e.tsus - $rangeUs AND c.ctsus < e.tsus
       |GROUP BY 1, 2 ORDER BY error_event_id""".stripMargin
 
+  // ------------------------------------------ e91 windowed top event
+
+  /** e91: trending detection — the top event_type per 5-minute tumbling
+    * window. The argmax is `max(struct(n, event_type))` over the
+    * per-(window, type) counts: a two-level aggregation with map-side
+    * partials on both levels, no window sort anywhere (the shape that
+    * survives 100× — per-window candidate sets reduce inside each scan
+    * partition before the one narrow exchange). Ties on the count break
+    * to the lexicographically greatest type, which the struct comparison
+    * and the oracle's max-over-tied-rows both implement. */
+  def windowTopEvent(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("bucket", expr("(ts div 1000) div 300000000"))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("bucket")
+      .agg(max(struct(col("n"), col("event_type"))).as("m"))
+      .select(timestamp_seconds(col("bucket") * 300).as("window_start"),
+        col("m.event_type").as("top_event_type"),
+        col("m.n").as("n_events"))
+      .orderBy("window_start")
+
+  val windowTopEventSql: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 300000000 AS bucket, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT bucket, max(n) AS mx FROM c GROUP BY 1)
+      |SELECT CAST(to_timestamp(bucket * 300) AS TIMESTAMP) AS window_start,
+      |  max(c.event_type) AS top_event_type, CAST(mx AS BIGINT) AS n_events
+      |FROM c JOIN m USING (bucket) WHERE c.n = m.mx
+      |GROUP BY bucket, mx ORDER BY window_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e80_tumbling_window" -> tumblingWindow _,
     "e81_hopping_window"  -> hoppingWindow _,
@@ -277,6 +310,7 @@ object EventOps {
     "e83_json_props"      -> jsonProps _,
     "e86_asof_join"       -> asofJoin _,
     "e87_range_join"      -> rangeJoin _,
+    "e91_window_top_event" -> windowTopEvent _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -286,5 +320,6 @@ object EventOps {
     "e83_json_props"      -> jsonPropsSql,
     "e86_asof_join"       -> asofJoinSql,
     "e87_range_join"      -> rangeJoinSql,
+    "e91_window_top_event" -> windowTopEventSql,
   )
 }

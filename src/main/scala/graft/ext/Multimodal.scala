@@ -233,11 +233,49 @@ object Multimodal {
       |    AS thumb_md5
       |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin
 
+  /** m74: windowed ENERGY over audio payloads — per 64-byte frame, the
+    * sum of unsigned byte values (the stub for RMS/loudness feature
+    * extraction; a real audio lib would decode PCM samples here, the
+    * framing/flatMap dataflow is identical). Executor-side
+    * per-partition compute over the binary column, one output row per
+    * frame, nothing collected. Oracle: fixture payload bodies are pure
+    * ASCII (the m71 assumption), so byte values == `ascii()` codes of
+    * the character slices in DuckDB. */
+  def mediaEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).filter(_.kind == "audio").flatMap { m =>
+      val body = m.payload.drop(12)
+      val n = math.max(1, body.length / 64)
+      (0 until n).map { i =>
+        val slice = body.slice(i * 64, (i + 1) * 64)
+        (m.media_id, i.toLong,
+          slice.foldLeft(0L)((acc, b) => acc + (b & 0xff)),
+          slice.length.toLong)
+      }
+    }.toDF("media_id", "frame_idx", "energy", "n_bytes")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val mediaEnergySql: String =
+    """SELECT media_id, i AS frame_idx,
+      |  CAST(coalesce(list_sum(list_transform(range(1, length(f) + 1),
+      |    j -> ascii(substr(f, CAST(j AS INT), 1)))), 0) AS BIGINT)
+      |    AS energy,
+      |  CAST(length(f) AS BIGINT) AS n_bytes
+      |FROM (
+      |  SELECT doc_id AS media_id, i,
+      |    substring(text, CAST(i * 64 + 1 AS INT), 64) AS f
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(0, greatest(length(text) // 64, 1))) AS i
+      |        FROM documents WHERE doc_id % 3 = 1))
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m70_media_meta"     -> mediaMeta _,
     "m71_media_frames"   -> mediaFrames _,
     "m72_media_features" -> mediaFeatures _,
     "m73_media_resize"   -> mediaResize _,
+    "m74_media_energy"   -> mediaEnergy _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -245,5 +283,6 @@ object Multimodal {
     "m71_media_frames"   -> mediaFramesSql,
     "m72_media_features" -> mediaFeaturesSql,
     "m73_media_resize"   -> mediaResizeSql,
+    "m74_media_energy"   -> mediaEnergySql,
   )
 }

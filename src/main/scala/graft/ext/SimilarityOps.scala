@@ -614,16 +614,19 @@ object SimilarityOps {
     * plane family is engine-defined). At scale the corpus is
     * partitioned by signature; queries probe their bucket ± 1-bit
     * neighbors. */
-  def signLshBuckets(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val sigBits = (0 until numPlanes).map { p =>
-      // dot(v, plane_p) > 0 → bit p  (plane embedded as a literal)
+  /** 16-bit signature of the `v` column: bit p set iff dot(v, plane_p)
+    * > 0 (plane embedded as a literal). Shared by s62 and s71. */
+  private def signatureCol: Column =
+    (0 until numPlanes).map { p =>
       val planeDot =
         graft.functions.VecExprs.dot_d(col("v"), typedLit(planes(p)))
       when(planeDot > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    e.withColumn("signature", sigBits.reduce(_ + _))
+    }.reduce(_ + _)
+
+  def signLshBuckets(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    e.withColumn("signature", signatureCol)
       .groupBy("signature")
       .agg(count(lit(1)).as("bucket_size"),
         min("vec_id").as("min_vec_id"))
@@ -635,8 +638,10 @@ object SimilarityOps {
     * measured min |dot| over every (vector, plane) is 6.7e-05 at sf0.1,
     * eleven orders of magnitude above fp-summation-order noise, so the
     * `dot > 0` cut is engine-stable. */
-  val signLshBucketsSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+  /** Shared CTE prefix regenerating the md5-derived plane family and
+    * per-vector signatures in DuckDB (used by s62 and s71). */
+  private val sigsCteSql: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |pl AS (
       |  SELECT p, d,
       |    CASE WHEN (('0x' || substr(md5('plane' || p || ':' || d), 1, 15))
@@ -650,15 +655,82 @@ object SimilarityOps {
       |  SELECT vec_id,
       |    CAST(sum(CASE WHEN dot > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END)
       |      AS BIGINT) AS signature
-      |  FROM dots GROUP BY 1)
+      |  FROM dots GROUP BY 1)""".stripMargin
+
+  val signLshBucketsSql: String =
+    s"""WITH $sigsCteSql
       |SELECT signature, count(*) AS bucket_size, min(vec_id) AS min_vec_id
       |FROM sigs GROUP BY 1 ORDER BY signature""".stripMargin
+
+  // ------------------------------------------- s71 banded LSH rerank
+
+  /** s71: the full two-stage LSH serving path — banded candidate
+    * generation (the 16-bit signature split into two 8-bit bands;
+    * candidates share at least one band with the query) followed by an
+    * exact cosine rerank to top-3. This is the end-to-end ANN shape
+    * s62 only provides the bucketing layer for: recall comes from the
+    * band OR (a near neighbor agreeing on either half of the
+    * signature), precision from the exact rerank. At scale the corpus's
+    * banded postings are an equi-join on (band, key) against the
+    * BROADCAST query bands — the corpus never shuffles — and the rerank
+    * runs the bounded-heap top-k aggregate over candidates only. */
+  def lshRerankKnn(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val sigs = e.withColumn("sig", signatureCol)
+    def bands(df: DataFrame, id: String): DataFrame =
+      df.select(col("vec_id").as(id),
+          explode(array(
+            struct(lit(0L).as("band"), expr("sig % 256").as("key")),
+            struct(lit(1L).as("band"), expr("sig div 256").as("key"))))
+            .as("bk"))
+        .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    val qBands = bands(sigs.filter(col("vec_id") < 10), "q_id")
+    // a candidate pair can match on both bands — dedup before the rerank
+    val cand = bands(sigs, "c_id").join(broadcast(qBands), Seq("band", "key"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select("q_id", "c_id").distinct()
+    val candQ = broadcast(cand)
+      .join(broadcast(e.filter(col("vec_id") < 10).toDF("q_id", "qv")), "q_id")
+    val rer = e.toDF("c_id", "cv").join(broadcast(candQ), "c_id")
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
+      .groupBy("q_id")
+      .agg(topkUdaf(3)(col("cosine"), col("c_id")).as("tk"))
+    explodeTopK(rer, Seq("q_id"), "c_id", "cosine")
+      .select("q_id", "c_id", "cosine", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  val lshRerankKnnSql: String = {
+    val cos = cosineSqlSnippet.replace("QV", "q.v").replace("CV", "c.v")
+    s"""WITH $sigsCteSql,
+      |bands AS (
+      |  SELECT vec_id, b.band,
+      |    CASE WHEN b.band = 0 THEN signature % 256
+      |         ELSE signature // 256 END AS key
+      |  FROM sigs, (SELECT unnest([0, 1]) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT qb.vec_id q_id, cb.vec_id c_id
+      |  FROM bands qb JOIN bands cb
+      |    ON qb.band = cb.band AND qb.key = cb.key
+      |  WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id),
+      |ranked AS (
+      |  SELECT cand.q_id, cand.c_id, round($cos, 6) AS cosine,
+      |    CAST(row_number() OVER (PARTITION BY cand.q_id
+      |      ORDER BY round($cos, 6) DESC, cand.c_id) AS BIGINT) AS rank
+      |  FROM cand JOIN e q ON q.vec_id = cand.q_id
+      |            JOIN e c ON c.vec_id = cand.c_id)
+      |SELECT q_id, c_id, cosine, rank FROM ranked
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s60_knn_brute"     -> knnBrute _,
     "s61_ivf_knn"       -> ivfKnn _,
     "s62_signlsh"       -> signLshBuckets _,
     "s64_ivf_multiprobe" -> ((s: SparkSession, d: String) => ivfMultiprobeKnn(s, d)),
+    "s71_lsh_rerank"    -> lshRerankKnn _,
     "s66_kmeans_census" -> kmeansCensus _,
     "s67_kmeans_ivf"    -> kmeansIvfKnn _,
     "s69_pq_codes"      -> pqCodes _,
@@ -670,6 +742,7 @@ object SimilarityOps {
     "s61_ivf_knn"       -> ivfKnnSql,
     "s62_signlsh"       -> signLshBucketsSql,
     "s64_ivf_multiprobe" -> ivfMultiprobeKnnSql,
+    "s71_lsh_rerank"    -> lshRerankKnnSql,
     "s66_kmeans_census" -> kmeansCensusSql,
     "s67_kmeans_ivf"    -> kmeansIvfKnnSql,
     "s69_pq_codes"      -> pqCodesSql,

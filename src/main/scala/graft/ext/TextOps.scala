@@ -501,6 +501,34 @@ object TextOps {
       |SELECT lang, rank, term, tf, df, score
       |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  // -------------------------------------------- t55 type-token ratio
+
+  /** t55: lexical-diversity quality signal — per-document type-token
+    * ratio in exact parts-per-million (`types·10⁶ div tokens`). A low
+    * TTR marks boilerplate/repetitive documents (the complement of
+    * t51's adjacent-repetition score: TTR also catches spread-out
+    * repetition). Pure per-row map over the token array — no shuffle
+    * at all, embarrassingly parallel at any SF. */
+  def typeTokenRatio(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"))
+      .withColumn("ttr_ppm",
+        expr("(n_types * 1000000) div greatest(n_tokens, 1)"))
+      .orderBy("doc_id")
+
+  val typeTokenRatioSql: String =
+    """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+      |  (len(list_distinct(toks)) * 1000000) // greatest(len(toks), 1)
+      |    AS ttr_ppm
+      |FROM (SELECT doc_id, list_filter(
+      |        regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -513,6 +541,7 @@ object TextOps {
     "t51_repetition"      -> repetitionScore _,
     "t53_stratified_sample" -> stratifiedSample _,
     "t54_top_shingles"    -> topShinglesPerLang _,
+    "t55_type_token_ratio" -> typeTokenRatio _,
     "t56_tfidf_terms"     -> tfIdfTerms _,
   )
 
@@ -528,6 +557,7 @@ object TextOps {
     "t51_repetition"      -> repetitionScoreSql,
     "t53_stratified_sample" -> stratifiedSampleSql,
     "t54_top_shingles"    -> topShinglesPerLangSql,
+    "t55_type_token_ratio" -> typeTokenRatioSql,
     "t56_tfidf_terms"     -> tfIdfTermsSql,
   )
 }

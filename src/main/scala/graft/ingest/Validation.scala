@@ -99,13 +99,51 @@ object Validation {
       |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
       |ORDER BY relation, fk""".stripMargin
 
+  private val profileCols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+    "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+  /** v72: per-column data-quality profile over `orders` — row count,
+    * null count and exact distinct count for every column, in ONE scan:
+    * a single aggregate computes all counts (Spark plans the multiple
+    * COUNT DISTINCTs via expand + partial aggregation — still one pass
+    * over the table, no per-column rescans), then a `stack` unpivots
+    * the 1-row result into one row per column. The schema-drift /
+    * ingest-sanity audit a pipeline runs on every new batch. */
+  def columnProfile(s: SparkSession, d: String): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      profileCols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+    val stackArgs = profileCols
+      .map(c => s"'$c', n_rows - nn_$c, nd_$c").mkString(", ")
+    graft.Tables.orders(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${profileCols.size}, $stackArgs)" +
+          " AS (column_name, n_nulls, n_distinct)"))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct")
+      .orderBy("column_name")
+  }
+
+  val columnProfileSql: String = {
+    val aggs = profileCols.map(c =>
+      s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c").mkString(", ")
+    val branches = profileCols.map(c =>
+      s"SELECT '$c' AS column_name, n_rows, n_rows - nn_$c AS n_nulls," +
+        s" nd_$c AS n_distinct FROM a").mkString(" UNION ALL ")
+    s"""WITH a AS (SELECT count(*) AS n_rows, $aggs FROM orders)
+      |SELECT column_name, n_rows, n_nulls, n_distinct
+      |FROM ($branches) ORDER BY column_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v70_validation" -> validationSummary _,
     "v71_ref_integrity" -> refIntegrity _,
+    "v72_column_profile" -> columnProfile _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "v70_validation" -> validationSummarySql,
     "v71_ref_integrity" -> refIntegritySql,
+    "v72_column_profile" -> columnProfileSql,
   )
 }

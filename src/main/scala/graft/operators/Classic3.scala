@@ -270,6 +270,54 @@ object Classic3 {
       |FROM ranked WHERE rnk <= 2
       |ORDER BY p_brand, rnk, l_partkey""".stripMargin
 
+  // ---------------------------------------------- q51 moving average
+
+  /** q51: daily order revenue with a 7-day trailing moving average — a
+    * time-RANGE window frame (`RANGE BETWEEN 6 PRECEDING AND CURRENT
+    * ROW` on the integer epoch-day key), so calendar gaps shorten the
+    * window rather than sliding over a fixed row count. The corpus
+    * aggregates to one row per day FIRST (map-side partials, one
+    * shuffle); the unpartitioned window then runs over the tiny per-day
+    * frame (#days rows — bounded by the calendar, not the data volume,
+    * so the single-partition window stays trivial at any SF). The
+    * average is exact: integer half-up division of the window's cent
+    * sum by its day count. */
+  def movingAvgRevenue(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .withColumn("day",
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long"))
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy("day").agg(sum("cents").as("cents"))
+    val w = Window.orderBy("day").rangeBetween(-6, 0)
+    daily
+      .withColumn("wsum", sum("cents").over(w))
+      .withColumn("wn", count(lit(1)).over(w))
+      .select(
+        timestamp_seconds(col("day") * 86400L).as("order_day"),
+        (col("cents") / 100.0).as("revenue"),
+        expr("((2 * wsum + wn) div (2 * wn)) / 100.0D").as("ma7_revenue"))
+      .orderBy("order_day")
+  }
+
+  val movingAvgRevenueSql: String =
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS day,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1),
+      |win AS (
+      |  SELECT day, cents,
+      |    sum(cents) OVER (ORDER BY day
+      |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS wsum,
+      |    count(*) OVER (ORDER BY day
+      |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS wn
+      |  FROM daily)
+      |SELECT CAST(to_timestamp(day * 86400) AS TIMESTAMP) AS order_day,
+      |  cents / 100.0 AS revenue,
+      |  ((2 * wsum + wn) // (2 * wn)) / 100.0 AS ma7_revenue
+      |FROM win ORDER BY order_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_nation_trade"   -> nationTrade _,
     "q11_important_parts" -> importantParts _,
@@ -278,6 +326,7 @@ object Classic3 {
     "q16_supplier_parts" -> supplierCountByPart _,
     "q49_cust_quartiles" -> customerQuartiles _,
     "q50_brand_leaders"  -> brandLeaders _,
+    "q51_moving_avg"     -> movingAvgRevenue _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -288,5 +337,6 @@ object Classic3 {
     "q16_supplier_parts" -> supplierCountByPartSql,
     "q49_cust_quartiles" -> customerQuartilesSql,
     "q50_brand_leaders"  -> brandLeadersSql,
+    "q51_moving_avg"     -> movingAvgRevenueSql,
   )
 }

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 operators: moving-average window (q51), windowed trending
+  * (e91), type-token ratio (t55), column profiling (v72), incremental
+  * dedup (d58), banded-LSH rerank ANN (s71), audio frame energy (m74).
+  * Each test asserts a semantic invariant the DuckDB hash-compare
+  * can't express (internal consistency with sibling operators, manual
+  * recomputation of a spot row, plan shape).
+  */
+class Round7Spec extends AnyFunSuite with SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("q51 ma7 equals the mean of the trailing ≤7 present days") {
+    val rows = graft.operators.Classic3.movingAvgRevenue(spark, d)
+      .collect().map(r => (r.getTimestamp(0).getTime / 86400000L,
+        r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val daily = rows.map { case (day, rev, _) => day -> rev }.toMap
+    rows.foreach { case (day, _, ma) =>
+      val win = (day - 6 to day).flatMap(daily.get)
+      val cents = win.map(v => math.round(v * 100)).sum
+      val expect = ((2 * cents + win.size) / (2 * win.size)) / 100.0
+      assert(ma == expect, s"day $day: ma $ma != $expect over ${win.size} days")
+    }
+    // first day has no predecessors: ma == that day's revenue
+    val (_, rev0, ma0) = rows.minBy(_._1)
+    assert(ma0 == rev0)
+  }
+
+  test("e91 picks the true per-window max count, ties to greatest type") {
+    val counts = Tables.events(spark, d)
+      .withColumn("bucket", expr("(ts div 1000) div 300000000"))
+      .groupBy("bucket", "event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val top = graft.ext.EventOps.windowTopEvent(spark, d)
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000 / 300,
+        r.getString(1), r.getLong(2)))
+    assert(top.length == counts.size)
+    top.foreach { case (bucket, typ, n) =>
+      val inWin = counts(bucket)
+      val mx = inWin.map(_._3).max
+      assert(n == mx)
+      assert(typ == inWin.filter(_._3 == mx).map(_._2).max)
+    }
+  }
+
+  test("t55 type-token ratio matches a manual recount on a spot doc") {
+    val row = graft.ext.TextOps.typeTokenRatio(spark, d)
+      .filter(col("doc_id") === 0).head()
+    val text = Tables.documents(spark, d)
+      .filter(col("doc_id") === 0).head().getAs[String]("text")
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    assert(row.getLong(1) == toks.length)
+    assert(row.getLong(2) == toks.distinct.length)
+    assert(row.getLong(3) ==
+      toks.distinct.length.toLong * 1000000L / math.max(toks.length, 1))
+    // invariant over the whole corpus: types ≤ tokens → ttr ≤ 1e6
+    val bad = graft.ext.TextOps.typeTokenRatio(spark, d)
+      .filter(col("n_types") > col("n_tokens") ||
+        col("ttr_ppm") > 1000000L).count()
+    assert(bad == 0)
+  }
+
+  test("v72 profiles every column in one pass with exact counts") {
+    val rows = graft.ingest.Validation.columnProfile(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nOrders = Tables.orders(spark, d).count()
+    assert(rows.length == 6)
+    assert(rows.forall(_._2 == nOrders))     // shared row count
+    assert(rows.forall(_._3 == 0L))          // fixtures carry no NULLs
+    val byName = rows.map(r => r._1 -> r._4).toMap
+    assert(byName("o_orderkey") == nOrders)  // PK: all distinct
+    assert(byName("o_orderpriority") <= 5L)  // low-cardinality enum
+  }
+
+  test("d58 agrees with d51 on which new-batch docs have corpus dups") {
+    // d51 emits all near-dup pairs (jaccard ≥ 0.5, doc_a < doc_b);
+    // d58's dup set must equal the new-batch docs that pair with a
+    // corpus doc there, and its best match must be one of those pairs
+    val pairs = graft.ext.DedupOps.jaccardPairs(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossPairs = pairs.flatMap { case (a, b, j) =>
+      Seq((a, b, j), (b, a, j)) }
+      .filter { case (n, c, _) => n % 7 == 3 && c % 7 != 3 }
+    val expectDups = crossPairs.map(_._1).toSet
+    val d58 = graft.ext.DedupOps.incrementalDedup(spark, d)
+      .collect().map(r => (r.getLong(0), r.isNullAt(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2), r.getLong(3)))
+    assert(d58.forall(_._1 % 7 == 3))
+    val gotDups = d58.filter(_._4 == 1L).map(_._1).toSet
+    assert(gotDups == expectDups,
+      s"dup sets differ: got $gotDups expected $expectDups")
+    // best jaccard per new doc matches the max over its cross pairs
+    val bestByNew = crossPairs.groupBy(_._1).view.mapValues(_.map(_._3).max)
+    d58.filter(_._4 == 1L).foreach { case (n, _, j, _) =>
+      assert(j == bestByNew(n), s"doc $n best $j != ${bestByNew(n)}")
+    }
+  }
+
+  test("s71 reranks only banded candidates with exact cosines") {
+    val res = graft.ext.SimilarityOps.lshRerankKnn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(res.nonEmpty)
+    // per query: ranks are 1..k, cosines non-increasing, no self-match
+    res.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._3 >= b._3; case _ => true })
+      assert(rs.forall(_._2 != q))
+    }
+    // cosines equal the brute-force values for the same (q, c) pairs
+    val brute = graft.ext.SimilarityOps.knnBrute(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    res.foreach { case (q, c, cos, _) =>
+      brute.get((q, c)).foreach(b => assert(b == cos)) }
+    // no cartesian product anywhere in the physical plan
+    val df = graft.ext.SimilarityOps.lshRerankKnn(spark, d)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("m74 frame energy matches a manual byte sum") {
+    val doc = Tables.documents(spark, d)
+      .filter(col("doc_id") % 3 === 1).orderBy("doc_id").head()
+    val id = doc.getAs[Long]("doc_id")
+    val body = doc.getAs[String]("text").getBytes("UTF-8")
+    val rows = graft.ext.Multimodal.mediaEnergy(spark, d)
+      .filter(col("media_id") === id).orderBy("frame_idx").collect()
+    assert(rows.length == math.max(1, body.length / 64))
+    val first = body.slice(0, 64)
+    assert(rows.head.getAs[Long]("energy") ==
+      first.map(b => (b & 0xff).toLong).sum)
+    assert(rows.head.getAs[Long]("n_bytes") == first.length.toLong)
+  }
+}
