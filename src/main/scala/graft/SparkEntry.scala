@@ -49,7 +49,12 @@ object SparkEntry {
         // custom keyed state (flatMapGroupsWithState): closed sessions
         // only — each user's open tail stays in the state store
         "e90_stream_closed_sessions" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamClosedSessions(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamClosedSessions(s, d)),
+        // streaming twin of e91: counts in streaming state, per-window
+        // argmax at read time — shares e91's oracle (stream/batch
+        // parity on the trending tier)
+        "e92_stream_top_event" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamWindowTopEvent(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -64,5 +69,6 @@ object SparkEntry {
         "e85_stream_dedup" -> DedupOps.exactDedupSql,
         "e88_stream_join" -> StreamingOps.streamRangeJoinSql,
         "e89_stream_session" -> EventOps.sessionizeSql,
-        "e90_stream_closed_sessions" -> StreamingOps.streamClosedSessionsSql)
+        "e90_stream_closed_sessions" -> StreamingOps.streamClosedSessionsSql,
+        "e92_stream_top_event" -> EventOps.windowTopEventSql)
 }

@@ -111,24 +111,33 @@ object Classic2 {
     * misses them. This is the evaluation loop that tells a deployment
     * to raise nprobe or re-cluster; the engine makes the measurement a
     * first-class, oracle-checked query rather than a guess. */
-  def ivfRecall(s: SparkSession, d: String): DataFrame = {
+  def ivfRecall(s: SparkSession, d: String): DataFrame =
+    recallAt3(s, d, SimilarityOps.ivfKnn(s, d))
+
+  val ivfRecallSql: String = recallAt3Sql(SimilarityOps.ivfKnnSql)
+
+  /** Shared recall@3 evaluation: per query, the fraction of the
+    * brute-force top-3 ground truth that `approx` recovered. Both
+    * sides are engine results of already-oracle-checked queries, so
+    * the evaluation itself hash-checks too. */
+  private def recallAt3(s: SparkSession, d: String, approx: DataFrame)
+      : DataFrame = {
     val truth = SimilarityOps.knnBrute(s, d).filter(col("rank") <= 3)
       .select(col("q_id"), col("c_id"))
-    val approx = SimilarityOps.ivfKnn(s, d)
-      .select(col("q_id"), col("c_id"))
-    truth.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+    truth.join(approx.select(col("q_id"), col("c_id"))
+        .withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
       .groupBy("q_id")
       .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
         .as("recall_at_3"))
       .orderBy("q_id")
   }
 
-  val ivfRecallSql: String = {
-    // compose the two existing oracle formulations as CTEs
+  /** DuckDB twin of [[recallAt3]], composing the approximate query's
+    * own oracle SQL against the brute-force oracle as CTEs. */
+  private def recallAt3Sql(approxSql: String): String = {
     val truth = SimilarityOps.knnBruteSql
       .replaceAll("ORDER BY q_id, rank$", "")
-    val approx = SimilarityOps.ivfKnnSql
-      .replaceAll("ORDER BY q_id, rank$", "")
+    val approx = approxSql.replaceAll("ORDER BY q_id, rank$", "")
     s"""WITH truth AS (SELECT q_id, c_id FROM ($truth) WHERE rank <= 3),
       |approx AS (SELECT q_id, c_id FROM ($approx)),
       |joined AS (
@@ -143,64 +152,29 @@ object Classic2 {
   /** s65: recall@3 of MULTI-PROBE IVF (nprobe=3) against the same
     * ground truth — the measured improvement over s63's single-probe
     * baseline. */
-  def ivfMultiprobeRecall(s: SparkSession, d: String): DataFrame = {
-    val truth = SimilarityOps.knnBrute(s, d).filter(col("rank") <= 3)
-      .select(col("q_id"), col("c_id"))
-    val approx = SimilarityOps.ivfMultiprobeKnn(s, d)
-      .select(col("q_id"), col("c_id"))
-    truth.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
-      .groupBy("q_id")
-      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
-        .as("recall_at_3"))
-      .orderBy("q_id")
-  }
+  def ivfMultiprobeRecall(s: SparkSession, d: String): DataFrame =
+    recallAt3(s, d, SimilarityOps.ivfMultiprobeKnn(s, d))
 
-  val ivfMultiprobeRecallSql: String = {
-    val truth = SimilarityOps.knnBruteSql
-      .replaceAll("ORDER BY q_id, rank$", "")
-    val approx = SimilarityOps.ivfMultiprobeKnnSql
-      .replaceAll("ORDER BY q_id, rank$", "")
-    s"""WITH truth AS (SELECT q_id, c_id FROM ($truth) WHERE rank <= 3),
-      |approx AS (SELECT q_id, c_id FROM ($approx)),
-      |joined AS (
-      |  SELECT t.q_id,
-      |    CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
-      |  FROM truth t LEFT JOIN approx a
-      |    ON a.q_id = t.q_id AND a.c_id = t.c_id)
-      |SELECT q_id, sum(hit) / count(*) AS recall_at_3
-      |FROM joined GROUP BY q_id ORDER BY q_id""".stripMargin
-  }
+  val ivfMultiprobeRecallSql: String =
+    recallAt3Sql(SimilarityOps.ivfMultiprobeKnnSql)
 
   /** s68: recall@3 of the TRAINED k-means IVF (s67) against the brute
     * ground truth — closes the evaluation loop for the learned
     * quantizer the same way s63/s65 close it for label-IVF. */
-  def kmeansRecall(s: SparkSession, d: String): DataFrame = {
-    val truth = SimilarityOps.knnBrute(s, d).filter(col("rank") <= 3)
-      .select(col("q_id"), col("c_id"))
-    val approx = SimilarityOps.kmeansIvfKnn(s, d)
-      .select(col("q_id"), col("c_id"))
-    truth.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
-      .groupBy("q_id")
-      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
-        .as("recall_at_3"))
-      .orderBy("q_id")
-  }
+  def kmeansRecall(s: SparkSession, d: String): DataFrame =
+    recallAt3(s, d, SimilarityOps.kmeansIvfKnn(s, d))
 
-  val kmeansRecallSql: String = {
-    val truth = SimilarityOps.knnBruteSql
-      .replaceAll("ORDER BY q_id, rank$", "")
-    val approx = SimilarityOps.kmeansIvfKnnSql
-      .replaceAll("ORDER BY q_id, rank$", "")
-    s"""WITH truth AS (SELECT q_id, c_id FROM ($truth) WHERE rank <= 3),
-      |approx AS (SELECT q_id, c_id FROM ($approx)),
-      |joined AS (
-      |  SELECT t.q_id,
-      |    CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
-      |  FROM truth t LEFT JOIN approx a
-      |    ON a.q_id = t.q_id AND a.c_id = t.c_id)
-      |SELECT q_id, sum(hit) / count(*) AS recall_at_3
-      |FROM joined GROUP BY q_id ORDER BY q_id""".stripMargin
-  }
+  val kmeansRecallSql: String = recallAt3Sql(SimilarityOps.kmeansIvfKnnSql)
+
+  /** s72: recall@3 of the banded-LSH rerank path (s71) against the
+    * brute ground truth — closes the evaluation loop for the
+    * signature-band index: together with s63/s65/s68 every ANN
+    * candidate-generation strategy in the engine carries its own
+    * oracle-checked quality measurement. */
+  def lshRerankRecall(s: SparkSession, d: String): DataFrame =
+    recallAt3(s, d, SimilarityOps.lshRerankKnn(s, d))
+
+  val lshRerankRecallSql: String = recallAt3Sql(SimilarityOps.lshRerankKnnSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s68_kmeans_recall"    -> kmeansRecall _,
@@ -209,6 +183,7 @@ object Classic2 {
     "q09_nation_profit"    -> nationYearlyProfit _,
     "s63_ivf_recall"       -> ivfRecall _,
     "s65_multiprobe_recall" -> ivfMultiprobeRecall _,
+    "s72_lsh_recall"       -> lshRerankRecall _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -218,5 +193,6 @@ object Classic2 {
     "s63_ivf_recall"       -> ivfRecallSql,
     "s65_multiprobe_recall" -> ivfMultiprobeRecallSql,
     "s68_kmeans_recall"    -> kmeansRecallSql,
+    "s72_lsh_recall"       -> lshRerankRecallSql,
   )
 }

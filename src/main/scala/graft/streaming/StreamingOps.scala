@@ -104,6 +104,36 @@ object StreamingOps {
       .orderBy("window_start", "event_type")
   }
 
+  /** e92: the e91 trending op as a STREAM — per-(window, type) counts
+    * maintained by a streaming aggregation (complete-mode memory sink),
+    * the per-window argmax computed on the tiny sink table at read
+    * time. That split IS the trending-topics serving design: counters
+    * live in incrementally-updated state, the top-k pick is a stateless
+    * query over the aggregate, so the stream never re-sorts. Output is
+    * identical to the batch twin and shares e91's DuckDB oracle —
+    * stream/batch parity on the trending tier is itself oracle-checked
+    * (the e84/e80 pattern). */
+  def streamWindowTopEvent(spark: SparkSession, d: String): DataFrame = {
+    val sink = newSink()
+    val stageDir = stageFile(d, "events.parquet")
+    val nIn = spark.read.parquet(s"$d/events.parquet").count()
+    drainToMemorySink(spark, sink, "complete", nIn) {
+      spark.readStream
+        .schema(eventsSchema)
+        .parquet(stageDir)
+        .withColumn("bucket", expr("(ts div 1000) div 300000000"))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n"))
+    }
+    spark.table(sink)
+      .groupBy("bucket")
+      .agg(max(struct(col("n"), col("event_type"))).as("m"))
+      .select(timestamp_seconds(col("bucket") * 300).as("window_start"),
+        col("m.event_type").as("top_event_type"),
+        col("m.n").as("n_events"))
+      .orderBy("window_start")
+  }
+
   /** documents schema for streaming reads. */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

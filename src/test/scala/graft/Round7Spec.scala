@@ -125,6 +125,30 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("s72 recall is a valid fraction and consistent with s71 hits") {
+    val rec = graft.operators.Classic2.lshRerankRecall(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rec.length == 10) // one row per query vector
+    assert(rec.forall { case (_, v) => v >= 0.0 && v <= 1.0 })
+    // recompute from the two underlying results
+    val truth = graft.ext.SimilarityOps.knnBrute(spark, d)
+      .filter(col("rank") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val approx = graft.ext.SimilarityOps.lshRerankKnn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = truth.groupBy(_._1).view
+      .mapValues(ts => ts.count(approx.contains).toDouble / ts.length)
+    rec.foreach { case (q, v) => assert(v == expect(q)) }
+  }
+
+  test("e92 stream output equals the e91 batch twin") {
+    val batch = graft.ext.EventOps.windowTopEvent(spark, d)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val stream = graft.streaming.StreamingOps.streamWindowTopEvent(spark, d)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("m74 frame energy matches a manual byte sum") {
     val doc = Tables.documents(spark, d)
       .filter(col("doc_id") % 3 === 1).orderBy("doc_id").head()
