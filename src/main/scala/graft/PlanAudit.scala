@@ -24,7 +24,10 @@ object PlanAudit {
       "q07_nation_trade", "q11_important_parts", "q14_promo_revenue",
       "q16_supplier_parts", "t56_tfidf_terms", "s69_pq_codes",
       "s70_pq_adc_knn", "q15_top_supplier_rev", "q49_cust_quartiles",
-      "q50_brand_leaders", "d57_dedup_apply", "g97_personalized_pr")
+      "q50_brand_leaders", "d57_dedup_apply", "g97_personalized_pr",
+      "q51_moving_avg", "e91_window_top_event", "t55_type_token_ratio",
+      "v72_column_profile", "d58_incremental_dedup", "s71_lsh_rerank",
+      "s72_lsh_recall", "m74_media_energy")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)
