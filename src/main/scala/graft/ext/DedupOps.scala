@@ -664,6 +664,111 @@ object DedupOps {
       |FROM documents d LEFT JOIN best ON best.n_id = d.doc_id
       |WHERE d.doc_id % 7 = 3 ORDER BY new_doc_id""".stripMargin
 
+  // --------------------------------------------- t57 corpus funnel
+
+  /** t57: the END-TO-END training-corpus preparation funnel — the
+    * composed pipeline every tier in this module exists to feed:
+    * stage 1 applies t50's quality rules, stage 2 drops non-canonical
+    * near-dup cluster members (d56's decision), stage 3 removes the
+    * eval slice and every document ≥5% contaminated by it (t49's
+    * probe, as an exact integer cross-multiplication), stage 4 keeps
+    * the t48 train split. Reported as surviving doc/char counts per
+    * stage — the funnel audit a data team reads before a training run.
+    *
+    * Scale shape: ONE pass over the corpus computes all stage flags
+    * (the per-doc quality frame joined against three BROADCAST
+    * decision sets — cluster members, contaminated ids — plus the
+    * split hash, then a single aggregate + stack unpivot). The corpus
+    * is never shuffled; every stage decision is deterministic, so
+    * re-runs and backfills produce the identical funnel. */
+  def corpusFunnel(s: SparkSession, d: String): DataFrame = {
+    val sh = hashedShingles(s, d)
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val contam = train.join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .join(sizes, "doc_id")
+      .filter(col("n_hit") * 20 >= col("n"))
+      .select(col("doc_id"), lit(1L).as("contaminated"))
+    val clusters = dedupClusters(s, d).select("doc_id", "cluster_rep")
+    val flags = documents(s, d).select("doc_id", "n_chars")
+      .join(TextOps.qualityReason(s, d), "doc_id")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .withColumn("p1", col("reason") === "kept")
+      .withColumn("p2", col("p1") &&
+        (col("cluster_rep").isNull || col("cluster_rep") === col("doc_id")))
+      .withColumn("p3", col("p2") && col("doc_id") % 97 =!= 0 &&
+        col("contaminated").isNull)
+      .withColumn("p4", col("p3") &&
+        TextOps.md5Long(concat(lit("split:"), col("doc_id").cast("string")))
+          % 100 < 80)
+    def cnt(p: String) = sum(when(col(p), 1L).otherwise(0L)).as(s"n_$p")
+    def chars(p: String) =
+      sum(when(col(p), col("n_chars")).otherwise(0L)).as(s"c_$p")
+    flags.agg(count(lit(1)).as("n_all"), sum("n_chars").as("c_all"),
+        cnt("p1"), chars("p1"), cnt("p2"), chars("p2"),
+        cnt("p3"), chars("p3"), cnt("p4"), chars("p4"))
+      .select(expr("stack(5," +
+        " '0_all', n_all, c_all," +
+        " '1_quality', n_p1, c_p1," +
+        " '2_dedup', n_p2, c_p2," +
+        " '3_decontam', n_p3, c_p3," +
+        " '4_train', n_p4, c_p4) AS (stage, n_docs, total_chars)"))
+      .orderBy("stage")
+  }
+
+  val corpusFunnelSql: String =
+    s"""WITH ${TextOps.qualityReasonCte},
+      |clusters AS ($dedupClustersSql),
+      |shs AS ($shingleRowsSql),
+      |bench AS (SELECT DISTINCT shingle FROM shs WHERE doc_id % 97 = 0),
+      |train AS (SELECT * FROM shs WHERE doc_id % 97 <> 0),
+      |sizes AS (SELECT doc_id, count(*) n FROM train GROUP BY 1),
+      |contam AS (
+      |  SELECT t.doc_id FROM (
+      |    SELECT tr.doc_id, count(*) n_hit FROM train tr
+      |    JOIN bench b ON tr.shingle = b.shingle GROUP BY 1) t
+      |  JOIN sizes USING (doc_id) WHERE n_hit * 20 >= n),
+      |flags AS (
+      |  SELECT d.doc_id, d.n_chars,
+      |    (h.reason = 'kept') AS p1,
+      |    (h.reason = 'kept'
+      |     AND (c.cluster_rep IS NULL OR c.cluster_rep = d.doc_id)) AS p2
+      |  FROM documents d
+      |    JOIN h USING (doc_id)
+      |    LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+      |flags2 AS (
+      |  SELECT f.*,
+      |    (f.p2 AND f.doc_id % 97 <> 0 AND ct.doc_id IS NULL) AS p3
+      |  FROM flags f LEFT JOIN contam ct ON ct.doc_id = f.doc_id),
+      |flags3 AS (
+      |  SELECT f.*, (f.p3 AND
+      |    ('0x' || substr(md5('split:' || f.doc_id), 1, 15))::BIGINT % 100
+      |      < 80) AS p4
+      |  FROM flags2 f)
+      |SELECT stage, n_docs, total_chars FROM (
+      |  SELECT '0_all' AS stage, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars FROM flags3
+      |  UNION ALL SELECT '1_quality',
+      |    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN p1 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    FROM flags3
+      |  UNION ALL SELECT '2_dedup',
+      |    CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN p2 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    FROM flags3
+      |  UNION ALL SELECT '3_decontam',
+      |    CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN p3 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    FROM flags3
+      |  UNION ALL SELECT '4_train',
+      |    CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN p4 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    FROM flags3)
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_exact_dedup"    -> exactDedup _,
     "d51_jaccard_pairs"  -> jaccardPairs _,
@@ -676,6 +781,7 @@ object DedupOps {
     "d57_dedup_apply"    -> dedupApply _,
     "d58_incremental_dedup" -> incrementalDedup _,
     "t49_decontamination" -> decontamination _,
+    "t57_corpus_funnel"  -> corpusFunnel _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -690,5 +796,6 @@ object DedupOps {
     "d57_dedup_apply"    -> dedupApplySql,
     "d58_incremental_dedup" -> incrementalDedupSql,
     "t49_decontamination" -> decontaminationSql,
+    "t57_corpus_funnel"  -> corpusFunnelSql,
   )
 }

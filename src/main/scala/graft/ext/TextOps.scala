@@ -356,7 +356,16 @@ object TextOps {
     * rule. Every threshold is an integer cross-multiplication
     * (punct·10 ≤ chars ⇔ ratio ≤ 0.1), so the decision is exact on
     * both engines — no fp ratio ever meets a threshold. */
-  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+  def qualityFilter(s: SparkSession, d: String): DataFrame =
+    qualityReason(s, d)
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      .orderBy("reason")
+
+  /** Per-document keep/drop decision frame (doc_id, reason) — t50's
+    * rule evaluation exposed for composition (the t57 funnel applies
+    * it as stage 1). */
+  private[graft] def qualityReason(s: SparkSession, d: String): DataFrame = {
     val t = col("__toks")
     val sh = shingles3(t)
     documents(s, d)
@@ -375,13 +384,13 @@ object TextOps {
           .when(col("stop") * 20 < col("n_toks"), "stopwords")
           .when((col("n_sh") - col("n_sh_d")) * 5 > col("n_sh"), "repetition")
           .otherwise("kept"))
-      .groupBy("reason")
-      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
-      .orderBy("reason")
+      .select("doc_id", "reason")
   }
 
-  val qualityFilterSql: String =
-    """WITH f AS (
+  /** CTE prefix (no WITH) ending in `h` = (doc_id, reason) — the
+    * DuckDB twin of [[qualityReason]], shared by t50 and t57. */
+  private[graft] val qualityReasonCte: String =
+    """f AS (
       |  SELECT doc_id, length(text) AS len,
       |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
       |      AS punct,
@@ -402,7 +411,10 @@ object TextOps {
       |         WHEN (len(sh) - len(list_distinct(sh))) * 5 > len(sh)
       |           THEN 'repetition'
       |         ELSE 'kept' END AS reason
-      |  FROM g)
+      |  FROM g)""".stripMargin
+
+  val qualityFilterSql: String =
+    s"""WITH $qualityReasonCte
       |SELECT reason, count(*) AS n_docs, min(doc_id) AS min_doc_id
       |FROM h GROUP BY reason ORDER BY reason""".stripMargin
 

@@ -149,6 +149,23 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("t57 funnel is monotone and consistent with its stage operators") {
+    val f = graft.ext.DedupOps.corpusFunnel(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(f.keySet == Set("0_all", "1_quality", "2_dedup", "3_decontam", "4_train"))
+    // docs and chars both shrink (weakly) at every stage
+    val order = Seq("0_all", "1_quality", "2_dedup", "3_decontam", "4_train")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(f(b)._1 <= f(a)._1, s"$b docs grew over $a")
+      assert(f(b)._2 <= f(a)._2, s"$b chars grew over $a")
+    }
+    // stage 0 is the corpus; stage 1 equals t50's kept count
+    assert(f("0_all")._1 == Tables.documents(spark, d).count())
+    val kept = graft.ext.TextOps.qualityFilter(spark, d)
+      .filter(col("reason") === "kept").head().getLong(1)
+    assert(f("1_quality")._1 == kept)
+  }
+
   test("m74 frame energy matches a manual byte sum") {
     val doc = Tables.documents(spark, d)
       .filter(col("doc_id") % 3 === 1).orderBy("doc_id").head()
