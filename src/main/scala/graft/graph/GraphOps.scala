@@ -409,6 +409,59 @@ object GraphOps {
       |GROUP BY 1 ORDER BY part_id""".stripMargin
   }
 
+  // --------------------------------------- g98 label propagation
+
+  private val lpaIters = 3
+
+  /** g98: community detection by synchronous label propagation over the
+    * co-purchase graph, made DETERMINISTIC (classic LPA breaks
+    * frequency ties randomly; here every vertex adopts its neighbors'
+    * most frequent label with ties to the SMALLEST label, so the whole
+    * trajectory is engine-reproducible and the 3-iteration loop
+    * hash-checks against an unrolled-CTE oracle). Each round is two
+    * aggregations — neighbor-label counts, then the per-vertex argmax
+    * as `min(struct(-cnt, lbl))` with map-side partials, no window
+    * sort — and a `localCheckpoint` bounds the plan DAG per round (the
+    * g96 lesson: two self-references per round double the recompute
+    * tree otherwise). Scale: each round shuffles edges once on the
+    * neighbor key — the Pregel message pattern in DataFrame form. */
+  def labelPropagation(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d)
+    val ue = e.select(col("p1").as("v"), col("p2").as("u"))
+      .union(e.select(col("p2").as("v"), col("p1").as("u")))
+    var labels = ue.select(col("v").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to lpaIters) {
+      labels = ue
+        .join(labels.toDF("u", "ulbl"), "u")
+        .groupBy("v", "ulbl").agg(count(lit(1)).as("cnt"))
+        .groupBy("v")
+        .agg(min(struct((-col("cnt")).as("nc"), col("ulbl").as("l"))).as("m"))
+        .select(col("v").as("id"), col("m.l").as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("id").as("part_id"), col("lbl").as("community"))
+      .orderBy("part_id")
+  }
+
+  val labelPropagationSql: String = {
+    def step(i: Int): String =
+      s"""l$i AS (
+        |  SELECT v AS id, lbl FROM (
+        |    SELECT ue.v, l.lbl, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY ue.v
+        |        ORDER BY count(*) DESC, l.lbl) AS rn
+        |    FROM ue JOIN l${i - 1} l ON l.id = ue.u
+        |    GROUP BY ue.v, l.lbl)
+        |  WHERE rn = 1)""".stripMargin
+    s"""WITH edges AS ($copurchaseEdgesSql),
+      |ue AS (SELECT p1 v, p2 u FROM edges UNION ALL SELECT p2, p1 FROM edges),
+      |l0 AS (SELECT DISTINCT v AS id, v AS lbl FROM ue),
+      |${(1 to lpaIters).map(step).mkString(",\n")}
+      |SELECT id AS part_id, lbl AS community FROM l$lpaIters
+      |ORDER BY part_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g90_email_threads"   -> emailThreads _,
     "g91_email_graph"     -> emailGraphCensus _,
@@ -418,6 +471,7 @@ object GraphOps {
     "g95_triangles"       -> triangleCounts _,
     "g96_two_core"        -> twoCore _,
     "g97_personalized_pr" -> personalizedPagerankFixed _,
+    "g98_label_prop"      -> labelPropagation _,
   )
 
   val emailGraphCensusSql: String =
@@ -453,5 +507,6 @@ object GraphOps {
     "g95_triangles"      -> triangleCountsSql,
     "g96_two_core"       -> twoCoreSql,
     "g97_personalized_pr" -> personalizedPagerankSql,
+    "g98_label_prop"     -> labelPropagationSql,
   )
 }

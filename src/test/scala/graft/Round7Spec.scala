@@ -166,6 +166,18 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     assert(f("1_quality")._1 == kept)
   }
 
+  test("g98 labels stay inside their g92 connected component") {
+    val comp = graft.graph.GraphOps.copurchaseComponents(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpa = graft.graph.GraphOps.labelPropagation(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lpa.length == comp.size) // every vertex keeps a label
+    // a label can only travel along edges, so it names a vertex in the
+    // same component; and communities refine components (≥ as many)
+    lpa.foreach { case (v, lbl) => assert(comp(lbl) == comp(v)) }
+    assert(lpa.map(_._2).distinct.length >= comp.values.toSeq.distinct.length)
+  }
+
   test("m74 frame energy matches a manual byte sum") {
     val doc = Tables.documents(spark, d)
       .filter(col("doc_id") % 3 === 1).orderBy("doc_id").head()
