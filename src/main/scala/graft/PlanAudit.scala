@@ -27,7 +27,9 @@ object PlanAudit {
       "q50_brand_leaders", "d57_dedup_apply", "g97_personalized_pr",
       "q51_moving_avg", "e91_window_top_event", "t55_type_token_ratio",
       "v72_column_profile", "d58_incremental_dedup", "s71_lsh_rerank",
-      "s72_lsh_recall", "m74_media_energy")
+      "s72_lsh_recall", "m74_media_energy",
+      "e93_funnel", "e94_retention", "g99_bfs_hops", "t58_boilerplate",
+      "s73_sq_knn", "s74_sq_recall")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)

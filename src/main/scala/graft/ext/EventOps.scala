@@ -303,6 +303,146 @@ object EventOps {
       |FROM c JOIN m USING (bucket) WHERE c.n = m.mx
       |GROUP BY bucket, mx ORDER BY window_start""".stripMargin
 
+  // ------------------------------------------------- e93 funnel
+
+  /** e93: strict-order conversion funnel signup → view → click →
+    * purchase. Per user the stage times satisfy t1 < t2 < t3 < t4 with
+    * each t(i) the EARLIEST qualifying event after t(i-1). The scalable
+    * shape is a single shuffle on user_id: each user's (tsus, stage)
+    * events are collected, sorted, and folded left-to-right by one
+    * codegen'd `aggregate` HOF — the fold sets each stage time exactly
+    * once, so it computes the same sequential mins the oracle's chained
+    * CTEs do without re-scanning the events once per stage (4 scans →
+    * 1) or any window sort. Per-user event counts bound the array (no
+    * skew risk beyond what sessionization already tolerates). Counts +
+    * conversion ppm (exact integer division) per stage. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("event_type").isin("signup", "view", "click", "purchase"))
+      .select(col("user_id"), expr("ts div 1000").as("tsus"),
+        expr("CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1" +
+          " WHEN 'click' THEN 2 ELSE 3 END").as("tp"))
+    val stages = ev.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("tsus"), col("tp")))).as("evs"))
+      .withColumn("st", expr(
+        """aggregate(evs,
+          |  named_struct('t1', CAST(NULL AS BIGINT), 't2', CAST(NULL AS BIGINT),
+          |               't3', CAST(NULL AS BIGINT), 't4', CAST(NULL AS BIGINT)),
+          |  (a, e) -> named_struct(
+          |    't1', CASE WHEN a.t1 IS NULL AND e.tp = 0
+          |               THEN e.tsus ELSE a.t1 END,
+          |    't2', CASE WHEN a.t2 IS NULL AND e.tp = 1
+          |                AND a.t1 IS NOT NULL AND e.tsus > a.t1
+          |               THEN e.tsus ELSE a.t2 END,
+          |    't3', CASE WHEN a.t3 IS NULL AND e.tp = 2
+          |                AND a.t2 IS NOT NULL AND e.tsus > a.t2
+          |               THEN e.tsus ELSE a.t3 END,
+          |    't4', CASE WHEN a.t4 IS NULL AND e.tp = 3
+          |                AND a.t3 IS NOT NULL AND e.tsus > a.t3
+          |               THEN e.tsus ELSE a.t4 END))""".stripMargin))
+    stages
+      .agg(sum(when(col("st.t1").isNotNull, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("st.t2").isNotNull, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("st.t3").isNotNull, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("st.t4").isNotNull, 1L).otherwise(0L)).as("n4"))
+      .select(expr(
+        """stack(4,
+          |  CAST(1 AS BIGINT), 'signup',   n1,
+          |    CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
+          |         ELSE (n1 * 1000000) div n1 END,
+          |  CAST(2 AS BIGINT), 'view',     n2,
+          |    CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
+          |         ELSE (n2 * 1000000) div n1 END,
+          |  CAST(3 AS BIGINT), 'click',    n3,
+          |    CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
+          |         ELSE (n3 * 1000000) div n1 END,
+          |  CAST(4 AS BIGINT), 'purchase', n4,
+          |    CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
+          |         ELSE (n4 * 1000000) div n1 END)
+          |  AS (stage_idx, stage, n_users, conv_ppm)""".stripMargin))
+      .orderBy("stage_idx")
+  }
+
+  /** DuckDB twin: chained min-after-previous-stage CTEs (the textbook
+    * funnel formulation — 4 scans, same semantics as the fold). */
+  val funnelSql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS tsus, event_type
+      |            FROM events),
+      |s1 AS (SELECT user_id, min(tsus) AS t1 FROM ev
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.tsus) AS t2 FROM ev e
+      |       JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'view' AND e.tsus > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.tsus) AS t3 FROM ev e
+      |       JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.tsus > s2.t2 GROUP BY 1),
+      |s4 AS (SELECT e.user_id, min(e.tsus) AS t4 FROM ev e
+      |       JOIN s3 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.tsus > s3.t3 GROUP BY 1),
+      |c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+      |             (SELECT count(*) FROM s2) AS n2,
+      |             (SELECT count(*) FROM s3) AS n3,
+      |             (SELECT count(*) FROM s4) AS n4)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) stage_idx, 'signup' stage,
+      |    CAST(n1 AS BIGINT) n_users,
+      |    CASE WHEN n1 = 0 THEN 0 ELSE (n1 * 1000000) // n1 END conv_ppm
+      |  FROM c
+      |  UNION ALL SELECT 2, 'view', n2,
+      |    CASE WHEN n1 = 0 THEN 0 ELSE (n2 * 1000000) // n1 END FROM c
+      |  UNION ALL SELECT 3, 'click', n3,
+      |    CASE WHEN n1 = 0 THEN 0 ELSE (n3 * 1000000) // n1 END FROM c
+      |  UNION ALL SELECT 4, 'purchase', n4,
+      |    CASE WHEN n1 = 0 THEN 0 ELSE (n4 * 1000000) // n1 END FROM c)
+      |ORDER BY stage_idx""".stripMargin
+
+  // ---------------------------------------------- e94 retention
+
+  /** e94: weekly cohort retention — users grouped by first-activity
+    * week, counted again in each later week they were active, with the
+    * retention rate as exact integer ppm. One shuffle on user_id to find
+    * first-activity days, one equi-join back (user_id again — AQE
+    * coalesces the two into co-partitioned stages), one narrow agg on
+    * (cohort_week, week_offset); the per-cohort sizes are a tiny frame
+    * broadcast back for the ratio. Day/week bucketing is integer
+    * arithmetic on epoch micros — no calendar functions to disagree
+    * across engines. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min("day").as("d0"))
+    val weeks = days.join(first, "user_id")
+      .select(col("user_id"), expr("d0 div 7").as("cohort_week"),
+        expr("(day - d0) div 7").as("week_offset"))
+      .distinct()
+    val sizes = weeks.filter(col("week_offset") === 0)
+      .groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+    weeks.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        expr("(n_users * 1000000) div cohort_users").as("retention_ppm"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val retentionSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |first AS (SELECT user_id, min(day) AS d0 FROM days GROUP BY 1),
+      |weeks AS (
+      |  SELECT DISTINCT d.user_id, f.d0 // 7 AS cohort_week,
+      |    (d.day - f.d0) // 7 AS week_offset
+      |  FROM days d JOIN first f USING (user_id)),
+      |sizes AS (SELECT cohort_week, count(*) AS cohort_users FROM weeks
+      |          WHERE week_offset = 0 GROUP BY 1)
+      |SELECT w.cohort_week, w.week_offset, count(*) AS n_users,
+      |  (count(*) * 1000000) // s.cohort_users AS retention_ppm
+      |FROM weeks w JOIN sizes s USING (cohort_week)
+      |GROUP BY w.cohort_week, w.week_offset, s.cohort_users
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e80_tumbling_window" -> tumblingWindow _,
     "e81_hopping_window"  -> hoppingWindow _,
@@ -311,6 +451,8 @@ object EventOps {
     "e86_asof_join"       -> asofJoin _,
     "e87_range_join"      -> rangeJoin _,
     "e91_window_top_event" -> windowTopEvent _,
+    "e93_funnel"          -> funnel _,
+    "e94_retention"       -> retention _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -321,5 +463,7 @@ object EventOps {
     "e86_asof_join"       -> asofJoinSql,
     "e87_range_join"      -> rangeJoinSql,
     "e91_window_top_event" -> windowTopEventSql,
+    "e93_funnel"          -> funnelSql,
+    "e94_retention"       -> retentionSql,
   )
 }

@@ -590,6 +590,74 @@ object SimilarityOps {
       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // --------------------------------- s73 scalar quantization (int8)
+
+  /** s73: scalar-quantization serving — the third compression point on
+    * the ANN memory/recall curve (raw floats → s73 one byte/dim → s70
+    * PQ one byte/vector-group). Each dimension is affinely mapped to an
+    * 8-bit code from per-dimension corpus min/max, and kNN runs on
+    * integer squared-L2 over the code arrays, so the scan reads 1 byte
+    * per dim instead of 8 and every distance is exact BIGINT math
+    * (cross-engine hash-identical, ties → smallest id).
+    *
+    * Scale shape: the per-dim stats are ONE aggregation of the
+    * pos-exploded corpus (map-side partials shrink every partition to
+    * #dims rows before the narrow exchange) collected into a single
+    * stats row that BROADCASTS back — the corpus itself never shuffles
+    * to be encoded. Queries (their coded forms, 10 rows) broadcast;
+    * per-query top-3 is the bounded-heap aggregate. */
+  def sqKnn(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    val mm = e.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          p => p.getField("mn")).as("mn"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          p => p.getField("mx")).as("mx"))
+    val coded = e.crossJoin(broadcast(mm))
+      .withColumn("code", expr(
+        """zip_with(zip_with(qv, mn, (x, m) -> x - m),
+          |         zip_with(mx, mn, (a, b) -> a - b),
+          |  (t, r) -> CASE WHEN r = 0 THEN CAST(0 AS BIGINT)
+          |                 ELSE (t * 255) div r END)""".stripMargin))
+      .select("vec_id", "code")
+    val q = coded.filter(col("vec_id") < 10).toDF("q_id", "qcode")
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2", dist2(col("code"), col("qcode")))
+      // bounded-heap top-3 by (d2 ASC, id ASC); integer exact as double
+      .groupBy("q_id")
+      .agg(topkUdaf(3)((-col("d2")).cast("double"), col("vec_id")).as("tk"))
+    explodeTopK(scored, Seq("q_id"), "c_id", "nd2")
+      .select(col("q_id"), col("c_id"),
+        (-col("nd2")).cast("bigint").as("code_d2"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val sqKnnSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+      |    x -> CAST(round(x * $kmScale, 0) AS BIGINT)) qv FROM embeddings),
+      |ex AS (SELECT vec_id, unnest(qv) x, generate_subscripts(qv, 1) pos
+      |       FROM e),
+      |mm AS (SELECT pos, min(x) mn, max(x) mx FROM ex GROUP BY pos),
+      |codes AS (
+      |  SELECT vec_id, pos,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE ((x - mn) * 255) // (mx - mn) END AS c
+      |  FROM ex JOIN mm USING (pos)),
+      |scored AS (
+      |  SELECT q.vec_id q_id, c.vec_id c_id,
+      |    sum((q.c - c.c) * (q.c - c.c)) AS d2
+      |  FROM codes q JOIN codes c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10 GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT q_id, c_id, d2, CAST(row_number() OVER (
+      |    PARTITION BY q_id ORDER BY d2 ASC, c_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT q_id, c_id, CAST(d2 AS BIGINT) AS code_d2, rank
+      |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   // ------------------------------------------------- s62 sign-LSH
 
   private val numPlanes = 16
@@ -735,6 +803,7 @@ object SimilarityOps {
     "s67_kmeans_ivf"    -> kmeansIvfKnn _,
     "s69_pq_codes"      -> pqCodes _,
     "s70_pq_adc_knn"    -> pqAdcKnn _,
+    "s73_sq_knn"        -> sqKnn _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -747,5 +816,6 @@ object SimilarityOps {
     "s67_kmeans_ivf"    -> kmeansIvfKnnSql,
     "s69_pq_codes"      -> pqCodesSql,
     "s70_pq_adc_knn"    -> pqAdcKnnSql,
+    "s73_sq_knn"        -> sqKnnSql,
   )
 }

@@ -541,6 +541,73 @@ object TextOps {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------- t58 cross-doc boilerplate
+
+  private val boilerDf = 5L // a 3-gram in ≥ this many docs is boilerplate
+
+  /** t58: cross-document boilerplate ratio — the share of a document's
+    * distinct word-3-grams that recur in ≥ `boilerDf` OTHER docs'
+    * worth of corpus (headers, footers, navigation chrome in a real
+    * crawl). Complements t51/t55, which only see repetition WITHIN one
+    * document.
+    *
+    * Scale shape: the distinct (doc, shingle) postings aggregate to a
+    * vocabulary-sized document-frequency table (one shuffle on the
+    * shingle, map-side partials); the boilerplate subset — df ≥
+    * threshold, a tiny fraction of the vocabulary — is BROADCAST back
+    * against the postings (same pattern as t49 decontamination), so
+    * the corpus-sized side never shuffles a second time. Ratios are
+    * exact integer ppm. */
+  def boilerplateRatio(s: SparkSession, d: String): DataFrame = {
+    val postings = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(col("toks")))).as("sh"))
+    val boiler = postings.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= boilerDf)
+      .select("sh")
+    val perDoc = postings.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val nBoiler = postings.join(broadcast(boiler), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    // left join keeps short docs (no shingles ≥ threshold — ratio 0)
+    documents(s, d).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(nBoiler, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ppm",
+        expr("(n_boiler * 1000000) div greatest(n_shingles, 1)"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateRatioSql: String =
+    s"""WITH postings AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(toks) - 1, 1)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(
+      |        regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      |        FROM documents)),
+      |boiler AS (
+      |  SELECT sh FROM postings GROUP BY sh HAVING count(*) >= $boilerDf),
+      |per_doc AS (
+      |  SELECT doc_id, count(*) AS n_shingles FROM postings GROUP BY 1),
+      |nb AS (
+      |  SELECT doc_id, count(*) AS n_boiler
+      |  FROM postings JOIN boiler USING (sh) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(p.n_shingles, 0) AS n_shingles,
+      |  coalesce(nb.n_boiler, 0) AS n_boiler,
+      |  (coalesce(nb.n_boiler, 0) * 1000000)
+      |    // greatest(coalesce(p.n_shingles, 0), 1) AS boiler_ppm
+      |FROM documents d
+      |LEFT JOIN per_doc p USING (doc_id)
+      |LEFT JOIN nb USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -555,6 +622,7 @@ object TextOps {
     "t54_top_shingles"    -> topShinglesPerLang _,
     "t55_type_token_ratio" -> typeTokenRatio _,
     "t56_tfidf_terms"     -> tfIdfTerms _,
+    "t58_boilerplate"     -> boilerplateRatio _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -571,5 +639,6 @@ object TextOps {
     "t54_top_shingles"    -> topShinglesPerLangSql,
     "t55_type_token_ratio" -> typeTokenRatioSql,
     "t56_tfidf_terms"     -> tfIdfTermsSql,
+    "t58_boilerplate"     -> boilerplateRatioSql,
   )
 }

@@ -462,6 +462,60 @@ object GraphOps {
       |ORDER BY part_id""".stripMargin
   }
 
+  // --------------------------------------------- g99 BFS hop distance
+
+  private val bfsRounds = 4
+  private val bfsInf = 999L // sentinel: unreached
+
+  /** g99: bounded multi-source BFS — hop distance from the seed set
+    * (part_id % 97 == 0) over the co-purchase graph, `bfsRounds` rounds
+    * of synchronous min-distance propagation. Each round is one
+    * edge-shuffle on the neighbor key plus a map-side-partial `min`
+    * aggregation (the Pregel message pattern in DataFrame form, same
+    * shape as g98), with a `localCheckpoint` bounding the plan per
+    * round. Only the reached frontier-so-far joins the edges (unreached
+    * vertices carry the sentinel and contribute nothing), so each
+    * round's shuffle is bounded by edges incident to reached vertices —
+    * the property that keeps early BFS rounds cheap at 100×. */
+  def bfsHops(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d)
+    val ue = e.select(col("p1").as("v"), col("p2").as("u"))
+      .union(e.select(col("p2").as("v"), col("p1").as("u")))
+    var dist = ue.select(col("v")).distinct()
+      .withColumn("dist",
+        when(col("v") % 97 === 0, 0L).otherwise(lit(bfsInf)))
+    for (_ <- 1 to bfsRounds) {
+      val prop = ue
+        .join(dist.filter(col("dist") < bfsInf).toDF("u", "du"), "u")
+        .groupBy("v").agg(min(col("du") + 1L).as("nd"))
+      dist = dist.join(prop, Seq("v"), "left")
+        .select(col("v"),
+          least(col("dist"), coalesce(col("nd"), lit(bfsInf))).as("dist"))
+        .localCheckpoint()
+    }
+    dist.filter(col("dist") < bfsInf)
+      .select(col("v").as("part_id"), col("dist").as("hops"))
+      .orderBy("part_id")
+  }
+
+  val bfsHopsSql: String = {
+    def step(i: Int): String =
+      s"""p$i AS (
+        |  SELECT ue.v, min(d.dist) + 1 AS nd
+        |  FROM ue JOIN d${i - 1} d ON d.v = ue.u AND d.dist < $bfsInf
+        |  GROUP BY ue.v),
+        |d$i AS (
+        |  SELECT d.v, least(d.dist, coalesce(p.nd, $bfsInf)) AS dist
+        |  FROM d${i - 1} d LEFT JOIN p$i p USING (v))""".stripMargin
+    s"""WITH edges AS ($copurchaseEdgesSql),
+      |ue AS (SELECT p1 v, p2 u FROM edges UNION ALL SELECT p2, p1 FROM edges),
+      |d0 AS (SELECT v, CASE WHEN v % 97 = 0 THEN 0 ELSE $bfsInf END AS dist
+      |       FROM (SELECT DISTINCT v FROM ue)),
+      |${(1 to bfsRounds).map(step).mkString(",\n")}
+      |SELECT v AS part_id, CAST(dist AS BIGINT) AS hops FROM d$bfsRounds
+      |WHERE dist < $bfsInf ORDER BY part_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g90_email_threads"   -> emailThreads _,
     "g91_email_graph"     -> emailGraphCensus _,
@@ -472,6 +526,7 @@ object GraphOps {
     "g96_two_core"        -> twoCore _,
     "g97_personalized_pr" -> personalizedPagerankFixed _,
     "g98_label_prop"      -> labelPropagation _,
+    "g99_bfs_hops"        -> bfsHops _,
   )
 
   val emailGraphCensusSql: String =
@@ -508,5 +563,6 @@ object GraphOps {
     "g96_two_core"       -> twoCoreSql,
     "g97_personalized_pr" -> personalizedPagerankSql,
     "g98_label_prop"     -> labelPropagationSql,
+    "g99_bfs_hops"       -> bfsHopsSql,
   )
 }

@@ -176,6 +176,14 @@ object Classic2 {
 
   val lshRerankRecallSql: String = recallAt3Sql(SimilarityOps.lshRerankKnnSql)
 
+  /** s74: recall@3 of int8 scalar quantization (s73) against the brute
+    * ground truth — quantifies what the 8×-smaller scan gives up, the
+    * number a deployment weighs against the s70 PQ and raw tiers. */
+  def sqRecall(s: SparkSession, d: String): DataFrame =
+    recallAt3(s, d, SimilarityOps.sqKnn(s, d))
+
+  val sqRecallSql: String = recallAt3Sql(SimilarityOps.sqKnnSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s68_kmeans_recall"    -> kmeansRecall _,
     "q02_top_supplier"     -> topSupplierPerNation _,
@@ -184,6 +192,7 @@ object Classic2 {
     "s63_ivf_recall"       -> ivfRecall _,
     "s65_multiprobe_recall" -> ivfMultiprobeRecall _,
     "s72_lsh_recall"       -> lshRerankRecall _,
+    "s74_sq_recall"        -> sqRecall _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -194,5 +203,6 @@ object Classic2 {
     "s65_multiprobe_recall" -> ivfMultiprobeRecallSql,
     "s68_kmeans_recall"    -> kmeansRecallSql,
     "s72_lsh_recall"       -> lshRerankRecallSql,
+    "s74_sq_recall"        -> sqRecallSql,
   )
 }

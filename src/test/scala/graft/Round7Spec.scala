@@ -178,6 +178,114 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     assert(lpa.map(_._2).distinct.length >= comp.values.toSeq.distinct.length)
   }
 
+  test("e93 funnel matches a manual sequential-min fold") {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), expr("ts div 1000").as("tsus"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val order = Seq("signup", "view", "click", "purchase")
+    // expected: per user, earliest qualifying event strictly after the
+    // previous stage's time
+    val expect = order.indices.map { k =>
+      ev.groupBy(_._1).values.count { es =>
+        val sorted = es.sortBy(e => (e._2, order.indexOf(e._3)))
+        var times = Vector.empty[Long]
+        for ((_, t, ty) <- sorted; i = order.indexOf(ty)
+             if i >= 0 && times.length == i && (i == 0 || t > times(i - 1)))
+          times :+= t
+        times.length > k
+      }.toLong
+    }
+    val got = graft.ext.EventOps.funnel(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).toSeq == order)
+    assert(got.map(_._3).toSeq == expect)
+    // counts are non-increasing and ppm is relative to stage 1
+    assert(got.map(_._3).sliding(2).forall { case Array(a, b) => b <= a })
+    got.foreach { case (_, _, n, ppm) =>
+      assert(ppm == n * 1000000L / math.max(expect.head, 1L))
+    }
+  }
+
+  test("e94 retention: offset 0 is the full cohort at ppm 1e6") {
+    val rows = graft.ext.EventOps.retention(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val sizes = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    // every user appears in exactly one cohort at offset 0
+    assert(sizes.values.sum ==
+      Tables.events(spark, d).select("user_id").distinct().count())
+    rows.foreach { case (cw, off, n, ppm) =>
+      assert(n <= sizes(cw))
+      assert(ppm == n * 1000000L / sizes(cw))
+      if (off == 0) assert(ppm == 1000000L)
+    }
+  }
+
+  test("g99 BFS distances are locally consistent") {
+    val hops = graft.graph.GraphOps.bfsHops(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops.nonEmpty)
+    // seeds at distance 0, nothing beyond the round bound
+    hops.foreach { case (v, h) =>
+      assert(h >= 0 && h <= 4)
+      assert((h == 0) == (v % 97 == 0))
+    }
+    // every non-seed's distance is 1 + min over its reached neighbors
+    val edges = graft.graph.GraphOps.copurchaseDegrees(spark, d) // warm cache
+    assert(edges.count() > 0)
+    val pairs = Tables.lineitem(spark, d).filter(col("l_quantity") >= 48)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.groupBy(_._1).values
+      .flatMap(g => for (a <- g; b <- g if a._2 < b._2) yield (a._2, b._2))
+      .toSet
+    val nbrs = (pairs.toSeq ++ pairs.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    hops.collect { case (v, h) if h > 0 =>
+      val best = nbrs(v).flatMap(hops.get).min
+      assert(h == best + 1, s"vertex $v: hops $h != ${best + 1}")
+    }
+  }
+
+  test("t58 boilerplate agrees with t45 shingle counts and is bounded") {
+    val t58 = graft.ext.TextOps.boilerplateRatio(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // t45 counts the same DISTINCT word-3-grams per doc
+    val t45 = graft.ext.TextOps.shingleProfile(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Long]("n_shingles")).toMap
+    t58.foreach { case (doc, nSh, nB, ppm) =>
+      assert(nSh == t45(doc))
+      assert(nB <= nSh)
+      assert(ppm == nB * 1000000L / math.max(nSh, 1L))
+    }
+  }
+
+  test("s73 SQ codes rank by true integer code distance") {
+    val rows = graft.ext.SimilarityOps.sqKnn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == Seq(1L, 2L, 3L))
+      // distances non-decreasing with rank, all within the 8-bit bound
+      assert(sorted.map(_._3).sliding(2).forall { case Array(a, b) => a <= b })
+      assert(rs.forall(r => r._3 >= 0 && r._3 <= 64L * 255 * 255))
+      assert(rs.forall(r => r._2 != r._1)) // never self
+    }
+  }
+
+  test("s74 SQ recall is a valid fraction vs the brute truth") {
+    val rec = graft.operators.Classic2.sqRecall(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rec.length == 10)
+    rec.foreach { case (_, v) => assert(v >= 0.0 && v <= 1.0) }
+    val hits = Set(0.0, 1.0 / 3, 2.0 / 3, 1.0)
+    rec.foreach { case (_, v) =>
+      assert(hits.exists(h => math.abs(h - v) < 1e-9))
+    }
+  }
+
   test("m74 frame energy matches a manual byte sum") {
     val doc = Tables.documents(spark, d)
       .filter(col("doc_id") % 3 === 1).orderBy("doc_id").head()
