@@ -29,7 +29,8 @@ object PlanAudit {
       "v72_column_profile", "d58_incremental_dedup", "s71_lsh_rerank",
       "s72_lsh_recall", "m74_media_energy",
       "e93_funnel", "e94_retention", "g99_bfs_hops", "t58_boilerplate",
-      "s73_sq_knn", "s74_sq_recall")
+      "s73_sq_knn", "s74_sq_recall", "g100_edge_jaccard",
+      "m75_media_scenes")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)

@@ -54,7 +54,12 @@ object SparkEntry {
         // argmax at read time — shares e91's oracle (stream/batch
         // parity on the trending tier)
         "e92_stream_top_event" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamWindowTopEvent(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamWindowTopEvent(s, d)),
+        // streaming twin of e93: per-user funnel progress as CUSTOM
+        // keyed state (flatMapGroupsWithState) — shares e93's oracle
+        // (stream/batch parity on the funnel tier)
+        "e95_stream_funnel" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamFunnel(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -70,5 +75,6 @@ object SparkEntry {
         "e88_stream_join" -> StreamingOps.streamRangeJoinSql,
         "e89_stream_session" -> EventOps.sessionizeSql,
         "e90_stream_closed_sessions" -> StreamingOps.streamClosedSessionsSql,
-        "e92_stream_top_event" -> EventOps.windowTopEventSql)
+        "e92_stream_top_event" -> EventOps.windowTopEventSql,
+        "e95_stream_funnel" -> EventOps.funnelSql)
 }

@@ -345,23 +345,28 @@ object EventOps {
         sum(when(col("st.t2").isNotNull, 1L).otherwise(0L)).as("n2"),
         sum(when(col("st.t3").isNotNull, 1L).otherwise(0L)).as("n3"),
         sum(when(col("st.t4").isNotNull, 1L).otherwise(0L)).as("n4"))
-      .select(expr(
-        """stack(4,
-          |  CAST(1 AS BIGINT), 'signup',   n1,
-          |    CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
-          |         ELSE (n1 * 1000000) div n1 END,
-          |  CAST(2 AS BIGINT), 'view',     n2,
-          |    CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
-          |         ELSE (n2 * 1000000) div n1 END,
-          |  CAST(3 AS BIGINT), 'click',    n3,
-          |    CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
-          |         ELSE (n3 * 1000000) div n1 END,
-          |  CAST(4 AS BIGINT), 'purchase', n4,
-          |    CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
-          |         ELSE (n4 * 1000000) div n1 END)
-          |  AS (stage_idx, stage, n_users, conv_ppm)""".stripMargin))
+      .select(expr(funnelStackExpr))
       .orderBy("stage_idx")
   }
+
+  /** Shared final projection (e93 batch + e95 streaming twin): a
+    * single (n1..n4) row unpivoted to 4 funnel rows with integer-exact
+    * conversion ppm. */
+  private[graft] val funnelStackExpr: String =
+    """stack(4,
+      |  CAST(1 AS BIGINT), 'signup',   n1,
+      |    CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE (n1 * 1000000) div n1 END,
+      |  CAST(2 AS BIGINT), 'view',     n2,
+      |    CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE (n2 * 1000000) div n1 END,
+      |  CAST(3 AS BIGINT), 'click',    n3,
+      |    CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE (n3 * 1000000) div n1 END,
+      |  CAST(4 AS BIGINT), 'purchase', n4,
+      |    CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE (n4 * 1000000) div n1 END)
+      |  AS (stage_idx, stage, n_users, conv_ppm)""".stripMargin
 
   /** DuckDB twin: chained min-after-previous-stage CTEs (the textbook
     * funnel formulation — 4 scans, same semantics as the fold). */

@@ -270,12 +270,56 @@ object Multimodal {
       |        FROM documents WHERE doc_id % 3 = 1))
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ------------------------------------------ m75 scene changes
+
+  private val sceneDelta = 200L
+
+  /** m75: scene-change detection — frames where the energy jumps by ≥
+    * `sceneDelta` against the previous frame of the same media (the
+    * shot-boundary heuristic a video pipeline runs on decoded frame
+    * statistics; here over the m74 energy stub, with the Spark-side
+    * dataflow — per-media ordered lag, flagged frames only — real).
+    * The window partitions by media_id and a media's frame count is
+    * codec-bounded, so the sort is per-key-local and the stage scales
+    * by media count, not corpus size. */
+  def mediaScenes(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    mediaEnergy(s, d)
+      .withColumn("delta", col("energy") - lag("energy", 1).over(w))
+      .filter(abs(col("delta")) >= sceneDelta)
+      .select("media_id", "frame_idx", "energy", "delta")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val mediaScenesSql: String =
+    s"""WITH fr AS (
+      |  SELECT media_id, i AS frame_idx,
+      |    CAST(coalesce(list_sum(list_transform(range(1, length(f) + 1),
+      |      j -> ascii(substr(f, CAST(j AS INT), 1)))), 0) AS BIGINT)
+      |      AS energy
+      |  FROM (
+      |    SELECT doc_id AS media_id, i,
+      |      substring(text, CAST(i * 64 + 1 AS INT), 64) AS f
+      |    FROM (SELECT doc_id, text,
+      |            unnest(range(0, greatest(length(text) // 64, 1))) AS i
+      |          FROM documents WHERE doc_id % 3 = 1))),
+      |d AS (
+      |  SELECT media_id, frame_idx, energy,
+      |    energy - lag(energy) OVER (
+      |      PARTITION BY media_id ORDER BY frame_idx) AS delta
+      |  FROM fr)
+      |SELECT media_id, frame_idx, energy, CAST(delta AS BIGINT) AS delta
+      |FROM d WHERE abs(delta) >= $sceneDelta
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m70_media_meta"     -> mediaMeta _,
     "m71_media_frames"   -> mediaFrames _,
     "m72_media_features" -> mediaFeatures _,
     "m73_media_resize"   -> mediaResize _,
     "m74_media_energy"   -> mediaEnergy _,
+    "m75_media_scenes"   -> mediaScenes _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -284,5 +328,6 @@ object Multimodal {
     "m72_media_features" -> mediaFeaturesSql,
     "m73_media_resize"   -> mediaResizeSql,
     "m74_media_energy"   -> mediaEnergySql,
+    "m75_media_scenes"   -> mediaScenesSql,
   )
 }

@@ -516,6 +516,65 @@ object GraphOps {
       |WHERE dist < $bfsInf ORDER BY part_id""".stripMargin
   }
 
+  // ------------------------------- g100 edge neighborhood similarity
+
+  /** g100: neighborhood Jaccard similarity of every co-purchase edge —
+    * |N(a)∩N(b)| / |N(a)∪N(b)| per linked pair, the link-strength
+    * signal behind "customers also bought" ranking (union counts the
+    * endpoints themselves; exact integer ppm). Common neighbors are
+    * counted by enumerating wedges from the LOWER-degree endpoint of
+    * each edge (ties → p1) and probing the adjacency of the other —
+    * the g95 degree-orientation trick, which bounds the wedge fan-out
+    * by each edge's MIN degree (arboricity-style bound) instead of
+    * letting hub vertices explode the join. Two equi-joins + one
+    * narrow agg; the degree frame is vertex-sized. */
+  def edgeJaccard(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d)
+    val ue = e.select(col("p1").as("v"), col("p2").as("u"))
+      .union(e.select(col("p2").as("v"), col("p1").as("u")))
+    val deg = ue.groupBy("v").agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.toDF("p1", "deg1"), "p1")
+      .join(deg.toDF("p2", "deg2"), "p2")
+      .withColumn("src",
+        when(col("deg1") <= col("deg2"), col("p1")).otherwise(col("p2")))
+    val cn = oriented.select("p1", "p2", "src")
+      .join(ue.toDF("src", "w"), "src")
+      .join(ue.toDF("bv", "bw"),
+        col("bv") === col("p1") + col("p2") - col("src") &&
+          col("bw") === col("w"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("common_n"))
+    oriented.join(cn, Seq("p1", "p2"), "left")
+      .select(col("p1"), col("p2"), col("deg1"), col("deg2"),
+        coalesce(col("common_n"), lit(0L)).as("common_n"))
+      .withColumn("jaccard_ppm",
+        expr("(common_n * 1000000) div (deg1 + deg2 - common_n)"))
+      .orderBy("p1", "p2")
+  }
+
+  val edgeJaccardSql: String =
+    s"""WITH edges AS ($copurchaseEdgesSql),
+      |ue AS (SELECT p1 v, p2 u FROM edges UNION ALL SELECT p2, p1 FROM edges),
+      |deg AS (SELECT v, count(*) AS deg FROM ue GROUP BY v),
+      |o AS (
+      |  SELECT e.p1, e.p2, da.deg AS deg1, db.deg AS deg2,
+      |    CASE WHEN da.deg <= db.deg THEN e.p1 ELSE e.p2 END AS src
+      |  FROM edges e
+      |  JOIN deg da ON da.v = e.p1
+      |  JOIN deg db ON db.v = e.p2),
+      |cn AS (
+      |  SELECT o.p1, o.p2, count(*) AS c
+      |  FROM o JOIN ue a ON a.v = o.src
+      |         JOIN ue b ON b.v = o.p1 + o.p2 - o.src AND b.u = a.u
+      |  GROUP BY 1, 2)
+      |SELECT o.p1, o.p2, CAST(deg1 AS BIGINT) AS deg1,
+      |  CAST(deg2 AS BIGINT) AS deg2,
+      |  CAST(coalesce(c, 0) AS BIGINT) AS common_n,
+      |  (coalesce(c, 0) * 1000000) // (deg1 + deg2 - coalesce(c, 0))
+      |    AS jaccard_ppm
+      |FROM o LEFT JOIN cn USING (p1, p2)
+      |ORDER BY p1, p2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g90_email_threads"   -> emailThreads _,
     "g91_email_graph"     -> emailGraphCensus _,
@@ -527,6 +586,7 @@ object GraphOps {
     "g97_personalized_pr" -> personalizedPagerankFixed _,
     "g98_label_prop"      -> labelPropagation _,
     "g99_bfs_hops"        -> bfsHops _,
+    "g100_edge_jaccard"   -> edgeJaccard _,
   )
 
   val emailGraphCensusSql: String =
@@ -564,5 +624,6 @@ object GraphOps {
     "g97_personalized_pr" -> personalizedPagerankSql,
     "g98_label_prop"     -> labelPropagationSql,
     "g99_bfs_hops"       -> bfsHopsSql,
+    "g100_edge_jaccard"  -> edgeJaccardSql,
   )
 }

@@ -393,6 +393,72 @@ object StreamingOps {
       }
   }
 
+  // --------------------------------------- e95 streaming funnel twin
+
+  case class FunnelEvent(user_id: Long, ts: Long, tp: Int)
+  case class FunnelTimes(times: Seq[Long])
+  case class FunnelProgress(user_id: Long, reached: Int)
+
+  /** Keyed funnel state machine: per user the state holds the stage
+    * times reached so far (t1 < t2 < … strictly increasing, stage i
+    * only after stage i-1 — the same sequential-min fold as the e93
+    * batch operator, applied to each micro-batch's time-sorted slice
+    * on top of the carried state). Emits the user's current stage
+    * count every batch (monotone, so read-time `max` is the final
+    * value). */
+  def funnelStream(
+      events: org.apache.spark.sql.Dataset[FunnelEvent])
+      : org.apache.spark.sql.Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelTimes, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelTimes]) =>
+          var times = state.getOption.map(_.times.toVector)
+            .getOrElse(Vector.empty[Long])
+          it.toSeq.sortBy(e => (e.ts, e.tp)).foreach { e =>
+            if (e.tp == times.length && times.length < 4 &&
+                (times.isEmpty || e.ts > times.last))
+              times = times :+ e.ts
+          }
+          state.update(FunnelTimes(times))
+          Iterator.single(FunnelProgress(uid, times.length))
+      }
+  }
+
+  /** e95: the e93 conversion funnel as a STREAM — per-user stage
+    * progress lives in the state store (the shape that follows a
+    * signup→purchase journey across an unbounded event feed), the
+    * 4-row funnel summary is computed from the tiny per-user progress
+    * sink at read time. Output is identical to the batch twin and
+    * shares e93's DuckDB oracle — stream/batch parity on the funnel
+    * tier is itself oracle-checked (the e92/e91 pattern with CUSTOM
+    * state instead of a built-in aggregation). */
+  def streamFunnel(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sink = newSink()
+    val stageDir = stageFile(d, "events.parquet")
+    val nIn = spark.read.parquet(s"$d/events.parquet").count()
+    drainToMemorySink(spark, sink, "update", nIn) {
+      val ev = spark.readStream.schema(eventsSchema).parquet(stageDir)
+        .filter(col("event_type").isin("signup", "view", "click", "purchase"))
+        .select(col("user_id"), expr("ts div 1000").as("ts"),
+          expr("CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1" +
+            " WHEN 'click' THEN 2 ELSE 3 END").cast("int").as("tp"))
+        .as[FunnelEvent]
+      funnelStream(ev).toDF()
+    }
+    spark.table(sink)
+      .groupBy("user_id").agg(max("reached").as("reached"))
+      .agg(sum(when(col("reached") >= 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("reached") >= 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("reached") >= 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("reached") >= 4, 1L).otherwise(0L)).as("n4"))
+      .select(expr(graft.ext.EventOps.funnelStackExpr))
+      .orderBy("stage_idx")
+  }
+
   /** Watermarked sliding-window aggregation over a timestamped event
     * stream — the bounded-state deployment shape (§2.8): 10-minute
     * windows sliding 5, 15-minute watermark, append mode (only

@@ -286,6 +286,50 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("e95 stream funnel output equals the e93 batch twin") {
+    val batch = graft.ext.EventOps.funnel(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val stream = graft.streaming.StreamingOps.streamFunnel(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("g100 jaccard matches a manual neighbor-set recount") {
+    val pairs = Tables.lineitem(spark, d).filter(col("l_quantity") >= 48)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.groupBy(_._1).values
+      .flatMap(g => for (a <- g; b <- g if a._2 < b._2) yield (a._2, b._2))
+      .toSet
+    val nbrs = (pairs.toSeq ++ pairs.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = graft.graph.GraphOps.edgeJaccard(spark, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.keySet == pairs)
+    rows.foreach { case ((a, b), (d1, d2, cn, ppm)) =>
+      assert(d1 == nbrs(a).size && d2 == nbrs(b).size)
+      assert(cn == (nbrs(a) & nbrs(b)).size)
+      assert(ppm == cn * 1000000L / (nbrs(a) | nbrs(b) | Set(a, b)).size)
+    }
+  }
+
+  test("m75 flags exactly the frames whose energy jump ≥ 200") {
+    val energies = graft.ext.Multimodal.mediaEnergy(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expect = energies.values.flatMap { fs =>
+      fs.sortBy(_._2).sliding(2).collect {
+        case Array((m, _, e0), (_, i, e1)) if math.abs(e1 - e0) >= 200 =>
+          (m, i, e1, e1 - e0)
+      }
+    }.toSet
+    val got = graft.ext.Multimodal.mediaScenes(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("m74 frame energy matches a manual byte sum") {
     val doc = Tables.documents(spark, d)
       .filter(col("doc_id") % 3 === 1).orderBy("doc_id").head()
