@@ -59,7 +59,11 @@ object SparkEntry {
         // keyed state (flatMapGroupsWithState) — shares e93's oracle
         // (stream/batch parity on the funnel tier)
         "e95_stream_funnel" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamFunnel(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamFunnel(s, d)),
+        // streaming twin of e94: distinct (user, day) pairs as
+        // dropDuplicates state — shares e94's oracle
+        "e96_stream_retention" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamRetention(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -76,5 +80,6 @@ object SparkEntry {
         "e89_stream_session" -> EventOps.sessionizeSql,
         "e90_stream_closed_sessions" -> StreamingOps.streamClosedSessionsSql,
         "e92_stream_top_event" -> EventOps.windowTopEventSql,
-        "e95_stream_funnel" -> EventOps.funnelSql)
+        "e95_stream_funnel" -> EventOps.funnelSql,
+        "e96_stream_retention" -> EventOps.retentionSql)
 }

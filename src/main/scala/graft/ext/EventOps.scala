@@ -412,12 +412,22 @@ object EventOps {
     * broadcast back for the ratio. Day/week bucketing is integer
     * arithmetic on epoch micros — no calendar functions to disagree
     * across engines. */
-  def retention(s: SparkSession, d: String): DataFrame = {
-    val days = events(s, d)
+  def retention(s: SparkSession, d: String): DataFrame =
+    cohortsFromDays(events(s, d)
       .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
-      .distinct()
+      .distinct())
+
+  /** Cohort computation over distinct (user_id, day) activity pairs —
+    * shared by e94 (batch) and e96 (its streaming twin, which feeds
+    * the pairs from dropDuplicates state instead of a batch
+    * distinct). */
+  private[graft] def cohortsFromDays(days: DataFrame): DataFrame = {
+    // rename the aggregated side: `days` may be a memory-sink VIEW
+    // (e96), whose self-join would otherwise hit conflicting attribute
+    // references — a fresh alias gives the join distinct expr ids
     val first = days.groupBy("user_id").agg(min("day").as("d0"))
-    val weeks = days.join(first, "user_id")
+      .toDF("fuid", "d0")
+    val weeks = days.join(first, col("user_id") === col("fuid"))
       .select(col("user_id"), expr("d0 div 7").as("cohort_week"),
         expr("(day - d0) div 7").as("week_offset"))
       .distinct()

@@ -299,7 +299,10 @@ object SimilarityOps {
   /** Train the quantizer: returns (centroids, final assignment), both
     * cached. */
   private def kmModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    kmCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
+    // sessionUUID key for the same reason as FrameRegistry: an
+    // identity hash can alias after the session is GC'd
+    kmCache.computeIfAbsent(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d", _ => {
       val e = quantized(s, d).cache()
       // the training loop shuffles ~corpus×K rows many times; size the
       // stages to that volume (full width at real scale, narrow on the

@@ -459,6 +459,30 @@ object StreamingOps {
       .orderBy("stage_idx")
   }
 
+  // ------------------------------------- e96 streaming retention twin
+
+  /** e96: the e94 weekly-cohort retention as a STREAM — distinct
+    * (user, day) activity pairs maintained by streaming
+    * `dropDuplicates` state (the "has this user been seen today"
+    * membership set, the remaining built-in streaming-state shape the
+    * twin tier didn't yet exercise), cohort bucketing computed from
+    * the deduped pair sink at read time. Output is identical to the
+    * batch twin and shares e94's DuckDB oracle. At scale the state
+    * would carry a watermark to expire closed days; the fixtures are
+    * bounded so none is needed for parity. */
+  def streamRetention(spark: SparkSession, d: String): DataFrame = {
+    val sink = newSink()
+    val stageDir = stageFile(d, "events.parquet")
+    val nIn = spark.read.parquet(s"$d/events.parquet").count()
+    drainToMemorySink(spark, sink, "append", nIn) {
+      spark.readStream.schema(eventsSchema).parquet(stageDir)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .dropDuplicates("user_id", "day")
+    }
+    graft.ext.EventOps.cohortsFromDays(spark.table(sink))
+  }
+
   /** Watermarked sliding-window aggregation over a timestamped event
     * stream — the bounded-state deployment shape (§2.8): 10-minute
     * windows sliding 5, 15-minute watermark, append mode (only

@@ -294,6 +294,14 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("e96 stream retention output equals the e94 batch twin") {
+    val batch = graft.ext.EventOps.retention(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val stream = graft.streaming.StreamingOps.streamRetention(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("g100 jaccard matches a manual neighbor-set recount") {
     val pairs = Tables.lineitem(spark, d).filter(col("l_quantity") >= 48)
       .select("l_orderkey", "l_partkey").collect()
