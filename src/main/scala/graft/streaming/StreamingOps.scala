@@ -76,6 +76,25 @@ object StreamingOps {
       finally { q.stop(); deleteRecursively(ckpt) }
     }
 
+  /** Drain, then SNAPSHOT the sink into a standalone frame and drop
+    * the temp view. A memory sink holds its full result in driver
+    * memory for the JVM's life, and every invocation registers a fresh
+    * one (the bench's median-of-3 runs each streaming query 3×) — by
+    * the time the suite reached the t5x tier the accumulated sinks'
+    * heap pressure was inflating unrelated queries 4×. The snapshot
+    * keeps ONE copy of the (window/session-bounded, never
+    * corpus-sized) result and frees the sink immediately. */
+  private def drainToSnapshot(spark: SparkSession, mode: String, nIn: Long)
+      (buildQuery: => DataFrame): DataFrame = {
+    val sink = newSink()
+    drainToMemorySink(spark, sink, mode, nIn)(buildQuery)
+    val out = spark.table(sink)
+    val rows = out.collect()
+    spark.catalog.dropTempView(sink)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   private def newSink(): String =
     "stream_out_" + UUID.randomUUID.toString.replace("-", "")
 
@@ -84,11 +103,10 @@ object StreamingOps {
     * synchronously. Output is identical to the batch twin, so it shares
     * e80's DuckDB oracle: batch/stream parity is oracle-checked. */
   def streamTumblingCounts(spark: SparkSession, d: String): DataFrame = {
-    val sink = newSink()
     val stageDir = stageFile(d, "events.parquet")
     // metadata-only count (no filter → answered from parquet footers)
     val nIn = spark.read.parquet(s"$d/events.parquet").count()
-    drainToMemorySink(spark, sink, "complete", nIn) {
+    val snap = drainToSnapshot(spark, "complete", nIn) {
       spark.readStream
         .schema(eventsSchema)
         .parquet(stageDir)
@@ -98,7 +116,7 @@ object StreamingOps {
         .agg(count(lit(1)).as("n_events"),
           (sum("cents") / 100.0).as("total_value"))
     }
-    spark.table(sink)
+    snap
       .withColumn("window_start", timestamp_seconds(col("bucket") * 300))
       .select("window_start", "event_type", "n_events", "total_value")
       .orderBy("window_start", "event_type")
@@ -114,10 +132,9 @@ object StreamingOps {
     * stream/batch parity on the trending tier is itself oracle-checked
     * (the e84/e80 pattern). */
   def streamWindowTopEvent(spark: SparkSession, d: String): DataFrame = {
-    val sink = newSink()
     val stageDir = stageFile(d, "events.parquet")
     val nIn = spark.read.parquet(s"$d/events.parquet").count()
-    drainToMemorySink(spark, sink, "complete", nIn) {
+    val snap = drainToSnapshot(spark, "complete", nIn) {
       spark.readStream
         .schema(eventsSchema)
         .parquet(stageDir)
@@ -125,7 +142,7 @@ object StreamingOps {
         .groupBy("bucket", "event_type")
         .agg(count(lit(1)).as("n"))
     }
-    spark.table(sink)
+    snap
       .groupBy("bucket")
       .agg(max(struct(col("n"), col("event_type"))).as("m"))
       .select(timestamp_seconds(col("bucket") * 300).as("window_start"),
@@ -158,7 +175,6 @@ object StreamingOps {
     * operator itself is oracle-checked, like e84/e85 for windows and
     * dedup. */
   def streamRangeJoin(spark: SparkSession, d: String): DataFrame = {
-    val sink = newSink()
     def src(): DataFrame =
       spark.readStream.schema(eventsSchema)
         .parquet(stageFile(d, "events.parquet"))
@@ -169,7 +185,7 @@ object StreamingOps {
     // state holds only the two filtered streams
     val nIn = spark.read.parquet(s"$d/events.parquet")
       .filter(col("event_type").isin("error", "click")).count()
-    drainToMemorySink(spark, sink, "append", nIn) {
+    val snap = drainToSnapshot(spark, "append", nIn) {
       val errors = src().filter(col("event_type") === "error")
         .select(col("user_id"), col("event_id").as("error_event_id"),
           col("tsus").as("etsus"), col("etime").as("err_time"))
@@ -183,7 +199,7 @@ object StreamingOps {
           col("click_time") >= col("err_time") - expr("INTERVAL 10 MINUTES") &&
           col("click_time") < col("err_time"))
     }
-    spark.table(sink)
+    snap
       .select(col("user_id"), col("error_event_id"), col("ctsus"))
       .orderBy("error_event_id", "ctsus")
   }
@@ -209,10 +225,9 @@ object StreamingOps {
     * exactly 30 min open — the fixtures contain no exact-gap pair at
     * any SF (verified), so the two formulations agree row-for-row. */
   def streamSessionWindows(spark: SparkSession, d: String): DataFrame = {
-    val sink = newSink()
     val stageDir = stageFile(d, "events.parquet")
     val nIn = spark.read.parquet(s"$d/events.parquet").count()
-    drainToMemorySink(spark, sink, "complete", nIn) {
+    val snap = drainToSnapshot(spark, "complete", nIn) {
       spark.readStream.schema(eventsSchema).parquet(stageDir)
         .withColumn("tsus", expr("ts div 1000"))
         .withColumn("etime", timestamp_micros(col("tsus")))
@@ -223,7 +238,7 @@ object StreamingOps {
     // batch rollup of the drained sessions to e82's output columns
     // (integer half-up µs→ms rounding, integer-rational average — the
     // same exact-arithmetic forms as the batch twin)
-    spark.table(sink)
+    snap
       .select(col("user_id"), col("n_events"),
         expr("(2 * (max_us - min_us) + 1000) div 2000").as("dur_ms"))
       .groupBy("user_id")
@@ -247,17 +262,16 @@ object StreamingOps {
     * bounds are engine-exact. */
   def streamClosedSessions(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val sink = newSink()
     val stageDir = stageFile(d, "events.parquet")
     val nIn = spark.read.parquet(s"$d/events.parquet").count()
-    drainToMemorySink(spark, sink, "append", nIn) {
+    val snap = drainToSnapshot(spark, "append", nIn) {
       val ev = spark.readStream.schema(eventsSchema).parquet(stageDir)
         .select(col("user_id"),
           expr("ts div 1000").cast("double").as("ts"))
         .as[SessionEvent]
       sessionizeStream(ev, gap = 1800e6).toDF() // gap in µs
     }
-    spark.table(sink)
+    snap
       .select(col("user_id"),
         col("start").cast("bigint").as("start_us"),
         col("end").cast("bigint").as("end_us"),
@@ -294,11 +308,10 @@ object StreamingOps {
       |ORDER BY user_id, start_us""".stripMargin
 
   def streamExactDedup(spark: SparkSession, d: String): DataFrame = {
-    val sink = newSink()
     val stageDir = stageFile(d, "documents.parquet")
     val normText = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
     val nIn = spark.read.parquet(s"$d/documents.parquet").count()
-    drainToMemorySink(spark, sink, "complete", nIn) {
+    val snap = drainToSnapshot(spark, "complete", nIn) {
       spark.readStream
         .schema(documentsSchema)
         .parquet(stageDir)
@@ -306,7 +319,7 @@ object StreamingOps {
         .groupBy("fp")
         .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
     }
-    spark.table(sink)
+    snap
       .select("fp", "keep_doc_id", "n_copies")
       .orderBy("keep_doc_id")
   }
@@ -437,10 +450,9 @@ object StreamingOps {
     * state instead of a built-in aggregation). */
   def streamFunnel(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val sink = newSink()
     val stageDir = stageFile(d, "events.parquet")
     val nIn = spark.read.parquet(s"$d/events.parquet").count()
-    drainToMemorySink(spark, sink, "update", nIn) {
+    val snap = drainToSnapshot(spark, "update", nIn) {
       val ev = spark.readStream.schema(eventsSchema).parquet(stageDir)
         .filter(col("event_type").isin("signup", "view", "click", "purchase"))
         .select(col("user_id"), expr("ts div 1000").as("ts"),
@@ -449,7 +461,7 @@ object StreamingOps {
         .as[FunnelEvent]
       funnelStream(ev).toDF()
     }
-    spark.table(sink)
+    snap
       .groupBy("user_id").agg(max("reached").as("reached"))
       .agg(sum(when(col("reached") >= 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("reached") >= 2, 1L).otherwise(0L)).as("n2"),
@@ -471,16 +483,15 @@ object StreamingOps {
     * would carry a watermark to expire closed days; the fixtures are
     * bounded so none is needed for parity. */
   def streamRetention(spark: SparkSession, d: String): DataFrame = {
-    val sink = newSink()
     val stageDir = stageFile(d, "events.parquet")
     val nIn = spark.read.parquet(s"$d/events.parquet").count()
-    drainToMemorySink(spark, sink, "append", nIn) {
+    val snap = drainToSnapshot(spark, "append", nIn) {
       spark.readStream.schema(eventsSchema).parquet(stageDir)
         .select(col("user_id"),
           expr("(ts div 1000) div 86400000000").as("day"))
         .dropDuplicates("user_id", "day")
     }
-    graft.ext.EventOps.cohortsFromDays(spark.table(sink))
+    graft.ext.EventOps.cohortsFromDays(snap)
   }
 
   /** Watermarked sliding-window aggregation over a timestamped event
