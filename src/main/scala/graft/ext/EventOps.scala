@@ -458,6 +458,47 @@ object EventOps {
       |GROUP BY w.cohort_week, w.week_offset, s.cohort_users
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---------------------------------------------- e97 rate spikes
+
+  /** e97: event-rate anomaly detection — hourly per-type counts
+    * flagged when the hour exceeds 3× its trailing-6-hour mean
+    * (`n·2 > Σ prev-6`, exact integers — no fp z-score to drift
+    * cross-engine). Aggregate-then-window (the q51 lesson): the RANGE
+    * frame runs over the per-(type, hour) aggregate, whose size is
+    * calendar-bounded — the raw events reduce map-side first, and
+    * hours with no predecessor history (empty frame → NULL) are never
+    * flagged. */
+  def rateSpikes(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .withColumn("bucket", expr("(ts div 1000) div 3600000000"))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rangeBetween(-6, -1)
+    hourly
+      .withColumn("trailing6", sum("n_events").over(w))
+      .filter(col("trailing6").isNotNull &&
+        col("n_events") * 2 > col("trailing6"))
+      .select(timestamp_seconds(col("bucket") * 3600).as("window_start"),
+        col("event_type"), col("n_events"), col("trailing6"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val rateSpikesSql: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT bucket, event_type, n_events,
+      |    sum(n_events) OVER (PARTITION BY event_type ORDER BY bucket
+      |      RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING) AS trailing6
+      |  FROM c)
+      |SELECT CAST(to_timestamp(bucket * 3600) AS TIMESTAMP) AS window_start,
+      |  event_type, n_events, CAST(trailing6 AS BIGINT) AS trailing6
+      |FROM w WHERE trailing6 IS NOT NULL AND n_events * 2 > trailing6
+      |ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e80_tumbling_window" -> tumblingWindow _,
     "e81_hopping_window"  -> hoppingWindow _,
@@ -468,6 +509,7 @@ object EventOps {
     "e91_window_top_event" -> windowTopEvent _,
     "e93_funnel"          -> funnel _,
     "e94_retention"       -> retention _,
+    "e97_rate_spikes"     -> rateSpikes _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -480,5 +522,6 @@ object EventOps {
     "e91_window_top_event" -> windowTopEventSql,
     "e93_funnel"          -> funnelSql,
     "e94_retention"       -> retentionSql,
+    "e97_rate_spikes"     -> rateSpikesSql,
   )
 }

@@ -422,6 +422,24 @@ object SimilarityOps {
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Full-query twins of the trained-model internals, for composition:
+    * s75 embeds them as subqueries, so their CTE names stay scoped and
+    * never clash with the PQ prefix's. */
+  private val kmAssignSql: String =
+    s"$kmSqlPrefix\nSELECT vec_id, cid FROM aF"
+
+  private val kmProbeSql: String = {
+    val probeDist = kmDistSql.replace("AQ", "qq.qv").replace("CV", "c.cv")
+    s"""$kmSqlPrefix,
+      |probe AS (
+      |  SELECT q_id, cid FROM (
+      |    SELECT qq.vec_id q_id, c.cid,
+      |      row_number() OVER (PARTITION BY qq.vec_id
+      |        ORDER BY $probeDist ASC, c.cid) rn
+      |    FROM q qq, c$kmIters c WHERE qq.vec_id < 10) WHERE rn = 1)
+      |SELECT q_id, cid FROM probe""".stripMargin
+  }
+
   // ------------------------------------------- s69 product quantization
 
   private val pqM = 4     // subspaces
@@ -592,6 +610,71 @@ object SimilarityOps {
       |SELECT q_id, c_id, CAST(ad2 AS BIGINT) AS ad2, rank
       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
+
+  // ------------------------------------------------ s75 IVF-PQ
+
+  /** s75: IVF-PQ — the fully composed production ANN index (the FAISS
+    * `IVFx,PQy` shape): each query probes the TRAINED coarse quantizer
+    * (s66's fixed-point k-means model) for its nearest cell, then
+    * scores ONLY that cell's members from their 8-bit PQ codes via the
+    * s70 ADC lookup tables. The two index structures compose exactly as
+    * they would at 100 TB — the scan is restricted to one cell's code
+    * column (IVF bounds rows touched, PQ bounds bytes per row), the
+    * centroids/codebooks/LUTs all broadcast, and the per-query top-3 is
+    * the bounded-heap aggregate. Every distance is an integer sum, so
+    * the whole composed path hash-checks (ties → smallest id). */
+  def ivfPqKnn(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    val (cent, assigned) = kmModel(s, d)
+    val (subs, cb, enc) = pqParts(s, d)
+    val probe = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("cv")))
+      .groupBy("q_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("q_id"), col("m.cid").as("cid"))
+    val lut = subs.filter(col("vec_id") < 10).toDF("q_id", "j", "qsv")
+      .join(broadcast(cb.toDF("j", "code", "ccv")), Seq("j"))
+      .withColumn("qd2", dist2(col("qsv"), col("ccv")))
+      .select("q_id", "j", "code", "qd2")
+    val members = assigned.select(col("vec_id").as("c_id"), col("cid"))
+    val codes = enc.select(col("vec_id").as("c_id"), col("j"),
+      col("cid").as("code"))
+    val scored = probe.join(members, "cid")
+      .filter(col("c_id") =!= col("q_id"))
+      .join(codes, "c_id")
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy("q_id", "cid", "c_id")
+      .agg(sum("qd2").as("ad2"))
+      .groupBy("q_id", "cid")
+      .agg(topkUdaf(3)((-col("ad2")).cast("double"), col("c_id")).as("tk"))
+    explodeTopK(scored, Seq("q_id", "cid"), "c_id", "nad2")
+      .select(col("q_id"), col("cid"), col("c_id"),
+        (-col("nad2")).cast("bigint").as("ad2"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val ivfPqKnnSql: String =
+    s"""$pqSqlPrefix,
+      |member AS (SELECT vec_id AS c_id, cid FROM ($kmAssignSql)),
+      |probe AS (SELECT q_id, cid FROM ($kmProbeSql)),
+      |lut AS (
+      |  SELECT s.vec_id q_id, s.j, c.cid AS code, $pqD16 AS qd2
+      |  FROM subs s JOIN cb c ON c.j = s.j WHERE s.vec_id < 10),
+      |scored AS (
+      |  SELECT p.q_id, p.cid, m.c_id, sum(l.qd2) AS ad2
+      |  FROM probe p
+      |  JOIN member m ON m.cid = p.cid AND m.c_id <> p.q_id
+      |  JOIN enc e2 ON e2.vec_id = m.c_id
+      |  JOIN lut l ON l.q_id = p.q_id AND l.j = e2.j AND l.code = e2.cid
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT q_id, cid, c_id, ad2, CAST(row_number() OVER (
+      |    PARTITION BY q_id ORDER BY ad2 ASC, c_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT q_id, cid, c_id, CAST(ad2 AS BIGINT) AS ad2, rank
+      |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   // --------------------------------- s73 scalar quantization (int8)
 
@@ -807,6 +890,7 @@ object SimilarityOps {
     "s69_pq_codes"      -> pqCodes _,
     "s70_pq_adc_knn"    -> pqAdcKnn _,
     "s73_sq_knn"        -> sqKnn _,
+    "s75_ivfpq_knn"     -> ivfPqKnn _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -820,5 +904,6 @@ object SimilarityOps {
     "s69_pq_codes"      -> pqCodesSql,
     "s70_pq_adc_knn"    -> pqAdcKnnSql,
     "s73_sq_knn"        -> sqKnnSql,
+    "s75_ivfpq_knn"     -> ivfPqKnnSql,
   )
 }

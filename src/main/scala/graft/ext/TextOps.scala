@@ -608,6 +608,52 @@ object TextOps {
       |LEFT JOIN nb USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- t59 per-source report
+
+  /** t59: per-source corpus health report — the "which crawl sources
+    * are worth keeping" table a pipeline reviews before mixing
+    * training data: document/char volume, the t50 quality keep rate,
+    * and the d50 exact-duplicate membership rate per `source`, all
+    * exact integer ppm. One per-doc projection computes the
+    * fingerprint, one corpus-wide shuffle on it (the d50 aggregation),
+    * one narrow agg on source; the per-doc quality decision reuses
+    * t50's rule frame (a doc_id-keyed join, co-partitioned with the
+    * corpus scan). */
+  def sourceProfile(s: SparkSession, d: String): DataFrame = {
+    val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), fp.as("fp"))
+    val dupGroups = docs.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+    val kept = qualityReason(s, d)
+      .select(col("doc_id"),
+        when(col("reason") === "kept", 1L).otherwise(0L).as("kept"))
+    docs.join(dupGroups, "fp")
+      .join(kept, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        expr("(sum(kept) * 1000000) div count(1)").as("kept_ppm"),
+        expr("(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1000000)" +
+          " div count(1)").as("dup_ppm"))
+      .orderBy("source")
+  }
+
+  val sourceProfileSql: String =
+    s"""WITH $qualityReasonCte,
+      |fps AS (
+      |  SELECT doc_id, source, n_chars,
+      |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |dg AS (SELECT fp, count(*) AS n_copies FROM fps GROUP BY 1)
+      |SELECT f.source, count(*) AS n_docs,
+      |  CAST(sum(f.n_chars) AS BIGINT) AS total_chars,
+      |  CAST((sum(CASE WHEN h.reason = 'kept' THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*) AS BIGINT) AS kept_ppm,
+      |  CAST((sum(CASE WHEN dg.n_copies > 1 THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*) AS BIGINT) AS dup_ppm
+      |FROM fps f JOIN dg USING (fp) JOIN h USING (doc_id)
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -623,6 +669,7 @@ object TextOps {
     "t55_type_token_ratio" -> typeTokenRatio _,
     "t56_tfidf_terms"     -> tfIdfTerms _,
     "t58_boilerplate"     -> boilerplateRatio _,
+    "t59_source_profile"  -> sourceProfile _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -640,5 +687,6 @@ object TextOps {
     "t55_type_token_ratio" -> typeTokenRatioSql,
     "t56_tfidf_terms"     -> tfIdfTermsSql,
     "t58_boilerplate"     -> boilerplateRatioSql,
+    "t59_source_profile"  -> sourceProfileSql,
   )
 }

@@ -338,6 +338,66 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("e97 flags exactly the hours above 3x their trailing mean") {
+    val counts = Tables.events(spark, d)
+      .withColumn("bucket", expr("(ts div 1000) div 3600000000"))
+      .groupBy("bucket", "event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val expect = counts.groupBy(_._1).values.flatMap { rows =>
+      val byBucket = rows.map(r => r._2 -> r._3).toMap
+      rows.flatMap { case (ty, b, n) =>
+        val t6 = (b - 6 to b - 1).flatMap(byBucket.get)
+        if (t6.nonEmpty && n * 2 > t6.sum) Some((ty, b, n, t6.sum)) else None
+      }
+    }.toSet
+    val got = graft.ext.EventOps.rateSpikes(spark, d)
+      .collect().map(r => (r.getString(1),
+        r.getTimestamp(0).getTime / 1000 / 3600, r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("t59 source report reconciles with t50 and d50 totals") {
+    val rows = graft.ext.TextOps.sourceProfile(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val nDocs = Tables.documents(spark, d).count()
+    assert(rows.map(_._2).sum == nDocs)
+    // kept docs across sources == t50's kept bucket
+    val keptTotal = rows.map(r => r._4 * r._2 / 1000000.0).sum
+    val t50kept = graft.ext.TextOps.qualityFilter(spark, d)
+      .filter(col("reason") === "kept").head().getLong(1)
+    // ppm rounding loses < 1 doc per source
+    assert(math.abs(keptTotal - t50kept) < rows.length)
+    // duplicate members across sources == docs in multi-copy d50 groups
+    val dupTotal = rows.map(r => r._5 * r._2 / 1000000.0).sum
+    val d50dups = graft.ext.DedupOps.exactDedup(spark, d)
+      .filter(col("n_copies") > 1)
+      .agg(coalesce(sum("n_copies"), lit(0L))).head().getLong(0)
+    assert(math.abs(dupTotal - d50dups) < rows.length)
+  }
+
+  test("s75 probes the same cell as s67 and ranks by integer ADC") {
+    val s67cell = graft.ext.SimilarityOps.kmeansIvfKnn(spark, d)
+      .select("q_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.ext.SimilarityOps.ivfPqKnn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      // same probed cell as the raw-vector IVF serving path
+      s67cell.get(q).foreach(cell => assert(rs.forall(_._2 == cell)))
+      val sorted = rs.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true })
+      assert(rs.forall(_._3 != q))
+      assert(rs.map(_._3).distinct.length == rs.length)
+    }
+  }
+
   test("m74 frame energy matches a manual byte sum") {
     val doc = Tables.documents(spark, d)
       .filter(col("doc_id") % 3 === 1).orderBy("doc_id").head()
