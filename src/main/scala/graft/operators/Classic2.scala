@@ -184,6 +184,17 @@ object Classic2 {
 
   val sqRecallSql: String = recallAt3Sql(SimilarityOps.sqKnnSql)
 
+  /** s76: recall@3 of the composed IVF-PQ path (s75) against the brute
+    * ground truth — the end-to-end quality number for the full
+    * production index (coarse-cell misses + code-quantization error
+    * together), completing the evaluation column of the ANN matrix:
+    * every serving path in the engine carries its own oracle-checked
+    * recall measurement. */
+  def ivfPqRecall(s: SparkSession, d: String): DataFrame =
+    recallAt3(s, d, SimilarityOps.ivfPqKnn(s, d))
+
+  val ivfPqRecallSql: String = recallAt3Sql(SimilarityOps.ivfPqKnnSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s68_kmeans_recall"    -> kmeansRecall _,
     "q02_top_supplier"     -> topSupplierPerNation _,
@@ -193,6 +204,7 @@ object Classic2 {
     "s65_multiprobe_recall" -> ivfMultiprobeRecall _,
     "s72_lsh_recall"       -> lshRerankRecall _,
     "s74_sq_recall"        -> sqRecall _,
+    "s76_ivfpq_recall"     -> ivfPqRecall _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -204,5 +216,6 @@ object Classic2 {
     "s68_kmeans_recall"    -> kmeansRecallSql,
     "s72_lsh_recall"       -> lshRerankRecallSql,
     "s74_sq_recall"        -> sqRecallSql,
+    "s76_ivfpq_recall"     -> ivfPqRecallSql,
   )
 }

@@ -398,6 +398,16 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("s76 IVF-PQ recall is a valid fraction vs the brute truth") {
+    val rec = graft.operators.Classic2.ivfPqRecall(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rec.length == 10)
+    val hits = Set(0.0, 1.0 / 3, 2.0 / 3, 1.0)
+    rec.foreach { case (_, v) =>
+      assert(hits.exists(h => math.abs(h - v) < 1e-9))
+    }
+  }
+
   test("m74 frame energy matches a manual byte sum") {
     val doc = Tables.documents(spark, d)
       .filter(col("doc_id") % 3 === 1).orderBy("doc_id").head()
