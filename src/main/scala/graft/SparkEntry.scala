@@ -63,7 +63,11 @@ object SparkEntry {
         // streaming twin of e94: distinct (user, day) pairs as
         // dropDuplicates state — shares e94's oracle
         "e96_stream_retention" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamRetention(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamRetention(s, d)),
+        // stream-static enrichment join (per-batch broadcast dimension
+        // lookup) — the batch twin is the oracle
+        "e98_stream_enrichment" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamSegmentEnrichment(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -81,5 +85,6 @@ object SparkEntry {
         "e90_stream_closed_sessions" -> StreamingOps.streamClosedSessionsSql,
         "e92_stream_top_event" -> EventOps.windowTopEventSql,
         "e95_stream_funnel" -> EventOps.funnelSql,
-        "e96_stream_retention" -> EventOps.retentionSql)
+        "e96_stream_retention" -> EventOps.retentionSql,
+        "e98_stream_enrichment" -> StreamingOps.streamSegmentEnrichmentSql)
 }

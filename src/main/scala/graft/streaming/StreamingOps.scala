@@ -471,6 +471,45 @@ object StreamingOps {
       .orderBy("stage_idx")
   }
 
+  // ------------------------------------ e98 stream-static enrichment
+
+  /** e98: STREAM-STATIC enrichment join — the purchase stream joined
+    * per micro-batch against the static customer dimension (broadcast
+    * lookup, re-read each batch: the remaining built-in streaming join
+    * shape after e88's stream-stream), revenue aggregated per market
+    * segment in streaming state. Users map onto the customer key space
+    * by modulo (deterministic, SF-agnostic — the oracle recomputes the
+    * modulus from the dimension's own row count). Value sums run on
+    * exact integer cents (the e80 rule). */
+  def streamSegmentEnrichment(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(d, "events.parquet")
+    val nIn = spark.read.parquet(s"$d/events.parquet").count()
+    val cust = spark.read.parquet(s"$d/customer.parquet")
+      .select("c_custkey", "c_mktsegment")
+    val nCust = cust.count()
+    val snap = drainToSnapshot(spark, "complete", nIn) {
+      spark.readStream.schema(eventsSchema).parquet(stageDir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("c_custkey", expr(s"user_id % $nCust + 1"))
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        .join(broadcast(cust), "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
+    }
+    snap.select(col("c_mktsegment"), col("n_purchases"),
+        (col("cents") / 100.0).as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val streamSegmentEnrichmentSql: String =
+    """SELECT c_mktsegment, count(*) AS n_purchases,
+      |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+      |FROM events e
+      |JOIN customer c
+      |  ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer) + 1
+      |WHERE e.event_type = 'purchase'
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------- e96 streaming retention twin
 
   /** e96: the e94 weekly-cohort retention as a STREAM — distinct

@@ -408,6 +408,24 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("e98 stream enrichment equals the batch join") {
+    val nCust = Tables.customer(spark, d).count()
+    val batch = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("c_custkey", expr(s"user_id % $nCust + 1"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .join(Tables.customer(spark, d).select("c_custkey", "c_mktsegment"),
+        "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), (sum("cents") / 100.0).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val stream = graft.streaming.StreamingOps
+      .streamSegmentEnrichment(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("m74 frame energy matches a manual byte sum") {
     val doc = Tables.documents(spark, d)
       .filter(col("doc_id") % 3 === 1).orderBy("doc_id").head()
