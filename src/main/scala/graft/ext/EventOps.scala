@@ -281,10 +281,17 @@ object EventOps {
     * to the lexicographically greatest type, which the struct comparison
     * and the oracle's max-over-tied-rows both implement. */
   def windowTopEvent(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+    topEventFromCounts(events(s, d)
       .withColumn("bucket", expr("(ts div 1000) div 300000000"))
       .groupBy("bucket", "event_type")
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** Per-window argmax + projection over (bucket, event_type, n)
+    * counts — shared by e91 (batch) and e92 (its streaming twin reads
+    * the counts from streaming state), so a tie-break or bucket change
+    * can never desynchronize the pair. */
+  private[graft] def topEventFromCounts(counts: DataFrame): DataFrame =
+    counts
       .groupBy("bucket")
       .agg(max(struct(col("n"), col("event_type"))).as("m"))
       .select(timestamp_seconds(col("bucket") * 300).as("window_start"),

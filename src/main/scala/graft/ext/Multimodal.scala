@@ -71,16 +71,25 @@ object Multimodal {
     }
   }
 
+  /** Shared framing convention (m71/m74/m75): skip the 12-byte fake
+    * codec header, split the body into `everyNBytes`-byte slices, at
+    * least one frame per media. Centralized so the frame indexing of
+    * the sampling, energy, and scene tiers can never diverge. */
+  private def frameSlices(payload: Array[Byte], everyNBytes: Int = 64)
+      : Seq[(Int, Array[Byte])] = {
+    val body = payload.drop(12)
+    val n = math.max(1, body.length / everyNBytes)
+    (0 until n).map(i =>
+      i -> body.slice(i * everyNBytes, (i + 1) * everyNBytes))
+  }
+
   /** Frame sampling: deterministic byte-range slices hashed per frame
     * (the video-frame-extraction shape: one input row → n_frames rows). */
   def sampleFrames(media: Dataset[MediaRow], everyNBytes: Int = 64)
       : Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val body = m.payload.drop(12)
-      val n = math.max(1, body.length / everyNBytes)
-      (0 until n).map { i =>
-        val slice = body.slice(i * everyNBytes, (i + 1) * everyNBytes)
+      frameSlices(m.payload, everyNBytes).map { case (i, slice) =>
         val digest = MessageDigest.getInstance("MD5").digest(slice)
         Frame(m.media_id, i, digest.map("%02x".format(_)).mkString.take(16))
       }
@@ -244,10 +253,7 @@ object Multimodal {
   def mediaEnergy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d).filter(_.kind == "audio").flatMap { m =>
-      val body = m.payload.drop(12)
-      val n = math.max(1, body.length / 64)
-      (0 until n).map { i =>
-        val slice = body.slice(i * 64, (i + 1) * 64)
+      frameSlices(m.payload).map { case (i, slice) =>
         (m.media_id, i.toLong,
           slice.foldLeft(0L)((acc, b) => acc + (b & 0xff)),
           slice.length.toLong)

@@ -335,19 +335,28 @@ object SimilarityOps {
   /** s67: ANN through the trained quantizer — probe the nearest
     * centroid (integer distance), exact rounded-cosine top-3 within
     * that cluster. The serving half of k-means IVF. */
-  def kmeansIvfKnn(s: SparkSession, d: String): DataFrame = {
-    val e = quantized(s, d)
-    val (cent, assigned) = kmModel(s, d)
-    val members = assigned
-      .select(col("vec_id").as("c_id"), col("cid"), col("v").as("cv2"))
-    val q = e.filter(col("vec_id") < 10)
+  /** Coarse-quantizer probe: each query's nearest trained centroid
+    * (integer distance, ties → smallest cid), with the raw query
+    * vector carried for downstream exact scoring. Shared by s67 (raw
+    * rerank) and s75 (ADC rerank) — the same dataflow the oracle side
+    * factors into `kmProbeSql`, so the two serving paths can never
+    * probe different cells. */
+  private def kmProbe(s: SparkSession, d: String): DataFrame = {
+    val (cent, _) = kmModel(s, d)
+    quantized(s, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv2"), col("qv"))
-    val probe = q.crossJoin(broadcast(cent))
+      .crossJoin(broadcast(cent))
       .withColumn("d2", dist2(col("qv"), col("cv")))
       .groupBy("q_id", "qv2")
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("q_id"), col("qv2"), col("m.cid").as("cid"))
-    val ranked = probe.join(members, Seq("cid"))
+  }
+
+  def kmeansIvfKnn(s: SparkSession, d: String): DataFrame = {
+    val (_, assigned) = kmModel(s, d)
+    val members = assigned
+      .select(col("vec_id").as("c_id"), col("cid"), col("v").as("cv2"))
+    val ranked = kmProbe(s, d).join(members, Seq("cid"))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("cosine",
         round(dot(col("qv2"), col("cv2")) / (norm(col("qv2")) * norm(col("cv2"))), 6))
@@ -624,16 +633,9 @@ object SimilarityOps {
     * the bounded-heap aggregate. Every distance is an integer sum, so
     * the whole composed path hash-checks (ties → smallest id). */
   def ivfPqKnn(s: SparkSession, d: String): DataFrame = {
-    val e = quantized(s, d)
-    val (cent, assigned) = kmModel(s, d)
+    val (_, assigned) = kmModel(s, d)
     val (subs, cb, enc) = pqParts(s, d)
-    val probe = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("qv"))
-      .crossJoin(broadcast(cent))
-      .withColumn("d2", dist2(col("qv"), col("cv")))
-      .groupBy("q_id")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("q_id"), col("m.cid").as("cid"))
+    val probe = kmProbe(s, d).select("q_id", "cid")
     val lut = subs.filter(col("vec_id") < 10).toDF("q_id", "j", "qsv")
       .join(broadcast(cb.toDF("j", "code", "ccv")), Seq("j"))
       .withColumn("qd2", dist2(col("qsv"), col("ccv")))

@@ -142,13 +142,7 @@ object StreamingOps {
         .groupBy("bucket", "event_type")
         .agg(count(lit(1)).as("n"))
     }
-    snap
-      .groupBy("bucket")
-      .agg(max(struct(col("n"), col("event_type"))).as("m"))
-      .select(timestamp_seconds(col("bucket") * 300).as("window_start"),
-        col("m.event_type").as("top_event_type"),
-        col("m.n").as("n_events"))
-      .orderBy("window_start")
+    graft.ext.EventOps.topEventFromCounts(snap)
   }
 
   /** documents schema for streaming reads. */

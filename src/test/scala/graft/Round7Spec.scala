@@ -221,6 +221,19 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** Manual recomputation of GraphOps.copurchaseEdges' neighbor sets
+    * (shared by the g99/g100 tests so the edge predicate lives in one
+    * place). */
+  private def copurchaseNeighbors(): Map[Long, Set[Long]] = {
+    val pairs = Tables.lineitem(spark, d).filter(col("l_quantity") >= 48)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.groupBy(_._1).values
+      .flatMap(g => for (a <- g; b <- g if a._2 < b._2) yield (a._2, b._2))
+      .toSet
+    (pairs.toSeq ++ pairs.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
   test("g99 BFS distances are locally consistent") {
     val hops = graft.graph.GraphOps.bfsHops(spark, d)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -233,13 +246,7 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     // every non-seed's distance is 1 + min over its reached neighbors
     val edges = graft.graph.GraphOps.copurchaseDegrees(spark, d) // warm cache
     assert(edges.count() > 0)
-    val pairs = Tables.lineitem(spark, d).filter(col("l_quantity") >= 48)
-      .select("l_orderkey", "l_partkey").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq.groupBy(_._1).values
-      .flatMap(g => for (a <- g; b <- g if a._2 < b._2) yield (a._2, b._2))
-      .toSet
-    val nbrs = (pairs.toSeq ++ pairs.toSeq.map(p => (p._2, p._1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val nbrs = copurchaseNeighbors()
     hops.collect { case (v, h) if h > 0 =>
       val best = nbrs(v).flatMap(hops.get).min
       assert(h == best + 1, s"vertex $v: hops $h != ${best + 1}")
@@ -303,13 +310,10 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
   }
 
   test("g100 jaccard matches a manual neighbor-set recount") {
-    val pairs = Tables.lineitem(spark, d).filter(col("l_quantity") >= 48)
-      .select("l_orderkey", "l_partkey").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq.groupBy(_._1).values
-      .flatMap(g => for (a <- g; b <- g if a._2 < b._2) yield (a._2, b._2))
+    val nbrs = copurchaseNeighbors()
+    val pairs = nbrs.toSeq
+      .flatMap { case (a, bs) => bs.collect { case b if a < b => (a, b) } }
       .toSet
-    val nbrs = (pairs.toSeq ++ pairs.toSeq.map(p => (p._2, p._1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val rows = graft.graph.GraphOps.edgeJaccard(spark, d)
       .collect().map(r => ((r.getLong(0), r.getLong(1)),
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
