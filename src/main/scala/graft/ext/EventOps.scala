@@ -329,7 +329,21 @@ object EventOps {
       .select(col("user_id"), expr("ts div 1000").as("tsus"),
         expr("CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1" +
           " WHEN 'click' THEN 2 ELSE 3 END").as("tp"))
-    val stages = ev.groupBy("user_id")
+    funnelStages(ev)
+      .agg(sum(when(col("st.t1").isNotNull, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("st.t2").isNotNull, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("st.t3").isNotNull, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("st.t4").isNotNull, 1L).otherwise(0L)).as("n4"))
+      .select(expr(funnelStackExpr))
+      .orderBy("stage_idx")
+  }
+
+  /** Per-user funnel stage times from a (user_id, tsus, tp) event
+    * frame — the sequential-min fold, factored out so property tests
+    * can drive it with arbitrary event sets. Returns one row per user
+    * with the `st` struct (t1..t4, NULL = stage not reached). */
+  private[graft] def funnelStages(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("tsus"), col("tp")))).as("evs"))
       .withColumn("st", expr(
         """aggregate(evs,
@@ -347,14 +361,6 @@ object EventOps {
           |    't4', CASE WHEN a.t4 IS NULL AND e.tp = 3
           |                AND a.t3 IS NOT NULL AND e.tsus > a.t3
           |               THEN e.tsus ELSE a.t4 END))""".stripMargin))
-    stages
-      .agg(sum(when(col("st.t1").isNotNull, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("st.t2").isNotNull, 1L).otherwise(0L)).as("n2"),
-        sum(when(col("st.t3").isNotNull, 1L).otherwise(0L)).as("n3"),
-        sum(when(col("st.t4").isNotNull, 1L).otherwise(0L)).as("n4"))
-      .select(expr(funnelStackExpr))
-      .orderBy("stage_idx")
-  }
 
   /** Shared final projection (e93 batch + e95 streaming twin): a
     * single (n1..n4) row unpivoted to 4 funnel rows with integer-exact
