@@ -67,7 +67,12 @@ object SparkEntry {
         // stream-static enrichment join (per-batch broadcast dimension
         // lookup) — the batch twin is the oracle
         "e98_stream_enrichment" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamSegmentEnrichment(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamSegmentEnrichment(s, d)),
+        // streaming twin of t50: the stateless quality-rule stage
+        // composed onto a file stream — shares t50's oracle
+        // (batch/stream parity on the corpus-filtering tier)
+        "e99_stream_quality" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamQualityFilter(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -86,5 +91,6 @@ object SparkEntry {
         "e92_stream_top_event" -> EventOps.windowTopEventSql,
         "e95_stream_funnel" -> EventOps.funnelSql,
         "e96_stream_retention" -> EventOps.retentionSql,
-        "e98_stream_enrichment" -> StreamingOps.streamSegmentEnrichmentSql)
+        "e98_stream_enrichment" -> StreamingOps.streamSegmentEnrichmentSql,
+        "e99_stream_quality" -> TextOps.qualityFilterSql)
 }

@@ -769,6 +769,57 @@ object DedupOps {
       |    FROM flags3)
       |ORDER BY stage""".stripMargin
 
+  // --------------------------------------- d59 passage-level dedup
+
+  /** d59: passage-level (chunk) exact dedup — the CCNet/RefinedWeb
+    * sub-document pass: each document is cut into consecutive 10-token
+    * passages, passages are counted corpus-wide by 60-bit hash, and a
+    * passage occurring more than once anywhere is a duplicate. Reported
+    * per document as (passages, duplicated passages) — the mask a
+    * training pipeline applies to drop boilerplate chunks that
+    * whole-document dedup can't see.
+    *
+    * Scale shape: the passage frame shuffles once on the 60-bit hash
+    * for the count and once more joining counts back — both exchanges
+    * carry (doc_id, hash) pairs, never passage text, so shuffle bytes
+    * are ~16/passage regardless of passage length. At 100 TB the count
+    * frame is Zipf-skewed (boilerplate passages are hot keys) but the
+    * aggregation is a map-side-combining sum, and the join back is on
+    * the high-cardinality hash — AQE's skew split covers the tail. */
+  def passageDedup(s: SparkSession, d: String): DataFrame = {
+    val p = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, (size(toks)-1) div 10)," +
+          " i -> concat_ws(' ', slice(toks, i*10+1, 10)))")).as("passage"))
+      .select(col("doc_id"), md5Long(col("passage")).as("ph"))
+    val counts = p.groupBy("ph").agg(count(lit(1)).as("cnt"))
+    p.join(counts, "ph")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pass"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .orderBy("doc_id")
+  }
+
+  val passageDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, (len(toks)-1)//10 + 1),
+      |    i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS passage
+      |  FROM t WHERE len(toks) > 0),
+      |p AS (
+      |  SELECT doc_id, ('0x' || substr(md5(passage), 1, 15))::BIGINT AS ph
+      |  FROM px),
+      |c AS (SELECT ph, count(*) AS cnt FROM p GROUP BY ph)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pass,
+      |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |FROM p JOIN c USING (ph) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_exact_dedup"    -> exactDedup _,
     "d51_jaccard_pairs"  -> jaccardPairs _,
@@ -780,6 +831,7 @@ object DedupOps {
     "d56_dedup_clusters" -> dedupClusters _,
     "d57_dedup_apply"    -> dedupApply _,
     "d58_incremental_dedup" -> incrementalDedup _,
+    "d59_passage_dedup"  -> passageDedup _,
     "t49_decontamination" -> decontamination _,
     "t57_corpus_funnel"  -> corpusFunnel _,
   )
@@ -795,6 +847,7 @@ object DedupOps {
     "d56_dedup_clusters" -> dedupClustersSql,
     "d57_dedup_apply"    -> dedupApplySql,
     "d58_incremental_dedup" -> incrementalDedupSql,
+    "d59_passage_dedup"  -> passageDedupSql,
     "t49_decontamination" -> decontaminationSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,
   )

@@ -881,6 +881,42 @@ object SimilarityOps {
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------- s77 radius search
+
+  /** s77: cosine radius (range) search — every corpus vector within a
+    * similarity threshold of each query, the retrieval primitive for
+    * "all sufficiently-close" use cases (near-dup discovery, recall
+    * sets, density probes) where top-k's fixed fan-out is wrong.
+    * Same scale shape as s60: the query set broadcasts, the corpus
+    * never shuffles, and the threshold filter runs inside the scan's
+    * codegen stage — the result exchange carries only survivors
+    * (≤ hit-count rows), so output, not corpus, bounds shuffle bytes.
+    * At 100 TB the brute scan is the exact tier; the IVF/LSH tiers
+    * (s61/s71) provide the same radius semantics approximately by
+    * filtering their candidate sets with this predicate. */
+  def radiusSearch(s: SparkSession, d: String, minCosine: Double = 0.32): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10).toDF("q_id", "qv")
+    val c = e.toDF("c_id", "cv")
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("q_id", "c_id", "cosine")
+      .orderBy("q_id", "c_id")
+  }
+
+  val radiusSearchSql: String = {
+    val cosine = cosineSqlSnippet.replace("QV", "q.v").replace("CV", "c.v")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+      |SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |  round($cosine, 6) AS cosine
+      |FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |WHERE round($cosine, 6) >= 0.32
+      |ORDER BY q_id, c_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s60_knn_brute"     -> knnBrute _,
     "s61_ivf_knn"       -> ivfKnn _,
@@ -893,6 +929,7 @@ object SimilarityOps {
     "s70_pq_adc_knn"    -> pqAdcKnn _,
     "s73_sq_knn"        -> sqKnn _,
     "s75_ivfpq_knn"     -> ivfPqKnn _,
+    "s77_radius_search" -> ((s: SparkSession, d: String) => radiusSearch(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -907,5 +944,6 @@ object SimilarityOps {
     "s70_pq_adc_knn"    -> pqAdcKnnSql,
     "s73_sq_knn"        -> sqKnnSql,
     "s75_ivfpq_knn"     -> ivfPqKnnSql,
+    "s77_radius_search" -> radiusSearchSql,
   )
 }

@@ -365,10 +365,16 @@ object TextOps {
   /** Per-document keep/drop decision frame (doc_id, reason) — t50's
     * rule evaluation exposed for composition (the t57 funnel applies
     * it as stage 1). */
-  private[graft] def qualityReason(s: SparkSession, d: String): DataFrame = {
+  private[graft] def qualityReason(s: SparkSession, d: String): DataFrame =
+    qualityReasonOf(documents(s, d))
+
+  /** The t50 rule evaluation over an arbitrary (doc_id, text) frame —
+    * batch or streaming (row-local expressions only, so it composes
+    * into a readStream pipeline unchanged; e99 is the streaming twin). */
+  private[graft] def qualityReasonOf(docs: DataFrame): DataFrame = {
     val t = col("__toks")
     val sh = shingles3(t)
-    documents(s, d)
+    docs
       .withColumn("__toks", tokens(col("text")))
       .withColumn("len", length(col("text")).cast("long"))
       .withColumn("punct", (length(col("text")) -

@@ -113,6 +113,58 @@ object EmailOps {
       |  CAST(least(48, length(text)) AS BIGINT) AS size
       |FROM m WHERE doc_id % 25 = 0 ORDER BY dedupe_key""".stripMargin
 
+  // ------------------------------------------------------ em69 PII scrub
+
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** em69: PII redaction over the message surface — the standard
+    * training-data scrub (address/number masking before a corpus is
+    * released). Each stored message is rendered back to a contact blob
+    * (headers + body) and every email address / digit run is replaced
+    * by a placeholder token; the output carries match counts plus an
+    * md5 of the redacted blob, so the oracle hash-checks the ENTIRE
+    * redacted string against DuckDB's RE2 on the same input — a true
+    * cross-engine regex-semantics parity gate (the pattern is kept in
+    * the Java∩RE2 common subset). Row-local `regexp_replace` — no
+    * shuffle, embarrassingly parallel at any scale. */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val blob = concat(
+      lit("From: "), col("from"), lit("\n"),
+      lit("To: "), array_join(col("to"), ", "), lit("\n"),
+      lit("Cc: "), array_join(col("cc"), ", "), lit("\n"),
+      lit("Subject: "), col("subject"), lit("\n"),
+      col("body"))
+    store(s, d)
+      .select(col("dedupe_key"), blob.as("blob"))
+      .withColumn("clean", regexp_replace(
+        regexp_replace(col("blob"), emailPat, "<EMAIL>"), "[0-9]+", "<NUM>"))
+      .select(col("dedupe_key"),
+        regexp_count(col("blob"), lit(emailPat)).cast("long").as("n_emails"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy("dedupe_key")
+  }
+
+  val piiRedactSql: String =
+    s"""$sqlPrelude,
+      |b AS (
+      |  SELECT dedupe_key,
+      |    'From: ' || sender || chr(10) ||
+      |    'To: team@corp.com' ||
+      |      CASE WHEN has_second_to THEN ', ' || second_to ELSE '' END ||
+      |      chr(10) ||
+      |    'Cc: ' || CASE WHEN has_cc THEN cc_addr ELSE '' END || chr(10) ||
+      |    'Subject: ' || subject || chr(10) || body AS blob
+      |  FROM m),
+      |r AS (
+      |  SELECT dedupe_key, blob, regexp_replace(regexp_replace(
+      |    blob, '$emailPat', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS clean
+      |  FROM b)
+      |SELECT dedupe_key,
+      |  CAST(len(regexp_extract_all(blob, '$emailPat')) AS BIGINT) AS n_emails,
+      |  CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5
+      |FROM r ORDER BY dedupe_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "em60_by_mailbox"    -> byMailbox _,
     "em61_by_recipient"  -> byRecipient _,
@@ -122,6 +174,7 @@ object EmailOps {
     "em65_mailbox_counts" -> mailboxCounts _,
     "em66_by_key"        -> byKey _,
     "em68_attachments"   -> attachmentMeta _,
+    "em69_pii_redact"    -> piiRedact _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -133,5 +186,6 @@ object EmailOps {
     "em65_mailbox_counts" -> mailboxCountsSql,
     "em66_by_key"        -> byKeySql,
     "em68_attachments"   -> attachmentMetaSql,
+    "em69_pii_redact"    -> piiRedactSql,
   )
 }

@@ -318,6 +318,29 @@ object StreamingOps {
       .orderBy("keep_doc_id")
   }
 
+  /** e99: the t50 quality filter run as a STREAM — the same row-local
+    * rule evaluation ([[graft.ext.TextOps.qualityReasonOf]]) composed
+    * onto a file source, summarized by a streaming complete-mode
+    * aggregation. Shares t50's oracle (batch/stream parity on the
+    * corpus-filtering tier). The rule stage is stateless — at scale
+    * the only streaming state is the ≤5-row reason census, so this
+    * runs at source throughput with constant state. */
+  def streamQualityFilter(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(d, "documents.parquet")
+    val nIn = spark.read.parquet(s"$d/documents.parquet").count()
+    val snap = drainToSnapshot(spark, "complete", nIn) {
+      graft.ext.TextOps.qualityReasonOf(
+        spark.readStream
+          .schema(documentsSchema)
+          .parquet(stageDir))
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+    }
+    snap
+      .select("reason", "n_docs", "min_doc_id")
+      .orderBy("reason")
+  }
+
   /** Streaming maildir ingest: binaryFile stream → parse → per-batch
     * merge into the store (foreachBatch = the reference's per-task
     * upsert loop collapsed into idempotent batch merges). Returns the

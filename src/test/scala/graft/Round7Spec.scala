@@ -443,4 +443,79 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
       first.map(b => (b & 0xff).toLong).sum)
     assert(rows.head.getAs[Long]("n_bytes") == first.length.toLong)
   }
+
+  test("em69 counts every synthesized address and scrubs the blob clean") {
+    val rows = graft.query.EmailOps.piiRedact(spark, d).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getString(0).stripPrefix("<d").stripSuffix("@corp>").toLong
+      // From + To(1 or 2) + Cc(0 or 1) — body/subject carry no addresses
+      val expect = 2L + (if (id % 2 == 0) 1 else 0) + (if (id % 3 == 0) 1 else 0)
+      assert(r.getLong(1) == expect, s"doc $id: n_emails ${r.getLong(1)}")
+    }
+    // re-derive one blob and check the redacted text is address/digit free
+    val doc6 = Tables.documents(spark, d)
+      .filter(col("doc_id") === 6).head.getAs[String]("text")
+    val blob6 = s"From: u6@corp.com\nTo: team@corp.com, u0@corp.com\n" +
+      s"Cc: cc2@corp.com\nSubject: msg 6\n$doc6"
+    val clean6 = blob6
+      .replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+      .replaceAll("[0-9]+", "<NUM>")
+    assert(!clean6.contains("@") && !clean6.exists(_.isDigit))
+    val row6 = rows.find(_.getString(0) == "<d6@corp>").get
+    assert(row6.getLong(2) == clean6.length.toLong)
+  }
+
+  test("d59 passage counts tile the token stream and dups are symmetric") {
+    val rows = graft.ext.DedupOps.passageDedup(spark, d).collect()
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(graft.ext.TextOps.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length == toks.size)
+    rows.foreach { r =>
+      val (id, nPass, nDup) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nPass == (toks(id) - 1) / 10 + 1, s"doc $id passes")
+      assert(nDup >= 0 && nDup <= nPass)
+    }
+    // exact whole-doc duplicates (d50 n_copies ≥ 2) must be fully
+    // passage-duplicated — chunk dedup subsumes document dedup
+    val dupDocs = graft.ext.DedupOps.exactDedup(spark, d)
+      .filter(col("n_copies") >= 2).collect().map(_.getLong(1)).toSet
+    rows.filter(r => dupDocs.contains(r.getLong(0))).foreach { r =>
+      assert(r.getLong(2) == r.getLong(1),
+        s"doc ${r.getLong(0)}: exact dup but only ${r.getLong(2)}/${r.getLong(1)} passages flagged")
+    }
+    assert(rows.map(_.getLong(2)).sum > 0)
+  }
+
+  test("s77 radius results are exactly the brute pairs above threshold") {
+    val radius = graft.ext.SimilarityOps.radiusSearch(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(radius.nonEmpty)
+    radius.values.foreach(c => assert(c >= 0.32))
+    assert(radius.keys.forall { case (q, c) => q < 10 && q != c })
+    // recompute the full scored frame and take the >= threshold slice
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val qs = e.filter(_._1 < 10)
+    val expect = (for {
+      (q, qv) <- qs; (c, cv) <- e; if c != q
+      dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+      cos = BigDecimal(dot / (math.sqrt(qv.map(x => x * x).sum) *
+        math.sqrt(cv.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos >= 0.32
+    } yield (q, c) -> cos).toMap
+    assert(radius.keySet == expect.keySet)
+  }
+
+  test("e99 stream quality census equals the t50 batch result") {
+    val batch = graft.ext.TextOps.qualityFilter(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val stream = graft.streaming.StreamingOps.streamQualityFilter(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stream.toSeq == batch.toSeq && batch.nonEmpty)
+  }
 }
