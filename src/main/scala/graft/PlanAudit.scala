@@ -31,7 +31,8 @@ object PlanAudit {
       "e93_funnel", "e94_retention", "g99_bfs_hops", "t58_boilerplate",
       "s73_sq_knn", "s74_sq_recall", "g100_edge_jaccard",
       "m75_media_scenes", "e97_rate_spikes", "t59_source_profile",
-      "s75_ivfpq_knn")
+      "s75_ivfpq_knn",
+      "em69_pii_redact", "d59_passage_dedup", "s77_radius_search")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)
