@@ -72,7 +72,12 @@ object SparkEntry {
         // composed onto a file stream — shares t50's oracle
         // (batch/stream parity on the corpus-filtering tier)
         "e99_stream_quality" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamQualityFilter(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamQualityFilter(s, d)),
+        // watermarked stream-stream LEFT OUTER interval join: errors
+        // with no preceding click — null rows exist only via watermark
+        // eviction, so the batch anti-join oracle checks that path
+        "e100_stream_unmatched" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamUnmatchedErrors(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -92,5 +97,6 @@ object SparkEntry {
         "e95_stream_funnel" -> EventOps.funnelSql,
         "e96_stream_retention" -> EventOps.retentionSql,
         "e98_stream_enrichment" -> StreamingOps.streamSegmentEnrichmentSql,
-        "e99_stream_quality" -> TextOps.qualityFilterSql)
+        "e99_stream_quality" -> TextOps.qualityFilterSql,
+        "e100_stream_unmatched" -> StreamingOps.streamUnmatchedErrorsSql)
 }

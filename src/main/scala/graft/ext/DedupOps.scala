@@ -235,6 +235,19 @@ object DedupOps {
 
   private def minhashLshImpl(s: SparkSession, d: String,
       shardDict: Boolean): DataFrame = {
+    val (_, _, verified) = lshPipeline(s, d, shardDict)
+    verified
+      .filter(col("jaccard") >= 0.5)
+      .select(col("i").as("doc_a"), col("j").as("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The shared MinHash/LSH pipeline: returns (per-doc signatures,
+    * per-row (doc_id, sh) hashes, exact-verified candidate pairs with
+    * true jaccard, UNFILTERED) — d52 applies the ≥0.5 dedup threshold,
+    * d60 keeps the whole candidate set to measure the sketch. */
+  private def lshPipeline(s: SparkSession, d: String, shardDict: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     val sh = shingleRows(s, d)
     // dictionary trick: hash each DISTINCT shingle once (9 md5s over the
     // ~small dictionary), join back — ~10x fewer md5 evals than hashing
@@ -268,14 +281,74 @@ object DedupOps {
     val candA = cand.join(shh.toDF("i", "sh"), "i")
     val inter = candA.join(shh.toDF("j", "sh"), Seq("j", "sh"))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-    inter
+    val verified = inter
       .join(sizes.toDF("i", "ni"), "i")
       .join(sizes.toDF("j", "nj"), "j")
       .withColumn("jaccard",
         round(col("inter") / (col("ni") + col("nj") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("i").as("doc_a"), col("j").as("doc_b"), col("jaccard"))
+    (sigs, shh, verified)
+  }
+
+  // ------------------------------------ d60 minhash sketch quality
+
+  /** d60: MinHash ESTIMATE vs true Jaccard over the full (unfiltered)
+    * LSH candidate set — the sketch-quality evaluation that tells a
+    * data team whether 8 hashes are enough before they trust d52's
+    * threshold at corpus scale (the dedup twin of the s63/s68/s72
+    * recall evals on the ANN side). est = matching signature
+    * components / 8, an exact rational on both engines.
+    *
+    * Scale shape: reuses d52's pipeline (signatures + banded
+    * candidates + exact verify); the extra work is one broadcast-sized
+    * join of the candidate pairs against the 8-column signature frame
+    * — no new corpus-wide stage. */
+  def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val (sigs, _, verified) = lshPipeline(s, d, shardDict = false)
+    val a = sigs.toDF("i" +: (1 to numHashes).map(j => s"a$j"): _*)
+    val b = sigs.toDF("j" +: (1 to numHashes).map(j => s"b$j"): _*)
+    val matches = (1 to numHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    verified.join(a, "i").join(b, "j")
+      .withColumn("est_jaccard", round(matches / lit(numHashes.toDouble), 4))
+      .select(col("i").as("doc_a"), col("j").as("doc_b"),
+        col("est_jaccard"), col("jaccard").as("true_jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashEstimateSql: String = {
+    val hashExprs = (1 to numHashes).map { j =>
+      s"min(('0x' || substr(md5('$j:' || shingle), 1, 15))::BIGINT) AS h$j"
+    }.mkString(", ")
+    val bandSelects = (1 to numHashes / bandSize).map { bnd =>
+      s"SELECT doc_id, $bnd AS band, h${bandSize * bnd - 1} AS x, " +
+        s"h${bandSize * bnd} AS y FROM sigs"
+    }.mkString(" UNION ALL ")
+    val matchSum = (1 to numHashes)
+      .map(j => s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sh AS ($shingleRowsSql),
+      |sigs AS (SELECT doc_id, $hashExprs FROM sh GROUP BY doc_id),
+      |bkts AS ($bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id i, b.doc_id j
+      |  FROM bkts a JOIN bkts b
+      |    ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT ca.i, ca.j, count(*) inter
+      |  FROM (SELECT cand.i, cand.j, a.shingle FROM cand
+      |        JOIN sh a ON a.doc_id = cand.i) ca
+      |  JOIN sh b ON b.doc_id = ca.j AND b.shingle = ca.shingle
+      |  GROUP BY 1, 2)
+      |SELECT cand.i AS doc_a, cand.j AS doc_b,
+      |  round(($matchSum) / 8.0, 4) AS est_jaccard,
+      |  round(inter * 1.0 / (sa2.n + sb2.n - inter), 4) AS true_jaccard
+      |FROM cand JOIN inter ON inter.i = cand.i AND inter.j = cand.j
+      |JOIN sigs sa ON sa.doc_id = cand.i JOIN sigs sb ON sb.doc_id = cand.j
+      |JOIN sizes sa2 ON sa2.doc_id = cand.i
+      |JOIN sizes sb2 ON sb2.doc_id = cand.j
+      |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   val minhashLshSql: String = {
@@ -832,6 +905,7 @@ object DedupOps {
     "d57_dedup_apply"    -> dedupApply _,
     "d58_incremental_dedup" -> incrementalDedup _,
     "d59_passage_dedup"  -> passageDedup _,
+    "d60_minhash_estimate" -> minhashEstimate _,
     "t49_decontamination" -> decontamination _,
     "t57_corpus_funnel"  -> corpusFunnel _,
   )
@@ -848,6 +922,7 @@ object DedupOps {
     "d57_dedup_apply"    -> dedupApplySql,
     "d58_incremental_dedup" -> incrementalDedupSql,
     "d59_passage_dedup"  -> passageDedupSql,
+    "d60_minhash_estimate" -> minhashEstimateSql,
     "t49_decontamination" -> decontaminationSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,
   )

@@ -660,6 +660,62 @@ object TextOps {
       |FROM fps f JOIN dg USING (fp) JOIN h USING (doc_id)
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ t61 bigram LM score
+
+  /** t61: corpus bigram language-model scoring — each document's total
+    * log-probability under the corpus's own bigram MLE (sum over
+    * occurrences of ln(c(w1,w2)/c(w1·))), the classic perplexity-style
+    * quality signal (a doc of improbable transitions scores low; used
+    * for filtering and domain weighting). Log-probs are snapped to
+    * integer micro-nats per OCCURRENCE and summed as exact BIGINTs, so
+    * the aggregate is immune to fp summation order on both engines —
+    * the same fixed-point discipline as the k-means/PageRank loops.
+    *
+    * Scale shape: one corpus pass builds the bigram rows (explode ×
+    * ~tokens); the count frames are vocabulary-sized, far smaller than
+    * the corpus, and join back as BROADCASTs — the bigram stream is
+    * never shuffled; the only exchange is the final per-doc sum on
+    * doc_id with map-side partials. At web scale the bigram dictionary
+    * outgrows broadcast → the same shuffle_hash sharding as d52's
+    * dictionary applies (both sides keyed on (w1,w2)). */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val bg = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks)-1),
+          |  i -> struct(element_at(toks,i) AS w1,
+          |              element_at(toks,i+1) AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(broadcast(c2), Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
+      .withColumn("lp", expr(
+        "CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000)" +
+          " AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("sum_lp_micro"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLmSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+      |  FROM t WHERE len(toks) >= 2),
+      |bg2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg2 GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg2 GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(CAST(round(ln(c2.c2 * 1.0 / c1.c1) * 1000000) AS BIGINT))
+      |    AS BIGINT) AS sum_lp_micro
+      |FROM bg2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -676,6 +732,7 @@ object TextOps {
     "t56_tfidf_terms"     -> tfIdfTerms _,
     "t58_boilerplate"     -> boilerplateRatio _,
     "t59_source_profile"  -> sourceProfile _,
+    "t61_bigram_lm"       -> bigramLm _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -694,5 +751,6 @@ object TextOps {
     "t56_tfidf_terms"     -> tfIdfTermsSql,
     "t58_boilerplate"     -> boilerplateRatioSql,
     "t59_source_profile"  -> sourceProfileSql,
+    "t61_bigram_lm"       -> bigramLmSql,
   )
 }

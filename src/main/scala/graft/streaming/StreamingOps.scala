@@ -209,6 +209,82 @@ object StreamingOps {
       |  AND c.tsus >= e.tsus - 600000000 AND c.tsus < e.tsus
       |ORDER BY error_event_id, ctsus""".stripMargin
 
+  // e100's staging dir: the events parquet PLUS a far-future sentinel
+  // batch. LEFT OUTER stream-stream joins emit their null rows only
+  // when the watermark passes a left row's eviction bound — on a finite
+  // drain the tail would stay in state forever and the outer results
+  // would be silently incomplete. One sentinel event per side pushes
+  // both watermarks past every real event, so eviction (and the outer
+  // output) completes before processAllAvailable returns. Cached per
+  // dir (bench runs the query 3×).
+  private val sentinelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageWithSentinel(spark: SparkSession, d: String): String =
+    sentinelDirs.computeIfAbsent(d, { _ =>
+      val dir = Files.createTempDirectory("graft-stream-sentinel")
+      Files.createSymbolicLink(dir.resolve("events.parquet"),
+        java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
+      val maxTs = spark.read.parquet(s"$d/events.parquet")
+        .agg(max("ts")).head.getLong(0)
+      val far = maxTs + 360000000000000L // +100 h in ns
+      import spark.implicits._
+      Seq((-1L, far, -1L, "error", 0.0, "{}"),
+          (-2L, far, -2L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      dir.toFile.deleteOnExit()
+      dir.toString
+    })
+
+  /** e100: watermarked stream-stream LEFT OUTER interval join — errors
+    * with NO click in the preceding 10 minutes (the alerting complement
+    * of e88's inner join). Exercises the outer-join state-eviction
+    * path: null rows exist only because the watermark passes them, so
+    * the oracle equality proves the eviction semantics, not just the
+    * match predicate. State is watermark-bounded on both sides exactly
+    * as e88. */
+  def streamUnmatchedErrors(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageWithSentinel(spark, d)
+    def src(): DataFrame =
+      spark.readStream.schema(eventsSchema)
+        .parquet(stageDir)
+        .withColumn("tsus", expr("ts div 1000"))
+        .withColumn("etime", timestamp_micros(col("tsus")))
+    val nIn = spark.read.parquet(s"$d/events.parquet")
+      .filter(col("event_type").isin("error", "click")).count()
+    val snap = drainToSnapshot(spark, "append", nIn) {
+      val errors = src().filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_event_id"),
+          col("tsus").as("etsus"), col("etime").as("err_time"))
+        .withWatermark("err_time", "1 hour")
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("tsus").as("ctsus"),
+          col("etime").as("click_time"))
+        .withWatermark("click_time", "1 hour")
+      errors.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_time") >= col("err_time") - expr("INTERVAL 10 MINUTES") &&
+          col("click_time") < col("err_time"),
+        "left_outer")
+    }
+    snap
+      .filter(col("ctsus").isNull && col("user_id") >= 0)
+      .select("user_id", "error_event_id", "etsus")
+      .orderBy("error_event_id")
+  }
+
+  /** DuckDB twin of [[streamUnmatchedErrors]]: NOT EXISTS anti join. */
+  val streamUnmatchedErrorsSql: String =
+    """WITH ev AS (SELECT event_id, epoch_us(ts) AS tsus, user_id, event_type
+      |            FROM events)
+      |SELECT e.user_id, e.event_id AS error_event_id, e.tsus AS etsus
+      |FROM ev e
+      |WHERE e.event_type = 'error' AND NOT EXISTS (
+      |  SELECT 1 FROM ev c
+      |  WHERE c.event_type = 'click' AND c.user_id = e.user_id
+      |    AND c.tsus >= e.tsus - 600000000 AND c.tsus < e.tsus)
+      |ORDER BY error_event_id""".stripMargin
+
   /** e89: native session-window aggregation run as a STREAM —
     * `session_window(etime, 30 min)` per user with state-store session
     * merging, drained complete-mode, then rolled up to e82's per-user

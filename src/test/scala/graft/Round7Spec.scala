@@ -511,6 +511,52 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     assert(radius.keySet == expect.keySet)
   }
 
+  test("d60 estimates are eighths and d52 is exactly its ≥0.5 slice") {
+    val est = graft.ext.DedupOps.minhashEstimate(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3))))
+    assert(est.nonEmpty)
+    est.foreach { case (_, (e, t)) =>
+      assert(e >= 0.0 && e <= 1.0 && (e * 8).isWhole, s"est $e not k/8")
+      assert(t > 0.0 && t <= 1.0) // candidates share a band → intersect
+    }
+    val d52 = graft.ext.DedupOps.minhashLsh(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val above = est.filter(_._2._2 >= 0.5).map(_._1).toSet
+    assert(above == d52)
+  }
+
+  test("t61 sum of micro-nat logprobs matches a manual recount") {
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val bgs = docs.flatMap { case (id, ts) =>
+      ts.sliding(2).collect { case Array(a, b) => (id, a, b) } }
+    val c2 = bgs.groupBy(x => (x._2, x._3)).view.mapValues(_.length).toMap
+    val c1 = bgs.groupBy(_._2).view.mapValues(_.length).toMap
+    val expect = bgs.groupBy(_._1).view.mapValues { es =>
+      (es.size.toLong, es.map { case (_, a, b) =>
+        math.round(math.log(c2((a, b)).toDouble / c1(a)) * 1e6)
+      }.sum)
+    }.toMap
+    val got = graft.ext.TextOps.bigramLm(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == expect.keySet && got.keySet.nonEmpty)
+    got.foreach { case (id, v) => assert(v == expect(id), s"doc $id") }
+  }
+
+  test("e100 unmatched errors are exactly all errors minus e88 matches") {
+    val matched = graft.streaming.StreamingOps.streamRangeJoin(spark, d)
+      .collect().map(_.getLong(1)).toSet
+    val allErrors = Tables.events(spark, d)
+      .filter(col("event_type") === "error")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val unmatched = graft.streaming.StreamingOps
+      .streamUnmatchedErrors(spark, d)
+      .collect().map(_.getLong(1)).toSet
+    assert(unmatched == (allErrors -- matched) && unmatched.nonEmpty)
+  }
+
   test("e99 stream quality census equals the t50 batch result") {
     val batch = graft.ext.TextOps.qualityFilter(spark, d)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
