@@ -32,7 +32,9 @@ object PlanAudit {
       "s73_sq_knn", "s74_sq_recall", "g100_edge_jaccard",
       "m75_media_scenes", "e97_rate_spikes", "t59_source_profile",
       "s75_ivfpq_knn",
-      "em69_pii_redact", "d59_passage_dedup", "s77_radius_search")
+      "em69_pii_redact", "d59_passage_dedup", "s77_radius_search",
+      "s78_knn_classify", "g101_clustering_coef", "t61_bigram_lm",
+      "d60_minhash_estimate", "m76_media_dedup")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)

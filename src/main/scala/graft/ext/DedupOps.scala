@@ -264,7 +264,7 @@ object DedupOps {
       frames.cached(s, d, s"$tag.verified")(verified))
   }
 
-  private def lshPipelineRaw(s: SparkSession, d: String, shardDict: Boolean)
+  private[graft] def lshPipelineRaw(s: SparkSession, d: String, shardDict: Boolean)
       : (DataFrame, DataFrame, DataFrame) = {
     val sh = shingleRows(s, d)
     // dictionary trick: hash each DISTINCT shingle once (9 md5s over the

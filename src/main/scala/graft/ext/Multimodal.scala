@@ -319,6 +319,30 @@ object Multimodal {
       |FROM d WHERE abs(delta) >= $sceneDelta
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ------------------------------------------- m76 media exact dedup
+
+  /** m76: exact dedup over the multimodal column — media grouped by
+    * the md5 of their CONTENT bytes (payload minus the 12-byte
+    * envelope header, sliced with binary `substring` on the real
+    * payload column), per kind. The dedup tier (d50) extended to
+    * binary media: identical assets uploaded under different ids
+    * collapse to one keeper. One hash aggregation, map-side partials,
+    * shuffle carries (kind, md5) pairs — never payload bytes. */
+  def mediaDedup(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).toDF()
+      .select(col("media_id"), col("kind"),
+        md5(expr("substring(payload, 13, 536870912)")).as("content_md5"))
+      .groupBy("kind", "content_md5")
+      .agg(min("media_id").as("keep_media_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_media_id", "kind")
+
+  val mediaDedupSql: String =
+    """SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+      |  md5(text) AS content_md5,
+      |  min(doc_id) AS keep_media_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1, 2
+      |ORDER BY keep_media_id, kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m70_media_meta"     -> mediaMeta _,
     "m71_media_frames"   -> mediaFrames _,
@@ -326,6 +350,7 @@ object Multimodal {
     "m73_media_resize"   -> mediaResize _,
     "m74_media_energy"   -> mediaEnergy _,
     "m75_media_scenes"   -> mediaScenes _,
+    "m76_media_dedup"    -> mediaDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -335,5 +360,6 @@ object Multimodal {
     "m73_media_resize"   -> mediaResizeSql,
     "m74_media_energy"   -> mediaEnergySql,
     "m75_media_scenes"   -> mediaScenesSql,
+    "m76_media_dedup"    -> mediaDedupSql,
   )
 }

@@ -917,6 +917,59 @@ object SimilarityOps {
       |ORDER BY q_id, c_id""".stripMargin
   }
 
+  // ------------------------------------------- s78 kNN classification
+
+  /** s78: k-nearest-neighbor label prediction — each query vector takes
+    * the majority label of its exact top-5 cosine neighbors (ties →
+    * smallest label), the standard label-propagation/auto-labeling pass
+    * over an embedded corpus. Same scale shape as s60 (queries
+    * broadcast, corpus scanned once, bounded-heap top-k before the
+    * exchange); the vote is a ≤5·#queries-row aggregate and the argmax
+    * is a `min(struct(-votes, label))` with map-side partials — no
+    * window sort anywhere. */
+  def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("label"), col("v").as("cv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
+      .groupBy("q_id")
+      .agg(topkUdaf(5)(col("cosine"), col("c_id")).as("tk"))
+    val nb = explodeTopK(scored, Seq("q_id"), "c_id", "cosine")
+    nb.join(e.select(col("vec_id").as("c_id"), col("label")), "c_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("n_votes"))
+      .groupBy("q_id")
+      .agg(min(struct((-col("n_votes")).as("nn"), col("label").as("l"))).as("m"))
+      .select(col("q_id"), col("m.l").as("pred_label"),
+        (-col("m.nn")).as("n_votes"))
+      .orderBy("q_id")
+  }
+
+  val knnClassifySql: String = {
+    val cosine = cosineSqlSnippet.replace("QV", "q.v").replace("CV", "c.v")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id q_id, c.vec_id c_id, c.label,
+      |    round($cosine, 6) AS cosine
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT q_id, c_id, label, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+      |  FROM scored),
+      |votes AS (
+      |  SELECT q_id, label, count(*) AS n_votes
+      |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+      |pick AS (
+      |  SELECT q_id, label AS pred_label, n_votes, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY n_votes DESC, label) AS rn
+      |  FROM votes)
+      |SELECT q_id, pred_label, CAST(n_votes AS BIGINT) AS n_votes
+      |FROM pick WHERE rn = 1 ORDER BY q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s60_knn_brute"     -> knnBrute _,
     "s61_ivf_knn"       -> ivfKnn _,
@@ -930,6 +983,7 @@ object SimilarityOps {
     "s73_sq_knn"        -> sqKnn _,
     "s75_ivfpq_knn"     -> ivfPqKnn _,
     "s77_radius_search" -> ((s: SparkSession, d: String) => radiusSearch(s, d)),
+    "s78_knn_classify"  -> knnClassify _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -945,5 +999,6 @@ object SimilarityOps {
     "s73_sq_knn"        -> sqKnnSql,
     "s75_ivfpq_knn"     -> ivfPqKnnSql,
     "s77_radius_search" -> radiusSearchSql,
+    "s78_knn_classify"  -> knnClassifySql,
   )
 }

@@ -575,6 +575,62 @@ object GraphOps {
       |FROM o LEFT JOIN cn USING (p1, p2)
       |ORDER BY p1, p2""".stripMargin
 
+  // ------------------------------- g101 local clustering coefficient
+
+  /** g101: per-vertex local clustering coefficient over the
+    * co-purchase graph — 2·triangles(v) / (deg(v)·(deg(v)−1)) for every
+    * vertex of degree ≥ 2, reported in exact ppm (integer division, no
+    * fp). The standard cohesion census (how club-like is each part's
+    * neighborhood) on top of g95's degree-oriented triangle pipeline,
+    * so the wedge fan-out stays arboricity-bounded; the extra work over
+    * g95 is one degree aggregate and a broadcast-sized left join. */
+  def clusteringCoefficient(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d)
+    val deg = e.select(col("p1").as("part_id"))
+      .union(e.select(col("p2").as("part_id")))
+      .groupBy("part_id").agg(count(lit(1)).as("deg"))
+    val tri = trianglesFrom(e).toDF("part_id", "n_triangles")
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("part_id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("coef_ppm",
+        expr("(2 * n_triangles * 1000000) div (deg * (deg - 1))"))
+      .select("part_id", "deg", "n_triangles", "coef_ppm")
+      .orderBy("part_id")
+  }
+
+  val clusteringCoefficientSql: String =
+    s"""WITH edges AS ($copurchaseEdgesSql),
+      |deg AS (
+      |  SELECT v, count(*) AS deg FROM (
+      |    SELECT p1 AS v FROM edges UNION ALL SELECT p2 FROM edges)
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN (da.deg, e.p1) < (db.deg, e.p2)
+      |              THEN e.p1 ELSE e.p2 END AS src,
+      |         CASE WHEN (da.deg, e.p1) < (db.deg, e.p2)
+      |              THEN e.p2 ELSE e.p1 END AS dst
+      |  FROM edges e JOIN deg da ON da.v = e.p1 JOIN deg db ON db.v = e.p2),
+      |od AS (SELECT o.src, o.dst, dd.deg AS ddeg
+      |       FROM o JOIN deg dd ON dd.v = o.dst),
+      |tri AS (
+      |  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+      |  FROM od w1 JOIN od w2 ON w1.src = w2.src
+      |    AND (w1.ddeg, w1.dst) < (w2.ddeg, w2.dst)
+      |  JOIN o cl ON cl.src = w1.dst AND cl.dst = w2.dst),
+      |tc AS (
+      |  SELECT part_id, count(*) AS n_triangles FROM (
+      |    SELECT a AS part_id FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY 1)
+      |SELECT d.v AS part_id, CAST(d.deg AS BIGINT) AS deg,
+      |  CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+      |  CAST((2 * coalesce(tc.n_triangles, 0) * 1000000)
+      |    // (d.deg * (d.deg - 1)) AS BIGINT) AS coef_ppm
+      |FROM deg d LEFT JOIN tc ON tc.part_id = d.v
+      |WHERE d.deg >= 2 ORDER BY part_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g90_email_threads"   -> emailThreads _,
     "g91_email_graph"     -> emailGraphCensus _,
@@ -587,6 +643,7 @@ object GraphOps {
     "g98_label_prop"      -> labelPropagation _,
     "g99_bfs_hops"        -> bfsHops _,
     "g100_edge_jaccard"   -> edgeJaccard _,
+    "g101_clustering_coef" -> clusteringCoefficient _,
   )
 
   val emailGraphCensusSql: String =
@@ -625,5 +682,6 @@ object GraphOps {
     "g98_label_prop"     -> labelPropagationSql,
     "g99_bfs_hops"       -> bfsHopsSql,
     "g100_edge_jaccard"  -> edgeJaccardSql,
+    "g101_clustering_coef" -> clusteringCoefficientSql,
   )
 }

@@ -557,6 +557,53 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     assert(unmatched == (allErrors -- matched) && unmatched.nonEmpty)
   }
 
+  test("m76 media dedup groups equal a manual (kind, md5) recount") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val kinds = Array("image", "audio", "video")
+    val expect = docs.groupBy { case (id, text) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (kinds((id % 3).toInt), md)
+    }.map { case (k, ms) => k -> (ms.map(_._1).min, ms.size.toLong) }
+    val got = graft.ext.Multimodal.mediaDedup(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._2).sum == docs.length.toLong)
+  }
+
+  test("s78 prediction is the majority label of s60's top-5") {
+    val labels = Tables.embeddings(spark, d).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val top5 = graft.ext.SimilarityOps.knnBrute(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val expect = top5.map { case (q, nbs) =>
+      val votes = nbs.map(n => labels(n._2)).groupBy(identity)
+        .map { case (l, xs) => (l, xs.length) }
+      q -> votes.minBy { case (l, n) => (-n, l) }
+    }
+    val got = graft.ext.SimilarityOps.knnClassify(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2).toInt))).toMap
+    assert(got.keySet == expect.keySet && got.size == 10)
+    got.foreach { case (q, p) => assert(p == expect(q), s"query $q") }
+  }
+
+  test("g101 coefficient is exactly 2*tri*1e6 div deg*(deg-1)") {
+    val tri = graft.graph.GraphOps.triangleCounts(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.graph.GraphOps.clusteringCoefficient(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, deg, n, c) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(deg >= 2 && n == tri.getOrElse(v, 0L))
+      assert(c == 2 * n * 1000000L / (deg * (deg - 1)) && c <= 1000000L)
+    }
+    // every triangle vertex has degree ≥ 2, so none may be dropped
+    assert(tri.keySet.subsetOf(rows.map(_.getLong(0)).toSet))
+  }
+
   test("e99 stream quality census equals the t50 batch result") {
     val batch = graft.ext.TextOps.qualityFilter(spark, d)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
