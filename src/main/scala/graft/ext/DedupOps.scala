@@ -321,7 +321,11 @@ object DedupOps {
     * join of the candidate pairs against the 8-column signature frame
     * — no new corpus-wide stage. */
   def minhashEstimate(s: SparkSession, d: String): DataFrame = {
-    val (sigs, _, verified) = lshPipeline(s, d, shardDict = false)
+    // same auto dictionary-path decision as d52/warm(), so the shared
+    // cache keys line up and no corpus ever forces a broadcast the
+    // ceiling exists to prevent
+    val (sigs, _, verified) =
+      lshPipeline(s, d, shardDict = estShingles(s, d) > dictBroadcastCeiling)
     val a = sigs.toDF("i" +: (1 to numHashes).map(j => s"a$j"): _*)
     val b = sigs.toDF("j" +: (1 to numHashes).map(j => s"b$j"): _*)
     val matches = (1 to numHashes)
@@ -360,7 +364,7 @@ object DedupOps {
       |  JOIN sh b ON b.doc_id = ca.j AND b.shingle = ca.shingle
       |  GROUP BY 1, 2)
       |SELECT cand.i AS doc_a, cand.j AS doc_b,
-      |  round(($matchSum) / 8.0, 4) AS est_jaccard,
+      |  round(($matchSum) / $numHashes.0, 4) AS est_jaccard,
       |  round(inter * 1.0 / (sa2.n + sb2.n - inter), 4) AS true_jaccard
       |FROM cand JOIN inter ON inter.i = cand.i AND inter.j = cand.j
       |JOIN sigs sa ON sa.doc_id = cand.i JOIN sigs sb ON sb.doc_id = cand.j

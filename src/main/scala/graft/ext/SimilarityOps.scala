@@ -933,13 +933,18 @@ object SimilarityOps {
     val q = e.filter(col("vec_id") < 10).select(
       col("vec_id").as("q_id"), col("v").as("qv"))
     val c = e.select(col("vec_id").as("c_id"), col("label"), col("v").as("cv"))
+    // the label rides INSIDE the top-k id (c_id·4096 + label, labels
+    // are single digits — spec-checked) so the corpus is scanned
+    // exactly once; the encoding preserves tie order (a c_id gap of 1
+    // dominates any label difference)
+    val enc = col("c_id") * lit(4096L) + col("label")
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
       .groupBy("q_id")
-      .agg(topkUdaf(5)(col("cosine"), col("c_id")).as("tk"))
-    val nb = explodeTopK(scored, Seq("q_id"), "c_id", "cosine")
-    nb.join(e.select(col("vec_id").as("c_id"), col("label")), "c_id")
+      .agg(topkUdaf(5)(col("cosine"), enc).as("tk"))
+    explodeTopK(scored, Seq("q_id"), "enc_id", "cosine")
+      .select(col("q_id"), (col("enc_id") % 4096).cast("int").as("label"))
       .groupBy("q_id", "label").agg(count(lit(1)).as("n_votes"))
       .groupBy("q_id")
       .agg(min(struct((-col("n_votes")).as("nn"), col("label").as("l"))).as("m"))

@@ -670,6 +670,11 @@ object TextOps {
     * integer micro-nats per OCCURRENCE and summed as exact BIGINTs, so
     * the aggregate is immune to fp summation order on both engines —
     * the same fixed-point discipline as the k-means/PageRank loops.
+    * Residual caveat: ln() itself is libm-dependent (≤1 ulp), so the
+    * micro-nat snap could in principle differ across engines at an
+    * exact .5·1e-6 boundary — measure-zero for count ratios, and
+    * unlike t56 no integer rational can express a log, so this is the
+    * minimal fp surface the semantics allow.
     *
     * Scale shape: one corpus pass builds the bigram rows (explode ×
     * ~tokens); the count frames are vocabulary-sized, far smaller than
@@ -689,7 +694,14 @@ object TextOps {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    bg.join(broadcast(c2), Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
+    // same dictionary-path guard as d52: distinct bigrams ≤ total
+    // tokens, so the shingle upper bound covers this dictionary too —
+    // broadcast below the ceiling, shuffle_hash sharding above it
+    // (both sides keyed on the dictionary key, no driver ceiling)
+    val bcast = DedupOps.estShingles(s, d) <= DedupOps.dictBroadcastCeiling
+    def dict(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df.hint("shuffle_hash")
+    bg.join(dict(c2), Seq("w1", "w2")).join(dict(c1), Seq("w1"))
       .withColumn("lp", expr(
         "CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000)" +
           " AS BIGINT)"))

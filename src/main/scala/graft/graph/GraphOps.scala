@@ -312,7 +312,13 @@ object GraphOps {
 
   /** Degree-ordered triangle counting over (p1, p2) undirected distinct
     * edges with p1 < p2. */
-  private[graft] def trianglesFrom(e: DataFrame): DataFrame = {
+  private[graft] def trianglesFrom(e: DataFrame): DataFrame =
+    trianglesWithDeg(e)._2
+
+  /** The triangle pipeline with its per-vertex degree frame exposed —
+    * g101 divides by exactly the degree the orientation used, so the
+    * two can never drift (and the union+groupBy runs once). */
+  private[graft] def trianglesWithDeg(e: DataFrame): (DataFrame, DataFrame) = {
     val deg = e.select(col("p1").as("v")).union(e.select(col("p2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val withDeg = e
@@ -328,9 +334,11 @@ object GraphOps {
       .filter(struct(col("db_"), col("b")) < struct(col("dc_"), col("c")))
       .join(o.toDF("b", "c"), Seq("b", "c")) // closing edge (oriented b→c)
       .select(col("src").as("a"), col("b"), col("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
+    val counts = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
       .groupBy("part_id").agg(count(lit(1)).as("n_triangles"))
       .orderBy("part_id")
+    (deg, counts)
   }
 
   val triangleCountsSql: String =
@@ -585,11 +593,9 @@ object GraphOps {
     * so the wedge fan-out stays arboricity-bounded; the extra work over
     * g95 is one degree aggregate and a broadcast-sized left join. */
   def clusteringCoefficient(s: SparkSession, d: String): DataFrame = {
-    val e = copurchaseEdges(s, d)
-    val deg = e.select(col("p1").as("part_id"))
-      .union(e.select(col("p2").as("part_id")))
-      .groupBy("part_id").agg(count(lit(1)).as("deg"))
-    val tri = trianglesFrom(e).toDF("part_id", "n_triangles")
+    val (degV, counts) = trianglesWithDeg(copurchaseEdges(s, d))
+    val deg = degV.toDF("part_id", "deg")
+    val tri = counts.toDF("part_id", "n_triangles")
     deg.filter(col("deg") >= 2)
       .join(tri, Seq("part_id"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))

@@ -536,7 +536,10 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     val c1 = bgs.groupBy(_._2).view.mapValues(_.length).toMap
     val expect = bgs.groupBy(_._1).view.mapValues { es =>
       (es.size.toLong, es.map { case (_, a, b) =>
-        math.round(math.log(c2((a, b)).toDouble / c1(a)) * 1e6)
+        // HALF_UP away from zero — math.round is half-toward-+inf,
+        // which disagrees with Spark/DuckDB round on negative halves
+        BigDecimal(math.log(c2((a, b)).toDouble / c1(a)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       }.sum)
     }.toMap
     val got = graft.ext.TextOps.bigramLm(spark, d).collect()
@@ -576,6 +579,8 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
   test("s78 prediction is the majority label of s60's top-5") {
     val labels = Tables.embeddings(spark, d).select("vec_id", "label")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the top-k encoding packs the label into c_id*4096+label
+    assert(labels.values.forall(l => l >= 0 && l < 4096))
     val top5 = graft.ext.SimilarityOps.knnBrute(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
     val expect = top5.map { case (q, nbs) =>
