@@ -881,8 +881,13 @@ object DedupOps {
     * frame is Zipf-skewed (boilerplate passages are hot keys) but the
     * aggregation is a map-side-combining sum, and the join back is on
     * the high-cardinality hash — AQE's skew split covers the tail. */
-  def passageDedup(s: SparkSession, d: String): DataFrame = {
-    val p = documents(s, d)
+  def passageDedup(s: SparkSession, d: String): DataFrame =
+    passageDedupOf(documents(s, d))
+
+  /** The d59 pass over an arbitrary (doc_id, text) frame — exposed so
+    * property tests can drive it with adversarial token streams. */
+  private[graft] def passageDedupOf(docs: DataFrame): DataFrame = {
+    val p = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), explode(expr(

@@ -64,6 +64,67 @@ class Round7PropSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // tiny vocab + short docs force passage collisions within and
+  // across documents
+  private val docsGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(8, for {
+      n <- Gen.choose(0, 35)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" ")).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong, t) })
+
+  test("passage dedup matches the reference on arbitrary token streams") {
+    forAllSamples(docsGen, n = 40) { rows =>
+      val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+      val got = graft.ext.DedupOps.passageDedupOf(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // reference: 10-token tiles, global occurrence counts
+      val passages = rows.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).grouped(10)
+          .map(_.mkString(" ")).toList
+      }.filter(_._2.nonEmpty)
+      val counts = passages.flatMap(_._2).groupBy(identity)
+        .map { case (p, xs) => p -> xs.length }
+      val expect = passages.map { case (id, ps) =>
+        id -> (ps.length.toLong, ps.count(counts(_) >= 2).toLong)
+      }.toMap
+      assert(got == expect)
+    }
+  }
+
+  // dense small graphs: every pair has a ~50% edge, so triangles and
+  // open wedges are both plentiful
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(20, for {
+      a <- Gen.choose(0L, 7L)
+      b <- Gen.choose(0L, 7L)
+    } yield (math.min(a, b), math.max(a, b))).map(
+      _.filter(e => e._1 != e._2).distinct)
+
+  test("oriented triangle counts match brute force on random graphs") {
+    forAllSamples(edgesGen, n = 40) { edges =>
+      if (edges.nonEmpty) {
+        val df = spark.createDataFrame(edges).toDF("p1", "p2")
+        val (degDf, counts) = graft.graph.GraphOps.trianglesWithDeg(df)
+        val got = counts.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+          .map { case (v, es) => v -> es.map(_._2).toSet }
+        val verts = adj.keys.toSeq.sorted
+        val expect = verts.map { v =>
+          val nb = adj(v).toSeq
+          v -> (for {
+            i <- nb.indices; j <- i + 1 until nb.length
+            if adj(nb(i)).contains(nb(j))
+          } yield 1).size.toLong
+        }.filter(_._2 > 0).toMap
+        assert(got == expect)
+        val deg = degDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(deg == adj.map { case (v, nb) => v -> nb.size.toLong })
+      }
+    }
+  }
+
   private val daysGen: Gen[List[(Long, Long)]] =
     Gen.listOfN(40, for {
       u <- Gen.choose(0L, 5L)
