@@ -77,7 +77,13 @@ object SparkEntry {
         // with no preceding click — null rows exist only via watermark
         // eviction, so the batch anti-join oracle checks that path
         "e100_stream_unmatched" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamUnmatchedErrors(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamUnmatchedErrors(s, d)),
+        // watermark-expiring stream dedup chained into an append-mode
+        // windowed aggregation (two stateful operators); the dedup key
+        // contains the window bucket, so the downstream distinct-count
+        // is deterministic and the batch oracle hash-checks it
+        "e101_stream_dedup_activity" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamDedupActivity(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -98,5 +104,6 @@ object SparkEntry {
         "e96_stream_retention" -> EventOps.retentionSql,
         "e98_stream_enrichment" -> StreamingOps.streamSegmentEnrichmentSql,
         "e99_stream_quality" -> TextOps.qualityFilterSql,
-        "e100_stream_unmatched" -> StreamingOps.streamUnmatchedErrorsSql)
+        "e100_stream_unmatched" -> StreamingOps.streamUnmatchedErrorsSql,
+        "e101_stream_dedup_activity" -> StreamingOps.streamDedupActivitySql)
 }

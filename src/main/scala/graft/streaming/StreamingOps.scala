@@ -273,6 +273,50 @@ object StreamingOps {
       .orderBy("error_event_id")
   }
 
+  /** e101: watermark-bounded stream dedup chained into an APPEND-mode
+    * windowed aggregation — `dropDuplicatesWithinWatermark` (state
+    * expires with the watermark, the production-shape dedup for
+    * unbounded streams, unlike e85/e96's grow-forever variants)
+    * feeding `window()` counts of distinct (user, window) activity.
+    * Exercises multi-stateful append chaining: the window emits only
+    * once the watermark passes it, so the sentinel staging (e100)
+    * closes every real window on a finite drain; the sentinel's own
+    * window never closes and stays in state. The dedup key CONTAINS
+    * the window bucket, so which physical duplicate survives is
+    * irrelevant — the downstream count is deterministic and the batch
+    * count-distinct oracle hash-checks it. */
+  def streamDedupActivity(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageWithSentinel(spark, d)
+    val nIn = spark.read.parquet(s"$d/events.parquet").count()
+    val snap = drainToSnapshot(spark, "append", nIn) {
+      spark.readStream.schema(eventsSchema)
+        .parquet(stageDir)
+        .withColumn("etime", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("etime", "1 hour")
+        .withColumn("wstart", window(col("etime"), "5 minutes")("start"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "wstart")
+        .groupBy(window(col("etime"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_active"))
+    }
+    snap
+      .filter(col("window.start") < timestamp_micros(lit(4102444800000000L)))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_active"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** DuckDB twin of [[streamDedupActivity]]: count of distinct users
+    * per (5-minute window, type). */
+  val streamDedupActivitySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    make_timestamp((epoch_us(ts) // 300000000) * 300000000)
+      |      AS window_start
+      |  FROM events)
+      |SELECT window_start, event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   /** DuckDB twin of [[streamUnmatchedErrors]]: NOT EXISTS anti join. */
   val streamUnmatchedErrorsSql: String =
     """WITH ev AS (SELECT event_id, epoch_us(ts) AS tsus, user_id, event_type

@@ -609,6 +609,21 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     assert(tri.keySet.subsetOf(rows.map(_.getLong(0)).toSet))
   }
 
+  test("e101 deduped window activity equals the batch distinct count") {
+    val batch = Tables.events(spark, d)
+      .withColumn("wstart", expr("(ts div 1000) div 300000000"))
+      .groupBy("wstart", "event_type")
+      .agg(countDistinct("user_id").as("n_active"))
+      .collect()
+      .map(r => (r.getLong(0) * 300000000L, r.getString(1)) -> r.getLong(2))
+      .toMap
+    val stream = graft.streaming.StreamingOps.streamDedupActivity(spark, d)
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime * 1000L, r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("e99 stream quality census equals the t50 batch result") {
     val batch = graft.ext.TextOps.qualityFilter(spark, d)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
