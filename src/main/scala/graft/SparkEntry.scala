@@ -83,7 +83,12 @@ object SparkEntry {
         // contains the window bucket, so the downstream distinct-count
         // is deterministic and the batch oracle hash-checks it
         "e101_stream_dedup_activity" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamDedupActivity(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamDedupActivity(s, d)),
+        // per-user census through the transformWithState arbitrary-state
+        // API (typed ValueState on the RocksDB store); order-insensitive
+        // accumulators -> deterministic, batch-aggregation oracle
+        "e102_stream_user_census" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamUserCensus(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -105,5 +110,6 @@ object SparkEntry {
         "e98_stream_enrichment" -> StreamingOps.streamSegmentEnrichmentSql,
         "e99_stream_quality" -> TextOps.qualityFilterSql,
         "e100_stream_unmatched" -> StreamingOps.streamUnmatchedErrorsSql,
-        "e101_stream_dedup_activity" -> StreamingOps.streamDedupActivitySql)
+        "e101_stream_dedup_activity" -> StreamingOps.streamDedupActivitySql,
+        "e102_stream_user_census" -> StreamingOps.streamUserCensusSql)
 }

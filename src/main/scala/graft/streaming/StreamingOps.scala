@@ -317,6 +317,81 @@ object StreamingOps {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
       |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Per-user running purchase census kept in [[ValueState]] — the
+    * e102 [[StatefulProcessor]]. All accumulators are order-insensitive
+    * (count / integer-cent sum / max), so the emitted census is
+    * deterministic regardless of row order within the batch. */
+  private class CensusProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("census",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var (n, cents, maxTs) =
+        if (st.exists()) st.get() else (0L, 0L, Long.MinValue)
+      rows.foreach { case (_, c, ts) =>
+        n += 1; cents += c; maxTs = math.max(maxTs, ts)
+      }
+      st.update((n, cents, maxTs))
+      Iterator.single((key, n, cents, maxTs))
+    }
+  }
+
+  /** e102: per-user purchase census through the `transformWithState`
+    * arbitrary-state API (Spark 4.x's successor to
+    * flatMapGroupsWithState: typed ValueState handles, TTL support,
+    * timers — and it REQUIRES the RocksDB state store, the disk-backed
+    * provider that holds 100 TB-scale state without executor-heap
+    * ceilings). State here is one 3-long tuple per user; accumulators
+    * are order-insensitive so the single-batch drain is deterministic
+    * and the batch aggregation oracle hash-checks it. */
+  def streamUserCensus(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val stageDir = stageFile(d, "events.parquet")
+    val nIn = spark.read.parquet(s"$d/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val snap =
+      try drainToSnapshot(spark, "append", nIn) {
+        spark.readStream.schema(eventsSchema)
+          .parquet(stageDir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+            expr("ts div 1000").as("tsus"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new CensusProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF("user_id", "n_purchases", "total_cents", "last_tsus")
+      } finally prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    snap.orderBy("user_id")
+  }
+
+  /** DuckDB twin of [[streamUserCensus]]: plain per-user aggregation. */
+  val streamUserCensusSql: String =
+    """SELECT user_id, count(*) AS n_purchases,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  max(epoch_us(ts)) AS last_tsus
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** DuckDB twin of [[streamUnmatchedErrors]]: NOT EXISTS anti join. */
   val streamUnmatchedErrorsSql: String =
     """WITH ev AS (SELECT event_id, epoch_us(ts) AS tsus, user_id, event_type

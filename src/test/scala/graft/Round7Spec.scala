@@ -624,6 +624,26 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     assert(stream == batch && stream.nonEmpty)
   }
 
+  test("e102 transformWithState census equals the batch aggregation") {
+    val batch = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"),
+        max(expr("ts div 1000")).as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val stream = graft.streaming.StreamingOps.streamUserCensus(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(stream == batch && stream.nonEmpty)
+    // the provider override must not leak into the session
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("e99 stream quality census equals the t50 batch result") {
     val batch = graft.ext.TextOps.qualityFilter(spark, d)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
