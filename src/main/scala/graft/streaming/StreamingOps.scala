@@ -293,13 +293,24 @@ object StreamingOps {
         .parquet(stageDir)
         .withColumn("etime", timestamp_micros(expr("ts div 1000")))
         .withWatermark("etime", "1 hour")
+        // NULL users are excluded so count(1)-after-dedup mirrors the
+        // oracle's NULL-skipping count(DISTINCT user_id). Do NOT
+        // filter the (negative-user) sentinels here: the optimizer
+        // pushes this predicate below the watermark node to the scan,
+        // and dropping sentinels there would stop the watermark from
+        // ever closing the real windows (measured — every window
+        // within 1h+ of the last real event went unemitted). Sentinel
+        // rows instead enter the aggregation and are never emitted:
+        // their window stays OPEN (watermark = sentinel − 1h < its
+        // end), which append mode holds in state — this query's
+        // sentinel exclusion is inherently tied to append mode.
+        .filter(col("user_id").isNotNull)
         .withColumn("wstart", window(col("etime"), "5 minutes")("start"))
         .dropDuplicatesWithinWatermark("user_id", "event_type", "wstart")
         .groupBy(window(col("etime"), "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n_active"))
     }
     snap
-      .filter(col("window.start") < timestamp_micros(lit(4102444800000000L)))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_active"))
       .orderBy("window_start", "event_type")
@@ -356,11 +367,17 @@ object StreamingOps {
     val stageDir = stageFile(d, "events.parquet")
     val nIn = spark.read.parquet(s"$d/events.parquet")
       .filter(col("event_type") === "purchase").count()
-    val prevProvider =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val snap =
+    // the provider conf is SESSION-global, so the set/drain/restore
+    // window is serialized — overlapping census calls would otherwise
+    // interleave their reads of `prev` and leak the override. Other
+    // streaming queries started concurrently in this session during
+    // the drain would also pick up RocksDB (correct, just a different
+    // store) — the lock bounds the exposure to this one drain.
+    val snap = providerLock.synchronized {
+      val prevProvider =
+        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try drainToSnapshot(spark, "append", nIn) {
         spark.readStream.schema(eventsSchema)
           .parquet(stageDir)
@@ -380,8 +397,21 @@ object StreamingOps {
         case None =>
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
-    snap.orderBy("user_id")
+    }
+    // the processor emits a RUNNING census per key per micro-batch; a
+    // multi-batch source (maxFilesPerTrigger, extra staged files)
+    // would append stale partials too — keep only each user's final
+    // row (n_purchases grows monotonically, so max(struct) is it)
+    snap.groupBy("user_id")
+      .agg(max(struct(col("n_purchases"), col("total_cents"),
+        col("last_tsus"))).as("m"))
+      .select(col("user_id"), col("m.n_purchases").as("n_purchases"),
+        col("m.total_cents").as("total_cents"),
+        col("m.last_tsus").as("last_tsus"))
+      .orderBy("user_id")
   }
+
+  private val providerLock = new Object
 
   /** DuckDB twin of [[streamUserCensus]]: plain per-user aggregation. */
   val streamUserCensusSql: String =
