@@ -135,15 +135,72 @@ object Validation {
       |FROM ($branches) ORDER BY column_name""".stripMargin
   }
 
+  /** v73: corpus↔embedding alignment audit — the coverage gate a
+    * training pipeline runs before an embedding-dependent stage (ANN,
+    * near-dup, clustering): docs with no vector, orphan vectors, wrong
+    * dimensionality, degenerate zero vectors (cosine-undefined), and
+    * duplicated vector ids. Anti-joins + single-scan predicates, same
+    * scale shape as v71; all-zero on the fixtures by construction —
+    * the SHAPE is the operator, nonzero is the alarm. */
+  def embeddingAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    embeddingAuditOf(documents(s, d).select("doc_id"), embeddings(s, d))
+  }
+
+  /** The v73 checks over arbitrary (doc_id) / (vec_id, embedding)
+    * frames — exposed so specs can plant violations. */
+  private[graft] def embeddingAuditOf(docs: DataFrame, emb: DataFrame)
+      : DataFrame = {
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("check"), col("n"))
+    cnt("1_docs_without_embedding",
+        docs.join(emb.select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_anti"))
+      .union(cnt("2_embeddings_without_doc",
+        emb.select("vec_id").join(docs.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_anti")))
+      .union(cnt("3_dim_violations",
+        emb.filter(size(col("embedding")) =!= 64)))
+      .union(cnt("4_zero_vectors",
+        emb.filter(size(filter(col("embedding"),
+          x => x =!= lit(0f))) === 0)))
+      .union(cnt("5_dup_vec_ids",
+        emb.groupBy("vec_id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)))
+      .orderBy("check")
+  }
+
+  val embeddingAuditSql: String =
+    """SELECT * FROM (
+      |  SELECT '1_docs_without_embedding' AS "check", count(*) AS n
+      |  FROM documents d WHERE NOT EXISTS (
+      |    SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+      |  UNION ALL
+      |  SELECT '2_embeddings_without_doc', count(*) FROM embeddings e
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+      |  UNION ALL
+      |  SELECT '3_dim_violations', count(*) FROM embeddings
+      |  WHERE len(embedding) <> 64
+      |  UNION ALL
+      |  SELECT '4_zero_vectors', count(*) FROM embeddings
+      |  WHERE len(list_filter(embedding, x -> x <> 0)) = 0
+      |  UNION ALL
+      |  SELECT '5_dup_vec_ids', count(*) FROM (
+      |    SELECT vec_id FROM embeddings GROUP BY vec_id HAVING count(*) > 1))
+      |ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v70_validation" -> validationSummary _,
     "v71_ref_integrity" -> refIntegrity _,
     "v72_column_profile" -> columnProfile _,
+    "v73_embedding_audit" -> embeddingAudit _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "v70_validation" -> validationSummarySql,
     "v71_ref_integrity" -> refIntegritySql,
     "v72_column_profile" -> columnProfileSql,
+    "v73_embedding_audit" -> embeddingAuditSql,
   )
 }

@@ -644,6 +644,27 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
       .exists(_.contains("RocksDB")))
   }
 
+  test("v73 is all-zero on fixtures and counts every planted violation") {
+    val clean = graft.ingest.Validation.embeddingAudit(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.size == 5 && clean.values.forall(_ == 0L))
+    // planted: doc 10 has no vector; vec 99 has no doc; vec 1 is
+    // 3-dim; vec 2 is all-zero; vec 3 appears twice
+    val docs = spark.createDataFrame(
+      Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L), Tuple1(10L))).toDF("doc_id")
+    val emb = spark.createDataFrame(Seq(
+      (1L, Array(1f, 2f, 3f)),
+      (2L, Array.fill(64)(0f)),
+      (3L, Array.fill(64)(1f)), (3L, Array.fill(64)(2f)),
+      (99L, Array.fill(64)(1f)))).toDF("vec_id", "embedding")
+    val dirty = graft.ingest.Validation.embeddingAuditOf(docs, emb)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dirty == Map(
+      "1_docs_without_embedding" -> 1L, "2_embeddings_without_doc" -> 1L,
+      "3_dim_violations" -> 1L, "4_zero_vectors" -> 1L,
+      "5_dup_vec_ids" -> 1L))
+  }
+
   test("e99 stream quality census equals the t50 batch result") {
     val batch = graft.ext.TextOps.qualityFilter(spark, d)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
