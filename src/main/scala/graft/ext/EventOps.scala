@@ -512,6 +512,64 @@ object EventOps {
       |FROM w WHERE trailing6 IS NOT NULL AND n_events * 2 > trailing6
       |ORDER BY window_start, event_type""".stripMargin
 
+  // ------------------------------------------------ e103 integer EWMA
+
+  /** e103: exponentially weighted moving average of daily per-type
+    * event value — the trend-smoothing pass behind alerting baselines
+    * and forecast seeds. α = 1/4 in pure integer arithmetic
+    * (s₁ = x₁; sₜ = (3·sₜ₋₁ + xₜ) div 4, all non-negative), so the
+    * inherently sequential recurrence is bit-reproducible against the
+    * oracle's recursive CTE.
+    *
+    * Scale shape: the corpus aggregates FIRST to a (type, day) frame —
+    * calendar-bounded, ≤366·#types rows/year — and only that tiny
+    * frame is collected per type and folded by one codegen'd
+    * `aggregate` HOF; the events table itself sees a single map-side-
+    * combining groupBy. The fold is the correct tool precisely because
+    * an EWMA cannot be windowed: every output depends on the whole
+    * prefix. */
+  def ewmaDaily(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "day").agg(sum("cents").as("cents"))
+    daily
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+        .as("days"))
+      .withColumn("ew", expr(
+        """aggregate(days,
+          |  CAST(array() AS ARRAY<STRUCT<day: BIGINT, s: BIGINT>>),
+          |  (acc, x) -> acc || array(named_struct(
+          |    'day', x.day,
+          |    's', CASE WHEN size(acc) = 0 THEN x.cents
+          |         ELSE (3 * element_at(acc, -1).s + x.cents) div 4
+          |         END)))""".stripMargin))
+      .select(col("event_type"), explode(col("ew")).as("e"))
+      .select(col("event_type"),
+        timestamp_seconds(col("e.day") * 86400L).as("day_ts"),
+        col("e.s").as("ewma_cents"))
+      .orderBy("event_type", "day_ts")
+  }
+
+  val ewmaDailySql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, day, cents, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM (
+      |    SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |      sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |    FROM events GROUP BY 1, 2)),
+      |ew(event_type, rn, day, s) AS (
+      |  SELECT event_type, rn, day, cents FROM daily WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.rn, d.day, (3 * ew.s + d.cents) // 4
+      |  FROM ew JOIN daily d
+      |    ON d.event_type = ew.event_type AND d.rn = ew.rn + 1)
+      |SELECT event_type, make_timestamp(day * 86400000000) AS day_ts,
+      |  CAST(s AS BIGINT) AS ewma_cents
+      |FROM ew ORDER BY event_type, day_ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e80_tumbling_window" -> tumblingWindow _,
     "e81_hopping_window"  -> hoppingWindow _,
@@ -523,6 +581,7 @@ object EventOps {
     "e93_funnel"          -> funnel _,
     "e94_retention"       -> retention _,
     "e97_rate_spikes"     -> rateSpikes _,
+    "e103_ewma_daily"     -> ewmaDaily _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -536,5 +595,6 @@ object EventOps {
     "e93_funnel"          -> funnelSql,
     "e94_retention"       -> retentionSql,
     "e97_rate_spikes"     -> rateSpikesSql,
+    "e103_ewma_daily"     -> ewmaDailySql,
   )
 }

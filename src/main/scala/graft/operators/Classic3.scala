@@ -318,6 +318,45 @@ object Classic3 {
       |  ((2 * wsum + wn) // (2 * wn)) / 100.0 AS ma7_revenue
       |FROM win ORDER BY order_day""".stripMargin
 
+  // ---------------------------------------- q52 month-over-month growth
+
+  /** q52: month-over-month revenue growth in exact ppm — the standard
+    * period-comparison report. Growth can be NEGATIVE; both Spark's
+    * `div` and DuckDB's `//` truncate toward zero (measured:
+    * -7 // 2 = -3 in DuckDB), so the plain integer quotient is
+    * cross-engine exact with no adjustment. The monthly frame is
+    * calendar-bounded, so the single unpartitioned lag window is a
+    * non-issue at any corpus scale (the corpus itself sees one
+    * map-side-combining groupBy). */
+  def momGrowth(s: SparkSession, d: String): DataFrame = {
+    val monthly = orders(s, d)
+      .withColumn("month",
+        date_trunc("month", col("o_orderdate")).cast("timestamp"))
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy("month").agg(sum("cents").as("cents"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev", lag("cents", 1).over(w))
+      .select(
+        col("month").as("order_month"),
+        (col("cents") / 100.0).as("revenue"),
+        expr("((cents - prev) * 1000000) div prev").as("growth_ppm"))
+      .orderBy("order_month")
+  }
+
+  val momGrowthSql: String =
+    """WITH monthly AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT month, cents,
+      |    lag(cents) OVER (ORDER BY month) AS prev
+      |  FROM monthly)
+      |SELECT month AS order_month, cents / 100.0 AS revenue,
+      |  CAST((cents - prev) * 1000000 // prev AS BIGINT) AS growth_ppm
+      |FROM lagged ORDER BY order_month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_nation_trade"   -> nationTrade _,
     "q11_important_parts" -> importantParts _,
@@ -327,6 +366,7 @@ object Classic3 {
     "q49_cust_quartiles" -> customerQuartiles _,
     "q50_brand_leaders"  -> brandLeaders _,
     "q51_moving_avg"     -> movingAvgRevenue _,
+    "q52_mom_growth"     -> momGrowth _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -338,5 +378,6 @@ object Classic3 {
     "q49_cust_quartiles" -> customerQuartilesSql,
     "q50_brand_leaders"  -> brandLeadersSql,
     "q51_moving_avg"     -> movingAvgRevenueSql,
+    "q52_mom_growth"     -> momGrowthSql,
   )
 }

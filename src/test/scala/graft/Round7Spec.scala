@@ -665,6 +665,38 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
       "5_dup_vec_ids" -> 1L))
   }
 
+  test("e103 EWMA equals a sequential fold over the daily totals") {
+    val daily = Tables.events(spark, d)
+      .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "day").agg(sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      var s = 0L
+      rows.sortBy(_._2).zipWithIndex.map { case ((_, day, c), i) =>
+        s = if (i == 0) c else (3 * s + c) / 4
+        (t, day * 86400000000L, s)
+      }.toSeq
+    }.toSet
+    val got = graft.ext.EventOps.ewmaDaily(spark, d).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000L,
+        r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q52 growth ppm matches the integer ratio and flags declines") {
+    val rows = graft.operators.Classic3.momGrowth(spark, d).collect()
+    assert(rows.length > 2 && rows.head.isNullAt(2)) // first month: no prev
+    val cents = rows.map(r => math.round(r.getDouble(1) * 100))
+    rows.drop(1).zip(cents).foreach { case (r, prev) =>
+      val cur = math.round(r.getDouble(1) * 100)
+      assert(r.getLong(2) == (cur - prev) * 1000000L / prev)
+    }
+    // fixture revenue is not monotonic: both signs must appear
+    val g = rows.drop(1).map(_.getLong(2))
+    assert(g.exists(_ > 0) && g.exists(_ < 0))
+  }
+
   test("e99 stream quality census equals the t50 batch result") {
     val batch = graft.ext.TextOps.qualityFilter(spark, d)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
