@@ -975,6 +975,145 @@ object SimilarityOps {
       |FROM pick WHERE rn = 1 ORDER BY q_id""".stripMargin
   }
 
+  // ------------------------------------- s79 MMR diversified top-k
+
+  /** s79: Maximal-Marginal-Relevance diversified top-3 — greedy
+    * selection over each query's top-10 cosine candidates where every
+    * step maximizes (relevance − max similarity to the already-chosen
+    * set), λ = 1/2 (monotone in the difference, so the λ factor drops
+    * out). The result-diversification pass of retrieval serving and
+    * diversity-driven training-data sampling. All scores are integer
+    * MICRO-cosines (round(cos·10⁶)), every argmax a min-struct with
+    * smallest-id ties — the 3 greedy steps unroll to exact joins that
+    * DuckDB replays bit-for-bit.
+    *
+    * Scale shape: candidate generation is s60's (broadcast queries,
+    * bounded-heap top-k, corpus scanned once); everything after runs
+    * on ≤10 rows and ≤45 pairwise sims PER QUERY — the greedy loop
+    * never touches the corpus. */
+  def mmrTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10).toDF("q_id", "qv")
+    val c = e.toDF("c_id", "cv")
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
+      .groupBy("q_id")
+      .agg(topkUdaf(10)(col("cosine"), col("c_id")).as("tk"))
+    val cands = explodeTopK(scored, Seq("q_id"), "c_id", "cosine")
+      .select(col("q_id"), col("c_id"),
+        expr("CAST(round(cosine * 1000000) AS BIGINT)").as("rel6"))
+    // candidate vectors: the ~10·#queries candidate ids broadcast
+    // against the embeddings scan — pairwise sims computed only
+    // within each query's candidate set
+    val cv = cands.select("q_id", "c_id")
+      .join(e.toDF("c_id", "v"), "c_id")
+      .select("q_id", "c_id", "v")
+    mmrFrom(cands, cv)
+  }
+
+  /** The 3 unrolled greedy steps over (q_id, c_id, rel6) candidates
+    * and their vectors. */
+  private def mmrFrom(cands: DataFrame, cv: DataFrame): DataFrame = {
+    val sim6 = round(dot(col("av"), col("bv")) /
+      (sqrt(dot(col("av"), col("av"))) * sqrt(dot(col("bv"), col("bv")))) *
+      1000000).cast("long")
+    val pairs = cv.toDF("q_id", "a", "av")
+      .join(cv.toDF("q_id", "b", "bv"), "q_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"), sim6.as("s6"))
+    def argmax(df: DataFrame, score: String): DataFrame =
+      df.groupBy("q_id")
+        .agg(min(struct((-col(score)).as("ns"), col("c_id").as("id"))).as("m"))
+        .select(col("q_id"), col("m.id").as("sel"), (-col("m.ns")).as("score"))
+    // step 1: pure relevance
+    val s1 = argmax(cands, "rel6")
+    // step 2: rel − sim(·, sel1)
+    val r2 = cands.join(s1.select("q_id", "sel"), "q_id")
+      .filter(col("c_id") =!= col("sel"))
+      .join(pairs.toDF("q_id", "c_id", "sel", "s6"), Seq("q_id", "c_id", "sel"))
+      .withColumn("mmr", col("rel6") - col("s6"))
+    val s2 = argmax(r2, "mmr")
+    // step 3: rel − max(sim to sel1, sel2)
+    val selected = s1.select(col("q_id"), col("sel"))
+      .union(s2.select(col("q_id"), col("sel")))
+    val r3 = cands.join(selected.toDF("q_id", "x"),
+        Seq("q_id"))
+      .filter(col("c_id") =!= col("x"))
+      .groupBy("q_id", "c_id", "rel6")
+      .agg(count(lit(1)).as("nx"))
+      .filter(col("nx") === 2) // candidates distinct from BOTH selections
+      .join(pairs.toDF("q_id", "c_id", "x", "s6")
+          .join(selected.toDF("q_id", "x"), Seq("q_id", "x"))
+          .groupBy("q_id", "c_id").agg(max("s6").as("maxsel")),
+        Seq("q_id", "c_id"))
+      .withColumn("mmr", col("rel6") - col("maxsel"))
+    val s3 = argmax(r3, "mmr")
+    s1.withColumn("rank", lit(1L))
+      .union(s2.withColumn("rank", lit(2L)))
+      .union(s3.withColumn("rank", lit(3L)))
+      .select(col("q_id"), col("rank"), col("sel").as("c_id"),
+        col("score").as("mmr_score"))
+      .orderBy("q_id", "rank")
+  }
+
+  val mmrTopKSql: String = {
+    val qcCos = cosineSqlSnippet.replace("QV", "q.v").replace("CV", "c.v")
+    val abCos = cosineSqlSnippet.replace("QV", "a.v").replace("CV", "b.v")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id q_id, c.vec_id c_id, round($qcCos, 6) AS cosine
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |cands AS (
+      |  SELECT q_id, c_id, CAST(round(cosine * 1000000) AS BIGINT) AS rel6
+      |  FROM (SELECT q_id, c_id, cosine, row_number() OVER (
+      |          PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+      |        FROM scored)
+      |  WHERE rank <= 10),
+      |cv AS (SELECT c.q_id, c.c_id, e.v
+      |       FROM cands c JOIN e ON e.vec_id = c.c_id),
+      |pairs AS (
+      |  SELECT a.q_id, a.c_id AS pa, b.c_id AS pb,
+      |    CAST(round(1000000 * ($abCos)) AS BIGINT) AS s6
+      |  FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+      |s1 AS (
+      |  SELECT q_id, c_id AS sel, rel6 AS score FROM (
+      |    SELECT q_id, c_id, rel6, row_number() OVER (
+      |      PARTITION BY q_id ORDER BY rel6 DESC, c_id) rn FROM cands)
+      |  WHERE rn = 1),
+      |r2 AS (
+      |  SELECT c.q_id, c.c_id, c.rel6 - p.s6 AS mmr
+      |  FROM cands c
+      |  JOIN s1 ON s1.q_id = c.q_id AND c.c_id <> s1.sel
+      |  JOIN pairs p ON p.q_id = c.q_id AND p.pa = c.c_id AND p.pb = s1.sel),
+      |s2 AS (
+      |  SELECT q_id, c_id AS sel, mmr AS score FROM (
+      |    SELECT q_id, c_id, mmr, row_number() OVER (
+      |      PARTITION BY q_id ORDER BY mmr DESC, c_id) rn FROM r2)
+      |  WHERE rn = 1),
+      |selected AS (SELECT q_id, sel FROM s1
+      |             UNION ALL SELECT q_id, sel FROM s2),
+      |r3 AS (
+      |  SELECT c.q_id, c.c_id, c.rel6 - max(p.s6) AS mmr
+      |  FROM cands c
+      |  JOIN pairs p ON p.q_id = c.q_id AND p.pa = c.c_id
+      |  JOIN selected s ON s.q_id = p.q_id AND s.sel = p.pb
+      |  WHERE NOT EXISTS (SELECT 1 FROM selected sx
+      |                    WHERE sx.q_id = c.q_id AND sx.sel = c.c_id)
+      |  GROUP BY c.q_id, c.c_id, c.rel6),
+      |s3 AS (
+      |  SELECT q_id, c_id AS sel, mmr AS score FROM (
+      |    SELECT q_id, c_id, mmr, row_number() OVER (
+      |      PARTITION BY q_id ORDER BY mmr DESC, c_id) rn FROM r3)
+      |  WHERE rn = 1)
+      |SELECT q_id, CAST(1 AS BIGINT) AS rank, sel AS c_id,
+      |  score AS mmr_score FROM s1
+      |UNION ALL SELECT q_id, 2, sel, score FROM s2
+      |UNION ALL SELECT q_id, 3, sel, score FROM s3
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s60_knn_brute"     -> knnBrute _,
     "s61_ivf_knn"       -> ivfKnn _,
@@ -989,6 +1128,7 @@ object SimilarityOps {
     "s75_ivfpq_knn"     -> ivfPqKnn _,
     "s77_radius_search" -> ((s: SparkSession, d: String) => radiusSearch(s, d)),
     "s78_knn_classify"  -> knnClassify _,
+    "s79_mmr_topk"      -> mmrTopK _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1005,5 +1145,6 @@ object SimilarityOps {
     "s75_ivfpq_knn"     -> ivfPqKnnSql,
     "s77_radius_search" -> radiusSearchSql,
     "s78_knn_classify"  -> knnClassifySql,
+    "s79_mmr_topk"      -> mmrTopKSql,
   )
 }

@@ -697,6 +697,42 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     assert(g.exists(_ > 0) && g.exists(_ < 0))
   }
 
+  test("s79 MMR selection matches a sequential greedy reference") {
+    val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def micro(x: Double): Long =
+      BigDecimal(x * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = (0L until 10L).flatMap { qid =>
+      val cands = e.keys.filter(_ != qid).toSeq
+        .map(c => (c, r6(cos(e(qid), e(c)))))
+        .sortBy { case (c, s) => (-s, c) }.take(10)
+        .map { case (c, s) => (c, micro(s)) }
+      var sel = List.empty[(Long, Long)] // (c_id, score)
+      for (_ <- 1 to 3) {
+        val pick = cands.filterNot(c => sel.exists(_._1 == c._1))
+          .map { case (c, rel) =>
+            val pen = if (sel.isEmpty) 0L
+              else sel.map(s2 => micro(cos(e(c), e(s2._1)))).max
+            (c, rel - pen)
+          }.minBy { case (c, sc) => (-sc, c) }
+        sel :+= pick
+      }
+      sel.zipWithIndex.map { case ((c, sc), i) => (qid, i + 1L, c, sc) }
+    }.toSet
+    val got = graft.ext.SimilarityOps.mmrTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect)
+  }
+
   test("e99 stream quality census equals the t50 batch result") {
     val batch = graft.ext.TextOps.qualityFilter(spark, d)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
