@@ -34,7 +34,9 @@ object PlanAudit {
       "s75_ivfpq_knn",
       "em69_pii_redact", "d59_passage_dedup", "s77_radius_search",
       "s78_knn_classify", "g101_clustering_coef", "t61_bigram_lm",
-      "d60_minhash_estimate", "m76_media_dedup")
+      "d60_minhash_estimate", "m76_media_dedup",
+      "s79_mmr_topk", "e103_ewma_daily", "q52_mom_growth",
+      "v73_embedding_audit")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)
