@@ -728,6 +728,54 @@ object TextOps {
       |FROM bg2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- t62 mixture planning
+
+  /** t62: training-mixture planning — given a total token budget and
+    * per-source target shares, compute each source's available tokens
+    * and the repeat factor (×1000) needed to hit its allocation: the
+    * epochs-per-source table a training run is configured from
+    * (sources repeat when under-represented, subsample when over).
+    * Budget = 2× the corpus total; shares fixed 40/30/20/10-style by
+    * source index. Pure integer arithmetic on a #sources-row frame —
+    * the corpus sees ONE map-side-combining token-count aggregate. */
+  def mixturePlan(s: SparkSession, d: String): DataFrame = {
+    val perSource = documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("source_tokens"))
+    val total = perSource.agg(sum("source_tokens").as("corpus_tokens"))
+    val share = expr(
+      """CASE source WHEN 'src0' THEN 400L WHEN 'src1' THEN 300L
+        |WHEN 'src2' THEN 200L ELSE 100L END""".stripMargin)
+    perSource.crossJoin(broadcast(total))
+      .withColumn("share_pm", share)
+      .withColumn("target_tokens",
+        expr("(2 * corpus_tokens * share_pm) div 1000"))
+      .withColumn("repeat_x1000",
+        expr("(target_tokens * 1000) div source_tokens"))
+      .select("source", "n_docs", "source_tokens", "share_pm",
+        "target_tokens", "repeat_x1000")
+      .orderBy("source")
+  }
+
+  val mixturePlanSql: String =
+    """WITH per_source AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        x -> x <> ''))) AS source_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT sum(source_tokens) AS corpus_tokens FROM per_source)
+      |SELECT source, n_docs, CAST(source_tokens AS BIGINT) AS source_tokens,
+      |  CAST(CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 300
+      |       WHEN 'src2' THEN 200 ELSE 100 END AS BIGINT) AS share_pm,
+      |  CAST(2 * corpus_tokens * (CASE source WHEN 'src0' THEN 400
+      |    WHEN 'src1' THEN 300 WHEN 'src2' THEN 200 ELSE 100 END) // 1000
+      |    AS BIGINT) AS target_tokens,
+      |  CAST((2 * corpus_tokens * (CASE source WHEN 'src0' THEN 400
+      |    WHEN 'src1' THEN 300 WHEN 'src2' THEN 200 ELSE 100 END) // 1000)
+      |    * 1000 // source_tokens AS BIGINT) AS repeat_x1000
+      |FROM per_source, tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -745,6 +793,7 @@ object TextOps {
     "t58_boilerplate"     -> boilerplateRatio _,
     "t59_source_profile"  -> sourceProfile _,
     "t61_bigram_lm"       -> bigramLm _,
+    "t62_mixture_plan"    -> mixturePlan _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -764,5 +813,6 @@ object TextOps {
     "t58_boilerplate"     -> boilerplateRatioSql,
     "t59_source_profile"  -> sourceProfileSql,
     "t61_bigram_lm"       -> bigramLmSql,
+    "t62_mixture_plan"    -> mixturePlanSql,
   )
 }

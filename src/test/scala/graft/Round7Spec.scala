@@ -733,6 +733,24 @@ class Round7Spec extends AnyFunSuite with SparkSpec {
     assert(got == expect)
   }
 
+  test("t62 mixture plan allocates the 2x budget by exact shares") {
+    val rows = graft.ext.TextOps.mixturePlan(spark, d).collect()
+    assert(rows.nonEmpty)
+    val corpus = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val (src, tok, share, target, rep) = (r.getString(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      val wantShare = src match {
+        case "src0" => 400L; case "src1" => 300L; case "src2" => 200L
+        case _ => 100L
+      }
+      assert(share == wantShare)
+      assert(target == 2 * corpus * share / 1000)
+      assert(rep == target * 1000 / tok)
+      assert(rep > 0) // every source participates
+    }
+  }
+
   test("e99 stream quality census equals the t50 batch result") {
     val batch = graft.ext.TextOps.qualityFilter(spark, d)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
