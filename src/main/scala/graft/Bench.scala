@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * "sf":...}` sized to survive a bounded tail capture of stdout.
   *
   * Noise-proofing (round-3 lesson: a contended sandbox recorded a 6.4×
-  * "regression" on byte-identical code):
+  * "regression" on byte-identical code; round-7 lesson: a scalar-only
+  * probe missed shuffle/IO contention that inflated the recorded total
+  * 30% while the probe stayed nominal):
   *  - queries run in sorted-name order so per-query diffs across rounds
   *    are attributable (a Map's hash order scrambled attribution);
   *  - the shared caches (dedup frames, k-means model, fixture corpus
@@ -16,9 +18,18 @@ import org.apache.spark.sql.SparkSession
   *    first;
   *  - each query records the MEDIAN of 3 consecutive runs, so one noisy
   *    scheduling window cannot fail the gate;
-  *  - a scalar-baseline sanity probe (q32 median < 2 s) marks the JSON
-  *    `"contended":true` and warns on stderr instead of silently
-  *    recording garbage timings.
+  *  - TWO sanity probes: the scalar q32 baseline (CPU contention) and a
+  *    fixed micro-shuffle groupBy (shuffle/IO contention — the round-7
+  *    blind spot). Either exceeding its envelope marks the JSON
+  *    `"contended":true` and warns on stderr;
+  *  - any query whose median exceeds 2× its committed BENCH_DETAIL
+  *    value (and by >0.3 s absolute) is re-run and the MIN of the two
+  *    medians is kept — a genuine regression survives (both medians
+  *    are genuine), a contention spike does not. Re-run names are
+  *    recorded under `"rerun"` for transparency;
+  *  - an inflated cache warm (>2× committed) is cleared and rebuilt
+  *    once, keeping the min, since a one-shot warm has no median to
+  *    de-noise it.
   */
 object Bench {
 
@@ -42,6 +53,49 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, ok)
   }
 
+  /** Fixed micro-shuffle: 4M-row range → 997-key hash agg. Purely
+    * synthetic (no data dependence), two full stages with a real
+    * exchange between them — sensitive to exactly the shuffle/disk
+    * contention a scalar probe can't see. ~0.2–0.4 s on a quiet
+    * local[4]; the 2 s envelope is ≥5× nominal. */
+  private def shuffleProbeSecs(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 4000000L).selectExpr("id % 997 AS k", "id AS v")
+      .groupBy("k").sum("v").count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Per-query seconds from the committed BENCH_DETAIL.json (the last
+    * clean run's envelope). Empty map if absent/unparseable OR recorded
+    * at a DIFFERENT scale factor than this run (an sf0.01 dev run's
+    * detail would make every sf0.1 query look "inflated" and double the
+    * suite with pointless re-runs) — every caller treats a missing
+    * reference as "no re-run". */
+  private def loadCommittedDetail(sfDir: String): Map[String, Double] = {
+    try {
+      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(txt)
+        val sf = if (root.get("sf") == null) "" else root.get("sf").asText("")
+        val qs = root.get("queries")
+        if (qs == null || sf != sfDir) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          qs.fieldNames().asScala.map(n => n -> qs.get(n).asDouble(-1.0)).toMap
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+
+  /** Inflated vs the committed envelope: >2× the clean value AND >0.3 s
+    * absolute (so sub-100 ms queries, which jitter multiplicatively,
+    * never trigger a pointless re-run). */
+  private def inflated(t: Double, ref: Double): Boolean =
+    t >= 0 && ref > 0 && t > 2.0 * ref && t - ref > 0.3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -52,21 +106,41 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val committed = loadCommittedDetail(sfDir)
     // warm the JVM/codegen/parquet paths once so first-run JIT and
     // reader init are not charged to whichever query runs first
     // (observed ±3s of pure warmup noise on a trivial query)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // shared caches, each its own line item (timed once: they are
-    // idempotent no-ops on re-entry, so a median would measure nothing)
-    val cacheRuns: Seq[(String, (Double, Boolean))] = Seq(
-      "cache_dedup_frames" ->
-        timeOnce(() => graft.ext.DedupOps.warm(spark, sfDir)),
-      "cache_kmeans_model" ->
-        timeOnce(() => graft.ext.SimilarityOps.warm(spark, sfDir)),
-      "cache_graph_edges" ->
-        timeOnce(() => graft.graph.GraphOps.warm(spark, sfDir)),
-      "cache_fixture_corpus" ->
-        timeOnce(() => { graft.query.FixtureCorpus.store(spark, sfDir).count(); () }))
+    shuffleProbeSecs(spark) // discard: first probe run carries its JIT
+    val probeStart = shuffleProbeSecs(spark)
+    // shared caches, each its own line item. An inflated warm (vs the
+    // committed envelope) is cleared and rebuilt once, keeping the min:
+    // a warm is timed once (idempotent no-op on re-entry), so unlike
+    // the median-of-3 queries it has no built-in noise rejection.
+    val cacheDefs: Seq[(String, () => Unit, () => Unit)] = Seq(
+      ("cache_dedup_frames",
+        () => graft.ext.DedupOps.warm(spark, sfDir),
+        () => graft.ext.DedupOps.clearCaches()),
+      ("cache_kmeans_model",
+        () => graft.ext.SimilarityOps.warm(spark, sfDir),
+        () => graft.ext.SimilarityOps.clearCaches()),
+      ("cache_graph_edges",
+        () => graft.graph.GraphOps.warm(spark, sfDir),
+        () => graft.graph.GraphOps.clearCaches()),
+      ("cache_fixture_corpus",
+        () => { graft.query.FixtureCorpus.store(spark, sfDir).count(); () },
+        () => graft.query.FixtureCorpus.clear()))
+    val rerun = scala.collection.mutable.ArrayBuffer[String]()
+    val cacheRuns: Seq[(String, (Double, Boolean))] = cacheDefs.map {
+      case (name, warm, clear) =>
+        var (t, ok) = timeOnce(warm)
+        if (ok && inflated(t, committed.getOrElse(name, -1.0))) {
+          clear()
+          val (t2, ok2) = timeOnce(warm)
+          if (ok2) { rerun += name; t = math.min(t, t2) }
+        }
+        name -> (t, ok)
+    }
     // a FAILED warm's elapsed is dropped from the line items entirely:
     // its cost re-lands on whichever query rebuilds the cache, so
     // keeping it would double-count (and contradict the "excluded from
@@ -75,12 +149,23 @@ object Bench {
       cacheRuns.collect { case (k, (t, true)) => k -> t }
     val queryTimes: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> median3(() => { fn(spark, sfDir).count(); () })
+        val run = () => { fn(spark, sfDir).count(); () }
+        var t = median3(run)
+        if (inflated(t, committed.getOrElse(name, -1.0))) {
+          val t2 = median3(run)
+          if (t2 >= 0) { rerun += name; t = math.min(t, t2) }
+        }
+        name -> t
       }
-    val contended = queryTimes.toMap.get("q32_scalar_funcs").exists(_ > 2.0)
+    val probeEnd = shuffleProbeSecs(spark)
+    val probeSecs = math.min(probeStart, probeEnd)
+    val scalarSlow = queryTimes.toMap.get("q32_scalar_funcs").exists(_ > 2.0)
+    val shuffleSlow = probeSecs > 2.0
+    val contended = scalarSlow || shuffleSlow
     if (contended)
-      System.err.println("[bench] WARNING: q32 scalar baseline exceeded 2s " +
-        "median — machine is contended, timings unreliable")
+      System.err.println("[bench] WARNING: contention probe exceeded envelope " +
+        s"(scalar q32 slow=$scalarSlow, shuffle probe=${probeSecs}s slow=" +
+        s"$shuffleSlow) — machine is contended, timings unreliable")
     // a crashed query records -1 and is excluded from the total, which
     // would otherwise make the headline SMALLER — surface every such
     // name top-level so the gate can't mistake a crash for a speedup
@@ -96,7 +181,10 @@ object Bench {
     // and silently break both JSON lines.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def strArr(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = strArr(failed)
+    val rerunJson = strArr(rerun.toSeq)
     val total = all.map(_._2).filter(_ >= 0).sum
     // Full per-query detail: one line WITHOUT the "metric" key (so
     // headline parsers never pick it up) + a repo file for diffing
@@ -108,7 +196,7 @@ object Bench {
     val qsAll = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"detail":"per_query_seconds","runs":3,"contended":$contended,"failed":$failedJson,"queries":$qsAll,"sf":"$sfDir"}"""
+      s"""{"detail":"per_query_seconds","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)},"failed":$failedJson,"rerun":$rerunJson,"queries":$qsAll,"sf":"$sfDir"}"""
     println(detail)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -119,7 +207,7 @@ object Bench {
     val qsTop = all.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"contended":$contended,"failed":$failedJson,"queries":$qsTop,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)},"failed":$failedJson,"rerun":$rerunJson,"queries":$qsTop,"sf":"$sfDir"}""")
     graft.ext.DedupOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
     graft.graph.GraphOps.clearCaches()
