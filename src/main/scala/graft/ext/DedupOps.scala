@@ -169,25 +169,36 @@ object DedupOps {
     * never a cross join; the 0.5 threshold sits in the empty gap of the
     * corpus distribution (observed: clusters ≥ 0.9, background ≤ 0.07),
     * and Jaccard is a ratio of ints — no fp instability at the cut. */
-  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    // join on 60-bit hashed shingle ids: ~4x smaller shuffle than the
-    // raw shingle strings, same counts (md5-family, collision-free here
-    // and bit-identical in the oracle); DF-capped against hot shingles
-    val sh = dfCappedShingles(s, d)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.toDF("i", "sh")
-    val b = sh.toDF("j", "sh")
-    val inter = a.join(b, "sh").filter(col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("i", "ni"), "i")
-      .join(sizes.toDF("j", "nj"), "j")
+  /** Cached pre-threshold pair-overlap frame (i, j, inter, ni, nj):
+    * every candidate doc pair sharing ≥1 capped shingle with its
+    * intersection and both set sizes. d51 (Jaccard) and d55
+    * (containment) are both cheap scalar filters over THIS frame — the
+    * inverted-index self-join, the expensive part of both queries, runs
+    * once per (session, dir). Bounded by the DF cap exactly like the
+    * thresholded outputs (Σ df² over kept shingles), so caching it adds
+    * no new scale exposure. */
+  private def pairOverlapCached(s: SparkSession, d: String): DataFrame =
+    frames.cached(s, d, "inter") {
+      // join on 60-bit hashed shingle ids: ~4x smaller shuffle than the
+      // raw shingle strings, same counts (md5-family, collision-free
+      // here and bit-identical in the oracle); DF-capped vs hot shingles
+      val sh = dfCappedShingles(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.toDF("i", "sh")
+      val b = sh.toDF("j", "sh")
+      a.join(b, "sh").filter(col("i") < col("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+        .join(sizes.toDF("i", "ni"), "i")
+        .join(sizes.toDF("j", "nj"), "j")
+    }
+
+  def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairOverlapCached(s, d)
       .withColumn("jaccard",
         round(col("inter") / (col("ni") + col("nj") - col("inter")), 4))
       .filter(col("jaccard") >= 0.5)
       .select(col("i").as("doc_a"), col("j").as("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   val jaccardPairsSql: String =
     s"""WITH shs AS ($shingleRowsSql),
@@ -408,24 +419,16 @@ object DedupOps {
   /** d55: containment pairs — |A∩B| / min(|A|,|B|) ≥ 0.8. Catches the
     * asymmetric near-dup case Jaccard under-scores: a short document
     * quoted inside a much longer one (reply chains, boilerplate
-    * wrappers) has high containment but low Jaccard. Same
-    * inverted-index pair generation as d51. */
-  def containmentPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = dfCappedShingles(s, d)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.toDF("i", "sh")
-    val b = sh.toDF("j", "sh")
-    val inter = a.join(b, "sh").filter(col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("i", "ni"), "i")
-      .join(sizes.toDF("j", "nj"), "j")
+    * wrappers) has high containment but low Jaccard. Shares d51's
+    * cached pair-overlap frame — the inverted-index self-join runs once
+    * for both queries. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    pairOverlapCached(s, d)
       .withColumn("containment",
         round(col("inter") / least(col("ni"), col("nj")), 4))
       .filter(col("containment") >= 0.8)
       .select(col("i").as("doc_a"), col("j").as("doc_b"), col("containment"))
       .orderBy("doc_a", "doc_b")
-  }
 
   val containmentPairsSql: String =
     s"""WITH shs AS ($shingleRowsSql),
