@@ -936,8 +936,14 @@ object SimilarityOps {
     // the label rides INSIDE the top-k id (c_id·4096 + label, labels
     // are single digits — spec-checked) so the corpus is scanned
     // exactly once; the encoding preserves tie order (a c_id gap of 1
-    // dominates any label difference)
-    val enc = col("c_id") * lit(4096L) + col("label")
+    // dominates any label difference). A label outside [0, 4096) would
+    // silently corrupt both the tie-break and the decoded label (Spark
+    // % can go negative), so the encoding FAILS LOUDLY on one — a
+    // schema change can't produce quietly-wrong predictions.
+    val enc = when(col("label") < 0 || col("label") >= 4096,
+        raise_error(concat(lit("s78: label outside [0, 4096): "),
+          col("label").cast("string"))))
+      .otherwise(col("c_id") * lit(4096L) + col("label"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))

@@ -751,8 +751,12 @@ object TextOps {
       .withColumn("share_pm", share)
       .withColumn("target_tokens",
         expr("(2 * corpus_tokens * share_pm) div 1000"))
+      // greatest(..., 1): a source whose docs are all empty has 0
+      // tokens — Spark div would yield NULL while the DuckDB twin's //
+      // RAISES on divide-by-zero, so an unguarded degenerate corpus
+      // diverges as harness-error-vs-NULL (the t58 boiler_ppm rule)
       .withColumn("repeat_x1000",
-        expr("(target_tokens * 1000) div source_tokens"))
+        expr("(target_tokens * 1000) div greatest(source_tokens, 1L)"))
       .select("source", "n_docs", "source_tokens", "share_pm",
         "target_tokens", "repeat_x1000")
       .orderBy("source")
@@ -773,7 +777,7 @@ object TextOps {
       |    AS BIGINT) AS target_tokens,
       |  CAST((2 * corpus_tokens * (CASE source WHEN 'src0' THEN 400
       |    WHEN 'src1' THEN 300 WHEN 'src2' THEN 200 ELSE 100 END) // 1000)
-      |    * 1000 // source_tokens AS BIGINT) AS repeat_x1000
+      |    * 1000 // greatest(source_tokens, 1) AS BIGINT) AS repeat_x1000
       |FROM per_source, tot ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

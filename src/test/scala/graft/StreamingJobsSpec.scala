@@ -293,6 +293,17 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](ZipStaging.stage(evil.toString))
   }
 
+  test("events fixture reserves negative event_ids for stream sentinels") {
+    // e100/e101's watermark-advancing sentinel rows carry event_id
+    // -1/-2 and are excluded from results by that reserved range; a
+    // fixture that ever shipped real negative event_ids would silently
+    // drop real rows, so the invariant fails loudly here instead
+    import org.apache.spark.sql.functions.col
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert(ev.filter(col("event_id") < 0).isEmpty,
+      "real events must have nonnegative event_ids (sentinels use -1/-2)")
+  }
+
   test("multimodal: decode stub, frame sampling, feature extraction") {
     val d = "/root/testdata/sf0.001"
     val media = Multimodal.mediaTable(spark, d)
