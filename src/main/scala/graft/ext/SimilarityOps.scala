@@ -678,6 +678,83 @@ object SimilarityOps {
       |SELECT q_id, cid, c_id, CAST(ad2 AS BIGINT) AS ad2, rank
       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------- s80 persisted-index IVF-PQ serving
+
+  /** Saved-index artifact dirs per (session, dir): built + written
+    * once, reloaded by every serving call. */
+  private val savedIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write the trained IVF-PQ index as a 4-table parquet artifact —
+    * coarse centroids, cell membership, PQ codebooks, per-vector
+    * codes. This is the "build once" half of a real ANN deployment:
+    * the artifact is everything serving needs (raw vectors excluded by
+    * design — queries arrive at serve time), so an index built on one
+    * cluster ships to any number of serving readers. */
+  def saveIvfPqIndex(s: SparkSession, d: String, out: String): Unit = {
+    val (cent, assigned) = kmModel(s, d)
+    val (_, cb, enc) = pqParts(s, d)
+    cent.write.mode("overwrite").parquet(s"$out/centroids")
+    assigned.select("vec_id", "cid")
+      .write.mode("overwrite").parquet(s"$out/members")
+    cb.write.mode("overwrite").parquet(s"$out/codebooks")
+    enc.select("vec_id", "j", "cid")
+      .write.mode("overwrite").parquet(s"$out/codes")
+  }
+
+  /** s80: s75's IVF-PQ serving run entirely from the RELOADED parquet
+    * artifact — no touch of the in-session trained model: the "serve
+    * many" half. Probe, LUT build, and ADC scoring are the s75
+    * dataflow against the loaded tables (queries re-quantized from the
+    * embeddings table at serve time, as a real query stream would be),
+    * and the result shares s75's oracle — proving the save/load round
+    * trip preserves the index bit-for-bit. */
+  def ivfPqKnnServed(s: SparkSession, d: String): DataFrame = {
+    val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d"
+    val idx = savedIndexDirs.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-index")
+      dir.toFile.deleteOnExit()
+      saveIvfPqIndex(s, d, dir.toString)
+      dir.toString
+    })
+    val cent = s.read.parquet(s"$idx/centroids")
+    val members = s.read.parquet(s"$idx/members")
+      .select(col("vec_id").as("c_id"), col("cid"))
+    val cb = s.read.parquet(s"$idx/codebooks")
+    val codes = s.read.parquet(s"$idx/codes")
+      .select(col("vec_id").as("c_id"), col("j"), col("cid").as("code"))
+    // queries are runtime input: quantize, probe the loaded coarse
+    // quantizer, build the ADC lookup tables from the loaded codebooks
+    val q = quantized(s, d).filter(col("vec_id") < 10)
+    val probe = q.select(col("vec_id").as("q_id"), col("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("cv")))
+      .groupBy("q_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("q_id"), col("m.cid").as("cid"))
+    val qsubs = q.select(col("vec_id").as("q_id"),
+        explode(array((0 until pqM).map(j =>
+          struct(lit(j).as("j"),
+            slice(col("qv"), j * pqSub + 1, pqSub).as("sv"))): _*)).as("s"))
+      .select(col("q_id"), col("s.j").as("j"), col("s.sv").as("qsv"))
+    val lut = qsubs
+      .join(broadcast(cb.toDF("j", "code", "ccv")), Seq("j"))
+      .withColumn("qd2", dist2(col("qsv"), col("ccv")))
+      .select("q_id", "j", "code", "qd2")
+    val scored = probe.join(members, "cid")
+      .filter(col("c_id") =!= col("q_id"))
+      .join(codes, "c_id")
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy("q_id", "cid", "c_id")
+      .agg(sum("qd2").as("ad2"))
+      .groupBy("q_id", "cid")
+      .agg(topkUdaf(3)((-col("ad2")).cast("double"), col("c_id")).as("tk"))
+    explodeTopK(scored, Seq("q_id", "cid"), "c_id", "nad2")
+      .select(col("q_id"), col("cid"), col("c_id"),
+        (-col("nad2")).cast("bigint").as("ad2"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   // --------------------------------- s73 scalar quantization (int8)
 
   /** s73: scalar-quantization serving — the third compression point on
@@ -1135,6 +1212,7 @@ object SimilarityOps {
     "s77_radius_search" -> ((s: SparkSession, d: String) => radiusSearch(s, d)),
     "s78_knn_classify"  -> knnClassify _,
     "s79_mmr_topk"      -> mmrTopK _,
+    "s80_ivfpq_served"  -> ivfPqKnnServed _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1152,5 +1230,8 @@ object SimilarityOps {
     "s77_radius_search" -> radiusSearchSql,
     "s78_knn_classify"  -> knnClassifySql,
     "s79_mmr_topk"      -> mmrTopKSql,
+    // same oracle as s75: the served results must be bit-identical to
+    // the in-session index's
+    "s80_ivfpq_served"  -> ivfPqKnnSql,
   )
 }
