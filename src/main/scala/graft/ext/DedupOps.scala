@@ -169,16 +169,18 @@ object DedupOps {
     * never a cross join; the 0.5 threshold sits in the empty gap of the
     * corpus distribution (observed: clusters ≥ 0.9, background ≤ 0.07),
     * and Jaccard is a ratio of ints — no fp instability at the cut. */
-  /** Cached pre-threshold pair-overlap frame (i, j, inter, ni, nj):
-    * every candidate doc pair sharing ≥1 capped shingle with its
-    * intersection and both set sizes. d51 (Jaccard) and d55
-    * (containment) are both cheap scalar filters over THIS frame — the
-    * inverted-index self-join, the expensive part of both queries, runs
-    * once per (session, dir). Bounded by the DF cap exactly like the
-    * thresholded outputs (Σ df² over kept shingles), so caching it adds
-    * no new scale exposure. */
-  private def pairOverlapCached(s: SparkSession, d: String): DataFrame =
-    frames.cached(s, d, "inter") {
+  /** Cached near-dup pair frame (doc_a, doc_b, jaccard, containment):
+    * candidate pairs from ONE inverted-index self-join, scored with
+    * BOTH similarity measures and kept when either passes its
+    * threshold. d51 (Jaccard ≥ 0.5) and d55 (containment ≥ 0.8) are
+    * each a scalar filter over this frame, so the self-join — the
+    * expensive part of both queries — runs once per (session, dir).
+    * Only the thresholded union is materialized (near-dup-sized, like
+    * d51's output — NOT the pre-threshold candidate set, whose cache
+    * footprint measurably inflated unrelated queries via GC pressure
+    * at sf0.1). */
+  private def scoredPairsCached(s: SparkSession, d: String): DataFrame =
+    frames.cached(s, d, "scored_pairs") {
       // join on 60-bit hashed shingle ids: ~4x smaller shuffle than the
       // raw shingle strings, same counts (md5-family, collision-free
       // here and bit-identical in the oracle); DF-capped vs hot shingles
@@ -190,14 +192,19 @@ object DedupOps {
         .groupBy("i", "j").agg(count(lit(1)).as("inter"))
         .join(sizes.toDF("i", "ni"), "i")
         .join(sizes.toDF("j", "nj"), "j")
+        .withColumn("jaccard",
+          round(col("inter") / (col("ni") + col("nj") - col("inter")), 4))
+        .withColumn("containment",
+          round(col("inter") / least(col("ni"), col("nj")), 4))
+        .filter(col("jaccard") >= 0.5 || col("containment") >= 0.8)
+        .select(col("i").as("doc_a"), col("j").as("doc_b"),
+          col("jaccard"), col("containment"))
     }
 
   def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairOverlapCached(s, d)
-      .withColumn("jaccard",
-        round(col("inter") / (col("ni") + col("nj") - col("inter")), 4))
+    scoredPairsCached(s, d)
       .filter(col("jaccard") >= 0.5)
-      .select(col("i").as("doc_a"), col("j").as("doc_b"), col("jaccard"))
+      .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
 
   val jaccardPairsSql: String =
@@ -420,14 +427,12 @@ object DedupOps {
     * asymmetric near-dup case Jaccard under-scores: a short document
     * quoted inside a much longer one (reply chains, boilerplate
     * wrappers) has high containment but low Jaccard. Shares d51's
-    * cached pair-overlap frame — the inverted-index self-join runs once
+    * cached scored-pair frame — the inverted-index self-join runs once
     * for both queries. */
   def containmentPairs(s: SparkSession, d: String): DataFrame =
-    pairOverlapCached(s, d)
-      .withColumn("containment",
-        round(col("inter") / least(col("ni"), col("nj")), 4))
+    scoredPairsCached(s, d)
       .filter(col("containment") >= 0.8)
-      .select(col("i").as("doc_a"), col("j").as("doc_b"), col("containment"))
+      .select("doc_a", "doc_b", "containment")
       .orderBy("doc_a", "doc_b")
 
   val containmentPairsSql: String =
