@@ -88,7 +88,9 @@ object StreamingOps {
     * and fixture-scale runs would otherwise commit 32 near-empty
     * state stores per micro-batch (a stream-stream join maintains four
     * per side per partition). At real scale the volume formula returns
-    * the session width unchanged. */
+    * the session width unchanged. (Profiled: raising the drain's
+    * partition count 4× does not move addBatch — the per-drain cost is
+    * fixed streaming machinery, not aggregation parallelism.) */
   private def drainToMemorySink(spark: SparkSession, sink: String,
       mode: String, nIn: Long)(buildQuery: => DataFrame): Unit =
     graft.operators.Salting.withVolumeShuffle(spark, nIn) {
