@@ -111,6 +111,37 @@ object Bench {
     // reader init are not charged to whichever query runs first
     // (observed ±3s of pure warmup noise on a trivial query)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // JIT pre-warm at the smallest SF (untimed, standard JMH-style
+    // methodology): the heavy code paths — cache builds and streaming
+    // drains through both sink kinds — compile here instead of inside
+    // the timed line items. Median-of-3 already hides first-run JIT
+    // for ordinary queries, but the cache warms are timed ONCE and
+    // were absorbing ~3.5 s of pure first-build compilation (measured:
+    // dedup warm 9.8 s first build vs 5.1 s rebuilt in the same JVM).
+    // Caches built at the pre-warm SF are cleared so the timed warms
+    // below rebuild everything for the real sfDir from scratch.
+    val jitDir = sys.env.getOrElse("SPARK_GRAFT_JIT_DIR",
+      new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+        .getPath)
+    if (jitDir != sfDir && new java.io.File(jitDir).isDirectory) {
+      try {
+        graft.ext.DedupOps.warm(spark, jitDir)
+        graft.ext.SimilarityOps.warm(spark, jitDir)
+        graft.graph.GraphOps.warm(spark, jitDir)
+        graft.query.FixtureCorpus.store(spark, jitDir).count()
+        // one memory-sink drain, one file-sink drain, one outer-join
+        // eviction drain: covers the streaming machinery variants
+        SparkEntry.queries("e84_stream_tumbling")(spark, jitDir).count()
+        SparkEntry.queries("e101_stream_dedup_activity")(spark, jitDir).count()
+        SparkEntry.queries("e100_stream_unmatched")(spark, jitDir).count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] JIT pre-warm failed (non-fatal): $e")
+      }
+      graft.ext.DedupOps.clearCaches()
+      graft.ext.SimilarityOps.clearCaches()
+      graft.graph.GraphOps.clearCaches()
+      graft.query.FixtureCorpus.clear()
+    }
     shuffleProbeSecs(spark) // discard: first probe run carries its JIT
     val probeStart = shuffleProbeSecs(spark)
     // shared caches, each its own line item. An inflated warm (vs the
