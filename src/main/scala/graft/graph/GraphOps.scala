@@ -38,6 +38,9 @@ object GraphOps {
     // to whichever of the two queries runs first
     val (deg, counts) = trianglesCached(s, d)
     deg.count(); counts.count()
+    // the g94/g97-shared PageRank operands (vertex set + degree-joined
+    // edges) — same rationale
+    prVerts(s, d).count(); prEdgeDeg(s, d).count()
     ()
   }
 
@@ -102,6 +105,27 @@ object GraphOps {
   private val prScale = 1000000L // rank 1.0 == 1e6
   private val prIters = 10
 
+  /** Registry-cached PageRank operands shared by g94 and g97: the
+    * distinct vertex set, and the edge frame PRE-JOINED with source
+    * out-degree. The pre-join halves the joins inside the iteration
+    * (rank × edgeDeg instead of rank × outdeg followed by × edges) —
+    * 10 fewer shuffled joins per query, 20 across the pair — and the
+    * joined frame is built once per (session, dir) instead of per
+    * query. `rank div deg` per edge equals the per-source contribution
+    * joined onto each edge, so results are bit-identical. */
+  private def prVerts(s: SparkSession, d: String): DataFrame =
+    frames.cached(s, d, "prverts") {
+      val e = copurchaseEdges(s, d)
+      e.select(col("p1").as("id")).union(e.select(col("p2"))).distinct()
+    }
+
+  private def prEdgeDeg(s: SparkSession, d: String): DataFrame =
+    frames.cached(s, d, "predgedeg") {
+      val e = copurchaseEdges(s, d).toDF("src", "dst")
+      e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .select("src", "dst", "deg")
+    }
+
   /** g94: PageRank over the co-purchase graph in FIXED-POINT integer
     * arithmetic — contributions use integer division by out-degree and
     * the damping step is (85·x) div 100, so every iteration is exact
@@ -119,19 +143,15 @@ object GraphOps {
     graft.operators.Salting.withVolumeShuffle(s, rows)(body)
 
   def pagerankFixed(s: SparkSession, d: String): DataFrame = {
-    // the registry frame is already cached; the rename projection on
-    // top is free — a second .cache() here held a duplicate copy
-    val edges = copurchaseEdges(s, d).toDF("src", "dst")
-    withVolumeShuffle(s, edges.count()) {
-      val verts = edges.select(col("src").as("id"))
-        .union(edges.select(col("dst"))).distinct()
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // registry-cached shared operands; the rename projection on top is
+    // free — a second .cache() here held a duplicate copy
+    val ed = prEdgeDeg(s, d)
+    withVolumeShuffle(s, ed.count()) {
+      val verts = prVerts(s, d)
       var r = verts.withColumn("rank", lit(prScale)).localCheckpoint(true)
       for (i <- 1 to prIters) {
-        val contrib = r.join(outdeg, r("id") === outdeg("src"))
-          .select(col("src"), expr("rank div deg").as("c"))
-          .join(edges, "src")
-          .groupBy("dst").agg(sum("c").as("s"))
+        val contrib = r.join(ed, r("id") === ed("src"))
+          .groupBy("dst").agg(sum(expr("rank div deg")).as("s"))
         val next = r.alias("l")
           .join(contrib.alias("co"), col("l.id") === col("co.dst"), "left")
           .select(col("l.id").as("id"),
@@ -157,21 +177,17 @@ object GraphOps {
     * arithmetic and checkpointed DataFrame loop as g94, so the whole
     * 10-iteration personalized walk is oracle-checked bit-for-bit. */
   def personalizedPagerankFixed(s: SparkSession, d: String): DataFrame = {
-    val edges = copurchaseEdges(s, d).toDF("src", "dst")
+    val ed = prEdgeDeg(s, d)
     def teleport(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(id % 50 === 0, lit(prScale * 15 / 100)).otherwise(lit(0L))
-    withVolumeShuffle(s, edges.count()) {
-      val verts = edges.select(col("src").as("id"))
-        .union(edges.select(col("dst"))).distinct()
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    withVolumeShuffle(s, ed.count()) {
+      val verts = prVerts(s, d)
       var r = verts.withColumn("rank",
           when(col("id") % 50 === 0, lit(prScale)).otherwise(lit(0L)))
         .localCheckpoint(true)
       for (i <- 1 to prIters) {
-        val contrib = r.join(outdeg, r("id") === outdeg("src"))
-          .select(col("src"), expr("rank div deg").as("c"))
-          .join(edges, "src")
-          .groupBy("dst").agg(sum("c").as("s"))
+        val contrib = r.join(ed, r("id") === ed("src"))
+          .groupBy("dst").agg(sum(expr("rank div deg")).as("s"))
         val next = r.alias("l")
           .join(contrib.alias("co"), col("l.id") === col("co.dst"), "left")
           .select(col("l.id").as("id"),
