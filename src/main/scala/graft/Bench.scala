@@ -34,7 +34,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Median of 3 timed runs of `f`; -1.0 if any run throws. */
-  private def median3(f: () => Unit): Double = {
+  private[graft] def median3(f: () => Unit): Double = {
     var failed = false
     val times = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
@@ -71,9 +71,10 @@ object Bench {
     * detail would make every sf0.1 query look "inflated" and double the
     * suite with pointless re-runs) — every caller treats a missing
     * reference as "no re-run". */
-  private def loadCommittedDetail(sfDir: String): Map[String, Double] = {
+  private[graft] def loadCommittedDetail(sfDir: String,
+      path: String = "BENCH_DETAIL.json"): Map[String, Double] = {
     try {
-      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      val p = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -93,7 +94,7 @@ object Bench {
   /** Inflated vs the committed envelope: >2× the clean value AND >0.3 s
     * absolute (so sub-100 ms queries, which jitter multiplicatively,
     * never trigger a pointless re-run). */
-  private def inflated(t: Double, ref: Double): Boolean =
+  private[graft] def inflated(t: Double, ref: Double): Boolean =
     t >= 0 && ref > 0 && t > 2.0 * ref && t - ref > 0.3
 
   def main(args: Array[String]): Unit = {
