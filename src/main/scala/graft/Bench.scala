@@ -82,7 +82,7 @@ object Bench {
         val root = om.readTree(txt)
         val sf = if (root.get("sf") == null) "" else root.get("sf").asText("")
         val qs = root.get("queries")
-        if (qs == null || sf != sfDir) Map.empty
+        if (qs == null || canonDir(sf) != canonDir(sfDir)) Map.empty
         else {
           import scala.jdk.CollectionConverters._
           qs.fieldNames().asScala.map(n => n -> qs.get(n).asDouble(-1.0)).toMap
@@ -97,16 +97,17 @@ object Bench {
   private[graft] def inflated(t: Double, ref: Double): Boolean =
     t >= 0 && ref > 0 && t > 2.0 * ref && t - ref > 0.3
 
+  /** Canonical form for scale-dir comparisons: a trailing slash, a
+    * relative spelling, or a symlinked path for the SAME directory must
+    * not silently disable the committed-envelope re-run defense (string
+    * inequality reads as "different scale factor") or the JIT pre-warm
+    * dir distinction. */
+  private[graft] def canonDir(p: String): String =
+    try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local()
     val committed = loadCommittedDetail(sfDir)
     // warm the JVM/codegen/parquet paths once so first-run JIT and
     // reader init are not charged to whichever query runs first
@@ -124,7 +125,8 @@ object Bench {
     val jitDir = sys.env.getOrElse("SPARK_GRAFT_JIT_DIR",
       new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
         .getPath)
-    if (jitDir != sfDir && new java.io.File(jitDir).isDirectory) {
+    if (canonDir(jitDir) != canonDir(sfDir) &&
+        new java.io.File(jitDir).isDirectory) {
       try {
         graft.ext.DedupOps.warm(spark, jitDir)
         graft.ext.SimilarityOps.warm(spark, jitDir)
@@ -170,6 +172,17 @@ object Bench {
           clear()
           val (t2, ok2) = timeOnce(warm)
           if (ok2) { rerun += name; t = math.min(t, t2) }
+          else {
+            // the rebuild threw AFTER the cache was cleared: restore it
+            // so the (already-recorded) first build's time stays an
+            // honest line item — without this the cache would silently
+            // rebuild inside whichever query touches the registry
+            // first, double-incurring a cost no line item shows. If the
+            // restore also fails, the item reports failed like any
+            // throwing warm.
+            val (_, ok3) = timeOnce(warm)
+            ok = ok3
+          }
         }
         name -> (t, ok)
     }

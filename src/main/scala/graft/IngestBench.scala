@@ -74,14 +74,7 @@ object IngestBench {
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("GRAFT_INGEST_N", "20000").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val base = Files.createTempDirectory("graft-ingest-bench")
     val files = synthesize(base, n)
     val storeDir = Files.createTempDirectory("graft-ingest-bench-store")

@@ -5,12 +5,7 @@ import org.apache.spark.sql.SparkSession
   * no cartesian products). */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
-      .config("spark.sql.session.timeZone","UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong","true")
-      .config("spark.ui.enabled","false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local("4", logLevel = "ERROR")
     val d = "/root/testdata/sf0.01"
     val interesting = Seq(
       "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",

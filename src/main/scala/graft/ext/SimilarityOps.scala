@@ -282,6 +282,20 @@ object SimilarityOps {
     kmCache.values.forEach { case (c, a) => c.unpersist(); a.unpersist(); () }
     kmCache.clear()
     pqFrames.clear()
+    savedIndexDirs.values.forEach { dir =>
+      deleteDirRecursively(java.nio.file.Paths.get(dir))
+    }
+    savedIndexDirs.clear()
+  }
+
+  private def deleteDirRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val all = java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      all.reverseIterator.foreach(p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () })
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Pre-train the shared models (bench pre-warm line item): the
@@ -681,9 +695,17 @@ object SimilarityOps {
   // ------------------------------- s80 persisted-index IVF-PQ serving
 
   /** Saved-index artifact dirs per (session, dir): built + written
-    * once, reloaded by every serving call. */
+    * once, reloaded by every serving call. Deleted by [[clearCaches]]
+    * (File.deleteOnExit cannot remove a non-empty directory, so
+    * relying on it would leak one 4-table artifact per JVM). The
+    * build runs OUTSIDE the map's compute: a multi-second Spark job
+    * inside ConcurrentHashMap.computeIfAbsent would hold the bin lock
+    * against unrelated keys; the builder lock below serializes only
+    * the build itself, and a lost data race costs one redundant
+    * build, never a wrong result. */
   private val savedIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val indexBuildLock = new Object
 
   /** Write the trained IVF-PQ index as a 4-table parquet artifact —
     * coarse centroids, cell membership, PQ codebooks, per-vector
@@ -711,12 +733,14 @@ object SimilarityOps {
     * trip preserves the index bit-for-bit. */
   def ivfPqKnnServed(s: SparkSession, d: String): DataFrame = {
     val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d"
-    val idx = savedIndexDirs.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-index")
-      dir.toFile.deleteOnExit()
-      saveIvfPqIndex(s, d, dir.toString)
-      dir.toString
-    })
+    val idx = indexBuildLock.synchronized {
+      Option(savedIndexDirs.get(key)).getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-index")
+        saveIvfPqIndex(s, d, dir.toString)
+        savedIndexDirs.put(key, dir.toString)
+        dir.toString
+      }
+    }
     val cent = s.read.parquet(s"$idx/centroids")
     val members = s.read.parquet(s"$idx/members")
       .select(col("vec_id").as("c_id"), col("cid"))

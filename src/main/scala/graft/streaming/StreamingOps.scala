@@ -105,13 +105,29 @@ object StreamingOps {
       finally { q.stop(); deleteRecursively(ckpt) }
     }
 
-  /** Previous file-sink output dir per query key — each drain writes a
-    * FRESH dir (the bench must time the real write, and a file sink
+  /** Previous file-sink output dir per (dir, query) — each drain writes
+    * a FRESH dir (the bench must time the real write, and a file sink
     * refuses to restart over a foreign commit log), so the prior run's
-    * files are deleted once the next drain for the same query begins.
+    * files are deleted once the next drain for the SAME (dir, query)
+    * begins; keying by query name alone would let a drain against one
+    * fixture dir invalidate a still-lazy result frame from another.
     * The last dir per key lives until JVM exit (tmpfs, sink-sized). */
   private val lastSinkDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Read the committed sink files back, tolerating a zero-output
+    * stream: a parquet sink that committed no data files (only
+    * `_spark_metadata`) makes `spark.read.parquet` throw on schema
+    * inference, where the memory sink this path replaced returned a
+    * schema-ful empty frame — recover the schema from the streaming
+    * frame itself. */
+  private def readSinkOrEmpty(spark: SparkSession, out: java.nio.file.Path,
+      schema: StructType): DataFrame =
+    try spark.read.schema(schema).parquet(out.toString)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
+    }
 
   /** Drain an append-mode streaming frame through a parquet FILE sink —
     * the production serving path: results land as exactly-once
@@ -126,7 +142,8 @@ object StreamingOps {
     graft.operators.Salting.withVolumeShuffle(spark, nIn) {
       val ckpt = scratchTempDir("graft-ckpt")
       val out = scratchTempDir("graft-file-sink")
-      val q = buildQuery.writeStream
+      val streamDf = buildQuery
+      val q = streamDf.writeStream
         .outputMode("append")
         .format("parquet")
         .option("path", out.toString)
@@ -136,7 +153,7 @@ object StreamingOps {
       finally { q.stop(); deleteRecursively(ckpt) }
       val prev = lastSinkDirs.put(key, out)
       if (prev != null) deleteRecursively(prev)
-      spark.read.parquet(out.toString)
+      readSinkOrEmpty(spark, out, streamDf.schema)
     }
 
   /** File-backed drain for UPDATE-mode streams (the file sink itself is
@@ -150,7 +167,8 @@ object StreamingOps {
     graft.operators.Salting.withVolumeShuffle(spark, nIn) {
       val ckpt = scratchTempDir("graft-ckpt")
       val out = scratchTempDir("graft-update-sink")
-      val q = buildQuery.writeStream
+      val streamDf = buildQuery
+      val q = streamDf.writeStream
         .outputMode("update")
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -161,7 +179,7 @@ object StreamingOps {
       finally { q.stop(); deleteRecursively(ckpt) }
       val prev = lastSinkDirs.put(key, out)
       if (prev != null) deleteRecursively(prev)
-      spark.read.parquet(out.toString)
+      readSinkOrEmpty(spark, out, streamDf.schema)
     }
 
   /** Drain, then SNAPSHOT the sink into a standalone frame and drop
@@ -279,7 +297,7 @@ object StreamingOps {
         .filter(col("event_type").isin("error", "click")).count()
     }
     // matched pairs grow with data volume → file sink, never the driver
-    val snap = drainToFileSink(spark, "e88", nIn) {
+    val snap = drainToFileSink(spark, s"$d|e88", nIn) {
       val errors = src().filter(col("event_type") === "error")
         .select(col("user_id"), col("event_id").as("error_event_id"),
           col("tsus").as("etsus"), col("etime").as("err_time"))
@@ -354,7 +372,7 @@ object StreamingOps {
       spark.read.parquet(s"$d/events.parquet")
         .filter(col("event_type").isin("error", "click")).count()
     }
-    val snap = drainToFileSink(spark, "e100", nIn) {
+    val snap = drainToFileSink(spark, s"$d|e100", nIn) {
       val errors = src().filter(col("event_type") === "error")
         .select(col("user_id"), col("event_id").as("error_event_id"),
           col("tsus").as("etsus"), col("etime").as("err_time"))
@@ -398,7 +416,7 @@ object StreamingOps {
     // (window, type) activity counts grow with the calendar span of the
     // data → production path is the file sink (verified here: same
     // watermark semantics, oracle reads the committed files back)
-    val snap = drainToFileSink(spark, "e101", nIn) {
+    val snap = drainToFileSink(spark, s"$d|e101", nIn) {
       spark.readStream.schema(eventsSchema)
         .parquet(stageDir)
         .withColumn("etime", timestamp_micros(expr("ts div 1000")))
@@ -490,7 +508,7 @@ object StreamingOps {
         spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try drainToFileSink(spark, "e102", nIn) {
+      try drainToFileSink(spark, s"$d|e102", nIn) {
         spark.readStream.schema(eventsSchema)
           .parquet(stageDir)
           .filter(col("event_type") === "purchase")
@@ -600,7 +618,7 @@ object StreamingOps {
       spark.read.parquet(s"$d/events.parquet").count()
     }
     // closed sessions grow with data volume → file sink, never driver
-    val snap = drainToFileSink(spark, "e90", nIn) {
+    val snap = drainToFileSink(spark, s"$d|e90", nIn) {
       val ev = spark.readStream.schema(eventsSchema).parquet(stageDir)
         .select(col("user_id"),
           expr("ts div 1000").cast("double").as("ts"))
@@ -820,7 +838,7 @@ object StreamingOps {
     // per-user progress emissions are user-scale; update mode can't use
     // the file sink directly, so they append as an upsert log (read
     // collapses them via the monotone max)
-    val snap = drainUpdateToFiles(spark, "e95", nIn) {
+    val snap = drainUpdateToFiles(spark, s"$d|e95", nIn) {
       val ev = spark.readStream.schema(eventsSchema).parquet(stageDir)
         .filter(col("event_type").isin("signup", "view", "click", "purchase"))
         .select(col("user_id"), expr("ts div 1000").as("ts"),
@@ -898,7 +916,7 @@ object StreamingOps {
     }
     // the deduped (user, day) pair set is user-scale, not aggregate-
     // bounded → file sink, never the driver
-    val snap = drainToFileSink(spark, "e96", nIn) {
+    val snap = drainToFileSink(spark, s"$d|e96", nIn) {
       spark.readStream.schema(eventsSchema).parquet(stageDir)
         .select(col("user_id"),
           expr("(ts div 1000) div 86400000000").as("day"))

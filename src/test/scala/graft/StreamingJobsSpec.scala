@@ -299,9 +299,20 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     // fixture that ever shipped real negative event_ids would silently
     // drop real rows, so the invariant fails loudly here instead
     import org.apache.spark.sql.functions.col
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    assert(ev.filter(col("event_id") < 0).isEmpty,
-      "real events must have nonnegative event_ids (sentinels use -1/-2)")
+    // assert for EVERY available fixture dir, not just the spec-default
+    // smallest one — e100 runs against sf0.01 (oracle) and sf0.1
+    // (bench), and a generator change introducing negative ids only at
+    // larger SFs would otherwise pass here while silently dropping
+    // real unmatched-error rows there
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(sf => s"/root/testdata/$sf/events.parquet")
+      .filter(p => new java.io.File(p).exists)
+    assert(dirs.nonEmpty)
+    dirs.foreach { p =>
+      val ev = spark.read.parquet(p)
+      assert(ev.filter(col("event_id") < 0).isEmpty,
+        s"$p: real events must have nonnegative event_ids (sentinels use -1/-2)")
+    }
   }
 
   test("multimodal: decode stub, frame sampling, feature extraction") {
