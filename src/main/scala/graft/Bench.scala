@@ -29,7 +29,13 @@ import org.apache.spark.sql.SparkSession
   *    recorded under `"rerun"` for transparency;
   *  - an inflated cache warm (>2× committed) is cleared and rebuilt
   *    once, keeping the min, since a one-shot warm has no median to
-  *    de-noise it.
+  *    de-noise it;
+  *  - a `drift` field reports the MEDIAN per-query ratio vs the
+  *    committed envelope: diffuse neighbor noise (every query +5–20%,
+  *    probes clean, no individual outlier) is invisible to the other
+  *    defenses but reads directly as drift > 1.1 here — the recorded
+  *    total should then be interpreted against the committed
+  *    BENCH_DETAIL.json, not as a regression.
   */
 object Bench {
 
@@ -231,6 +237,27 @@ object Bench {
     val failedJson = strArr(failed)
     val rerunJson = strArr(rerun.toSeq)
     val total = all.map(_._2).filter(_ >= 0).sum
+    // DIFFUSE-noise transparency: per-query outlier re-runs catch a
+    // spike on one query, and the probes catch gross contention, but a
+    // busy neighbor can also inflate EVERY query 5–20% — too uniform
+    // for either defense (measured: the same commit benched 90.1 s and
+    // 98.1 s two hours apart, probes clean both times, zero queries
+    // individually >1.5× their envelope). Report the median per-query
+    // ratio vs the committed clean envelope so a drifted total is
+    // readable AS drift next to the envelope it drifted from, instead
+    // of masquerading as a regression.
+    val drift: Option[Double] = {
+      val ratios = all.collect { case (k, t)
+        if t >= 0 && committed.getOrElse(k, -1.0) > 0 => t / committed(k) }
+      if (ratios.size < 20) None
+      else Some(ratios.sorted.apply(ratios.size / 2))
+    }
+    val driftJson = drift.map(d => s""","drift":${fmt(d)}""").getOrElse("")
+    drift.filter(_ > 1.15).foreach { d =>
+      System.err.println(f"[bench] WARNING: median per-query drift $d%.2fx " +
+        "vs committed envelope with clean probes — diffuse machine noise " +
+        "suspected; compare against the committed BENCH_DETAIL.json total")
+    }
     // Full per-query detail: one line WITHOUT the "metric" key (so
     // headline parsers never pick it up) + a repo file for diffing
     // rounds. The harness that records bench output keeps only the LAST
@@ -241,7 +268,7 @@ object Bench {
     val qsAll = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"detail":"per_query_seconds","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)},"failed":$failedJson,"rerun":$rerunJson,"queries":$qsAll,"sf":"$sfDir"}"""
+      s"""{"detail":"per_query_seconds","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson,"failed":$failedJson,"rerun":$rerunJson,"queries":$qsAll,"sf":"$sfDir"}"""
     println(detail)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -252,7 +279,7 @@ object Bench {
     val qsTop = all.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)},"failed":$failedJson,"rerun":$rerunJson,"queries":$qsTop,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson,"failed":$failedJson,"rerun":$rerunJson,"queries":$qsTop,"sf":"$sfDir"}""")
     graft.ext.DedupOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
     graft.graph.GraphOps.clearCaches()
