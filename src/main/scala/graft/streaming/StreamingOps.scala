@@ -41,9 +41,22 @@ object StreamingOps {
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
+  // File.deleteOnExit cannot remove a NON-EMPTY directory, so relying
+  // on it leaked every still-populated scratch dir (final sink dirs,
+  // staged symlink dirs) per JVM — observed as >1000 stale graft-*
+  // entries accumulating under /tmp and /dev/shm across a day of runs.
+  // One recursive-delete shutdown hook over the tracked set instead.
+  private val scratchDirs =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, java.lang.Boolean]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach(p => deleteRecursively(p))))
+  }
+
   private def scratchTempDir(prefix: String): java.nio.file.Path = {
     val p = Files.createTempDirectory(scratchRoot, prefix)
-    p.toFile.deleteOnExit()
+    scratchDirs.add(p)
     p
   }
 
@@ -350,7 +363,6 @@ object StreamingOps {
           (-2L, far, -2L, "click", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("append").parquet(dir.toString)
-      dir.toFile.deleteOnExit()
       dir.toString
     })
 
