@@ -330,10 +330,14 @@ object EventOps {
         expr("CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1" +
           " WHEN 'click' THEN 2 ELSE 3 END").as("tp"))
     funnelStages(ev)
-      .agg(sum(when(col("st.t1").isNotNull, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("st.t2").isNotNull, 1L).otherwise(0L)).as("n2"),
-        sum(when(col("st.t3").isNotNull, 1L).otherwise(0L)).as("n3"),
-        sum(when(col("st.t4").isNotNull, 1L).otherwise(0L)).as("n4"))
+      // coalesce: a global agg over ZERO users (degenerate corpus with
+      // no funnel events) yields one all-NULL row in Spark while the
+      // oracle's scalar-subquery counts return 0 — the stack expr's
+      // `WHEN n1 = 0` branch must see 0, not NULL, in both engines
+      .agg(coalesce(sum(when(col("st.t1").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("st.t2").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n2"),
+        coalesce(sum(when(col("st.t3").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n3"),
+        coalesce(sum(when(col("st.t4").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n4"))
       .select(expr(funnelStackExpr))
       .orderBy("stage_idx")
   }

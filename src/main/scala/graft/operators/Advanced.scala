@@ -13,13 +13,19 @@ import graft.functions.RollingHash64.rolling_hash64
   * API, proving the engine serves both surfaces). */
 object Advanced {
 
-  /** q35: exact interpolated percentiles per market segment. */
+  /** q35: exact interpolated percentiles per market segment. Both
+    * probabilities are DYADIC (1/2, 7/8) so the interpolation position
+    * p·(n−1) is exactly representable and both engines interpolate
+    * between the same two order statistics with the same exact weight —
+    * 0.9 is not representable in binary and its position can land an
+    * ulp apart cross-engine, which round(,4) only narrows to a
+    * .00005-boundary coin flip (the q47 dyadic-probability rule). */
   def percentiles(s: SparkSession, d: String): DataFrame =
     customer(s, d)
       .groupBy("c_mktsegment")
       .agg(
         round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_bal"),
-        round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
+        round(expr("percentile(c_acctbal, 0.875)"), 4).as("p875_bal"),
         round(min("c_acctbal"), 2).as("min_bal"),
         round(max("c_acctbal"), 2).as("max_bal"))
       .orderBy("c_mktsegment")
@@ -27,7 +33,7 @@ object Advanced {
   val percentilesSql: String =
     """SELECT c_mktsegment,
       |  round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
-      |  round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+      |  round(quantile_cont(c_acctbal, 0.875), 4) AS p875_bal,
       |  round(min(c_acctbal), 2) AS min_bal,
       |  round(max(c_acctbal), 2) AS max_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin

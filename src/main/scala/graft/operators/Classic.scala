@@ -110,11 +110,19 @@ object Classic {
   /** q22-style: positive-balance customers with no open orders, grouped
     * by a name-derived code (NOT EXISTS + scalar avg subquery). */
   def globalSales(s: SparkSession, d: String): DataFrame = {
+    // exact-integer avg threshold: c_acctbal > avg(...) rewritten as
+    // cents·n > Σcents (2-decimal balances are exact in cents; BIGINT
+    // products are exact in both engines) — a raw fp average differs
+    // between Spark's partition-order partial sums and DuckDB's
+    // sequential sum by ulps, and a customer on that boundary would
+    // flip membership cross-engine (the Classic3 exact-threshold rule)
     val c = customer(s, d)
-    val avgBal = c.filter(col("c_acctbal") > 0)
-      .agg(avg("c_acctbal")).first().getDouble(0)
+      .withColumn("cents", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+    val r = c.filter(col("c_acctbal") > 0)
+      .agg(sum("cents").as("s"), count(lit(1)).as("n")).first()
+    val (sumCents, n) = (r.getLong(0), r.getLong(1))
     val o = orders(s, d).filter(col("o_orderstatus") === "O")
-    c.filter(col("c_acctbal") > avgBal)
+    c.filter(col("cents") * n > sumCents)
       .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy(substring(col("c_name"), 10, 1).as("code"))
       .agg(count(lit(1)).as("numcust"),
@@ -126,8 +134,10 @@ object Classic {
     """SELECT substring(c_name, 10, 1) AS code, count(*) AS numcust,
       |  round(sum(c_acctbal), 2) AS totacctbal
       |FROM customer c
-      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-      |                   WHERE c_acctbal > 0)
+      |WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+      |      * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+      |    > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+      |       FROM customer WHERE c_acctbal > 0)
       |  AND NOT EXISTS (SELECT 1 FROM orders
       |                  WHERE o_custkey = c.c_custkey
       |                    AND o_orderstatus = 'O')
@@ -138,10 +148,15 @@ object Classic {
   def extremeEvents(s: SparkSession, d: String): DataFrame =
     events(s, d)
       // scalar ordering keys (DuckDB arg_max takes no struct keys):
-      // value has 2 decimals -> cents*1e7+event_id is exact and unique;
-      // ts is integer nanos (unique at microsecond resolution)
+      // value has 2 decimals -> cents*1e12+event_id is exact and
+      // unique while event_id < 1e12 (~a trillion events; the prior
+      // 1e7 margin was only fixture-deep — beyond it two distinct
+      // (cents, event_id) pairs could collide and the cross-engine
+      // arg-max tie-break would be nondeterministic). cents ≤ ~9.2e6
+      // keeps the product inside BIGINT. ts is integer nanos (unique
+      // at microsecond resolution)
       .withColumn("vkey",
-        expr("CAST(round(value * 100) AS BIGINT) * 10000000 + event_id"))
+        expr("CAST(round(value * 100) AS BIGINT) * 1000000000000 + event_id"))
       .withColumn("tkey", expr("ts div 1000"))
       .groupBy("user_id")
       .agg(
@@ -155,10 +170,10 @@ object Classic {
   val extremeEventsSql: String =
     """SELECT user_id,
       |  arg_max(event_type,
-      |    CAST(round(value * 100) AS BIGINT) * 10000000 + event_id)
+      |    CAST(round(value * 100) AS BIGINT) * 1000000000000 + event_id)
       |    AS type_at_max_value,
       |  arg_min(event_type,
-      |    CAST(round(value * 100) AS BIGINT) * 10000000 + event_id)
+      |    CAST(round(value * 100) AS BIGINT) * 1000000000000 + event_id)
       |    AS type_at_min_value,
       |  arg_max(event_type, epoch_us(ts)) AS last_type,
       |  arg_min(event_type, epoch_us(ts)) AS first_type,

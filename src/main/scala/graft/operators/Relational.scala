@@ -461,13 +461,19 @@ object Relational {
       |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open
       |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin
 
-  /** Correlated-aggregate pattern: orders above their customer's average. */
+  /** Correlated-aggregate pattern: orders above their customer's
+    * average. The `> avg·1.5` threshold is evaluated as exact BIGINT
+    * cross-multiplication (cents·n·2 > Σcents·3): a raw fp average
+    * differs between Spark's partition-order partial sums and DuckDB's
+    * sequential sum by ulps, and an order on that boundary would flip
+    * membership cross-engine. */
   def aboveAverageOrders(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
-    val avgPerCust = o.groupBy(col("o_custkey").as("ac_custkey"))
-      .agg(avg("o_totalprice").as("avg_price"))
-    o.join(broadcast(avgPerCust), o("o_custkey") === avgPerCust("ac_custkey"))
-      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+    val perCust = o.groupBy(col("o_custkey").as("ac_custkey"))
+      .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n_orders"))
+    o.join(broadcast(perCust), o("o_custkey") === perCust("ac_custkey"))
+      .filter(col("cents") * col("n_orders") * 2 > col("sum_cents") * 3)
       .select(col("o_orderkey"), col("o_custkey"),
               round(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy("o_orderkey")
@@ -476,9 +482,13 @@ object Relational {
   val aboveAverageOrdersSql: String =
     """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
       |FROM orders o JOIN (
-      |  SELECT o_custkey AS ac_custkey, avg(o_totalprice) AS avg_price
+      |  SELECT o_custkey AS ac_custkey,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+      |    count(*) AS n_orders
       |  FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.ac_custkey
-      |WHERE o_totalprice > avg_price * 1.5 ORDER BY o_orderkey""".stripMargin
+      |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * n_orders * 2
+      |      > sum_cents * 3
+      |ORDER BY o_orderkey""".stripMargin
 
   /** HAVING-style post-aggregation filter: high-volume part/supplier pairs. */
   def highVolumePairs(s: SparkSession, d: String): DataFrame =

@@ -26,8 +26,17 @@ object Salting {
     * Any DataFrame `body` returns must be MATERIALIZED inside it
     * (checkpoint / cache+count) — a lazy plan would execute under the
     * restored setting instead. */
+  // withVolumeShuffle mutates SESSION-global state: an overlapping
+  // call from another thread would read the shrunken value as its
+  // "previous" and restore it permanently, leaving every later query
+  // at fixture-sized parallelism. Serialize the save-mutate-restore
+  // window instead (the e102 provider-override pattern); bodies are
+  // self-contained Spark jobs, so the lock cannot deadlock and
+  // callers that need concurrency still parallelize INSIDE a body.
+  private val shuffleConfLock = new Object
+
   def withVolumeShuffle[T](s: org.apache.spark.sql.SparkSession, rows: Long)
-      (body: => T): T = {
+      (body: => T): T = shuffleConfLock.synchronized {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     val p = math.max(1L, math.min(prev.toLong, (rows + 49999) / 50000))

@@ -64,6 +64,16 @@ class KeyIndex(spark: SparkSession, val path: String, numBuckets: Int = 64) {
 
   def exists: Boolean = fs.exists(okMarker)
 
+  /** Drop the validity marker WITHOUT touching index data — called by
+    * the store before it mutates store partitions. The index only
+    * becomes stale once the store changes, so the unsafe window is
+    * store-write → refresh-commit, not just refresh itself: a crash
+    * between those must leave the index distrusted (→ bootstrap
+    * rebuild), or a later upsert probes months from the pre-crash
+    * index, misses the month already holding a batch key, and writes a
+    * duplicate dedupe_key. */
+  def invalidate(): Unit = { fs.delete(okMarker, false); () }
+
   private def write(entries: DataFrame, overwriteMode: String): Unit = {
     fs.delete(okMarker, false)
     entries

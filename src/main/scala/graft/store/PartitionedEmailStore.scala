@@ -77,8 +77,18 @@ class PartitionedEmailStore(spark: SparkSession, root: String)
           val existing = read()
             .filter(col("date_month").isin(affected.toSeq: _*))
             .drop("date_month")
+          // materialize BEFORE the overwrite: `merged` lazily reads the
+          // same parquet path write() then rewrites, and a speculative/
+          // retried task re-reading an affected-month file after the
+          // commit deleted it would drop or duplicate store rows (the
+          // KeyIndex.refresh hazard, applied to the store itself)
           val merged = EmailStore.merge(existing,
-            compact.withColumn("path", lit("")))
+            compact.withColumn("path", lit(""))).localCheckpoint()
+          // distrust the index across the store mutation: a crash
+          // between write(merged) and index.refresh must leave
+          // exists=false (bootstrap rebuild) rather than a trusted
+          // index missing the batch's months
+          index.invalidate()
           write(merged)
           // refresh the batch keys' index entries from what is now on
           // disk (merge may keep an existing row's month, not the batch's)
