@@ -24,7 +24,7 @@ import graft.ext.TextOps.{md5Long, shingles3, tokens}
   */
 object DedupOps {
 
-  private val normText = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+  private val normText = regexp_replace(trim(lower(col("text"))), TextOps.wsClass, " ")
 
   /** (doc_id, shingle) distinct pairs — the shared input of the
     * Jaccard/minhash family. The token array is materialized through a

@@ -15,9 +15,18 @@ import graft.Tables._
   */
 object TextOps {
 
+  /** The whitespace class shared by every tokenizing twin, spelled out
+    * EXPLICITLY because the engines' `\s` differ: Java regex `\s` is
+    * `[ \t\n\x0B\f\r]` (includes vertical tab) while DuckDB's RE2 `\s`
+    * is `[ \t\n\f\r]` (confirmed by execution: RE2 does not split on
+    * \x0B). The DuckDB twins keep writing `\s`; the Scala side uses
+    * this class so both tokenize identically even for \x0B-bearing
+    * text. */
+  private[graft] val wsClass = "[ \\t\\n\\f\\r]+"
+
   /** Whitespace tokens of lowercased text, empties dropped. */
   def tokens(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => t =!= "")
+    filter(split(lower(c), wsClass), t => t =!= "")
 
   /** Word n-gram shingles (n=3) from whitespace tokens. Guarded against
     * short docs (Spark's `sequence(1,0)` counts DOWN — never call it
@@ -64,9 +73,9 @@ object TextOps {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
       |  CAST(length(text) AS BIGINT) AS n_chars_measured,
-      |  round(list_sum(list_transform(
+      |  round(coalesce(list_sum(list_transform(
       |      list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''),
-      |      x -> CAST(length(x) AS DOUBLE)))
+      |      x -> CAST(length(x) AS DOUBLE))), 0)
       |    / greatest(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
       |      x -> x <> '')), 1), 4) AS avg_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -191,7 +200,7 @@ object TextOps {
     * text, plus a 60-bit integer form for compact joins (rolling-hash
     * tier; md5 chosen because it is oracle-reproducible). */
   def fingerprint(s: SparkSession, d: String): DataFrame = {
-    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val norm = regexp_replace(trim(lower(col("text"))), wsClass, " ")
     documents(s, d).select(
       col("doc_id"),
       md5(norm).as("fp_md5"),
@@ -626,7 +635,7 @@ object TextOps {
     * t50's rule frame (a doc_id-keyed join, co-partitioned with the
     * corpus scan). */
   def sourceProfile(s: SparkSession, d: String): DataFrame = {
-    val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val fp = md5(regexp_replace(trim(lower(col("text"))), wsClass, " "))
     val docs = documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"), fp.as("fp"))
     val dupGroups = docs.groupBy("fp").agg(count(lit(1)).as("n_copies"))

@@ -80,12 +80,21 @@ object EmailGraph {
     * with `maxElements` (top-degree-first would be the 100 TB variant;
     * here the cap just guards the collect). */
   def toCytoscapeJson(store: DataFrame, maxElements: Int = 100000): String = {
-    val nodeJson = vertices(store).limit(maxElements)
+    val keptNodes = vertices(store).limit(maxElements).cache()
+    val nodeJson = keptNodes
       .select(to_json(struct(struct(
         col("id").cast("string").as("id"),
         col("kind"),
         col("key").as("label")).as("data"))).as("j"))
-    val edgeJson = edges(store).limit(maxElements)
+    // a truncated export must stay INTERNALLY consistent: an edge whose
+    // endpoint was dropped by the node cap makes Cytoscape.js reject
+    // the whole payload, so edges are restricted to the retained node
+    // set before their own cap
+    val keptIds = keptNodes.select(col("id"))
+    val edgeJson = edges(store)
+      .join(keptIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(keptIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .limit(maxElements)
       .select(to_json(struct(struct(
         concat_ws(":", col("kind"), col("src").cast("string"),
           col("dst").cast("string")).as("id"),
@@ -94,6 +103,7 @@ object EmailGraph {
         col("kind")).as("data"))).as("j"))
     val nodes = nodeJson.collect().map(_.getString(0))
     val edges0 = edgeJson.collect().map(_.getString(0))
+    keptNodes.unpersist()
     nodes.mkString("{\"nodes\":[", ",", "],") +
       edges0.mkString("\"edges\":[", ",", "]}")
   }

@@ -64,8 +64,14 @@ object EmailIngest {
         .load(s"$baseDir/*/*")
       catch {
         // no depth-2 entries at all → empty ingest (the reference's
-        // EMPTY short-circuit, app/orchestrator.py:53-56)
-        case _: org.apache.spark.sql.AnalysisException => return emptyScan(spark)
+        // EMPTY short-circuit, app/orchestrator.py:53-56). Match ONLY
+        // the path-not-found condition: a permissions failure or bad
+        // scheme also surfaces as AnalysisException, and swallowing it
+        // would record a successful-looking EMPTY job for data that
+        // was silently never ingested.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          return emptyScan(spark)
       }
     df.filter(col("path").rlike(pat))
       .select(

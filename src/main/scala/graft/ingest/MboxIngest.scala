@@ -68,7 +68,10 @@ object MboxIngest {
             val doc = Rfc822Parser.parse(
               msg.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
               stem, "mbox", s"${i}_")
-            Some((s"$path#$i", doc))
+            // zero-padded ordinal: the store's duplicate-key merge is
+            // first-writer-wins by LEXICOGRAPHIC (precedence, path)
+            // order, and "#10" < "#2" would let a later message win
+            Some((f"$path%s#$i%09d", doc))
           } catch { case _: Exception => None }
         }
       }

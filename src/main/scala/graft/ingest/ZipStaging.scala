@@ -19,6 +19,17 @@ object ZipStaging {
     * root to hand to EmailIngest.scan / JobTracker.runIngestJob. */
   def stage(zipPath: String): Path = {
     val target = Files.createTempDirectory("graft-zip-stage")
+    try stageInto(zipPath, target)
+    catch { case e: Throwable =>
+      // a zip-slip rejection or IO error mid-extraction must not leak
+      // a partially-populated staging dir of extracted user data (the
+      // caller only cleans up the path a SUCCESSFUL stage returns)
+      cleanup(target)
+      throw e
+    }
+  }
+
+  private def stageInto(zipPath: String, target: Path): Path = {
     val zis = new ZipInputStream(Files.newInputStream(Paths.get(zipPath)))
     try {
       var entry = zis.getNextEntry

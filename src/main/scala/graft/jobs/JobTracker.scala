@@ -59,8 +59,17 @@ class JobTracker(spark: SparkSession, root: String) {
     * last. */
   def currentState(): DataFrame = {
     val byJob = Window.partitionBy("job_id")
-    val desc = byJob.orderBy(col("event_ts").desc, col("status").desc)
-    val asc = byJob.orderBy(col("event_ts").asc, col("status").asc)
+    // tie-break equal timestamps by STATE-MACHINE rank, not status
+    // text: alphabetically QUEUED > PARSING > PARSED, so a lexical
+    // tie-break would report a job that started parsing as QUEUED
+    // (and the asc window would pick a non-create event's empty
+    // source/input_dir). Terminal states outrank PARSING outranks
+    // QUEUED; unknown statuses sort last defensively.
+    val stateRank = expr(
+      """CASE status WHEN 'QUEUED' THEN 0 WHEN 'PARSING' THEN 1
+        |  WHEN 'PARSED' THEN 2 WHEN 'EMPTY' THEN 2 ELSE 3 END""".stripMargin)
+    val desc = byJob.orderBy(col("event_ts").desc, stateRank.desc)
+    val asc = byJob.orderBy(col("event_ts").asc, stateRank.asc)
     events()
       .withColumn("rn", row_number().over(desc))
       .withColumn("first_source", first("source").over(asc))
