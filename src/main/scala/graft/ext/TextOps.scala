@@ -324,9 +324,15 @@ object TextOps {
     val sh = documents(s, d)
       .select(col("lang"), tokens(col("text")).as("toks"))
       .select(col("lang"), explode(shingles3(col("toks"))).as("shingle"))
+    // checkpoint: `counts` feeds BOTH the top-k ranking and the
+    // join-back that restores the shingle text, and the two references
+    // prune to different columns so ReuseExchange does NOT unify them
+    // (plan-audited: 2 full document scans without this) — materialize
+    // the corpus-scale explode+aggregate once
     val counts = sh.groupBy("lang", "shingle")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("sh", md5Long(col("shingle")))
+      .localCheckpoint()
     val ranked = counts.groupBy("lang")
       .agg(topk(col("cnt").cast("double"), col("sh")).as("tk"))
       .select(col("lang"), posexplode(col("tk.items")).as(Seq("pos", "it")))
@@ -494,9 +500,14 @@ object TextOps {
     val dfreq = terms.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    // checkpoint: `scored` feeds both the ranking and the join-back
+    // (the t54 double-execution shape — plan-audited at 4 document
+    // scans without this, since tf and dfreq each scan the corpus and
+    // both run twice)
     val scored = tf.join(dfreq, "term")
       .withColumn("score", expr("(tf * 1000000) div df"))
       .withColumn("h", md5Long(col("term")))
+      .localCheckpoint()
     val ranked = scored.groupBy("lang")
       .agg(topk(col("score").cast("double"), col("h")).as("tk"))
       .select(col("lang"), posexplode(col("tk.items")).as(Seq("pos", "it")))
@@ -636,8 +647,12 @@ object TextOps {
     * corpus scan). */
   def sourceProfile(s: SparkSession, d: String): DataFrame = {
     val fp = md5(regexp_replace(trim(lower(col("text"))), wsClass, " "))
+    // checkpoint: `docs` (corpus scan + per-doc md5 fingerprint) feeds
+    // both the dup-group aggregate and the final join — without it the
+    // fingerprint md5 runs over the corpus twice (the t54 shape)
     val docs = documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"), fp.as("fp"))
+      .localCheckpoint()
     val dupGroups = docs.groupBy("fp").agg(count(lit(1)).as("n_copies"))
     val kept = qualityReason(s, d)
       .select(col("doc_id"),
