@@ -169,7 +169,11 @@ object Advanced {
   def rollingFingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
       col("doc_id"),
-      rolling_hash64(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+      // wsClass, not Java "\\s+": RE2 \s (the oracle's '\s+') excludes
+      // \x0B while Java's includes it — share TextOps' oracle-aligned
+      // class so \x0B-bearing text fingerprints identically
+      rolling_hash64(regexp_replace(trim(lower(col("text"))),
+          graft.ext.TextOps.wsClass, " "))
         .as("rolling_fp"))
       .orderBy("doc_id")
 

@@ -153,10 +153,19 @@ object Classic {
       // 1e7 margin was only fixture-deep — beyond it two distinct
       // (cents, event_id) pairs could collide and the cross-engine
       // arg-max tie-break would be nondeterministic). cents ≤ ~9.2e6
-      // keeps the product inside BIGINT. ts is integer nanos (unique
-      // at microsecond resolution)
-      .withColumn("vkey",
-        expr("CAST(round(value * 100) AS BIGINT) * 1000000000000 + event_id"))
+      // keeps the product inside BIGINT — and like the s78 label
+      // encoding, the bound is ENFORCED: an out-of-range value or
+      // event_id fails loudly instead of silently corrupting the
+      // tie-break in both engines. ts is integer nanos (unique at
+      // microsecond resolution)
+      .withColumn("vkey", expr(
+        "CASE WHEN abs(CAST(round(value * 100) AS BIGINT)) > 9200000" +
+          "       OR event_id < 0 OR event_id >= 1000000000000" +
+          " THEN raise_error(concat('q44: vkey encoding out of range:" +
+          " value=', CAST(value AS STRING)," +
+          " ' event_id=', CAST(event_id AS STRING)))" +
+          " ELSE CAST(round(value * 100) AS BIGINT) * 1000000000000" +
+          "      + event_id END"))
       .withColumn("tkey", expr("ts div 1000"))
       .groupBy("user_id")
       .agg(

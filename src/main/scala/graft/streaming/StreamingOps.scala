@@ -124,23 +124,37 @@ object StreamingOps {
     * files are deleted once the next drain for the SAME (dir, query)
     * begins; keying by query name alone would let a drain against one
     * fixture dir invalidate a still-lazy result frame from another.
-    * The last dir per key lives until JVM exit (tmpfs, sink-sized). */
+    * Keys carry the session UUID (like FrameRegistry): two sessions
+    * draining the same (dir, query) must not delete each other's
+    * still-referenced files. The last dir per key lives until JVM
+    * exit (tmpfs, sink-sized). */
   private val lastSinkDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Session-scoped sink key — see [[lastSinkDirs]]. */
+  private def sinkKey(spark: SparkSession, key: String): String =
+    org.apache.spark.sql.graft.Bridge.sessionUUID(spark) + "|" + key
 
   /** Read the committed sink files back, tolerating a zero-output
     * stream: a parquet sink that committed no data files (only
     * `_spark_metadata`) makes `spark.read.parquet` throw on schema
     * inference, where the memory sink this path replaced returned a
     * schema-ful empty frame — recover the schema from the streaming
-    * frame itself. */
+    * frame itself. The zero-output case is detected by LISTING the
+    * dir for data files (not by catching AnalysisException, which
+    * would also swallow corrupt-file / bad-path failures as silently
+    * empty results). */
   private def readSinkOrEmpty(spark: SparkSession, out: java.nio.file.Path,
-      schema: StructType): DataFrame =
-    try spark.read.schema(schema).parquet(out.toString)
-    catch { case _: org.apache.spark.sql.AnalysisException =>
-      spark.createDataFrame(spark.sparkContext
-        .emptyRDD[org.apache.spark.sql.Row], schema)
+      schema: StructType): DataFrame = {
+    val hasData = {
+      val s = java.nio.file.Files.list(out)
+      try s.anyMatch(p => p.getFileName.toString.startsWith("part-"))
+      finally s.close()
     }
+    if (hasData) spark.read.schema(schema).parquet(out.toString)
+    else spark.createDataFrame(spark.sparkContext
+      .emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** Drain an append-mode streaming frame through a parquet FILE sink —
     * the production serving path: results land as exactly-once
@@ -164,7 +178,7 @@ object StreamingOps {
         .start()
       try q.processAllAvailable()
       finally { q.stop(); deleteRecursively(ckpt) }
-      val prev = lastSinkDirs.put(key, out)
+      val prev = lastSinkDirs.put(sinkKey(spark, key), out)
       if (prev != null) deleteRecursively(prev)
       readSinkOrEmpty(spark, out, streamDf.schema)
     }
@@ -190,7 +204,7 @@ object StreamingOps {
         .start()
       try q.processAllAvailable()
       finally { q.stop(); deleteRecursively(ckpt) }
-      val prev = lastSinkDirs.put(key, out)
+      val prev = lastSinkDirs.put(sinkKey(spark, key), out)
       if (prev != null) deleteRecursively(prev)
       readSinkOrEmpty(spark, out, streamDf.schema)
     }
@@ -675,7 +689,11 @@ object StreamingOps {
 
   def streamExactDedup(spark: SparkSession, d: String): DataFrame = {
     val stageDir = stageFile(d, "documents.parquet")
-    val normText = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    // wsClass, not Java "\\s+": RE2 (the oracle engine) excludes \x0B
+    // from \s while Java includes it — the shared class keeps stream,
+    // batch, and oracle fingerprints identical on \x0B-bearing text
+    val normText =
+      regexp_replace(trim(lower(col("text"))), graft.ext.TextOps.wsClass, " ")
     val nIn = cachedCount(d, "doc_all") {
       spark.read.parquet(s"$d/documents.parquet").count()
     }
@@ -861,10 +879,13 @@ object StreamingOps {
     }
     snap
       .groupBy("user_id").agg(max("reached").as("reached"))
-      .agg(sum(when(col("reached") >= 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("reached") >= 2, 1L).otherwise(0L)).as("n2"),
-        sum(when(col("reached") >= 3, 1L).otherwise(0L)).as("n3"),
-        sum(when(col("reached") >= 4, 1L).otherwise(0L)).as("n4"))
+      // coalesce: a zero-funnel-event corpus makes this global agg emit
+      // one all-NULL row, which funnelStackExpr's WHEN n1 = 0 branch
+      // must see as 0 counts (matches EventOps.funnelSummary + oracle)
+      .agg(coalesce(sum(when(col("reached") >= 1, 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("reached") >= 2, 1L).otherwise(0L)), lit(0L)).as("n2"),
+        coalesce(sum(when(col("reached") >= 3, 1L).otherwise(0L)), lit(0L)).as("n3"),
+        coalesce(sum(when(col("reached") >= 4, 1L).otherwise(0L)), lit(0L)).as("n4"))
       .select(expr(graft.ext.EventOps.funnelStackExpr))
       .orderBy("stage_idx")
   }
