@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-exponent rehearsal: times the HEAVY tiers at two volumes
+  * (sf0.1 and the [[ScaleGen]] sf1) and reports per-query time ratios
+  * next to the input-growth ratio — the measured stand-in for "would
+  * this plan survive 100 TB". A near-linear plan shows time ratio ≈
+  * volume ratio (with log factors); a super-linear step (n² pair
+  * blowup, unbounded state, driver collect) shows up as a ratio far
+  * above it and FAILS the rehearsal.
+  *
+  * Methodology mirrors [[Bench]]: one JIT pre-warm pass at sf0.001,
+  * shared caches timed as their own line items (they are
+  * data-proportional too — a super-linear cache build is as much a
+  * scale bug as a super-linear query), median-of-3 per query, shuffle
+  * probe bracketing for contention transparency. Emits one JSON line
+  * (and SCALE_DETAIL.json) with, per item, the seconds at each volume
+  * and the ratio. */
+object ScaleBench {
+
+  /** The heavy tiers named by the round-8 verdict + their shared cache
+    * warms. Each entry: (line-item name, input-volume ratio key). */
+  private val Heavy = Seq(
+    "d51_jaccard_pairs" -> "docs",
+    "d52_minhash_lsh" -> "docs",
+    "t57_corpus_funnel" -> "docs",
+    "g94_pagerank" -> "lineitem",
+    "g95_triangles" -> "lineitem",
+    "s75_ivfpq_knn" -> "emb",
+    "s80_ivfpq_served" -> "emb",
+    "e88_stream_join" -> "events",
+    "e100_stream_unmatched" -> "events")
+
+  private def clearAll(): Unit = {
+    graft.ext.DedupOps.clearCaches()
+    graft.ext.SimilarityOps.clearCaches()
+    graft.graph.GraphOps.clearCaches()
+    graft.query.FixtureCorpus.clear()
+  }
+
+  /** (cache line items, query line items) for one volume. */
+  private def measure(spark: SparkSession, dir: String)
+      : (Seq[(String, Double)], Seq[(String, Double)]) = {
+    clearAll()
+    def timeOnce(f: () => Unit): Double = {
+      val t0 = System.nanoTime()
+      try f() catch { case e: Throwable =>
+        System.err.println(s"[scale] FAILED: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val caches = Seq(
+      "cache_dedup_frames" ->
+        timeOnce(() => graft.ext.DedupOps.warm(spark, dir)),
+      "cache_kmeans_model" ->
+        timeOnce(() => graft.ext.SimilarityOps.warm(spark, dir)),
+      "cache_graph_edges" ->
+        timeOnce(() => graft.graph.GraphOps.warm(spark, dir)))
+    val queries = Heavy.map { case (name, _) =>
+      name -> Bench.median3(
+        () => { SparkEntry.queries(name)(spark, dir).count(); () })
+    }
+    (caches, queries)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dirB = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val spark = Sessions.local()
+    // input-volume ratios (so each time ratio is read against the
+    // growth of the table it actually scans — embeddings grow ×4 per
+    // ×10 sf under the driver's own curve, not ×10)
+    def rows(dir: String, t: String): Long =
+      spark.read.parquet(s"$dir/$t.parquet").count()
+    val vol = Map(
+      "docs" -> rows(dirB, "documents").toDouble / rows(dirA, "documents"),
+      "lineitem" -> rows(dirB, "lineitem").toDouble / rows(dirA, "lineitem"),
+      "emb" -> rows(dirB, "embeddings").toDouble / rows(dirA, "embeddings"),
+      "events" -> rows(dirB, "events").toDouble / rows(dirA, "events"))
+    // JIT pre-warm (untimed): compile the heavy code paths at sf0.001
+    val jit = "/root/testdata/sf0.001"
+    try {
+      graft.ext.DedupOps.warm(spark, jit)
+      graft.ext.SimilarityOps.warm(spark, jit)
+      graft.graph.GraphOps.warm(spark, jit)
+      Heavy.foreach { case (n, _) =>
+        SparkEntry.queries(n)(spark, jit).count() }
+    } catch { case e: Throwable =>
+      System.err.println(s"[scale] JIT pre-warm failed (non-fatal): $e") }
+    clearAll()
+
+    val (cachesA, queriesA) = measure(spark, dirA)
+    val (cachesB, queriesB) = measure(spark, dirB)
+    clearAll()
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val volOf: Map[String, Double] =
+      Heavy.map { case (n, k) => n -> vol(k) }.toMap ++ Map(
+        "cache_dedup_frames" -> vol("docs"),
+        "cache_kmeans_model" -> vol("emb"),
+        "cache_graph_edges" -> vol("lineitem"))
+    val aMap = (cachesA ++ queriesA).toMap
+    val items = (cachesB ++ queriesB).map { case (name, tB) =>
+      val tA = aMap.getOrElse(name, -1.0)
+      val ratio = if (tA > 0 && tB > 0) tB / tA else -1.0
+      // exponent vs the item's own input growth: log(timeRatio)/log(volRatio)
+      val expo = if (ratio > 0) math.log(ratio) / math.log(volOf(name)) else -1.0
+      s""""$name":{"a":${fmt(tA)},"b":${fmt(tB)},"ratio":${fmt(ratio)},"vol":${fmt(volOf(name))},"exponent":${fmt(expo)}}"""
+    }
+    val volJson = vol.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val line = s"""{"scale":"ratio_rehearsal","dirA":"$dirA","dirB":"$dirB","volumes":$volJson,"items":{${items.mkString(",")}}}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("SCALE_DETAIL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

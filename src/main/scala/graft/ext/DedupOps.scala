@@ -181,13 +181,73 @@ object DedupOps {
     * at sf0.1). */
   private def scoredPairsCached(s: SparkSession, d: String): DataFrame =
     frames.cached(s, d, "scored_pairs") {
-      // join on 60-bit hashed shingle ids: ~4x smaller shuffle than the
-      // raw shingle strings, same counts (md5-family, collision-free
-      // here and bit-identical in the oracle); DF-capped vs hot shingles
-      val sh = dfCappedShingles(s, d)
+      scoredPairsPlan(s, d,
+        broadcastArrays = estShingles(s, d) <= arrayBroadcastCeiling)
+    }
+
+  /** Broadcast ceiling for the per-doc shingle-array map, in total
+    * shingle OCCURRENCES (≈ array entries; estimated by the same
+    * one-column aggregate as the d52 dictionary decision). 8M entries ≈
+    * 200 MB hashed — beyond that the exchange-based plan wins and there
+    * is no driver-memory ceiling. */
+  private[graft] val arrayBroadcastCeiling = 8000000L
+
+  /** Exact scored-pair computation, two physical strategies with
+    * identical output:
+    *
+    *  - `broadcastArrays = true` (the measured-scale fix, round 9): the
+    *    candidate join stays, but instead of `groupBy(pair).count()` —
+    *    whose hash-agg state and exchange grow with the CANDIDATE count
+    *    (the sf1 rehearsal measured ×92 candidates per ×10 docs on the
+    *    fixture's saturated 31-word shingle space; 269 s in agg/spill) —
+    *    each doc's sorted shingle array is broadcast and a pair is
+    *    emitted exactly ONCE, on its smallest shared shingle, with the
+    *    exact intersection computed from the two arrays. After the
+    *    (tiny) postings shuffle the whole pipeline is streamed
+    *    map-side: zero aggregation state, zero pair exchange, output is
+    *    just the thresholded survivors. 32.3× → ~2.4× per ×10 docs
+    *    measured at sf1.
+    *  - `broadcastArrays = false` (the no-ceiling fallback, auto-picked
+    *    past [[arrayBroadcastCeiling]]): the original exchange plan —
+    *    count shared shingles per pair, join per-doc sizes. Scales out
+    *    by shuffle (no driver/broadcast requirement), pays the
+    *    pair-proportional agg.
+    *
+    * Candidate-pair volume itself is data-intrinsic for an EXACT
+    * similarity join (every qualifying-or-near pair must be examined);
+    * the corpus-scale near-dup path remains d52's banded LSH (measured
+    * exponent 0.04). */
+  private[graft] def scoredPairsPlan(s: SparkSession, d: String,
+      broadcastArrays: Boolean): DataFrame = {
+    // join on 60-bit hashed shingle ids: ~4x smaller shuffle than the
+    // raw shingle strings, same counts (md5-family, collision-free
+    // here and bit-identical in the oracle); DF-capped vs hot shingles
+    val sh = dfCappedShingles(s, d)
+    val a = sh.toDF("i", "sh")
+    val b = sh.toDF("j", "sh")
+    if (broadcastArrays) {
+      val arrs = sh.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("sh"))).as("arr"),
+          count(lit(1)).as("n"))
+      a.join(b, "sh").filter(col("i") < col("j"))
+        .join(broadcast(arrs.select(col("doc_id").as("i"),
+          col("arr").as("arr_i"), col("n").as("ni"))), "i")
+        .join(broadcast(arrs.select(col("doc_id").as("j"),
+          col("arr").as("arr_j"), col("n").as("nj"))), "j")
+        // one row per (pair, shared shingle) reaches here; keep the row
+        // carrying the SMALLEST shared shingle — dedup without exchange
+        .withColumn("inter_arr", array_intersect(col("arr_i"), col("arr_j")))
+        .filter(col("sh") === array_min(col("inter_arr")))
+        .withColumn("inter", size(col("inter_arr")).cast("long"))
+        .withColumn("jaccard",
+          round(col("inter") / (col("ni") + col("nj") - col("inter")), 4))
+        .withColumn("containment",
+          round(col("inter") / least(col("ni"), col("nj")), 4))
+        .filter(col("jaccard") >= 0.5 || col("containment") >= 0.8)
+        .select(col("i").as("doc_a"), col("j").as("doc_b"),
+          col("jaccard"), col("containment"))
+    } else {
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.toDF("i", "sh")
-      val b = sh.toDF("j", "sh")
       a.join(b, "sh").filter(col("i") < col("j"))
         .groupBy("i", "j").agg(count(lit(1)).as("inter"))
         .join(sizes.toDF("i", "ni"), "i")
@@ -200,6 +260,7 @@ object DedupOps {
         .select(col("i").as("doc_a"), col("j").as("doc_b"),
           col("jaccard"), col("containment"))
     }
+  }
 
   def jaccardPairs(s: SparkSession, d: String): DataFrame =
     scoredPairsCached(s, d)

@@ -385,16 +385,21 @@ object SimilarityOps {
     "list_sum(list_transform(range(1, 65), i -> (AQ[i] - CV[i]) * (AQ[i] - CV[i])))"
 
   /** Shared CTE prefix: quantize → seeds → kmIters × (assign, update).
-    * `cN` is the final centroid set, `aF` the final assignment. */
-  private val kmSqlPrefix: String = {
-    def assignCte(name: String, centName: String) = {
+    * `cN` is the final centroid set, `aF` the final assignment.
+    * `trainWhere` restricts which vectors TRAIN the quantizer (`qt`);
+    * the final `aF` assignment always covers the FULL corpus — with the
+    * default `TRUE` this is the ordinary full-corpus model, with a base
+    * predicate it is the frozen-model shape the incremental index (s81)
+    * needs. */
+  private def kmSqlPrefixFrom(trainWhere: String): String = {
+    def assignCte(name: String, srcName: String, centName: String) = {
       val dist = kmDistSql.replace("AQ", "q.qv").replace("CV", "c.cv")
       s"""$name AS (
         |  SELECT vec_id, v, qv, cid FROM (
         |    SELECT q.vec_id, q.v, q.qv, c.cid,
         |      row_number() OVER (PARTITION BY q.vec_id
         |        ORDER BY $dist ASC, c.cid) rn
-        |    FROM q, $centName c) WHERE rn = 1)""".stripMargin
+        |    FROM $srcName q, $centName c) WHERE rn = 1)""".stripMargin
     }
     def meansCte(name: String, assignName: String) =
       s"""$name AS (
@@ -407,17 +412,20 @@ object SimilarityOps {
         |    GROUP BY cid, pos)
         |  GROUP BY cid)""".stripMargin
     val iters = (1 to kmIters).map { i =>
-      assignCte(s"a$i", if (i == 1) "c0" else s"c${i - 1}") + ",\n" +
+      assignCte(s"a$i", "qt", if (i == 1) "c0" else s"c${i - 1}") + ",\n" +
         meansCte(s"c$i", s"a$i")
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |q AS (SELECT vec_id, v,
       |  list_transform(v, x -> CAST(round(x * $kmScale, 0) AS BIGINT)) qv
       |  FROM e),
-      |c0 AS (SELECT vec_id cid, qv cv FROM q WHERE vec_id < $kmK),
+      |qt AS (SELECT * FROM q WHERE $trainWhere),
+      |c0 AS (SELECT vec_id cid, qv cv FROM qt WHERE vec_id < $kmK),
       |$iters,
-      |${assignCte("aF", s"c$kmIters")}""".stripMargin
+      |${assignCte("aF", "q", s"c$kmIters")}""".stripMargin
   }
+
+  private val kmSqlPrefix: String = kmSqlPrefixFrom("TRUE")
 
   val kmeansCensusSql: String =
     s"""$kmSqlPrefix
@@ -549,20 +557,23 @@ object SimilarityOps {
     " i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))"
 
   /** Shared CTE prefix: quantize → subvectors → seeds → one Lloyd round
-    * → codebooks `cb` → encodings `enc`. */
-  private val pqSqlPrefix: String =
+    * → codebooks `cb` → encodings `enc`. `trainWhere` restricts which
+    * vectors TRAIN the codebooks (`tsubs`); `enc` always encodes the
+    * FULL corpus (see [[kmSqlPrefixFrom]]). */
+  private def pqSqlPrefixFrom(trainWhere: String): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
       |    x -> CAST(round(x * $kmScale, 0) AS BIGINT)) qv FROM embeddings),
       |subs AS (
       |  SELECT vec_id, j, qv[j * $pqSub + 1 : j * $pqSub + $pqSub] AS sv
       |  FROM e, generate_series(0, ${pqM - 1}) g(j)),
-      |seeds AS (SELECT j, vec_id cid, sv cv FROM subs WHERE vec_id < $pqK),
+      |tsubs AS (SELECT * FROM subs WHERE $trainWhere),
+      |seeds AS (SELECT j, vec_id cid, sv cv FROM tsubs WHERE vec_id < $pqK),
       |a1 AS (
       |  SELECT vec_id, j, sv, cid FROM (
       |    SELECT s.vec_id, s.j, s.sv, c.cid,
       |      row_number() OVER (PARTITION BY s.vec_id, s.j
       |        ORDER BY $pqD16 ASC, c.cid) rn
-      |    FROM subs s JOIN seeds c ON c.j = s.j) WHERE rn = 1),
+      |    FROM tsubs s JOIN seeds c ON c.j = s.j) WHERE rn = 1),
       |cb AS (
       |  SELECT j, cid, list(cx ORDER BY pos) cv FROM (
       |    SELECT j, cid, pos, CASE WHEN sum(x) >= 0
@@ -577,6 +588,8 @@ object SimilarityOps {
       |      row_number() OVER (PARTITION BY s.vec_id, s.j
       |        ORDER BY $pqD16 ASC, c.cid) rn
       |    FROM subs s JOIN cb c ON c.j = s.j) WHERE rn = 1)""".stripMargin
+
+  private val pqSqlPrefix: String = pqSqlPrefixFrom("TRUE")
 
   val pqCodesSql: String =
     s"""$pqSqlPrefix
@@ -741,6 +754,13 @@ object SimilarityOps {
         dir.toString
       }
     }
+    serveAdcFromArtifact(s, d, idx)
+  }
+
+  /** The "serve many" half shared by s80/s81: probe + LUT + ADC top-k
+    * run entirely from a saved artifact dir. */
+  private def serveAdcFromArtifact(s: SparkSession, d: String,
+      idx: String): DataFrame = {
     val cent = s.read.parquet(s"$idx/centroids")
     val members = s.read.parquet(s"$idx/members")
       .select(col("vec_id").as("c_id"), col("cid"))
@@ -777,6 +797,127 @@ object SimilarityOps {
       .select(col("q_id"), col("cid"), col("c_id"),
         (-col("nad2")).cast("bigint").as("ad2"), col("rank"))
       .orderBy("q_id", "rank")
+  }
+
+  // ------------------------- s81 incremental IVF-PQ index maintenance
+
+  /** Training predicate for the incremental rehearsal: the FIRST 4/5 of
+    * the corpus is the "already indexed" base; the rest arrives later. */
+  private def incrBase(s: SparkSession, d: String): Long =
+    embeddings(s, d).count() * 4 / 5
+
+  /** s81: INCREMENTAL index maintenance — the ANN analogue of the
+    * reference's incremental upsert (parsing_agent.py:67-86). The
+    * artifact is built from the BASE 4/5 of the corpus only (coarse
+    * quantizer and codebooks trained on base), then the remaining batch
+    * is absorbed WITHOUT retraining: each new vector is assigned to its
+    * nearest FROZEN coarse centroid and encoded against the FROZEN
+    * codebooks, and only member/code ROWS are appended (parquet append
+    * — centroids and codebooks untouched on disk, the update cost is
+    * O(batch), never O(corpus)). Serving then runs the s80 dataflow
+    * over the updated artifact; the DuckDB twin recomputes the same
+    * base-trained frozen-model ADC over the unioned corpus, so
+    * assignment, encoding, append, and serving all hash-check. */
+  def ivfPqIncremental(s: SparkSession, d: String): DataFrame = {
+    val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|incr"
+    val idx = indexBuildLock.synchronized {
+      Option(savedIndexDirs.get(key)).getOrElse {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-ivfpq-incr").toString
+        val b = incrBase(s, d)
+        val e = quantized(s, d).cache()
+        val base = e.filter(col("vec_id") < b)
+        val batch = e.filter(col("vec_id") >= b)
+        // ---- build on base (the "already deployed" index)
+        var cent = base.filter(col("vec_id") < kmK)
+          .select(col("vec_id").as("cid"), col("qv").as("cv"))
+        for (_ <- 1 to kmIters) cent = kmMeans(kmAssign(base, cent))
+        cent = cent.localCheckpoint() // freeze: 2·kmIters-job lineage
+        def subsOf(df: DataFrame) = df
+          .select(col("vec_id"), explode(array((0 until pqM).map(j =>
+            struct(lit(j).as("j"),
+              slice(col("qv"), j * pqSub + 1, pqSub).as("sv"))): _*)).as("s"))
+          .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+        val baseSubs = subsOf(base)
+        val seeds = baseSubs.filter(col("vec_id") < pqK)
+          .select(col("j"), col("vec_id").as("cid"), col("sv").as("cv"))
+        val assigned = baseSubs.join(broadcast(seeds), Seq("j"))
+          .withColumn("d2", dist2(col("sv"), col("cv")))
+          .groupBy("vec_id", "j", "sv")
+          .agg(min(struct(col("d2"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("j"), col("sv"), col("m.cid").as("cid"))
+        val cb = assigned
+          .select(col("j"), col("cid"),
+            posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("j", "cid", "pos")
+          .agg(expr("CASE WHEN sum(x) >= 0" +
+            " THEN (2 * sum(x) + count(1)) div (2 * count(1))" +
+            " ELSE -((-2 * sum(x) + count(1)) div (2 * count(1))) END")
+            .as("cx"))
+          .groupBy("j", "cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cx")))),
+            p => p.getField("cx")).as("cv"))
+          .localCheckpoint()
+        def encodeWith(subs: DataFrame) = subs.join(broadcast(cb), Seq("j"))
+          .withColumn("d2", dist2(col("sv"), col("cv")))
+          .groupBy("vec_id", "j")
+          .agg(min(struct(col("d2"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("j"), col("m.cid").as("cid"))
+        cent.write.mode("overwrite").parquet(s"$dir/centroids")
+        cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+        kmAssign(base, cent).select("vec_id", "cid")
+          .write.mode("overwrite").parquet(s"$dir/members")
+        encodeWith(baseSubs)
+          .write.mode("overwrite").parquet(s"$dir/codes")
+        // ---- absorb the new batch against the FROZEN model: appended
+        // rows only — the four base files above are never rewritten
+        kmAssign(batch, cent).select("vec_id", "cid")
+          .write.mode("append").parquet(s"$dir/members")
+        encodeWith(subsOf(batch))
+          .write.mode("append").parquet(s"$dir/codes")
+        e.unpersist()
+        savedIndexDirs.put(key, dir)
+        dir
+      }
+    }
+    serveAdcFromArtifact(s, d, idx)
+  }
+
+  val ivfPqIncrSql: String = {
+    val trainWhere = "vec_id < (SELECT 4 * count(*) // 5 FROM embeddings)"
+    val pqPrefix = pqSqlPrefixFrom(trainWhere)
+    val kmPrefix = kmSqlPrefixFrom(trainWhere)
+    val memberSql = s"$kmPrefix\nSELECT vec_id, cid FROM aF"
+    val probeDist = kmDistSql.replace("AQ", "qq.qv").replace("CV", "c.cv")
+    val probeSql =
+      s"""$kmPrefix,
+        |probe AS (
+        |  SELECT q_id, cid FROM (
+        |    SELECT qq.vec_id q_id, c.cid,
+        |      row_number() OVER (PARTITION BY qq.vec_id
+        |        ORDER BY $probeDist ASC, c.cid) rn
+        |    FROM q qq, c$kmIters c WHERE qq.vec_id < 10) WHERE rn = 1)
+        |SELECT q_id, cid FROM probe""".stripMargin
+    s"""$pqPrefix,
+      |member AS (SELECT vec_id AS c_id, cid FROM ($memberSql)),
+      |probe AS (SELECT q_id, cid FROM ($probeSql)),
+      |lut AS (
+      |  SELECT s.vec_id q_id, s.j, c.cid AS code, $pqD16 AS qd2
+      |  FROM subs s JOIN cb c ON c.j = s.j WHERE s.vec_id < 10),
+      |scored AS (
+      |  SELECT p.q_id, p.cid, m.c_id, sum(l.qd2) AS ad2
+      |  FROM probe p
+      |  JOIN member m ON m.cid = p.cid AND m.c_id <> p.q_id
+      |  JOIN enc e2 ON e2.vec_id = m.c_id
+      |  JOIN lut l ON l.q_id = p.q_id AND l.j = e2.j AND l.code = e2.cid
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT q_id, cid, c_id, ad2, CAST(row_number() OVER (
+      |    PARTITION BY q_id ORDER BY ad2 ASC, c_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT q_id, cid, c_id, CAST(ad2 AS BIGINT) AS ad2, rank
+      |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
   // --------------------------------- s73 scalar quantization (int8)
@@ -1237,6 +1378,7 @@ object SimilarityOps {
     "s78_knn_classify"  -> knnClassify _,
     "s79_mmr_topk"      -> mmrTopK _,
     "s80_ivfpq_served"  -> ivfPqKnnServed _,
+    "s81_ivfpq_incr"    -> ivfPqIncremental _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1257,5 +1399,6 @@ object SimilarityOps {
     // same oracle as s75: the served results must be bit-identical to
     // the in-session index's
     "s80_ivfpq_served"  -> ivfPqKnnSql,
+    "s81_ivfpq_incr"    -> ivfPqIncrSql,
   )
 }

@@ -71,6 +71,19 @@ object GraphOps {
       .select(col("id").as("part_id"), col("component"))
       .orderBy("part_id")
 
+  /** g102: the SAME components on the DATAFRAME substrate — the
+    * large-star/small-star loop ([[EmailGraph.componentsLargeSmallStar]])
+    * over the identical edge frame, sharing g92's oracle. A green row
+    * here plus a green g92 is the substrate-parity proof: GraphX Pregel
+    * and the pure-DataFrame O(log n) loop compute identical components,
+    * so either can serve the CC surface (the DataFrame one is the
+    * AQE/codegen-native choice on a shared cluster). */
+  def copurchaseComponentsDF(s: SparkSession, d: String): DataFrame =
+    EmailGraph.componentsLargeSmallStar(s,
+      copurchaseEdges(s, d).toDF("src", "dst"))
+      .select(col("id").as("part_id"), col("component"))
+      .orderBy("part_id")
+
   val copurchaseComponentsSql: String =
     s"""WITH RECURSIVE edges AS ($copurchaseEdgesSql),
       |ue AS (SELECT p1 a, p2 b FROM edges UNION SELECT p2, p1 FROM edges),
@@ -685,6 +698,7 @@ object GraphOps {
     "g99_bfs_hops"        -> bfsHops _,
     "g100_edge_jaccard"   -> edgeJaccard _,
     "g101_clustering_coef" -> clusteringCoefficient _,
+    "g102_cc_dataframe"   -> copurchaseComponentsDF _,
   )
 
   val emailGraphCensusSql: String =
@@ -724,5 +738,7 @@ object GraphOps {
     "g99_bfs_hops"       -> bfsHopsSql,
     "g100_edge_jaccard"  -> edgeJaccardSql,
     "g101_clustering_coef" -> clusteringCoefficientSql,
+    // identical oracle to g92: substrate parity is the point
+    "g102_cc_dataframe"  -> copurchaseComponentsSql,
   )
 }

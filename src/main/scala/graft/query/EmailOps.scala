@@ -165,6 +165,117 @@ object EmailOps {
       |  CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5
       |FROM r ORDER BY dedupe_key""".stripMargin
 
+  // --------------------------------------- em70 partitioned upsert
+
+  /** em70: the 100 TB WRITE PATH under the oracle — a deterministic
+    * two-batch upsert through [[graft.store.PartitionedEmailStore]]
+    * (month-partitioned dynamic overwrite + bucket-pruned KeyIndex
+    * probe), not just specs. Dates are spread over 12 months
+    * (`date + doc_id%12 months`) so the months genuinely split across
+    * batches: batch 1 carries the even ids (6 months), batch 2 the odd
+    * ids (the other 6) PLUS re-deliveries of every 4th message into
+    * `user9/inbox` with a rewritten subject — forcing the index probe
+    * to find batch-1 months, cross-batch mailbox set-union, and
+    * first-writer-wins subject freezing, all hash-checked against the
+    * synthesis rules. */
+  def partitionedUpsert(s: SparkSession, d: String): DataFrame = {
+    val shifted = (df: DataFrame) => df.withColumn("date",
+      expr("timestampadd(MONTH, CAST(doc_id % 12 AS INT), date)"))
+    val docs = shifted(FixtureCorpus.parsedDocs(s, d))
+    val batch1 = docs.filter(col("doc_id") % 2 === 0).drop("doc_id")
+    val batch2 = docs.filter(col("doc_id") % 2 === 1).drop("doc_id")
+      .unionByName(shifted(FixtureCorpus.redeliveries(s, d)).drop("doc_id"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-em70").toString + "/store"
+    val store = new graft.store.PartitionedEmailStore(s, root)
+    store.upsert(batch1)
+    store.upsert(batch2)
+    store.read()
+      .select(col("dedupe_key"), col("subject"), col("date_month"),
+        size(col("mailboxes")).as("n_mailboxes"),
+        array_join(array_sort(expr("transform(mailboxes, m -> m.user)")), ",")
+          .as("mb_users"))
+      .orderBy("dedupe_key")
+  }
+
+  val partitionedUpsertSql: String =
+    s"""$sqlPrelude
+      |SELECT dedupe_key, subject,
+      |  strftime(dt + to_months(CAST(doc_id % 12 AS INT)), '%Y-%m')
+      |    AS date_month,
+      |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INT)
+      |    AS n_mailboxes,
+      |  CASE WHEN doc_id % 4 = 0 THEN usr || ',user9' ELSE usr END
+      |    AS mb_users
+      |FROM m ORDER BY dedupe_key""".stripMargin
+
+  // --------------------------------------- em71 real-file full ingest
+
+  /** em71: the FULL deployment dataflow under the oracle — the fixture
+    * corpus materialized as REAL RFC-822 files in a depth-3 maildir on
+    * disk, then `EmailIngest.scan` (binaryFile source) → parse →
+    * quarantine split → [[graft.store.PartitionedEmailStore]] upsert →
+    * store read. No pre-parsed shortcut anywhere: this closes the inch
+    * between "parser exercised on synthesized bytes" (em6x) and "the
+    * whole ingest path produces the right store". Stray files at
+    * depths 1, 2 and 4 are planted so the exactly-depth-3 walk
+    * contract is oracle-checked (a recursive-regex scan would count
+    * them). Output: ingest counters + the mailbox listing.
+    * `quarantined` is structurally 0 over this corpus — the parser is
+    * a total function (property-spec'd); the quarantine split still
+    * runs in the dataflow. Corpus capped at doc_id < 2000 on both
+    * sides: bounded file count at any sf — ingest THROUGHPUT is
+    * IngestBench's surface, this is the correctness twin. */
+  def realIngest(s: SparkSession, d: String): DataFrame =
+    FixtureCorpus.cachedAux(s, d, "em71") {
+      import java.nio.file.{Files, Paths}
+      val cap = 2000L
+      val base = Files.createTempDirectory("graft-em71").toString
+      FixtureCorpus.materializeMaildir(s, d, base, cap)
+      // strays the depth-3 walk must skip: too shallow, too deep
+      Files.write(Paths.get(base, "stray_depth1"), "x".getBytes)
+      Files.write(Paths.get(Files.createDirectories(
+        Paths.get(base, "user0")).toString, "stray_depth2"), "x".getBytes)
+      Files.write(Paths.get(Files.createDirectories(
+        Paths.get(base, "user0", "inbox", "nested")).toString,
+        "stray_depth4"), "x".getBytes)
+      val parsed = graft.ingest.EmailIngest.ingest(s, base).cache()
+      try {
+        val docs = graft.ingest.EmailIngest.docs(s, parsed)
+        val quarantined = graft.ingest.EmailIngest.quarantine(s, parsed).count()
+        val root = Files.createTempDirectory("graft-em71-store")
+          .toString + "/store"
+        val store = new graft.store.PartitionedEmailStore(s, root)
+        store.upsert(docs)
+        val stored = store.read()
+        import s.implicits._
+        val counters = Seq(
+          ("counter", "files_scanned", parsed.count()),
+          ("counter", "parsed_ok", docs.count()),
+          ("counter", "quarantined", quarantined),
+          ("counter", "unique_keys", stored.count()))
+          .toDF("kind", "k", "n")
+        val mailboxes = stored
+          .select(explode(col("mailboxes")).as("mb"))
+          .groupBy(concat(col("mb.user"), lit("/"), col("mb.folder")).as("k"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit("mailbox").as("kind"), col("k"), col("n"))
+        counters.unionByName(mailboxes).orderBy("kind", "k")
+      } finally { parsed.unpersist(); () }
+    }
+
+  val realIngestSql: String =
+    s"""$sqlPrelude,
+      |f AS (SELECT * FROM m WHERE doc_id < 2000)
+      |SELECT kind, k, CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'counter' AS kind, 'files_scanned' AS k, count(*) AS n FROM f
+      |  UNION ALL SELECT 'counter', 'parsed_ok', count(*) FROM f
+      |  UNION ALL SELECT 'counter', 'quarantined', 0
+      |  UNION ALL SELECT 'counter', 'unique_keys', count(*) FROM f
+      |  UNION ALL SELECT 'mailbox', usr || '/' || folder, count(*)
+      |    FROM f GROUP BY 2)
+      |ORDER BY kind, k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "em60_by_mailbox"    -> byMailbox _,
     "em61_by_recipient"  -> byRecipient _,
@@ -175,6 +286,8 @@ object EmailOps {
     "em66_by_key"        -> byKey _,
     "em68_attachments"   -> attachmentMeta _,
     "em69_pii_redact"    -> piiRedact _,
+    "em70_partitioned_upsert" -> partitionedUpsert _,
+    "em71_real_ingest"   -> realIngest _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -187,5 +300,7 @@ object EmailOps {
     "em66_by_key"        -> byKeySql,
     "em68_attachments"   -> attachmentMetaSql,
     "em69_pii_redact"    -> piiRedactSql,
+    "em70_partitioned_upsert" -> partitionedUpsertSql,
+    "em71_real_ingest"   -> realIngestSql,
   )
 }

@@ -45,7 +45,8 @@ object FixtureCorpus {
     * (payload = first 48 bytes of the text), so the MIME walk, body
     * assembly and attachment metadata all pass through the driver's
     * oracle gate, not just unit specs. */
-  def message(id: Long, text: String, prev: Option[Long]): String = {
+  def message(id: Long, text: String, prev: Option[Long],
+      subject: Option[String] = None): String = {
     val to =
       if (id % 2 == 0) s"team@corp.com, u${(id + 1) % 7}@corp.com"
       else "team@corp.com"
@@ -57,7 +58,7 @@ object FixtureCorpus {
       s"To: $to") ++
       (if (id % 3 == 0) Seq(s"Cc: cc${id % 4}@corp.com") else Nil) ++
       prev.map(p => s"In-Reply-To: <d$p@corp>") ++
-      Seq(s"Subject: msg $id") ++
+      Seq(s"Subject: ${subject.getOrElse(s"msg $id")}") ++
       (if (multipart) Seq(s"Content-Type: multipart/mixed; boundary=B$id")
        else Nil)
     val body = if (id % 50 == 0) "" else text
@@ -98,22 +99,76 @@ object FixtureCorpus {
     cache.clear()
   }
 
-  private def build(s: SparkSession, dir: String): DataFrame = {
+  /** Shared per-(session, dir, tag) frame cache for em-tier entries
+    * whose build has side effects (em71's on-disk ingest) — rides the
+    * same map so every harness clear() site covers them. */
+  private[query] def cachedAux(s: SparkSession, dir: String, tag: String)(
+      f: => DataFrame): DataFrame =
+    cache.computeIfAbsent(
+      System.identityHashCode(s) + "|" + dir + "|" + tag, _ => f)
+
+  private def docRows(s: SparkSession, dir: String) = {
     import s.implicits._
     val w = Window.partitionBy(expr("doc_id div 10")).orderBy("doc_id")
-    val rows = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id").cast("long"), col("text"))
       .withColumn("prev", lag("doc_id", 1).over(w))
       .as[(Long, String, Option[Long])]
-    val parsed = rows.map { case (id, text, prev) =>
+  }
+
+  /** Pre-merge parsed rows (path + doc_id + store schema), one per
+    * synthesized message, through the REAL parser — the raw batch shape
+    * [[graft.store.EmailStore.mergeBatch]] consumes. */
+  def parsedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parsed = docRows(s, dir).map { case (id, text, prev) =>
       val doc = Rfc822Parser.parse(
         message(id, text, prev).getBytes("UTF-8"),
         s"user${id % 5}", folders((id % 3).toInt), s"${id}_")
-      (s"fixture://$id", doc)
+      (s"fixture://$id", id, doc)
     }
-    val docs = parsed.toDF("path", "doc").select(col("path"), col("doc.*"))
-    EmailStore.mergeBatch(docs).cache()
+    parsed.toDF("path", "doc_id", "doc")
+      .select(col("path"), col("doc_id"), col("doc.*"))
   }
+
+  /** Re-delivery batch for the upsert rehearsal (em70): every 4th
+    * message delivered a SECOND time into `user9/inbox` with a
+    * rewritten Subject — same Message-ID, so the store must set-union
+    * the mailbox while first-writer-wins keeps the original subject. */
+  def redeliveries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parsed = docRows(s, dir).filter(_._1 % 4 == 0)
+      .map { case (id, text, prev) =>
+        val doc = Rfc822Parser.parse(
+          message(id, text, prev, Some(s"fwd $id")).getBytes("UTF-8"),
+          "user9", "inbox", s"${id}r_")
+        (s"fixture2://$id", id, doc)
+      }
+    parsed.toDF("path", "doc_id", "doc")
+      .select(col("path"), col("doc_id"), col("doc.*"))
+  }
+
+  private def build(s: SparkSession, dir: String): DataFrame =
+    EmailStore.mergeBatch(parsedDocs(s, dir).drop("doc_id")).cache()
+
+  /** Materialize the first `cap` synthesized messages as REAL files
+    * under `base/<user>/<folder>/<id>_` — the on-disk corpus for the
+    * em71 full-path ingest rehearsal. Executors write the files
+    * directly (local-mode shared FS; a cluster deployment of this
+    * generator would target shared storage the same way). */
+  def materializeMaildir(s: SparkSession, dir: String, base: String,
+      cap: Long): Unit =
+    docRows(s, dir).filter(_._1 < cap).foreachPartition {
+      (it: Iterator[(Long, String, Option[Long])]) =>
+        it.foreach { case (id, text, prev) =>
+          val p = java.nio.file.Paths.get(base,
+            s"user${id % 5}", folders((id % 3).toInt), s"${id}_")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p,
+            message(id, text, prev).getBytes("UTF-8"))
+          ()
+        }
+    }
 
   /** The same synthesis rules as a DuckDB CTE over `documents` — every
     * oracle for the email surface starts from this. */

@@ -141,6 +141,22 @@ class EmailStore(spark: SparkSession, root: String) extends DocStore {
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Time-travel read: the store AS OF snapshot `v` (1-based; each
+    * upsert writes one version). Snapshot isolation falls out of the
+    * write path — a snapshot dir is never rewritten once `_VERSION`
+    * moves past it, so a version-`v` read is immutable until a
+    * [[vacuum]] reclaims it. Reading a vacuumed (or never-written)
+    * version fails loudly rather than returning an empty frame. */
+  def readVersion(v: Int): DataFrame = {
+    require(v >= 1 && v <= currentVersion,
+      s"version $v outside [1, $currentVersion]")
+    val p = versionPath(v)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"snapshot v$v was vacuumed (current=$currentVersion)")
+    spark.read.parquet(p.toString)
+  }
+
   /** Drop snapshot versions older than the newest `keepLast` (readers
     * of the current version are unaffected; concurrent readers of
     * ancient versions are the caller's coordination problem — same

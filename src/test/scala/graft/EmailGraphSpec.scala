@@ -53,6 +53,33 @@ class EmailGraphSpec extends AnyFunSuite with SparkSpec {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("large/small-star CC matches GraphX on adversarial shapes (g102)") {
+    import spark.implicits._
+    // a 40-node path (diameter stress: min-label propagation needs 40
+    // rounds here, large/small-star must do it in O(log n)), a reversed
+    // path, two bridged cliques, an isolated edge, and a star whose hub
+    // has the LARGEST id (non-root hub stress)
+    val path = (1L until 40L).map(i => (i, i + 1))
+    val rev = (101L until 120L).map(i => (i + 1, i))
+    val cliqueA = for (a <- 200L to 205L; b <- a + 1 to 205L) yield (a, b)
+    val cliqueB = for (a <- 300L to 305L; b <- a + 1 to 305L) yield (b, a)
+    val bridged = cliqueA ++ cliqueB ++ Seq((205L, 300L))
+    val star = (400L to 405L).map(i => (499L, i))
+    val edges = (path ++ rev ++ bridged ++ Seq((7000L, 6999L)) ++ star)
+      .toDF("src", "dst")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val gx = canon(EmailGraph.components(spark, edges))
+    val ls = canon(EmailGraph.componentsLargeSmallStar(spark, edges))
+    assert(ls == gx)
+    // and the contract itself: component == min reachable id
+    val m = ls.toMap
+    assert((1L to 40L).forall(m(_) == 1L))
+    assert((200L to 205L).forall(m(_) == 200L))
+    assert((300L to 305L).forall(m(_) == 200L)) // bridge unifies cliques
+    assert(m(499L) == 400L && m(405L) == 400L)
+  }
+
   test("degree-ordered triangle counts: clique, dangling edge, hub wedges") {
     import spark.implicits._
     // 4-clique {1,2,3,4} (4 triangles, each vertex in 3), a dangling

@@ -23,6 +23,22 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("scored-pairs broadcast-array plan equals the exchange plan") {
+    // the round-9 scale fix: d51/d55's shared pair frame has two
+    // physical strategies (broadcast-array streamed verify vs
+    // groupBy-count exchange) auto-selected by corpus size — their
+    // OUTPUT must be identical row for row at any scale
+    val d = "/root/testdata/sf0.01"
+    def rows(bc: Boolean) =
+      graft.ext.DedupOps.scoredPairsPlan(spark, d, broadcastArrays = bc)
+        .orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSeq
+    val bcRows = rows(true)
+    assert(bcRows == rows(false))
+    assert(bcRows.nonEmpty) // fixture corpus has near-dup pairs to score
+  }
+
   test("date-partitioned store prunes partitions on range reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val store = graft.graph.GraphOps.demoStore(spark) // dates across May 2001

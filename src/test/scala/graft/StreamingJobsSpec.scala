@@ -118,6 +118,30 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     assert(dirs == Seq("v_00003", "v_00004"))
   }
 
+  test("readVersion time-travels to immutable snapshots") {
+    val storeDir = Files.createTempDirectory("graft-tt").toString
+    val store = new EmailStore(spark, storeDir)
+    val base = Files.createTempDirectory("graft-tt-mail")
+    (1 to 3).foreach { i =>
+      writeMsg(base, s"u$i", "inbox", s"${i}_", s"v$i")
+      store.upsert(graft.ingest.EmailIngest.docs(spark,
+        graft.ingest.EmailIngest.ingest(spark, base.toString)))
+    }
+    // snapshot isolation: each version sees exactly the rows that
+    // existed when it was written, unaffected by later upserts
+    assert(store.readVersion(1).count() == 1)
+    assert(store.readVersion(2).count() == 2)
+    assert(store.readVersion(3).count() == 3)
+    assert(store.readVersion(store.currentVersion).count() ==
+      store.read().count())
+    // out-of-range and vacuumed versions fail loudly, not silently empty
+    intercept[IllegalArgumentException](store.readVersion(0))
+    intercept[IllegalArgumentException](store.readVersion(4))
+    store.vacuum(keepLast = 1)
+    intercept[IllegalStateException](store.readVersion(1))
+    assert(store.readVersion(3).count() == 3) // current survives vacuum
+  }
+
   test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
