@@ -117,6 +117,10 @@ object DedupOps {
   // per-shingle hash amortization to win back, the extra distinct is a
   // full shuffle of the raw shingle strings. Direct per-row hashing is
   // the right shape for the single-hash frame.
+  /** Probe-only accessor (dev mains). */
+  private[graft] def hashedShinglesForProbe(s: SparkSession, d: String): DataFrame =
+    hashedShingles(s, d)
+
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
     frames.cached(s, d, "sh") {
       shingleRows(s, d).select(col("doc_id"), md5Long(col("shingle")).as("sh"))
@@ -181,42 +185,38 @@ object DedupOps {
     * at sf0.1). */
   private def scoredPairsCached(s: SparkSession, d: String): DataFrame =
     frames.cached(s, d, "scored_pairs") {
-      scoredPairsPlan(s, d,
-        broadcastArrays = estShingles(s, d) <= arrayBroadcastCeiling)
+      scoredPairsPlan(s, d, broadcastArrays = false)
     }
 
-  /** Broadcast ceiling for the per-doc shingle-array map, in total
-    * shingle OCCURRENCES (≈ array entries; estimated by the same
-    * one-column aggregate as the d52 dictionary decision). 8M entries ≈
-    * 200 MB hashed — beyond that the exchange-based plan wins and there
-    * is no driver-memory ceiling. */
-  private[graft] val arrayBroadcastCeiling = 8000000L
-
   /** Exact scored-pair computation, two physical strategies with
-    * identical output:
+    * spec-pinned identical output:
     *
-    *  - `broadcastArrays = true` (the measured-scale fix, round 9): the
-    *    candidate join stays, but instead of `groupBy(pair).count()` —
-    *    whose hash-agg state and exchange grow with the CANDIDATE count
-    *    (the sf1 rehearsal measured ×92 candidates per ×10 docs on the
-    *    fixture's saturated 31-word shingle space; 269 s in agg/spill) —
-    *    each doc's sorted shingle array is broadcast and a pair is
-    *    emitted exactly ONCE, on its smallest shared shingle, with the
-    *    exact intersection computed from the two arrays. After the
-    *    (tiny) postings shuffle the whole pipeline is streamed
-    *    map-side: zero aggregation state, zero pair exchange, output is
-    *    just the thresholded survivors. 32.3× → ~2.4× per ×10 docs
-    *    measured at sf1.
-    *  - `broadcastArrays = false` (the no-ceiling fallback, auto-picked
-    *    past [[arrayBroadcastCeiling]]): the original exchange plan —
-    *    count shared shingles per pair, join per-doc sizes. Scales out
-    *    by shuffle (no driver/broadcast requirement), pays the
-    *    pair-proportional agg.
+    *  - `broadcastArrays = false` (the DEFAULT): the exchange plan —
+    *    postings self-join on hashed shingle, `groupBy(pair).count()`
+    *    for the intersection, join per-doc sizes. Pays one
+    *    candidate-proportional exchange + hash agg, which Spark spills
+    *    gracefully past memory. MEASURED (shingle frame warm,
+    *    local[32]): 1.8 s at sf0.1 / 17.0 s at sf1 — linear-ish in
+    *    candidate volume (×92 candidates → ×9.4 time).
+    *  - `broadcastArrays = true` (kept as the zero-agg-state
+    *    alternative): each doc's sorted shingle array is broadcast and
+    *    a pair is emitted exactly once, on its smallest shared
+    *    shingle, with the exact intersection computed from the two
+    *    arrays — no post-join exchange, no aggregation state at all.
+    *    MEASURED SLOWER on the same conditions (24.5 s at sf0.1 /
+    *    74.1 s at sf1): the per-candidate-ROW `array_intersect`
+    *    (hash-set build + result alloc per row) costs far more than
+    *    the exchange it avoids. It only won in a 4-thread spill-bound
+    *    sandbox (215+ s exchange) — the regime a real cluster sizes
+    *    memory to avoid. Recorded here so the idea isn't retried; not
+    *    auto-selected.
     *
     * Candidate-pair volume itself is data-intrinsic for an EXACT
-    * similarity join (every qualifying-or-near pair must be examined);
-    * the corpus-scale near-dup path remains d52's banded LSH (measured
-    * exponent 0.04). */
+    * similarity join (every qualifying-or-near pair must be examined,
+    * and the fixture's saturated 31-word shingle space makes it grow
+    * ×92 per ×10 docs — worst-case by construction); the DF cap bounds
+    * per-shingle fanout, and the corpus-scale near-dup path remains
+    * d52's banded LSH (measured exponent 0.01). */
   private[graft] def scoredPairsPlan(s: SparkSession, d: String,
       broadcastArrays: Boolean): DataFrame = {
     // join on 60-bit hashed shingle ids: ~4x smaller shuffle than the

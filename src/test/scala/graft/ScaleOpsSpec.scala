@@ -24,10 +24,11 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("scored-pairs broadcast-array plan equals the exchange plan") {
-    // the round-9 scale fix: d51/d55's shared pair frame has two
-    // physical strategies (broadcast-array streamed verify vs
-    // groupBy-count exchange) auto-selected by corpus size — their
-    // OUTPUT must be identical row for row at any scale
+    // d51/d55's shared pair frame has two physical strategies (the
+    // default groupBy-count exchange vs the zero-agg-state
+    // broadcast-array streamed verify, kept as the recorded
+    // alternative — measured trade-off in the scoredPairsPlan
+    // scaladoc) — their OUTPUT must be identical row for row
     val d = "/root/testdata/sf0.01"
     def rows(bc: Boolean) =
       graft.ext.DedupOps.scoredPairsPlan(spark, d, broadcastArrays = bc)
