@@ -169,7 +169,21 @@ object Bench {
         () => graft.graph.GraphOps.clearCaches()),
       ("cache_fixture_corpus",
         () => { graft.query.FixtureCorpus.store(spark, sfDir).count(); () },
-        () => graft.query.FixtureCorpus.clear()))
+        () => graft.query.FixtureCorpus.clear()),
+      // em71's on-disk corpus + full ingest and s81's incremental index
+      // build are cached per (session, dir) like the frames above —
+      // timed here so their one-time cost is an attributed line item
+      // instead of vanishing into the queries' median-of-3 (first run
+      // builds, runs 2-3 hit the cache). The clears are TARGETED: a
+      // >2x rebuild drops only the entry's own cache, never the shared
+      // store/models.
+      ("cache_em71_ingest",
+        () => { graft.query.EmailOps.realIngest(spark, sfDir).count(); () },
+        () => graft.query.FixtureCorpus.clearAux("em71")),
+      ("cache_s81_incr_index",
+        () => { graft.ext.SimilarityOps.ivfPqIncremental(spark, sfDir)
+          .count(); () },
+        () => graft.ext.SimilarityOps.clearSavedIndexes("|incr")))
     val rerun = scala.collection.mutable.ArrayBuffer[String]()
     val cacheRuns: Seq[(String, (Double, Boolean))] = cacheDefs.map {
       case (name, warm, clear) =>

@@ -288,6 +288,21 @@ object SimilarityOps {
     savedIndexDirs.clear()
   }
 
+  /** Drop only the saved-index artifacts whose cache key ends with
+    * `suffix` (targeted bench re-warm: the trained model caches and the
+    * other artifacts stay, so a rebuild of one index cannot silently
+    * push another's build cost into an unrelated query). */
+  private[graft] def clearSavedIndexes(suffix: String): Unit = {
+    val it = savedIndexDirs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.endsWith(suffix)) {
+        deleteDirRecursively(java.nio.file.Paths.get(e.getValue))
+        it.remove()
+      }
+    }
+  }
+
   private def deleteDirRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     try {

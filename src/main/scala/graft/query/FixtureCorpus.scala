@@ -107,6 +107,17 @@ object FixtureCorpus {
     cache.computeIfAbsent(
       System.identityHashCode(s) + "|" + dir + "|" + tag, _ => f)
 
+  /** Drop only aux-tagged frames (targeted bench re-warm: the shared
+    * fixture store survives, so rebuilding one aux entry cannot push
+    * the store build into an unrelated query). */
+  private[graft] def clearAux(tag: String): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.endsWith("|" + tag)) { e.getValue.unpersist(); it.remove() }
+    }
+  }
+
   private def docRows(s: SparkSession, dir: String) = {
     import s.implicits._
     val w = Window.partitionBy(expr("doc_id div 10")).orderBy("doc_id")
