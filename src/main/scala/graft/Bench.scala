@@ -183,7 +183,13 @@ object Bench {
       ("cache_s81_incr_index",
         () => { graft.ext.SimilarityOps.ivfPqIncremental(spark, sfDir)
           .count(); () },
-        () => graft.ext.SimilarityOps.clearSavedIndexes("|incr")))
+        () => graft.ext.SimilarityOps.clearSavedIndexes("|incr")),
+      // s80's artifact write (build-once half of build-once/serve-many;
+      // model training is already inside cache_kmeans_model)
+      ("cache_s80_index",
+        () => { graft.ext.SimilarityOps.ivfPqKnnServed(spark, sfDir)
+          .count(); () },
+        () => graft.ext.SimilarityOps.clearSavedIndexes(sfDir)))
     val rerun = scala.collection.mutable.ArrayBuffer[String]()
     val cacheRuns: Seq[(String, (Double, Boolean))] = cacheDefs.map {
       case (name, warm, clear) =>

@@ -31,7 +31,9 @@ object PlanAudit {
       "s78_knn_classify", "g101_clustering_coef", "t61_bigram_lm",
       "d60_minhash_estimate", "m76_media_dedup",
       "s79_mmr_topk", "e103_ewma_daily", "q52_mom_growth",
-      "v73_embedding_audit")
+      "v73_embedding_audit",
+      "em70_partitioned_upsert", "em71_real_ingest", "s80_ivfpq_served",
+      "s81_ivfpq_incr", "g102_cc_dataframe")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)

@@ -24,13 +24,21 @@ object ScaleBench {
   private val Heavy = Seq(
     "d51_jaccard_pairs" -> "docs",
     "d52_minhash_lsh" -> "docs",
+    "d59_passage_dedup" -> "docs",
     "t57_corpus_funnel" -> "docs",
+    "t61_bigram_lm" -> "docs",
+    "v72_column_profile" -> "docs",
+    "em70_partitioned_upsert" -> "docs",
     "g94_pagerank" -> "lineitem",
     "g95_triangles" -> "lineitem",
+    "g96_two_core" -> "lineitem",
+    "g97_personalized_pr" -> "lineitem",
+    "g102_cc_dataframe" -> "lineitem",
     "s75_ivfpq_knn" -> "emb",
     "s80_ivfpq_served" -> "emb",
     "e88_stream_join" -> "events",
-    "e100_stream_unmatched" -> "events")
+    "e100_stream_unmatched" -> "events",
+    "e101_stream_dedup_activity" -> "events")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -55,7 +63,13 @@ object ScaleBench {
       "cache_kmeans_model" ->
         timeOnce(() => graft.ext.SimilarityOps.warm(spark, dir)),
       "cache_graph_edges" ->
-        timeOnce(() => graft.graph.GraphOps.warm(spark, dir)))
+        timeOnce(() => graft.graph.GraphOps.warm(spark, dir)),
+      // the s81 incremental-index build: base-4/5 training + O(batch)
+      // absorb — its exponent vs embedding growth is the update-path
+      // scale claim (serving is the s80 line item)
+      "cache_s81_incr_index" ->
+        timeOnce(() => {
+          graft.ext.SimilarityOps.ivfPqIncremental(spark, dir).count(); () }))
     val queries = Heavy.map { case (name, _) =>
       name -> Bench.median3(
         () => { SparkEntry.queries(name)(spark, dir).count(); () })
@@ -83,6 +97,7 @@ object ScaleBench {
       graft.ext.DedupOps.warm(spark, jit)
       graft.ext.SimilarityOps.warm(spark, jit)
       graft.graph.GraphOps.warm(spark, jit)
+      graft.ext.SimilarityOps.ivfPqIncremental(spark, jit).count()
       Heavy.foreach { case (n, _) =>
         SparkEntry.queries(n)(spark, jit).count() }
     } catch { case e: Throwable =>
@@ -99,7 +114,8 @@ object ScaleBench {
       Heavy.map { case (n, k) => n -> vol(k) }.toMap ++ Map(
         "cache_dedup_frames" -> vol("docs"),
         "cache_kmeans_model" -> vol("emb"),
-        "cache_graph_edges" -> vol("lineitem"))
+        "cache_graph_edges" -> vol("lineitem"),
+        "cache_s81_incr_index" -> vol("emb"))
     val aMap = (cachesA ++ queriesA).toMap
     val items = (cachesB ++ queriesB).map { case (name, tB) =>
       val tA = aMap.getOrElse(name, -1.0)
