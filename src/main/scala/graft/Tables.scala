@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -19,7 +21,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  /** Events with `ts` normalized to LongType epoch NANOseconds — the
+    * engine's internal clock. Two generations of driver testdata exist:
+    * TIMESTAMP(NANOS) parquet (arrives as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, passthrough) and
+    * TIMESTAMP(MICROS) parquet (arrives as TIMESTAMP_NTZ, converted
+    * here). The conversion uses `timestampdiff` against the NTZ epoch —
+    * tz-INDEPENDENT, unlike a cast→`unix_micros` chain which would
+    * shift by the session zone — so its integer output matches DuckDB's
+    * `epoch_us(ts)` on the same file exactly, which is what keeps every
+    * downstream `ts div 1000` twin hash-identical to its oracle. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    if (raw.schema("ts").dataType == LongType) raw
+    else raw.withColumn("ts", expr(
+      "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ) * 1000L)
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

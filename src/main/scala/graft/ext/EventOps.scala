@@ -8,11 +8,12 @@ import graft.Tables._
 /** Event-stream analytics over the `events` table: tumbling/hopping
   * windows, sessionization, JSON property extraction.
   *
-  * The events parquet stores TIMESTAMP(NANOS), which Spark 4 only reads
-  * as LongType under `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-  * Verify/Bench/test sessions). All time arithmetic therefore runs on
-  * exact integer microseconds (`ts div 1000`), which DuckDB's
-  * `epoch_us(ts)` reproduces bit-for-bit (both truncate ns → µs). These are the
+  * `Tables.events` normalizes `ts` to LongType epoch nanoseconds at the
+  * boundary regardless of the parquet's physical timestamp type
+  * (TIMESTAMP(NANOS) passthrough via nanosAsLong, TIMESTAMP(MICROS)
+  * via a tz-independent timestampdiff). All time arithmetic therefore
+  * runs on exact integer microseconds (`ts div 1000`), which DuckDB's
+  * `epoch_us(ts)` reproduces bit-for-bit on either physical type. These are the
   * batch twins of the Structured Streaming operators in
   * `graft.streaming` — same bucketing arithmetic, so streaming output
   * can be validated against these oracle-checked results.

@@ -18,8 +18,8 @@ import graft.store.EmailStore
 object StreamingOps {
 
   /** events schema for streaming reads (must be explicit: file streams
-    * can't infer). `ts` is LongType — the parquet stores
-    * TIMESTAMP(NANOS), read as raw nanos under the nanosAsLong flag. */
+    * can't infer). `ts` is LongType epoch nanos — the engine clock;
+    * [[stageFile]] rewrites timestamp-typed source files to match. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -63,15 +63,29 @@ object StreamingOps {
   /** Stage a single parquet file behind a temp directory — the
     * file-stream source requires a DIRECTORY, not a file. Staging dirs
     * are cached per (d, name): repeated invocations (bench median-of-3
-    * runs every streaming query 3×) reuse one symlink dir instead of
-    * accumulating fresh ones for the JVM's lifetime. */
+    * runs every streaming query 3×) reuse one staged dir instead of
+    * accumulating fresh ones for the JVM's lifetime.
+    *
+    * `events.parquet` whose `ts` is a real timestamp (current driver
+    * testdata) is REWRITTEN through [[graft.Tables.events]] so the
+    * staged file carries the engine's LongType epoch-nanos clock — the
+    * declared [[eventsSchema]]; older nanos-long files (and non-events
+    * tables) stage as a plain symlink. One-time cost per (dir, file)
+    * per JVM, and only on the conversion path. */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
-  private def stageFile(d: String, name: String): String =
+  private def stageFile(spark: SparkSession, d: String, name: String): String =
     stagedDirs.computeIfAbsent((d, name), { _ =>
       val dir = scratchTempDir("graft-stream-src")
-      Files.createSymbolicLink(dir.resolve(name),
-        java.nio.file.Paths.get(d, name).toAbsolutePath)
+      val needsRewrite = name == "events.parquet" &&
+        graft.Tables.t(spark, d, "events").schema("ts").dataType !=
+          org.apache.spark.sql.types.LongType
+      if (needsRewrite)
+        graft.Tables.events(spark, d)
+          .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      else
+        Files.createSymbolicLink(dir.resolve(name),
+          java.nio.file.Paths.get(d, name).toAbsolutePath)
       dir.toString
     })
 
@@ -241,7 +255,7 @@ object StreamingOps {
     * synchronously. Output is identical to the batch twin, so it shares
     * e80's DuckDB oracle: batch/stream parity is oracle-checked. */
   def streamTumblingCounts(spark: SparkSession, d: String): DataFrame = {
-    val stageDir = stageFile(d, "events.parquet")
+    val stageDir = stageFile(spark, d, "events.parquet")
     // metadata-only count (no filter → answered from parquet footers)
     val nIn = cachedCount(d, "ev_all") {
       spark.read.parquet(s"$d/events.parquet").count()
@@ -272,7 +286,7 @@ object StreamingOps {
     * stream/batch parity on the trending tier is itself oracle-checked
     * (the e84/e80 pattern). */
   def streamWindowTopEvent(spark: SparkSession, d: String): DataFrame = {
-    val stageDir = stageFile(d, "events.parquet")
+    val stageDir = stageFile(spark, d, "events.parquet")
     val nIn = cachedCount(d, "ev_all") {
       spark.read.parquet(s"$d/events.parquet").count()
     }
@@ -313,7 +327,7 @@ object StreamingOps {
   def streamRangeJoin(spark: SparkSession, d: String): DataFrame = {
     def src(): DataFrame =
       spark.readStream.schema(eventsSchema)
-        .parquet(stageFile(d, "events.parquet"))
+        .parquet(stageFile(spark, d, "events.parquet"))
         .withColumn("tsus", expr("ts div 1000"))
         .withColumn("etime", timestamp_micros(col("tsus")))
     // sized to the JOINED volume: a one-column scan of event_type
@@ -367,9 +381,23 @@ object StreamingOps {
   private def stageWithSentinel(spark: SparkSession, d: String): String =
     sentinelDirs.computeIfAbsent(d, { _ =>
       val dir = scratchTempDir("graft-stream-sentinel")
-      Files.createSymbolicLink(dir.resolve("events.parquet"),
-        java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
-      val maxTs = spark.read.parquet(s"$d/events.parquet")
+      // reuse the normalized staged file (symlink on the passthrough
+      // path) so the sentinel batch and the corpus share one ts clock
+      val staged = java.nio.file.Paths.get(
+        stageFile(spark, d, "events.parquet"))
+      import scala.jdk.CollectionConverters._
+      Files.list(staged).iterator().asScala
+        // skip _SUCCESS markers and .crc checkpoint siblings — only
+        // real data files may surface in the stream source dir
+        .filter { p =>
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        .zipWithIndex.foreach { case (p, i) =>
+          Files.createSymbolicLink(
+            dir.resolve(s"staged_$i.parquet"), p.toAbsolutePath)
+        }
+      val maxTs = graft.Tables.events(spark, d)
         .agg(max("ts")).head.getLong(0)
       val far = maxTs + 360000000000000L // +100 h in ns
       import spark.implicits._
@@ -518,7 +546,7 @@ object StreamingOps {
     * and the batch aggregation oracle hash-checks it. */
   def streamUserCensus(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val stageDir = stageFile(d, "events.parquet")
+    val stageDir = stageFile(spark, d, "events.parquet")
     val nIn = cachedCount(d, "ev_purchase") {
       spark.read.parquet(s"$d/events.parquet")
         .filter(col("event_type") === "purchase").count()
@@ -600,7 +628,7 @@ object StreamingOps {
     * exactly 30 min open — the fixtures contain no exact-gap pair at
     * any SF (verified), so the two formulations agree row-for-row. */
   def streamSessionWindows(spark: SparkSession, d: String): DataFrame = {
-    val stageDir = stageFile(d, "events.parquet")
+    val stageDir = stageFile(spark, d, "events.parquet")
     val nIn = cachedCount(d, "ev_all") {
       spark.read.parquet(s"$d/events.parquet").count()
     }
@@ -639,7 +667,7 @@ object StreamingOps {
     * bounds are engine-exact. */
   def streamClosedSessions(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val stageDir = stageFile(d, "events.parquet")
+    val stageDir = stageFile(spark, d, "events.parquet")
     val nIn = cachedCount(d, "ev_all") {
       spark.read.parquet(s"$d/events.parquet").count()
     }
@@ -688,7 +716,7 @@ object StreamingOps {
       |ORDER BY user_id, start_us""".stripMargin
 
   def streamExactDedup(spark: SparkSession, d: String): DataFrame = {
-    val stageDir = stageFile(d, "documents.parquet")
+    val stageDir = stageFile(spark, d, "documents.parquet")
     // wsClass, not Java "\\s+": RE2 (the oracle engine) excludes \x0B
     // from \s while Java includes it — the shared class keeps stream,
     // batch, and oracle fingerprints identical on \x0B-bearing text
@@ -718,7 +746,7 @@ object StreamingOps {
     * the only streaming state is the ≤5-row reason census, so this
     * runs at source throughput with constant state. */
   def streamQualityFilter(spark: SparkSession, d: String): DataFrame = {
-    val stageDir = stageFile(d, "documents.parquet")
+    val stageDir = stageFile(spark, d, "documents.parquet")
     val nIn = cachedCount(d, "doc_all") {
       spark.read.parquet(s"$d/documents.parquet").count()
     }
@@ -861,7 +889,7 @@ object StreamingOps {
     * state instead of a built-in aggregation). */
   def streamFunnel(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val stageDir = stageFile(d, "events.parquet")
+    val stageDir = stageFile(spark, d, "events.parquet")
     val nIn = cachedCount(d, "ev_all") {
       spark.read.parquet(s"$d/events.parquet").count()
     }
@@ -901,7 +929,7 @@ object StreamingOps {
     * modulus from the dimension's own row count). Value sums run on
     * exact integer cents (the e80 rule). */
   def streamSegmentEnrichment(spark: SparkSession, d: String): DataFrame = {
-    val stageDir = stageFile(d, "events.parquet")
+    val stageDir = stageFile(spark, d, "events.parquet")
     val nIn = cachedCount(d, "ev_all") {
       spark.read.parquet(s"$d/events.parquet").count()
     }
@@ -943,7 +971,7 @@ object StreamingOps {
     * would carry a watermark to expire closed days; the fixtures are
     * bounded so none is needed for parity. */
   def streamRetention(spark: SparkSession, d: String): DataFrame = {
-    val stageDir = stageFile(d, "events.parquet")
+    val stageDir = stageFile(spark, d, "events.parquet")
     val nIn = cachedCount(d, "ev_all") {
       spark.read.parquet(s"$d/events.parquet").count()
     }

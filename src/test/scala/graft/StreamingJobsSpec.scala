@@ -236,7 +236,7 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val ev = spark.read.parquet(s"/root/testdata/$sf/events.parquet")
+      val ev = graft.Tables.events(spark, s"/root/testdata/$sf")
         .withColumn("tsus", expr("ts div 1000"))
       val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")
       val n = ev
