@@ -98,6 +98,17 @@ object JobTracker {
       store: graft.store.DocStore, inputDir: String,
       source: String = "manual_trigger"): String = {
     val jobId = tracker.create(source, inputDir)
+    runPhases(spark, tracker, store, jobId, inputDir)
+    jobId
+  }
+
+  /** The post-create phases of the lifecycle, runnable on their own so
+    * an async front end ([[HttpApi]]) can return the QUEUED job id
+    * first and dispatch this afterwards — the split the reference makes
+    * between its endpoint insert (app/main.py:22-28) and the Celery
+    * task body (app/orchestrator.py:14-60). */
+  def runPhases(spark: SparkSession, tracker: JobTracker,
+      store: graft.store.DocStore, jobId: String, inputDir: String): Unit = {
     val scanned = EmailIngest.scan(spark, inputDir).cache()
     try {
       val n = scanned.count()
@@ -109,7 +120,6 @@ object JobTracker {
         store.upsert(docs)
         tracker.setStatus(jobId, "PARSED", fileCount = n)
       }
-      jobId
-    } finally scanned.unpersist()
+    } finally { scanned.unpersist(); () }
   }
 }

@@ -1,0 +1,188 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.{HttpApi, JobTracker}
+import graft.store.EmailStore
+
+/** The reference's HTTP workflow (app/main.py:13-35) over a real
+  * loopback socket: multipart zip upload → immediate QUEUED job id →
+  * async ingest → pollable status → store contents. */
+class HttpApiSpec extends AnyFunSuite with SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): String =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+
+  private def field(body: String, key: String): Option[String] =
+    ("\"" + key + "\":\"([^\"]*)\"").r.findFirstMatchIn(body).map(_.group(1))
+
+  private def msg(id: String): Array[Byte] =
+    (s"Message-ID: <$id@x>\r\nFrom: a@x.com\r\nTo: b@x.com\r\n" +
+      s"Subject: $id\r\n\r\nbody $id").getBytes(StandardCharsets.UTF_8)
+
+  private def buildZip(entries: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, bytes) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(bytes)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  private def multipart(filename: String,
+      zip: Array[Byte]): (String, Array[Byte]) = {
+    val boundary = "graftBoundary42"
+    val head = (s"--$boundary\r\nContent-Disposition: form-data; " +
+      s"""name="file"; filename="$filename"\r\n""" +
+      "Content-Type: application/zip\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val tail = s"\r\n--$boundary--\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(head); body.write(zip); body.write(tail)
+    (s"multipart/form-data; boundary=$boundary", body.toByteArray)
+  }
+
+  private def awaitTerminal(port: Int, jobId: String): String = {
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var status = "QUEUED"
+    while (System.nanoTime() < deadline &&
+        (status == "QUEUED" || status == "PARSING")) {
+      Thread.sleep(100)
+      status = field(get(port, s"/jobs/$jobId"), "status").getOrElse("QUEUED")
+    }
+    status
+  }
+
+  private def withApi(f: (HttpApi, Int, EmailStore, JobTracker) => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft-http")
+    val tracker = new JobTracker(spark, dir.resolve("jobs").toString)
+    val store = new EmailStore(spark, dir.resolve("store").toString)
+    val api = new HttpApi(spark, tracker, store)
+    val port = api.start()
+    try f(api, port, store, tracker)
+    finally api.stop()
+  }
+
+  test("POST /ingest multipart → QUEUED now, PARSED after async phases") {
+    withApi { (_, port, store, tracker) =>
+      val zip = buildZip(
+        "u1/inbox/1_" -> msg("h1"),
+        "u1/sent/2_" -> msg("h2"),
+        "u2/inbox/3_" -> msg("h3"))
+      val (ctype, body) = multipart("corpus.zip", zip)
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+          .header("Content-Type", ctype)
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      // the endpoint answers before the phases run (async dispatch,
+      // ref app/main.py:29-30) — status in the response is QUEUED
+      assert(field(resp.body(), "status").contains("QUEUED"))
+      val jobId = field(resp.body(), "job_id").get
+
+      assert(awaitTerminal(port, jobId) == "PARSED")
+      val doc = get(port, s"/jobs/$jobId")
+      // job document fields (ref app/main.py:33-35 returns the row)
+      assert(field(doc, "source").contains("corpus.zip"))
+      assert("\"file_count\":3".r.findFirstIn(doc).isDefined, doc)
+      assert(store.read().count() == 3)
+      // upload staging dirs are cleaned after the job completes
+      assert(field(doc, "input_dir").exists(d =>
+        !Files.exists(java.nio.file.Paths.get(d))))
+      val _ = tracker
+    }
+  }
+
+  test("POST /ingest raw zip body with X-Filename; EMPTY short-circuit") {
+    withApi { (_, port, _, _) =>
+      // no depth-3 entries → scan is empty → EMPTY terminal state
+      val zip = buildZip("readme.txt" -> "not a maildir".getBytes)
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+          .header("Content-Type", "application/zip")
+          .header("X-Filename", "flat.zip")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(zip)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      val jobId = field(resp.body(), "job_id").get
+      assert(awaitTerminal(port, jobId) == "EMPTY")
+      assert(field(get(port, s"/jobs/$jobId"), "source").contains("flat.zip"))
+    }
+  }
+
+  test("GET /jobs/{unknown} → not_found; bad uploads → 4xx") {
+    withApi { (_, port, _, _) =>
+      assert(field(get(port, "/jobs/nope"), "error").contains("not_found"))
+
+      // malformed multipart (no file part)
+      val (ctype, _) = multipart("x.zip", Array[Byte]())
+      val junk = "--graftBoundary42\r\nContent-Disposition: form-data; " +
+        "name=\"note\"\r\n\r\nhello\r\n--graftBoundary42--\r\n"
+      val bad = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+          .header("Content-Type", ctype)
+          .POST(HttpRequest.BodyPublishers.ofString(junk)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400, bad.body())
+
+      // body that is not a zip archive at all → bad_archive, no job row
+      val notZip = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+          .header("Content-Type", "application/zip")
+          .POST(HttpRequest.BodyPublishers.ofString("plainly not a zip"))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      // ZipInputStream yields zero entries on garbage → stages an empty
+      // dir → legitimate EMPTY job; both behaviors are acceptable MVP
+      // outcomes, but the response must be well-formed either way
+      assert(notZip.statusCode() == 200 || notZip.statusCode() == 400,
+        notZip.body())
+
+      // GET on /ingest is rejected
+      val wrongVerb = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(wrongVerb.statusCode() == 405)
+    }
+  }
+
+  test("two uploads serialize on the ingest worker; both stores correct") {
+    withApi { (_, port, store, _) =>
+      def post(zip: Array[Byte], name: String): String = {
+        val (ctype, body) = multipart(name, zip)
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+            .header("Content-Type", ctype)
+            .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        field(resp.body(), "job_id").get
+      }
+      // second batch re-delivers s1 into another mailbox: the serialized
+      // worker must set-union, not clobber
+      val j1 = post(buildZip("u1/inbox/1_" -> msg("s1")), "b1.zip")
+      val j2 = post(buildZip("u2/inbox/1_" -> msg("s1"),
+        "u2/inbox/2_" -> msg("s2")), "b2.zip")
+      assert(awaitTerminal(port, j1) == "PARSED")
+      assert(awaitTerminal(port, j2) == "PARSED")
+      assert(store.read().count() == 2)
+      import org.apache.spark.sql.functions.{col, size => asize}
+      assert(store.read().filter(col("dedupe_key") === "<s1@x>")
+        .select(asize(col("mailboxes"))).collect().head.getInt(0) == 2)
+    }
+  }
+}
