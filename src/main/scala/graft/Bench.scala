@@ -180,6 +180,9 @@ object Bench {
       ("cache_em71_ingest",
         () => { graft.query.EmailOps.realIngest(spark, sfDir).count(); () },
         () => graft.query.FixtureCorpus.clearAux("em71")),
+      ("cache_em72_http",
+        () => { graft.query.EmailOps.httpIngest(spark, sfDir).count(); () },
+        () => graft.query.FixtureCorpus.clearAux("em72")),
       ("cache_s81_incr_index",
         () => { graft.ext.SimilarityOps.ivfPqIncremental(spark, sfDir)
           .count(); () },

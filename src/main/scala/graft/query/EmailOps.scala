@@ -276,6 +276,127 @@ object EmailOps {
       |    FROM f GROUP BY 2)
       |ORDER BY kind, k""".stripMargin
 
+  // --------------------------------------- em72 HTTP workflow twin
+
+  /** em72: the reference's README workflow — `curl -F file=@corpus.zip
+    * /ingest` then poll `/jobs/{id}` (app/main.py:13-35) — run over a
+    * REAL loopback socket and put under the oracle gate. The fixture
+    * corpus is materialized as RFC-822 files, zipped, uploaded as a
+    * multipart POST to [[graft.jobs.HttpApi]] on an ephemeral port,
+    * ingested by the async worker (staging → scan → parse →
+    * partitioned-store upsert), and polled to PARSED over HTTP; the
+    * output mixes transport-derived facts (the polled status, the
+    * served `file_count`) with store-derived facts (unique keys, the
+    * mailbox census), so a break anywhere in the HTTP→staging→ingest
+    * →store→serve chain shows up as an oracle mismatch. Capped at
+    * doc_id < 1000 on both sides (em71's bounded-file-count rule;
+    * em71 covers depth-contract strays, this covers the transport). */
+  def httpIngest(s: SparkSession, d: String): DataFrame =
+    FixtureCorpus.cachedAux(s, d, "em72") {
+      import java.nio.file.{Files, Path, Paths}
+      val cap = 1000L
+      val base = Files.createTempDirectory("graft-em72").toString
+      FixtureCorpus.materializeMaildir(s, d, base, cap)
+      // zip the maildir with entry paths relative to its root
+      val zipPath = Files.createTempFile("graft-em72", ".zip")
+      val zos = new java.util.zip.ZipOutputStream(
+        Files.newOutputStream(zipPath))
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(base)
+        Files.walk(root).iterator().asScala
+          .filter(Files.isRegularFile(_)).toSeq
+          .sortBy(_.toString)
+          .foreach { p: Path =>
+            zos.putNextEntry(new java.util.zip.ZipEntry(
+              root.relativize(p).toString))
+            zos.write(Files.readAllBytes(p))
+            zos.closeEntry()
+          }
+      } finally zos.close()
+
+      val dir = Files.createTempDirectory("graft-em72-api")
+      val tracker = new graft.jobs.JobTracker(s,
+        dir.resolve("jobs").toString)
+      val store = new graft.store.PartitionedEmailStore(s,
+        dir.resolve("store").toString)
+      val api = new graft.jobs.HttpApi(s, tracker, store)
+      val port = api.start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val boundary = "graftEm72Boundary"
+        val head = (s"--$boundary\r\nContent-Disposition: form-data; " +
+          "name=\"file\"; filename=\"corpus.zip\"\r\n" +
+          "Content-Type: application/zip\r\n\r\n")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        val tail = s"\r\n--$boundary--\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        val body = new java.io.ByteArrayOutputStream()
+        body.write(head); body.write(Files.readAllBytes(zipPath))
+        body.write(tail)
+        def jsonField(doc: String, key: String): Option[String] =
+          ("\"" + key + "\":\"?([^\",}]*)\"?").r
+            .findFirstMatchIn(doc).map(_.group(1))
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/ingest"))
+            .header("Content-Type",
+              s"multipart/form-data; boundary=$boundary")
+            .POST(java.net.http.HttpRequest.BodyPublishers
+              .ofByteArray(body.toByteArray)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200, s"POST /ingest: ${resp.body()}")
+        val jobId = jsonField(resp.body(), "job_id").getOrElse(
+          sys.error(s"no job_id in ${resp.body()}"))
+        // poll the job to its terminal state over the wire
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        var doc = ""
+        var status = "QUEUED"
+        while ((status == "QUEUED" || status == "PARSING") &&
+            System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          doc = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port/jobs/$jobId")).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+          status = jsonField(doc, "status").getOrElse("QUEUED")
+        }
+        require(status == "PARSED", s"job ended $status: $doc")
+        val servedFileCount =
+          jsonField(doc, "file_count").map(_.toLong).getOrElse(-1L)
+        val stored = store.read()
+        import s.implicits._
+        val counters = Seq(
+          ("counter", "http_file_count", servedFileCount),
+          ("counter", "http_status_parsed", 1L),
+          ("counter", "unique_keys", stored.count()))
+          .toDF("kind", "k", "n")
+        val mailboxes = stored
+          .select(explode(col("mailboxes")).as("mb"))
+          .groupBy(concat(col("mb.user"), lit("/"), col("mb.folder"))
+            .as("k"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit("mailbox").as("kind"), col("k"), col("n"))
+        val out = counters.unionByName(mailboxes).orderBy("kind", "k")
+        // force before stop(): the frame must not lazily re-read the
+        // store after the API (and its temp upload dirs) are torn down
+        out.cache().count()
+        out
+      } finally api.stop()
+    }
+
+  val httpIngestSql: String =
+    s"""$sqlPrelude,
+      |f AS (SELECT * FROM m WHERE doc_id < 1000)
+      |SELECT kind, k, CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'counter' AS kind, 'http_file_count' AS k, count(*) AS n
+      |    FROM f
+      |  UNION ALL SELECT 'counter', 'http_status_parsed', 1
+      |  UNION ALL SELECT 'counter', 'unique_keys', count(*) FROM f
+      |  UNION ALL SELECT 'mailbox', usr || '/' || folder, count(*)
+      |    FROM f GROUP BY 2)
+      |ORDER BY kind, k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "em60_by_mailbox"    -> byMailbox _,
     "em61_by_recipient"  -> byRecipient _,
@@ -288,6 +409,7 @@ object EmailOps {
     "em69_pii_redact"    -> piiRedact _,
     "em70_partitioned_upsert" -> partitionedUpsert _,
     "em71_real_ingest"   -> realIngest _,
+    "em72_http_ingest"   -> httpIngest _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -302,5 +424,6 @@ object EmailOps {
     "em69_pii_redact"    -> piiRedactSql,
     "em70_partitioned_upsert" -> partitionedUpsertSql,
     "em71_real_ingest"   -> realIngestSql,
+    "em72_http_ingest"   -> httpIngestSql,
   )
 }
