@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -33,10 +33,20 @@ object Tables {
     * downstream `ts div 1000` twin hash-identical to its oracle. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == LongType) raw
-    else raw.withColumn("ts", expr(
-      "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        ) * 1000L)
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampNTZType => raw.withColumn("ts", expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+          ) * 1000L)
+      // A TIMESTAMP_LTZ arrival (isAdjustedToUTC parquet, or
+      // inferTimestampNTZ disabled) would implicitly cast through the
+      // SESSION timezone in the timestampdiff above — silently breaking
+      // the documented tz-independence and oracle parity. Fail loudly
+      // instead of converting wrong.
+      case other => sys.error(
+        s"events.ts arrived as $other; expected LongType nanos or " +
+          "TIMESTAMP_NTZ — refusing a tz-dependent conversion")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -67,10 +67,15 @@ class HttpApi(spark: SparkSession, tracker: JobTracker,
   }
 
   /** Stop accepting requests; waits (bounded) for the in-flight ingest
-    * job so a deliberate shutdown doesn't strand a job in PARSING. */
+    * job so a deliberate shutdown doesn't strand a job in PARSING.
+    * Exchanges drain FIRST (stop(1) blocks up to 1 s for in-flight
+    * handlers) so a POST that already inserted its QUEUED row gets to
+    * submit to ingestExec before the executor shuts down; a straggler
+    * that still loses the race is caught at the execute call and the
+    * job is marked FAILED rather than stranded QUEUED forever. */
   def stop(drainSeconds: Int = 60): Unit = synchronized {
     if (server != null) {
-      server.stop(0)
+      server.stop(1)
       httpExec.shutdown()
       ingestExec.shutdown()
       ingestExec.awaitTermination(drainSeconds.toLong, TimeUnit.SECONDS)
@@ -82,21 +87,31 @@ class HttpApi(spark: SparkSession, tracker: JobTracker,
 
   private def exchange(f: HttpExchange => (Int, String)): HttpHandler =
     new HttpHandler {
-      def handle(ex: HttpExchange): Unit =
+      def handle(ex: HttpExchange): Unit = {
+        // once sendResponseHeaders has been attempted, a second call
+        // (for the 500) would itself throw and hand the client a
+        // truncated response with no error JSON — only send the error
+        // response when headers were never attempted
+        var headersSent = false
         try {
           val (code, body) = f(ex)
           val bytes = body.getBytes(StandardCharsets.UTF_8)
           ex.getResponseHeaders.set("Content-Type", "application/json")
+          headersSent = true
           ex.sendResponseHeaders(code, bytes.length.toLong)
           ex.getResponseBody.write(bytes)
         } catch {
-          case e: Exception =>
+          case e: Exception if !headersSent =>
             val bytes = HttpApi.json(
               "error" -> "internal", "detail" -> String.valueOf(e.getMessage))
               .getBytes(StandardCharsets.UTF_8)
             ex.sendResponseHeaders(500, bytes.length.toLong)
             ex.getResponseBody.write(bytes)
+          case e: Exception =>
+            System.err.println(
+              s"[http-api] response write failed after headers sent: $e")
         } finally ex.close()
+      }
     }
 
   /** POST /ingest (ref: app/main.py:13-30). */
@@ -131,7 +146,26 @@ class HttpApi(spark: SparkSession, tracker: JobTracker,
                 "detail" -> String.valueOf(e.getMessage)))
           }
         val jobId = tracker.create(filename, staged.toString)
-        ingestExec.execute { () =>
+        // the FAILED write is itself a store write; if it throws the
+        // job would strand in PARSING while looking in-flight — retry
+        // once, then log the stranded state loudly so an operator can
+        // reconcile (the job doc still carries its last real phase)
+        def markFailed(cause: Throwable): Unit = {
+          var wrote = false
+          var attempt = 0
+          while (!wrote && attempt < 2) {
+            attempt += 1
+            try { tracker.setStatus(jobId, "FAILED"); wrote = true }
+            catch {
+              case e2: Exception if attempt >= 2 =>
+                System.err.println(s"[http-api] job $jobId failed ($cause) " +
+                  s"AND the FAILED status write failed twice ($e2) — job " +
+                  "may still read as in-flight; manual reconcile needed")
+              case _: Exception => ()
+            }
+          }
+        }
+        val work: Runnable = { () =>
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", "ingest")
           try JobTracker.runPhases(spark, tracker, store, jobId,
             staged.toString)
@@ -140,8 +174,7 @@ class HttpApi(spark: SparkSession, tracker: JobTracker,
               // the reference has no failure state; FAILED is our
               // honest extension (currentState ranks unknowns last, so
               // it still reads as terminal)
-              try tracker.setStatus(jobId, "FAILED")
-              catch { case _: Exception => () }
+              markFailed(e)
               System.err.println(s"[http-api] job $jobId failed: $e")
           } finally {
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
@@ -149,6 +182,18 @@ class HttpApi(spark: SparkSession, tracker: JobTracker,
             Files.deleteIfExists(tmp)
             ()
           }
+        }
+        try ingestExec.execute(work)
+        catch {
+          case e: java.util.concurrent.RejectedExecutionException =>
+            // server is stopping: the QUEUED row exists but no worker
+            // will ever pick it up — terminal-mark it instead of
+            // stranding it QUEUED forever
+            markFailed(e)
+            ZipStaging.cleanup(staged)
+            Files.deleteIfExists(tmp)
+            return (503, HttpApi.json("error" -> "shutting_down",
+              "job_id" -> jobId, "status" -> "FAILED"))
         }
         (200, HttpApi.json("job_id" -> jobId, "status" -> "QUEUED"))
     }
@@ -211,11 +256,26 @@ object HttpApi {
       .collectFirst { case p if p.startsWith("boundary=") =>
         p.stripPrefix("boundary=").stripPrefix("\"").stripSuffix("\"") }
       .getOrElse(return Left("multipart body without boundary"))
-    val delim = ("--" + boundary).getBytes(StandardCharsets.ISO_8859_1)
+    // RFC 2046: a delimiter only counts at a line start — match
+    // "\r\n--boundary" (the body's first byte counts as an implicit
+    // line start), never the bare bytes, which a binary zip payload
+    // can legitimately contain mid-stream (matching those would
+    // silently truncate the upload into a corrupt archive)
+    val bare = ("--" + boundary).getBytes(StandardCharsets.ISO_8859_1)
+    val delim = ("\r\n--" + boundary).getBytes(StandardCharsets.ISO_8859_1)
     val crlf2 = "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
-    var at = indexOf(body, delim, 0)
-    while (at >= 0) {
-      val partStart = at + delim.length
+    def startsWithBare(at: Int): Boolean =
+      at + bare.length <= body.length &&
+        bare.indices.forall(j => body(at + j) == bare(j))
+    // partStart: index just past a line-start delimiter
+    var partStart =
+      if (startsWithBare(0)) bare.length
+      else {
+        val i = indexOf(body, delim, 0)
+        if (i < 0) return Left("no multipart delimiter found")
+        i + delim.length
+      }
+    while (partStart >= 0) {
       // terminal delimiter is "--boundary--"
       if (partStart + 1 < body.length &&
           body(partStart) == '-' && body(partStart + 1) == '-')
@@ -231,11 +291,10 @@ object HttpApi {
         .findFirstMatchIn(headers).map(_.group(1))
       filename match {
         case Some(name) =>
-          // content ends at the CRLF preceding the next delimiter
-          val contentEnd = math.max(contentStart, next - 2)
+          // content ends exactly at the CRLF that opens the delimiter
           return Right((if (name.isEmpty) "upload.zip" else name,
-            java.util.Arrays.copyOfRange(body, contentStart, contentEnd)))
-        case None => at = next
+            java.util.Arrays.copyOfRange(body, contentStart, next)))
+        case None => partStart = next + delim.length
       }
     }
     Left("no multipart delimiter found")

@@ -226,6 +226,23 @@ object EmailOps {
     * runs in the dataflow. Corpus capped at doc_id < 2000 on both
     * sides: bounded file count at any sf — ingest THROUGHPUT is
     * IngestBench's surface, this is the correctness twin. */
+  /** Best-effort recursive delete of a temp tree. The ingest twins
+    * materialize real corpora/stores in /tmp; without this, repeated
+    * bench/verify runs accumulate the full corpus for the machine's
+    * lifetime (the returned frames are force-cached first, so deleting
+    * the backing files never invalidates a served result). */
+  private def deleteTree(root: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    try {
+      val p = Paths.get(root)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => try { Files.deleteIfExists(f); () }
+            catch { case _: Exception => () })
+    } catch { case _: Exception => () }
+  }
+
   def realIngest(s: SparkSession, d: String): DataFrame =
     FixtureCorpus.cachedAux(s, d, "em71") {
       import java.nio.file.{Files, Paths}
@@ -240,12 +257,12 @@ object EmailOps {
         Paths.get(base, "user0", "inbox", "nested")).toString,
         "stray_depth4"), "x".getBytes)
       val parsed = graft.ingest.EmailIngest.ingest(s, base).cache()
+      val storeTmp = Files.createTempDirectory("graft-em71-store").toString
       try {
         val docs = graft.ingest.EmailIngest.docs(s, parsed)
         val quarantined = graft.ingest.EmailIngest.quarantine(s, parsed).count()
-        val root = Files.createTempDirectory("graft-em71-store")
-          .toString + "/store"
-        val store = new graft.store.PartitionedEmailStore(s, root)
+        val store = new graft.store.PartitionedEmailStore(s,
+          storeTmp + "/store")
         store.upsert(docs)
         val stored = store.read()
         import s.implicits._
@@ -260,8 +277,17 @@ object EmailOps {
           .groupBy(concat(col("mb.user"), lit("/"), col("mb.folder")).as("k"))
           .agg(count(lit(1)).as("n"))
           .select(lit("mailbox").as("kind"), col("k"), col("n"))
-        counters.unionByName(mailboxes).orderBy("kind", "k")
-      } finally { parsed.unpersist(); () }
+        val out = counters.unionByName(mailboxes).orderBy("kind", "k")
+        // force before the finally deletes the maildir + store files:
+        // the served frame must not lazily re-read deleted paths
+        out.cache().count()
+        out
+      } finally {
+        parsed.unpersist()
+        deleteTree(base)
+        deleteTree(storeTmp)
+        ()
+      }
     }
 
   val realIngestSql: String =
@@ -382,7 +408,16 @@ object EmailOps {
         // store after the API (and its temp upload dirs) are torn down
         out.cache().count()
         out
-      } finally api.stop()
+      } finally {
+        api.stop()
+        // stop() first (an in-flight worker writes under dir), then
+        // reclaim the materialized maildir, the corpus zip, and the
+        // jobs/store tree — the forced cache above makes the served
+        // frame independent of all three
+        deleteTree(base)
+        deleteTree(zipPath.toString)
+        deleteTree(dir.toString)
+      }
     }
 
   val httpIngestSql: String =

@@ -161,6 +161,93 @@ class HttpApiSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("overlapping POSTs: second observed QUEUED while first in flight") {
+    withApi { (_, port, store, _) =>
+      def post(zip: Array[Byte], name: String): String = {
+        val (ctype, body) = multipart(name, zip)
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+            .header("Content-Type", ctype)
+            .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        field(resp.body(), "job_id").get
+      }
+      // a large-enough first batch that its phases are still running
+      // when the second arrives
+      val big = buildZip((0 until 150).map(i =>
+        s"u1/inbox/${i}_" -> msg(s"big$i")): _*)
+      val j1 = post(big, "big.zip")
+      // second batch re-delivers big0 into another mailbox + one new key
+      val j2 = post(buildZip("u3/inbox/1_" -> msg("big0"),
+        "u3/inbox/2_" -> msg("solo")), "small.zip")
+      // race-free serialization observation: status is monotonic, so if
+      // j1 is non-terminal both before AND after the j2 read, the single
+      // worker was busy with j1 at the moment j2 was observed — j2 must
+      // still be QUEUED (a second PARSING would mean concurrent upserts
+      // against the batch-merge store, exactly the race the worker
+      // serialization exists to prevent)
+      val terminal = Set("PARSED", "EMPTY", "FAILED")
+      val j1Before = field(get(port, s"/jobs/$j1"), "status").get
+      val s2 = field(get(port, s"/jobs/$j2"), "status").get
+      val j1After = field(get(port, s"/jobs/$j1"), "status").get
+      if (!terminal(j1Before) && !terminal(j1After))
+        assert(s2 == "QUEUED", s"second job was $s2 while first was " +
+          s"$j1Before→$j1After")
+      assert(awaitTerminal(port, j1) == "PARSED")
+      assert(awaitTerminal(port, j2) == "PARSED")
+      // census = union of both batches: 150 big keys + 1 new key
+      assert(store.read().count() == 151)
+      import org.apache.spark.sql.functions.{col, size => asize}
+      assert(store.read().filter(col("dedupe_key") === "<big0@x>")
+        .select(asize(col("mailboxes"))).collect().head.getInt(0) == 2)
+    }
+  }
+
+  test("corrupt zip member → 400 bad_archive over the wire, no job row") {
+    withApi { (_, port, _, tracker) =>
+      val good = buildZip("u1/inbox/1_" -> msg("c1"))
+      // flip bytes inside the deflated entry data (local header is 30
+      // bytes + the 11-char entry name): the inflater or the CRC check
+      // throws during staging → handler answers 400 bad_archive
+      val bad = good.clone()
+      (45 until 55).foreach(i => bad(i) = (bad(i) ^ 0x5a).toByte)
+      val (ctype, body) = multipart("corrupt.zip", bad)
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+          .header("Content-Type", ctype)
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 400, resp.body())
+      assert(resp.body().contains("bad_archive"), resp.body())
+      // rejected before tracker.create: no orphan QUEUED row
+      assert(tracker.currentState().count() == 0)
+    }
+  }
+
+  test("worker-phase failure → FAILED served over the wire") {
+    // bespoke setup: the store root is a regular FILE, so the async
+    // upsert throws mid-phases — the job must surface FAILED over HTTP
+    // (not strand in PARSING), exercising the markFailed path
+    val dir = Files.createTempDirectory("graft-http-fail")
+    Files.write(dir.resolve("store"), "not a directory".getBytes)
+    val tracker = new JobTracker(spark, dir.resolve("jobs").toString)
+    val store = new EmailStore(spark, dir.resolve("store").toString)
+    val api = new HttpApi(spark, tracker, store)
+    val port = api.start()
+    try {
+      val (ctype, body) = multipart("corpus.zip",
+        buildZip("u1/inbox/1_" -> msg("f1")))
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+          .header("Content-Type", ctype)
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      val jobId = field(resp.body(), "job_id").get
+      assert(awaitTerminal(port, jobId) == "FAILED")
+    } finally api.stop()
+  }
+
   test("two uploads serialize on the ingest worker; both stores correct") {
     withApi { (_, port, store, _) =>
       def post(zip: Array[Byte], name: String): String = {
