@@ -59,6 +59,38 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, ok)
   }
 
+  /** The round-1 baseline query set (the entries whose per-query times
+    * survived BENCH_r01.json's bounded tail capture — the only
+    * machine-readable record of the 48.7 s/73-query baseline run).
+    * BASELINE.md's 2× gate is defined over "the same scale factor and
+    * query set"; the full suite has since grown past 165 entries, so
+    * the headline total alone can cross 2× purely by coverage growth.
+    * `baseline_set_total` (sum over these names) is the LIKE-FOR-LIKE
+    * number the gate's intent describes; the full total remains the
+    * envelope for round-over-round drift. */
+  private[graft] val baselineSet: Set[String] = Set(
+    "d51_jaccard_pairs", "d52_minhash_lsh", "d53_simhash",
+    "d53b_simhash_pairs", "d54_embedding_dups", "d55_containment",
+    "e80_tumbling_window", "e81_hopping_window", "e83_json_props",
+    "e84_stream_tumbling", "em60_by_mailbox", "em62_by_sender",
+    "em63_by_date_range", "em64_comm_edges", "em66_by_key",
+    "em67_by_entity", "g90_email_threads", "g91_email_graph",
+    "g92_copurchase_cc", "m71_media_frames", "q05_region_revenue",
+    "q06_revenue_forecast", "q08_market_share", "q09_nation_profit",
+    "q10_returned_revenue", "q13_cust_distribution",
+    "q17_small_qty_revenue", "q19_disjunctive", "q22_global_sales",
+    "q22_running_revenue", "q24_revenue_rollup", "q25_cust_no_orders",
+    "q26_cust_urgent", "q27_distinct_open", "q28_monthly_orders",
+    "q29_priority_pivot", "q30_set_ops", "q31_top_parts",
+    "q32_scalar_funcs", "q33_above_avg_orders", "q34_high_volume_pairs",
+    "q38_name_distance", "q39_string_ops", "q41_sql_cte_window",
+    "q44_extreme_events", "q46_typed_moments", "q47_sketches",
+    "s60_knn_brute", "s62_signlsh", "s63_ivf_recall",
+    "s64_ivf_multiprobe", "s65_multiprobe_recall", "t40_token_stats",
+    "t41_word_freq", "t43_lang_id", "t44_fingerprint",
+    "t45_shingle_profile", "t46_rolling_fp", "t47_gazetteer_ner",
+    "v70_validation")
+
   /** Fixed micro-shuffle: 4M-row range → 997-key hash agg. Purely
     * synthetic (no data dependence), two full stages with a real
     * exchange between them — sensitive to exactly the shuffle/disk
@@ -194,26 +226,39 @@ object Bench {
           .count(); () },
         () => graft.ext.SimilarityOps.clearSavedIndexes(sfDir)))
     val rerun = scala.collection.mutable.ArrayBuffer[String]()
+    // MIN-of-3 for every warm (round-9 lesson: cache_dedup_frames
+    // recorded 6.07 s and 11.85 s across two runs both self-reporting
+    // clean — a one-shot warm has no noise rejection at all). Queries
+    // get median-of-3 because run-to-run variance is two-sided; a warm
+    // is a one-time BUILD whose true cost is its uncontended floor, so
+    // min is the estimator that converges across machines. Each re-time
+    // clears the entry's own caches first (targeted — never the shared
+    // store/models) and rebuilds from scratch in the same JVM; the JIT
+    // pre-warm above has already compiled the heavy paths, so run 1
+    // carries no first-build compilation bias vs runs 2-3.
     val cacheRuns: Seq[(String, (Double, Boolean))] = cacheDefs.map {
       case (name, warm, clear) =>
-        var (t, ok) = timeOnce(warm)
-        if (ok && inflated(t, committed.getOrElse(name, -1.0))) {
-          clear()
-          val (t2, ok2) = timeOnce(warm)
-          if (ok2) { rerun += name; t = math.min(t, t2) }
-          else {
-            // the rebuild threw AFTER the cache was cleared: restore it
-            // so the (already-recorded) first build's time stays an
-            // honest line item — without this the cache would silently
-            // rebuild inside whichever query touches the registry
-            // first, double-incurring a cost no line item shows. If the
-            // restore also fails, the item reports failed like any
-            // throwing warm.
-            val (_, ok3) = timeOnce(warm)
-            ok = ok3
-          }
+        var best = Double.MaxValue
+        var ok = true
+        var i = 0
+        while (i < 3 && ok) {
+          if (i > 0) clear()
+          val (t, o) = timeOnce(warm)
+          if (o) best = math.min(best, t)
+          ok = o
+          i += 1
         }
-        name -> (t, ok)
+        if (!ok && i > 1) {
+          // a REBUILD threw after its clear: restore the cache so the
+          // (already-recorded) earlier build's time stays an honest
+          // line item — without this the cache would silently rebuild
+          // inside whichever query touches the registry first,
+          // double-incurring a cost no line item shows. If the restore
+          // also fails, the item reports failed like any throwing warm.
+          val (_, ok3) = timeOnce(warm)
+          ok = ok3 && best < Double.MaxValue
+        }
+        name -> (if (best == Double.MaxValue) -1.0 else best, ok)
     }
     // a FAILED warm's elapsed is dropped from the line items entirely:
     // its cost re-lands on whichever query rebuilds the cache, so
@@ -260,6 +305,14 @@ object Bench {
     val failedJson = strArr(failed)
     val rerunJson = strArr(rerun.toSeq)
     val total = all.map(_._2).filter(_ >= 0).sum
+    // like-for-like subtotal over the round-1 baseline query set (see
+    // baselineSet): THIS is the number BASELINE.md's 2× gate describes;
+    // the full total above grows with every round's new coverage.
+    val baselineEntries = all.filter { case (k, t) =>
+      t >= 0 && baselineSet.contains(k) }
+    val baselineTotal = baselineEntries.map(_._2).sum
+    val baselineJson =
+      s""","baseline_set_total":${fmt(baselineTotal)},"baseline_set_n":${baselineEntries.size}"""
     // DIFFUSE-noise transparency: per-query outlier re-runs catch a
     // spike on one query, and the probes catch gross contention, but a
     // busy neighbor can also inflate EVERY query 5–20% — too uniform
@@ -291,7 +344,7 @@ object Bench {
     val qsAll = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"detail":"per_query_seconds","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson,"failed":$failedJson,"rerun":$rerunJson,"queries":$qsAll,"sf":"$sfDir"}"""
+      s"""{"detail":"per_query_seconds","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson$baselineJson,"failed":$failedJson,"rerun":$rerunJson,"queries":$qsAll,"sf":"$sfDir"}"""
     println(detail)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -302,7 +355,7 @@ object Bench {
     val qsTop = all.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson,"failed":$failedJson,"rerun":$rerunJson,"queries":$qsTop,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson$baselineJson,"failed":$failedJson,"rerun":$rerunJson,"queries":$qsTop,"sf":"$sfDir"}""")
     graft.ext.DedupOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
     graft.graph.GraphOps.clearCaches()

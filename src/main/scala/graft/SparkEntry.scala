@@ -88,7 +88,15 @@ object SparkEntry {
         // API (typed ValueState on the RocksDB store); order-insensitive
         // accumulators -> deterministic, batch-aggregation oracle
         "e102_stream_user_census" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamUserCensus(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamUserCensus(s, d)),
+        // RESTART twins: the e101/e90 dataflows stopped mid-input and
+        // resumed from their checkpoints — exactly-once across a
+        // restart (source log + state store + sink commit log) proven
+        // by the same batch oracles as the one-shot drains
+        "e104_restart_dedup_activity" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamDedupActivityRestart(s, d)),
+        "e105_restart_closed_sessions" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamClosedSessionsRestart(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -111,5 +119,7 @@ object SparkEntry {
         "e99_stream_quality" -> TextOps.qualityFilterSql,
         "e100_stream_unmatched" -> StreamingOps.streamUnmatchedErrorsSql,
         "e101_stream_dedup_activity" -> StreamingOps.streamDedupActivitySql,
-        "e102_stream_user_census" -> StreamingOps.streamUserCensusSql)
+        "e102_stream_user_census" -> StreamingOps.streamUserCensusSql,
+        "e104_restart_dedup_activity" -> StreamingOps.streamDedupActivitySql,
+        "e105_restart_closed_sessions" -> StreamingOps.streamClosedSessionsSql)
 }

@@ -450,6 +450,30 @@ object StreamingOps {
       .orderBy("error_event_id")
   }
 
+  /** The e101 dataflow from a given source frame — shared verbatim by
+    * the one-shot drain (e101) and the restart drain (e104), so the
+    * two entries prove the SAME plan under both lifecycles. */
+  private def dedupActivityPlan(src: DataFrame): DataFrame =
+    src
+      .withColumn("etime", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("etime", "1 hour")
+      // NULL users are excluded so count(1)-after-dedup mirrors the
+      // oracle's NULL-skipping count(DISTINCT user_id). Do NOT
+      // filter the (negative-user) sentinels here: the optimizer
+      // pushes this predicate below the watermark node to the scan,
+      // and dropping sentinels there would stop the watermark from
+      // ever closing the real windows (measured — every window
+      // within 1h+ of the last real event went unemitted). Sentinel
+      // rows instead enter the aggregation and are never emitted:
+      // their window stays OPEN (watermark = sentinel − 1h < its
+      // end), which append mode holds in state — this query's
+      // sentinel exclusion is inherently tied to append mode.
+      .filter(col("user_id").isNotNull)
+      .withColumn("wstart", window(col("etime"), "5 minutes")("start"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "wstart")
+      .groupBy(window(col("etime"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_active"))
+
   /** e101: watermark-bounded stream dedup chained into an APPEND-mode
     * windowed aggregation — `dropDuplicatesWithinWatermark` (state
     * expires with the watermark, the production-shape dedup for
@@ -471,26 +495,8 @@ object StreamingOps {
     // data → production path is the file sink (verified here: same
     // watermark semantics, oracle reads the committed files back)
     val snap = drainToFileSink(spark, s"$d|e101", nIn) {
-      spark.readStream.schema(eventsSchema)
-        .parquet(stageDir)
-        .withColumn("etime", timestamp_micros(expr("ts div 1000")))
-        .withWatermark("etime", "1 hour")
-        // NULL users are excluded so count(1)-after-dedup mirrors the
-        // oracle's NULL-skipping count(DISTINCT user_id). Do NOT
-        // filter the (negative-user) sentinels here: the optimizer
-        // pushes this predicate below the watermark node to the scan,
-        // and dropping sentinels there would stop the watermark from
-        // ever closing the real windows (measured — every window
-        // within 1h+ of the last real event went unemitted). Sentinel
-        // rows instead enter the aggregation and are never emitted:
-        // their window stays OPEN (watermark = sentinel − 1h < its
-        // end), which append mode holds in state — this query's
-        // sentinel exclusion is inherently tied to append mode.
-        .filter(col("user_id").isNotNull)
-        .withColumn("wstart", window(col("etime"), "5 minutes")("start"))
-        .dropDuplicatesWithinWatermark("user_id", "event_type", "wstart")
-        .groupBy(window(col("etime"), "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n_active"))
+      dedupActivityPlan(
+        spark.readStream.schema(eventsSchema).parquet(stageDir))
     }
     snap
       .select(col("window.start").as("window_start"), col("event_type"),
@@ -665,19 +671,26 @@ object StreamingOps {
     * each user's last. Timestamps flow as integer microseconds carried
     * in doubles (exact below 2^53), so gap comparisons and session
     * bounds are engine-exact. */
+  /** The e90 dataflow from a given source frame — shared verbatim by
+    * the one-shot drain (e90) and the restart drain (e105). */
+  private def closedSessionsPlan(src: DataFrame): DataFrame = {
+    import src.sparkSession.implicits._
+    val ev = src
+      .select(col("user_id"),
+        expr("ts div 1000").cast("double").as("ts"))
+      .as[SessionEvent]
+    sessionizeStream(ev, gap = 1800e6).toDF() // gap in µs
+  }
+
   def streamClosedSessions(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
     val stageDir = stageFile(spark, d, "events.parquet")
     val nIn = cachedCount(d, "ev_all") {
       spark.read.parquet(s"$d/events.parquet").count()
     }
     // closed sessions grow with data volume → file sink, never driver
     val snap = drainToFileSink(spark, s"$d|e90", nIn) {
-      val ev = spark.readStream.schema(eventsSchema).parquet(stageDir)
-        .select(col("user_id"),
-          expr("ts div 1000").cast("double").as("ts"))
-        .as[SessionEvent]
-      sessionizeStream(ev, gap = 1800e6).toDF() // gap in µs
+      closedSessionsPlan(
+        spark.readStream.schema(eventsSchema).parquet(stageDir))
     }
     snap
       .select(col("user_id"),
@@ -714,6 +727,130 @@ object StreamingOps {
       |WHERE sess_idx < (SELECT max(sess_idx) FROM per_session q
       |                  WHERE q.user_id = p.user_id)
       |ORDER BY user_id, start_us""".stripMargin
+
+  // ------------------------------------- restart/recovery twins (e104/e105)
+
+  /** Two-slice staging for the restart twins: slice 1 (ts ≤ timeline
+    * midpoint) is present from the start; invoking the returned thunk
+    * appends slice 2 (ts > midpoint) — plus the e100-style far-future
+    * sentinel rows when `sentinel` — to the same source dir. The
+    * midpoint cut is deterministic arithmetic (no sampling), splits by
+    * EVENT TIME so slice-2 rows always sit above the watermark the
+    * phase-1 drain leaves behind (nothing gets late-dropped that the
+    * batch oracle counts), and leaves both slices non-empty on every
+    * driver fixture. A FRESH dir per call, never the shared staging
+    * caches: this dir MUTATES mid-drain by design. */
+  private def stageTwoSlices(spark: SparkSession, d: String,
+      sentinel: Boolean): (String, () => Unit) = {
+    val dir = scratchTempDir("graft-stream-restart")
+    val ev = graft.Tables.events(spark, d)
+    val r = ev.agg(min("ts"), max("ts")).head
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val cut = mn + (mx - mn) / 2
+    ev.filter(col("ts") <= cut)
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val addPhase2 = () => {
+      ev.filter(col("ts") > cut)
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      if (sentinel) {
+        import spark.implicits._
+        val far = mx + 360000000000000L // +100 h in ns (e100 staging)
+        Seq((-1L, far, -1L, "error", 0.0, "{}"),
+            (-2L, far, -2L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(dir.toString)
+      }
+    }
+    (dir.toString, addPhase2)
+  }
+
+  /** Drain through a parquet file sink with a RESTART mid-input: phase
+    * 1 drains only the first staged slice, the query is STOPPED (the
+    * planned-shutdown analogue of a crash after the last commit), more
+    * source files arrive, and a NEW query object resumes from the SAME
+    * checkpoint. Exactly-once across the restart is what the shared
+    * batch oracle then proves: the file-source log must not re-read
+    * slice-1 files, the state store must restore (dedup keys / open
+    * sessions / window partials), and the sink's `_spark_metadata`
+    * commit log must cover both phases' output exactly once. Reference
+    * analogue: the Celery pipeline's idempotent redelivery contract
+    * (D7, ingest_enron.py:187-196) — restart-safety is the streaming
+    * form of the same guarantee. The checkpoint survives BETWEEN the
+    * phases (it is the recovery contract) and is deleted only after
+    * the final drain, like every other per-run scratch. */
+  private def drainFileSinkWithRestart(spark: SparkSession, key: String,
+      nIn: Long, addPhase2: () => Unit)
+      (buildQuery: => DataFrame): DataFrame =
+    graft.operators.Salting.withVolumeShuffle(spark, nIn) {
+      val ckpt = scratchTempDir("graft-ckpt")
+      val out = scratchTempDir("graft-file-sink")
+      val schema = buildQuery.schema
+      def drainOnce(): Unit = {
+        val q = buildQuery.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      try { drainOnce(); addPhase2(); drainOnce() }
+      finally deleteRecursively(ckpt)
+      val prev = lastSinkDirs.put(sinkKey(spark, key), out)
+      if (prev != null) deleteRecursively(prev)
+      readSinkOrEmpty(spark, out, schema)
+    }
+
+  /** e104: e101's dedup→windowed-agg dataflow (the SAME
+    * [[dedupActivityPlan]]) stopped mid-input and resumed from its
+    * checkpoint — shares e101's batch oracle, so the hash equality
+    * proves watermark, dedup-key state, and un-emitted window partials
+    * all cross the restart intact. The boundary window (the 5-minute
+    * bucket containing the cut) is the sharp case: its count merges
+    * contributions from both phases, and a phase-2 duplicate of a
+    * phase-1 row in that bucket must still be dropped by the RESTORED
+    * dedup state (the key's event time is above the restored
+    * watermark, so it cannot have been evicted). */
+  def streamDedupActivityRestart(spark: SparkSession, d: String): DataFrame = {
+    val (stageDir, addPhase2) = stageTwoSlices(spark, d, sentinel = true)
+    val nIn = cachedCount(d, "ev_all") {
+      spark.read.parquet(s"$d/events.parquet").count()
+    }
+    val snap = drainFileSinkWithRestart(spark, s"$d|e104", nIn, addPhase2) {
+      dedupActivityPlan(
+        spark.readStream.schema(eventsSchema).parquet(stageDir))
+    }
+    snap
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_active"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** e105: e90's custom-keyed-state sessionizer (the SAME
+    * [[closedSessionsPlan]]) stopped mid-input and resumed — shares
+    * e90's batch oracle. The sharp case is every session OPEN at the
+    * cut: its `SessionState` (start/last/n) lives only in the state
+    * store across the restart, and phase-2 events must extend or close
+    * it exactly as the one-shot drain does; the time-split staging
+    * preserves per-user event order across the phase boundary, so the
+    * batch lag-derivation oracle stays row-identical. */
+  def streamClosedSessionsRestart(spark: SparkSession, d: String): DataFrame = {
+    val (stageDir, addPhase2) = stageTwoSlices(spark, d, sentinel = false)
+    val nIn = cachedCount(d, "ev_all") {
+      spark.read.parquet(s"$d/events.parquet").count()
+    }
+    val snap = drainFileSinkWithRestart(spark, s"$d|e105", nIn, addPhase2) {
+      closedSessionsPlan(
+        spark.readStream.schema(eventsSchema).parquet(stageDir))
+    }
+    snap
+      .select(col("user_id"),
+        col("start").cast("bigint").as("start_us"),
+        col("end").cast("bigint").as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
 
   def streamExactDedup(spark: SparkSession, d: String): DataFrame = {
     val stageDir = stageFile(spark, d, "documents.parquet")

@@ -228,6 +228,28 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.length == batch.length && streamed.sameElements(batch))
   }
 
+  test("restart twins reproduce the one-shot drains (e104/e105 recovery)") {
+    val d = "/root/testdata/sf0.001"
+    // e104 vs e101: dedup→windowed-agg across a stop/restart. Both run
+    // the SAME plan (dedupActivityPlan); equality proves the watermark,
+    // dedup-key state, and un-emitted window partials survived the
+    // checkpoint round-trip.
+    val oneShotAct = StreamingOps.streamDedupActivity(spark, d).collect()
+    val restartAct = StreamingOps.streamDedupActivityRestart(spark, d)
+      .collect()
+    assert(restartAct.length == oneShotAct.length &&
+      restartAct.sameElements(oneShotAct),
+      s"e104 diverged: ${restartAct.length} vs ${oneShotAct.length} rows")
+    // e105 vs e90: flatMapGroupsWithState sessions across a restart —
+    // sessions OPEN at the cut live only in the restored state store
+    val oneShotSess = StreamingOps.streamClosedSessions(spark, d).collect()
+    val restartSess = StreamingOps.streamClosedSessionsRestart(spark, d)
+      .collect()
+    assert(restartSess.length == oneShotSess.length &&
+      restartSess.sameElements(oneShotSess),
+      s"e105 diverged: ${restartSess.length} vs ${oneShotSess.length} rows")
+  }
+
   test("fixtures hold no exact-30-minute gap (e89 oracle-sharing invariant)") {
     // session_window closes a session at last+gap EXCLUSIVE while the
     // batch lag-formulation keeps a gap of exactly 30 min open — e89
