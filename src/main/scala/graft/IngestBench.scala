@@ -75,8 +75,23 @@ object IngestBench {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("GRAFT_INGEST_N", "20000").toInt
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val base = Files.createTempDirectory("graft-ingest-bench")
-    val files = synthesize(base, n)
+    // GRAFT_INGEST_DIR pins the corpus to a fixed path (and reuses it
+    // when already populated): the reference-side harness of the
+    // head-to-head must time the SAME files
+    val base = sys.env.get("GRAFT_INGEST_DIR") match {
+      case Some(p) =>
+        val d = java.nio.file.Paths.get(p)
+        Files.createDirectories(d)
+        d
+      case None => Files.createTempDirectory("graft-ingest-bench")
+    }
+    val files = {
+      val existing = if (Files.isDirectory(base)) {
+        val s = Files.walk(base)
+        try s.filter(Files.isRegularFile(_)).count().toInt finally s.close()
+      } else 0
+      if (existing > 0) existing else synthesize(base, n)
+    }
     val storeDir = Files.createTempDirectory("graft-ingest-bench-store")
 
     // steady-state measurement: a long-running ingest service amortizes

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Second scale decade (sf1 → sf10, documents ×10 again) for the three
+  * tiers whose sf0.1→sf1 exponents were ≥ 0.85 — close enough to
+  * linear that curvature is invisible in one decade (round-9 verdict
+  * item 5): d59_passage_dedup, t61_bigram_lm, cache_dedup_frames.
+  *
+  * Only documents is generated at sf10 (these tiers scan nothing
+  * else). The dedup warm is decomposed: its linear components (hashed
+  * shingles, SimHash signatures, the d52 LSH pipeline) are timed at
+  * both volumes, and the d51/d55 exact scored-pair build is GUARDED by
+  * an exact candidate-volume measurement first — on this vocab-
+  * saturated fixture corpus candidates grow ~quadratically with docs
+  * (SCALE.md investigation), so the build is run only when its
+  * candidate volume fits the box (disk-backed shuffle spill), and is
+  * otherwise reported as skipped WITH the measured candidate count, so
+  * the JSON never silently under-claims. The pair tier's cost-per-
+  * candidate exponent (0.44–0.48) was measured across sf0.1→sf1; the
+  * corpus-scale near-dup path remains d52's banded LSH, whose sf10
+  * exponent IS measured here. */
+object ScaleDecade {
+
+  private val PairBuildCandidateCeiling = 2e9
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val sf1 = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val sf10 = args.lift(2).getOrElse("/tmp/graft-sf10")
+    val spark = Sessions.local()
+
+    if (!new java.io.File(s"$sf1/documents.parquet").exists())
+      ScaleGen.generate(spark, sf01, sf1, 10)
+    if (!new java.io.File(s"$sf10/documents.parquet").exists())
+      ScaleGen.generateDocuments(spark, sf1, sf10, 10)
+
+    // untimed JIT pre-warm (Bench/ScaleBench methodology)
+    val jit = "/root/testdata/sf0.001"
+    try {
+      graft.ext.DedupOps.warm(spark, jit)
+      SparkEntry.queries("d59_passage_dedup")(spark, jit).count()
+      SparkEntry.queries("t61_bigram_lm")(spark, jit).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[decade] JIT pre-warm failed (non-fatal): $e") }
+    graft.ext.DedupOps.clearCaches()
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    /** Exact candidate volume of the capped postings self-join:
+      * Σ_sh df·(df−1)/2 over the DF-capped representation. */
+    def candidateVolume(dir: String): Double =
+      graft.ext.DedupOps
+        .dfCapped(graft.ext.DedupOps.hashedShinglesForProbe(spark, dir))
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .agg(sum(expr("df * (df - 1) / 2"))).head.getDouble(0)
+
+    def timeOnce(f: () => Unit): Double = {
+      val t0 = System.nanoTime()
+      try f() catch { case e: Throwable =>
+        System.err.println(s"[decade] FAILED: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    /** One volume's line items. */
+    def measure(dir: String): Seq[(String, Double)] = {
+      graft.ext.DedupOps.clearCaches()
+      val cands = candidateVolume(dir)
+      graft.ext.DedupOps.clearCaches()
+      val items = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      items += "candidates" -> cands
+      // dedup-warm components, worst-first guarded
+      items += "shingle_frame" -> timeOnce(() => {
+        graft.ext.DedupOps.hashedShinglesForProbe(spark, dir).count(); () })
+      items += "simhash_d53" -> timeOnce(() => {
+        graft.ext.DedupOps.simhash(spark, dir).count(); () })
+      items += "lsh_d52" -> timeOnce(() => {
+        graft.ext.DedupOps.minhashLsh(spark, dir).count(); () })
+      if (cands <= PairBuildCandidateCeiling)
+        items += "pair_build_d51" -> timeOnce(() => {
+          graft.ext.DedupOps.jaccardPairs(spark, dir).count(); () })
+      else {
+        System.err.println(f"[decade] pair build SKIPPED at $dir: " +
+          f"$cands%.3g candidates > ${PairBuildCandidateCeiling}%.1g " +
+          "ceiling (disk-backed shuffle would not fit the box); " +
+          "cost-per-candidate exponent measured at sf0.1->sf1 = 0.44-0.48")
+        items += "pair_build_d51" -> -1.0
+      }
+      items += "d59_passage_dedup" -> Bench.median3(() => {
+        SparkEntry.queries("d59_passage_dedup")(spark, dir).count(); () })
+      items += "t61_bigram_lm" -> Bench.median3(() => {
+        SparkEntry.queries("t61_bigram_lm")(spark, dir).count(); () })
+      graft.ext.DedupOps.clearCaches()
+      items.toSeq
+    }
+
+    val a = measure(sf1)
+    val b = measure(sf10)
+    val aMap = a.toMap
+    val volDocs =
+      spark.read.parquet(s"$sf10/documents.parquet").count().toDouble /
+        spark.read.parquet(s"$sf1/documents.parquet").count()
+    val items = b.map { case (name, tB) =>
+      val tA = aMap.getOrElse(name, -1.0)
+      val ratio = if (tA > 0 && tB > 0) tB / tA else -1.0
+      val expo =
+        if (ratio > 0) math.log(ratio) / math.log(volDocs) else -1.0
+      s""""$name":{"a":${fmt(tA)},"b":${fmt(tB)},"ratio":${fmt(ratio)},"exponent":${fmt(expo)}}"""
+    }
+    val line = s"""{"scale":"second_decade","dirA":"$sf1","dirB":"$sf10","vol_docs":${fmt(volDocs)},"items":{${items.mkString(",")}}}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("SCALE_DECADE.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

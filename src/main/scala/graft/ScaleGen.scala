@@ -42,26 +42,110 @@ object ScaleGen {
     finally spark.stop()
   }
 
+  /** Single parquet FILE per table, like the driver's layout — the
+    * streaming twins symlink "$dir/<name>.parquet" as a file, and a
+    * single file stays splittable by row group for batch parallelism. */
+  private def writeSingleFile(df: DataFrame,
+      outDir: java.nio.file.Path, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scalegen")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(p =>
+      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    java.nio.file.Files.move(part, outDir.resolve(s"$name.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmp).sorted(
+      java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  /** The documents regeneration alone (see class doc) — reusable by the
+    * sf10 decade probe, which needs ONLY documents at ×100 (its three
+    * target tiers scan nothing else; generating lineitem ×100 through
+    * the single-file writer would cost minutes for no measurement). */
+  def generateDocuments(spark: SparkSession, src: String, out: String,
+      factor: Int): Int = {
+    val outDir = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(outDir)
+    val srcDocs = spark.read.parquet(s"$src/documents.parquet")
+    val vocab = srcDocs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().orderBy("w").collect().map(_.getString(0))
+    val nDocs = (srcDocs.count() * factor).toInt
+    val rnd = new scala.util.Random(421L)
+    def pickLang(): String = {
+      val r = rnd.nextDouble(); var acc = 0.0
+      Langs.collectFirst {
+        case (l, p) if { acc += p; r < acc } => l
+      }.getOrElse(Langs.last._1)
+    }
+    val texts = new Array[String](nDocs)
+    val docs = (0 until nDocs).map { id =>
+      val nWords = 10 + rnd.nextInt(91)
+      texts(id) = Array.fill(nWords)(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+      (id.toLong, texts(id), pickLang(), s"src${id % 20}")
+    }.toArray
+    // exact-dup injection at the observed ~0.16% pair rate
+    val nPairs = math.max(1, math.round(nDocs * 0.0016).toInt)
+    val dupped = docs.clone()
+    (0 until nPairs).foreach { _ =>
+      val a = rnd.nextInt(nDocs); val b = rnd.nextInt(nDocs)
+      if (a != b) {
+        val hi = math.max(a, b)
+        val (_, _, lang, sourceTag) = dupped(hi)
+        dupped(hi) = (hi.toLong, texts(math.min(a, b)), lang, sourceTag)
+      }
+    }
+    import spark.implicits._
+    writeSingleFile(dupped.toSeq
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32), outDir, "documents")
+    nDocs
+  }
+
+  /** SKEWED documents variant for the skew rehearsal: same rows as
+    * `src`'s documents, but doc_ids REMAPPED so ~`share` of them are
+    * ≡ 0 (mod 35) — the fixture synthesis derives sender as u{id%7}
+    * and mailbox user as user{id%5} (FixtureCorpus), so those rows all
+    * land on sender u0 AND mailbox user0: one hot sender/user owning a
+    * double-digit share of the corpus, the Enron-like power-law head
+    * (ingest_enron.py:126 from-field). Ids stay unique (hot ids walk
+    * 0,35,70,…; the rest walk the non-zero residues), every other
+    * column is untouched, and since every email-surface oracle derives
+    * from doc_id arithmetic the skewed dir remains a fully valid
+    * fixture corpus. */
+  def generateSkewed(spark: SparkSession, src: String, out: String,
+      share: Double = 0.3): Unit = {
+    val outDir = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(outDir)
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("rank",
+        row_number().over(Window.orderBy("doc_id")) - 1L)
+    val n = docs.count()
+    val nHot = math.round(n * share)
+    // hot rows: ids 0,35,70,… ; cold rows: 35*q + (1 + r%6)·5·? — use
+    // residues 1..34 excluding multiples of 35: id = 35*(k div 34) +
+    // 1 + (k mod 34) never ≡ 0 (mod 35) and never collides with hot
+    val remapped = docs.withColumn("doc_id",
+      when(col("rank") < nHot, col("rank") * 35L)
+        .otherwise {
+          val k = col("rank") - nHot
+          (k / 34L).cast("long") * 35L + (k % 34L) + 1L
+        })
+      .drop("rank")
+    writeSingleFile(remapped, outDir, "documents")
+    println(s"[scalegen] wrote skewed docs to $out: n=$n hot=$nHot")
+  }
+
   def generate(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
     val outDir = java.nio.file.Paths.get(out)
     java.nio.file.Files.createDirectories(outDir)
-
-    // single parquet FILE per table, like the driver's layout — the
-    // streaming twins symlink "$dir/<name>.parquet" as a file, and a
-    // single file stays splittable by row group for batch parallelism
-    def write(df: DataFrame, name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-scalegen")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(p =>
-        p.getFileName.toString.startsWith("part-")).findFirst().get()
-      java.nio.file.Files.move(part, outDir.resolve(s"$name.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    def write(df: DataFrame, name: String): Unit =
+      writeSingleFile(df, outDir, name)
 
     // fixed dims: verbatim copy
     Seq("region", "nation").foreach { t =>
@@ -109,43 +193,10 @@ object ScaleGen {
       Seq("event_id" -> nEvId, "user_id" -> nUser)), "events")
 
     // ---- documents: regenerate under the observed process
-    val srcDocs = spark.read.parquet(s"$src/documents.parquet")
-    val vocab = srcDocs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .distinct().orderBy("w").collect().map(_.getString(0))
-    val nDocs = (srcDocs.count() * factor).toInt
-    val rnd = new scala.util.Random(421L)
-    def pickLang(): String = {
-      val r = rnd.nextDouble(); var acc = 0.0
-      Langs.collectFirst {
-        case (l, p) if { acc += p; r < acc } => l
-      }.getOrElse(Langs.last._1)
-    }
-    val texts = new Array[String](nDocs)
-    val docs = (0 until nDocs).map { id =>
-      val nWords = 10 + rnd.nextInt(91)
-      texts(id) = Array.fill(nWords)(vocab(rnd.nextInt(vocab.length)))
-        .mkString(" ")
-      (id.toLong, texts(id), pickLang(), s"src${id % 20}")
-    }.toArray
-    // exact-dup injection at the observed ~0.16% pair rate
-    val nPairs = math.max(1, math.round(nDocs * 0.0016).toInt)
-    val dupped = docs.clone()
-    (0 until nPairs).foreach { _ =>
-      val a = rnd.nextInt(nDocs); val b = rnd.nextInt(nDocs)
-      if (a != b) {
-        val hi = math.max(a, b)
-        val (_, _, lang, sourceTag) = dupped(hi)
-        dupped(hi) = (hi.toLong, texts(math.min(a, b)), lang, sourceTag)
-      }
-    }
-    import spark.implicits._
-    write(dupped.toSeq
-      .toDF("doc_id", "text", "lang", "source")
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .repartition(32), "documents")
+    val nDocs = generateDocuments(spark, src, out, factor)
 
     // ---- embeddings: driver curve is ×4 per ×10 corpus
+    import spark.implicits._
     val srcEmb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = srcEmb.select(size(col("embedding"))).head().getInt(0)
     val embFactor = if (factor == 10) 4 else factor

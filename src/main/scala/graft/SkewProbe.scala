@@ -1,0 +1,92 @@
+package graft
+
+/** Skewed-key rehearsal (round-9 verdict item 6): a real Enron-like
+  * corpus has a power-law sender head — one sender owning a
+  * double-digit share of all mail (ingest_enron.py:126 from-field).
+  * [[ScaleGen.generateSkewed]] builds a documents variant whose doc_id
+  * remapping puts ~30% of rows on sender u0 AND mailbox user0; this
+  * probe times the email-surface queries that group/join on those keys
+  * (em64 comm edges, em65 mailbox counts, g91 sender graph) plus the
+  * store build itself on the uniform vs the skewed corpus at the SAME
+  * row count. The claim under test: partial (map-side) aggregation
+  * bounds every hot-key fan-in before the exchange, so a 30%-hot key
+  * costs ~nothing — a skew-sensitive plan (e.g. a shuffle carrying raw
+  * hot-key rows into one reducer) would show up as a skewed/uniform
+  * ratio well above 1. */
+object SkewProbe {
+
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/tmp/graft-sf1")
+    val skew = args.lift(1).getOrElse("/tmp/graft-sf1-skew")
+    val spark = Sessions.local()
+
+    if (!new java.io.File(s"$base/documents.parquet").exists())
+      ScaleGen.generate(spark, "/root/testdata/sf0.1", base, 10)
+    if (!new java.io.File(s"$skew/documents.parquet").exists())
+      ScaleGen.generateSkewed(spark, base, skew, share = 0.3)
+
+    val queries = Seq("em64_comm_edges", "em65_mailbox_counts",
+      "g91_email_graph")
+
+    // untimed JIT pre-warm at the smallest SF
+    val jit = "/root/testdata/sf0.001"
+    try {
+      graft.query.FixtureCorpus.store(spark, jit).count()
+      queries.foreach(q => SparkEntry.queries(q)(spark, jit).count())
+    } catch { case e: Throwable =>
+      System.err.println(s"[skew] JIT pre-warm failed (non-fatal): $e") }
+    graft.query.FixtureCorpus.clear()
+    graft.graph.GraphOps.clearCaches()
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def timeOnce(f: () => Unit): Double = {
+      val t0 = System.nanoTime()
+      try f() catch { case e: Throwable =>
+        System.err.println(s"[skew] FAILED: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def measure(dir: String): Seq[(String, Double)] = {
+      graft.query.FixtureCorpus.clear()
+      graft.graph.GraphOps.clearCaches()
+      val warm = "cache_fixture_corpus" -> timeOnce(() => {
+        graft.query.FixtureCorpus.store(spark, dir).count(); () })
+      val qs = queries.map { q =>
+        q -> Bench.median3(() => {
+          SparkEntry.queries(q)(spark, dir).count(); () })
+      }
+      warm +: qs
+    }
+
+    // max sender share, measured on both corpora so the report carries
+    // the actual skew (not just the generator's intent)
+    def hotShare(dir: String): Double = {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count().toDouble
+      docs.groupBy(expr("doc_id % 7")).count()
+        .agg(max("count")).head.getLong(0) / n
+    }
+    val shareA = hotShare(base)
+    val shareB = hotShare(skew)
+
+    val a = measure(base)
+    val b = measure(skew)
+    val aMap = a.toMap
+    val items = b.map { case (name, tB) =>
+      val tA = aMap.getOrElse(name, -1.0)
+      val ratio = if (tA > 0 && tB > 0) tB / tA else -1.0
+      s""""$name":{"uniform":${fmt(tA)},"skewed":${fmt(tB)},"ratio":${fmt(ratio)}}"""
+    }
+    val line = s"""{"scale":"skew_rehearsal","uniform":"$base","skewed":"$skew","hot_sender_share":{"uniform":${fmt(shareA)},"skewed":${fmt(shareB)}},"items":{${items.mkString(",")}}}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("SKEW_DETAIL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    graft.query.FixtureCorpus.clear()
+    graft.graph.GraphOps.clearCaches()
+    spark.stop()
+  }
+}

@@ -31,16 +31,45 @@ object Ner {
   private val urlPattern = "https?://[^\\s<>]+"
   private val numberPattern = "[0-9]+(?:\\.[0-9]+)?"
 
-  /** Annotate an email store: EMAIL/URL/NUMBER entities extracted from
-    * subject+body replace the reference's empty placeholder — after
-    * this, Q6 (`byEntity`) returns real rows. */
+  /** Title-case sequence: ≥2 capitalized words — the surface form
+    * shared by person and organization mentions. RE2-compatible (no
+    * lookaround), so the oracle runs the IDENTICAL pattern in DuckDB. */
+  private val titleSeqPattern = "[A-Z][a-z]+(?: [A-Z][a-z]+)+"
+
+  /** Org suffixes for the context rule. RE2 has no lookahead, so
+    * PERSON-vs-ORG is decided by a post-extraction context test on the
+    * sequence's LAST token — expressible as the same list filter on
+    * both engines. */
+  private val orgSuffixes = Seq("Inc", "Corp", "Ltd", "LLC")
+
+  private def endsInOrgSuffix(t: Column): Column =
+    element_at(split(t, " "), -1).isin(orgSuffixes.map(lit): _*)
+
+  /** PERSON/ORG context entities from free text: title-case sequences,
+    * classified ORG when the final token is a corporate suffix and
+    * PERSON otherwise (the deterministic context rule standing in for
+    * the reference's deferred statistical models, README.md:86). */
+  def titleCaseEntities(text: Column): Column = {
+    val seqs = regexp_extract_all(text, lit(titleSeqPattern), lit(0))
+    concat(
+      transform(filter(seqs, t => !endsInOrgSuffix(t)),
+        t => struct(t.as("text"), lit("PERSON").as("type"))),
+      transform(filter(seqs, t => endsInOrgSuffix(t)),
+        t => struct(t.as("text"), lit("ORG").as("type"))))
+  }
+
+  /** Annotate an email store: EMAIL/URL/NUMBER regex entities plus
+    * PERSON/ORG context entities extracted from subject+body replace
+    * the reference's empty placeholder — after this, Q6 (`byEntity`)
+    * returns real rows. */
   def annotateEmails(store: DataFrame): DataFrame = {
     val text = concat_ws(" ", col("subject"), col("body"))
     store.withColumn("entities",
       concat(
         regexEntities(text, emailPattern, "EMAIL"),
         regexEntities(text, urlPattern, "URL"),
-        regexEntities(text, numberPattern, "NUMBER")))
+        regexEntities(text, numberPattern, "NUMBER"),
+        titleCaseEntities(text)))
   }
 
   // ------------------------------------------------ driver queries
@@ -94,13 +123,47 @@ object Ner {
       |  '10')
       |ORDER BY dedupe_key""".stripMargin
 
+  /** t63: PERSON/ORG context NER over the fixture corpus — title-case
+    * sequences from the store's subjects, classified by the org-suffix
+    * context rule, censused per (type, text). The fixture synthesis
+    * plants the mentions (FixtureCorpus.subjectFor: every 11th subject
+    * carries a person + an org), so the oracle independently
+    * reconstructs them from `documents` and re-runs the SAME RE2
+    * pattern + last-token classification in DuckDB — asserting regex
+    * semantics, the context split, and the census cross-engine. */
+  def titleCaseNer(s: SparkSession, d: String): DataFrame = {
+    val store = graft.query.FixtureCorpus.store(s, d)
+    store
+      .select(explode(titleCaseEntities(col("subject"))).as("e"))
+      .groupBy(col("e.type").as("entity_type"),
+        col("e.text").as("entity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("entity_type", "entity_text")
+  }
+
+  val titleCaseNerSql: String = {
+    val inList = orgSuffixes.map(t => s"'$t'").mkString(", ")
+    s"""${graft.query.FixtureCorpus.sqlPrelude},
+      |seqs AS (
+      |  SELECT unnest(regexp_extract_all(subject,
+      |    '[A-Z][a-z]+(?: [A-Z][a-z]+)+')) AS t
+      |  FROM m)
+      |SELECT CASE WHEN string_split(t, ' ')[-1] IN ($inList)
+      |    THEN 'ORG' ELSE 'PERSON' END AS entity_type,
+      |  t AS entity_text, count(*) AS n
+      |FROM seqs GROUP BY 1, 2 ORDER BY entity_type, entity_text"""
+      .stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t47_gazetteer_ner" -> gazetteerNer _,
+    "t63_title_ner"     -> titleCaseNer _,
     "em67_by_entity"    -> byEntityDemo _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "t47_gazetteer_ner" -> gazetteerNerSql,
+    "t63_title_ner"     -> titleCaseNerSql,
     "em67_by_entity"    -> byEntityDemoSql,
   )
 }

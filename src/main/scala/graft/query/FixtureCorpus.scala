@@ -40,6 +40,28 @@ object FixtureCorpus {
 
   val folders: Vector[String] = Vector("inbox", "sent", "archive")
 
+  /** Deterministic name pools for the entity-tier fixtures (X1): every
+    * 11th subject carries a title-case person and an org-suffixed
+    * company so the NER context rules ([[graft.ext.Ner.titleCaseNer]])
+    * have real mentions to find — chosen as modular functions of
+    * doc_id like every other header, and mirrored verbatim in
+    * [[sqlPrelude]] so the oracle reconstructs the same mentions. */
+  val firstNames: Vector[String] =
+    Vector("Alice", "Bob", "Carol", "David", "Erin", "Frank")
+  val lastNames: Vector[String] =
+    Vector("Johnson", "Smith", "Brown", "Taylor", "Walker")
+  val orgNames: Vector[String] =
+    Vector("Acme", "Globex", "Initech", "Umbrella")
+  val orgSuffixes: Vector[String] = Vector("Inc", "Corp", "Ltd", "LLC")
+
+  /** The synthesized Subject for doc `id` (shared by [[message]] and
+    * the em70 redelivery rewrite check). */
+  def subjectFor(id: Long): String =
+    if (id % 11 == 0)
+      s"msg $id ${firstNames((id % 6).toInt)} ${lastNames((id % 5).toInt)}" +
+        s" of ${orgNames((id % 4).toInt)} ${orgSuffixes((id % 4).toInt)}"
+    else s"msg $id"
+
   /** Render the synthetic RFC-822 message for one documents row.
     * Every 25th message is multipart/mixed with a base64 attachment
     * (payload = first 48 bytes of the text), so the MIME walk, body
@@ -58,7 +80,7 @@ object FixtureCorpus {
       s"To: $to") ++
       (if (id % 3 == 0) Seq(s"Cc: cc${id % 4}@corp.com") else Nil) ++
       prev.map(p => s"In-Reply-To: <d$p@corp>") ++
-      Seq(s"Subject: ${subject.getOrElse(s"msg $id")}") ++
+      Seq(s"Subject: ${subject.getOrElse(subjectFor(id))}") ++
       (if (multipart) Seq(s"Content-Type: multipart/mixed; boundary=B$id")
        else Nil)
     val body = if (id % 50 == 0) "" else text
@@ -193,7 +215,15 @@ object FixtureCorpus {
       |    'u' || (doc_id % 7) || '@corp.com' AS sender,
       |    make_timestamp(2001, 5, CAST(1 + doc_id % 28 AS INT),
       |      CAST(doc_id % 24 AS INT), 15, 0) AS dt,
-      |    'msg ' || doc_id AS subject,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'msg ' || doc_id || ' ' ||
+      |      (['Alice','Bob','Carol','David','Erin','Frank'])
+      |        [CAST(doc_id % 6 AS INT) + 1] || ' ' ||
+      |      (['Johnson','Smith','Brown','Taylor','Walker'])
+      |        [CAST(doc_id % 5 AS INT) + 1] || ' of ' ||
+      |      (['Acme','Globex','Initech','Umbrella'])
+      |        [CAST(doc_id % 4 AS INT) + 1] || ' ' ||
+      |      (['Inc','Corp','Ltd','LLC'])[CAST(doc_id % 4 AS INT) + 1]
+      |    ELSE 'msg ' || doc_id END AS subject,
       |    text,
       |    CASE WHEN doc_id % 50 = 0 THEN '' ELSE text END AS body,
       |    doc_id % 2 = 0 AS has_second_to,
