@@ -36,8 +36,10 @@ import graft.ingest.ZipStaging
   * MongoDB upserts are per-document atomic; a batch-merge store must
   * serialize instead). The worker tags its Spark jobs with scheduler
   * pool `ingest` — the Spark analogue of the reference's Celery queue
-  * routing (worker.py:15-16): with a fair-scheduler XML deployed,
-  * ingest work is isolated from interactive query pools.
+  * routing (worker.py:15-16): with the shipped fair-scheduler config
+  * deployed (`conf/fairscheduler.xml` + `spark.scheduler.mode=FAIR` +
+  * `spark.scheduler.allocation.file`), ingest work is isolated from
+  * interactive query pools with real weights/minShare.
   */
 class HttpApi(spark: SparkSession, tracker: JobTracker,
     store: graft.store.DocStore, host: String = "127.0.0.1") {
