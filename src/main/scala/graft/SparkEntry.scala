@@ -96,7 +96,11 @@ object SparkEntry {
         "e104_restart_dedup_activity" ->
           ((s: SparkSession, d: String) => StreamingOps.streamDedupActivityRestart(s, d)),
         "e105_restart_closed_sessions" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamClosedSessionsRestart(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamClosedSessionsRestart(s, d)),
+        // the RocksDB-backend restart proof: transformWithState census
+        // resumed from a RocksDB checkpoint snapshot mid-input
+        "e106_restart_user_census" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamUserCensusRestart(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -121,5 +125,6 @@ object SparkEntry {
         "e101_stream_dedup_activity" -> StreamingOps.streamDedupActivitySql,
         "e102_stream_user_census" -> StreamingOps.streamUserCensusSql,
         "e104_restart_dedup_activity" -> StreamingOps.streamDedupActivitySql,
-        "e105_restart_closed_sessions" -> StreamingOps.streamClosedSessionsSql)
+        "e105_restart_closed_sessions" -> StreamingOps.streamClosedSessionsSql,
+        "e106_restart_user_census" -> StreamingOps.streamUserCensusSql)
 }

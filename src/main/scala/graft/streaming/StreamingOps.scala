@@ -550,48 +550,53 @@ object StreamingOps {
     * ceilings). State here is one 3-long tuple per user; accumulators
     * are order-insensitive so the single-batch drain is deterministic
     * and the batch aggregation oracle hash-checks it. */
-  def streamUserCensus(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val stageDir = stageFile(spark, d, "events.parquet")
-    val nIn = cachedCount(d, "ev_purchase") {
-      spark.read.parquet(s"$d/events.parquet")
-        .filter(col("event_type") === "purchase").count()
-    }
-    // the provider conf is SESSION-global, so the set/drain/restore
-    // window is serialized — overlapping census calls would otherwise
-    // interleave their reads of `prev` and leak the override. Other
-    // streaming queries started concurrently in this session during
-    // the drain would also pick up RocksDB (correct, just a different
-    // store) — the lock bounds the exposure to this one drain.
-    val snap = providerLock.synchronized {
+  /** The e102 transformWithState dataflow from a given source frame —
+    * shared verbatim by the one-shot drain (e102) and the restart
+    * drain (e106). */
+  private def userCensusPlan(src: DataFrame): DataFrame = {
+    import src.sparkSession.implicits._
+    src
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("ts div 1000").as("tsus"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new CensusProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "n_purchases", "total_cents", "last_tsus")
+  }
+
+  /** Run `drain` with the RocksDB state-store provider set for the
+    * session. The provider conf is SESSION-global, so the
+    * set/drain/restore window is serialized — overlapping census calls
+    * would otherwise interleave their reads of `prev` and leak the
+    * override. Other streaming queries started concurrently in this
+    * session during the drain would also pick up RocksDB (correct,
+    * just a different store) — the lock bounds the exposure. */
+  private def withRocksDbProvider(spark: SparkSession)
+      (drain: => DataFrame): DataFrame =
+    providerLock.synchronized {
       val prevProvider =
         spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try drainToFileSink(spark, s"$d|e102", nIn) {
-        spark.readStream.schema(eventsSchema)
-          .parquet(stageDir)
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id"),
-            expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
-            expr("ts div 1000").as("tsus"))
-          .as[(Long, Long, Long)]
-          .groupByKey(_._1)
-          .transformWithState(new CensusProcessor,
-            org.apache.spark.sql.streaming.TimeMode.None(),
-            org.apache.spark.sql.streaming.OutputMode.Append())
-          .toDF("user_id", "n_purchases", "total_cents", "last_tsus")
-      } finally prevProvider match {
+      try drain
+      finally prevProvider match {
         case Some(p) =>
           spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None =>
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
-    // the processor emits a RUNNING census per key per micro-batch; a
-    // multi-batch source (maxFilesPerTrigger, extra staged files)
-    // would append stale partials too — keep only each user's final
-    // row (n_purchases grows monotonically, so max(struct) is it)
+
+  /** Read-time collapse of the census partials: the processor emits a
+    * RUNNING census per key per micro-batch; a multi-batch source
+    * (maxFilesPerTrigger, extra staged files, a RESTART) appends stale
+    * partials too — keep only each user's final row (n_purchases grows
+    * monotonically, so max(struct) is it). */
+  private def collapseCensus(snap: DataFrame): DataFrame =
     snap.groupBy("user_id")
       .agg(max(struct(col("n_purchases"), col("total_cents"),
         col("last_tsus"))).as("m"))
@@ -599,6 +604,46 @@ object StreamingOps {
         col("m.total_cents").as("total_cents"),
         col("m.last_tsus").as("last_tsus"))
       .orderBy("user_id")
+
+  def streamUserCensus(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "events.parquet")
+    val nIn = cachedCount(d, "ev_purchase") {
+      spark.read.parquet(s"$d/events.parquet")
+        .filter(col("event_type") === "purchase").count()
+    }
+    val snap = withRocksDbProvider(spark) {
+      drainToFileSink(spark, s"$d|e102", nIn) {
+        userCensusPlan(
+          spark.readStream.schema(eventsSchema).parquet(stageDir))
+      }
+    }
+    collapseCensus(snap)
+  }
+
+  /** e106: e102's transformWithState census (the SAME
+    * [[userCensusPlan]]) stopped mid-input and resumed — the RESTART
+    * proof for the RocksDB state backend specifically, the disk-backed
+    * provider named as the 100 TB state path. Phase 1 writes each
+    * user's partial census into RocksDB and the sink; the restart must
+    * reload that state from the checkpoint's RocksDB snapshot (a
+    * different recovery mechanism from e104/e105's HDFS-backed delta
+    * files) so phase-2 purchases CONTINUE each count rather than
+    * restart it; the read-time max(struct) collapse then yields
+    * exactly the one-shot census, hash-checked by e102's batch
+    * aggregation oracle. */
+  def streamUserCensusRestart(spark: SparkSession, d: String): DataFrame = {
+    val (stageDir, addPhase2) = stageTwoSlices(spark, d, sentinel = false)
+    val nIn = cachedCount(d, "ev_purchase") {
+      spark.read.parquet(s"$d/events.parquet")
+        .filter(col("event_type") === "purchase").count()
+    }
+    val snap = withRocksDbProvider(spark) {
+      drainFileSinkWithRestart(spark, s"$d|e106", nIn, addPhase2) {
+        userCensusPlan(
+          spark.readStream.schema(eventsSchema).parquet(stageDir))
+      }
+    }
+    collapseCensus(snap)
   }
 
   private val providerLock = new Object
@@ -730,36 +775,62 @@ object StreamingOps {
 
   // ------------------------------------- restart/recovery twins (e104/e105)
 
-  /** Two-slice staging for the restart twins: slice 1 (ts ≤ timeline
-    * midpoint) is present from the start; invoking the returned thunk
-    * appends slice 2 (ts > midpoint) — plus the e100-style far-future
-    * sentinel rows when `sentinel` — to the same source dir. The
-    * midpoint cut is deterministic arithmetic (no sampling), splits by
-    * EVENT TIME so slice-2 rows always sit above the watermark the
-    * phase-1 drain leaves behind (nothing gets late-dropped that the
-    * batch oracle counts), and leaves both slices non-empty on every
-    * driver fixture. A FRESH dir per call, never the shared staging
-    * caches: this dir MUTATES mid-drain by design. */
+  /** The two time-slices + sentinel batch as parquet FILES, written
+    * once per (session, dir) and reused by every restart-twin
+    * invocation (bench median-of-3 re-runs each twin 3× — rewriting
+    * ~identical slices each run was pure fixed overhead; the slices
+    * are a deterministic function of the fixture, so symlinking the
+    * cached files preserves every semantic of a fresh write). */
+  private val sliceFilesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path)]()
+  private def sliceFiles(spark: SparkSession, d: String)
+      : (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) =
+    sliceFilesCache.computeIfAbsent(
+      org.apache.spark.sql.graft.Bridge.sessionUUID(spark) + "|" + d, { _ =>
+      val dir = scratchTempDir("graft-restart-slices")
+      val ev = graft.Tables.events(spark, d)
+      val r = ev.agg(min("ts"), max("ts")).head
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      // midpoint cut: deterministic arithmetic (no sampling), splits by
+      // EVENT TIME so slice-2 rows always sit above the watermark the
+      // phase-1 drain leaves behind (nothing gets late-dropped that the
+      // batch oracle counts), and both slices are non-empty on every
+      // driver fixture
+      val cut = mn + (mx - mn) / 2
+      def one(sub: String, df: DataFrame): java.nio.file.Path = {
+        val p = dir.resolve(sub)
+        df.coalesce(1).write.parquet(p.toString)
+        val s = Files.list(p)
+        try s.filter(_.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        finally s.close()
+      }
+      import spark.implicits._
+      val far = mx + 360000000000000L // +100 h in ns (e100 staging)
+      val sentinel = Seq((-1L, far, -1L, "error", 0.0, "{}"),
+          (-2L, far, -2L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      (one("s1", ev.filter(col("ts") <= cut)),
+        one("s2", ev.filter(col("ts") > cut)),
+        one("sent", sentinel))
+    })
+
+  /** Two-slice staging for the restart twins: slice 1 is present from
+    * the start; invoking the returned thunk adds slice 2 — plus the
+    * e100-style far-future sentinel rows when `sentinel` — to the same
+    * source dir. A FRESH dir per call (it MUTATES mid-drain by
+    * design); the slice files themselves come from [[sliceFiles]] and
+    * are symlinked, not rewritten. */
   private def stageTwoSlices(spark: SparkSession, d: String,
       sentinel: Boolean): (String, () => Unit) = {
+    val (s1, s2, sent) = sliceFiles(spark, d)
     val dir = scratchTempDir("graft-stream-restart")
-    val ev = graft.Tables.events(spark, d)
-    val r = ev.agg(min("ts"), max("ts")).head
-    val (mn, mx) = (r.getLong(0), r.getLong(1))
-    val cut = mn + (mx - mn) / 2
-    ev.filter(col("ts") <= cut)
-      .coalesce(1).write.mode("append").parquet(dir.toString)
+    Files.createSymbolicLink(dir.resolve("slice1.parquet"), s1)
     val addPhase2 = () => {
-      ev.filter(col("ts") > cut)
-        .coalesce(1).write.mode("append").parquet(dir.toString)
-      if (sentinel) {
-        import spark.implicits._
-        val far = mx + 360000000000000L // +100 h in ns (e100 staging)
-        Seq((-1L, far, -1L, "error", 0.0, "{}"),
-            (-2L, far, -2L, "click", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("append").parquet(dir.toString)
-      }
+      Files.createSymbolicLink(dir.resolve("slice2.parquet"), s2)
+      if (sentinel)
+        Files.createSymbolicLink(dir.resolve("sentinel.parquet"), sent)
+      ()
     }
     (dir.toString, addPhase2)
   }

@@ -248,6 +248,16 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     assert(restartSess.length == oneShotSess.length &&
       restartSess.sameElements(oneShotSess),
       s"e105 diverged: ${restartSess.length} vs ${oneShotSess.length} rows")
+    // e106 vs e102: transformWithState census across a restart — the
+    // partial census must reload from the checkpoint's ROCKSDB
+    // snapshot (a different recovery path from the HDFS-backed state
+    // above) so phase-2 purchases continue the counts
+    val oneShotCensus = StreamingOps.streamUserCensus(spark, d).collect()
+    val restartCensus = StreamingOps.streamUserCensusRestart(spark, d)
+      .collect()
+    assert(restartCensus.length == oneShotCensus.length &&
+      restartCensus.sameElements(oneShotCensus),
+      s"e106 diverged: ${restartCensus.length} vs ${oneShotCensus.length}")
   }
 
   test("fixtures hold no exact-30-minute gap (e89 oracle-sharing invariant)") {
