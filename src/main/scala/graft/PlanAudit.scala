@@ -33,7 +33,8 @@ object PlanAudit {
       "s79_mmr_topk", "e103_ewma_daily", "q52_mom_growth",
       "v73_embedding_audit",
       "em70_partitioned_upsert", "em71_real_ingest", "s80_ivfpq_served",
-      "s81_ivfpq_incr", "g102_cc_dataframe")
+      "s81_ivfpq_incr", "g102_cc_dataframe",
+      "t63_title_ner")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)
