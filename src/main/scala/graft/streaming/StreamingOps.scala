@@ -974,11 +974,16 @@ object StreamingOps {
   /** Streaming maildir ingest: binaryFile stream → parse → per-batch
     * merge into the store (foreachBatch = the reference's per-task
     * upsert loop collapsed into idempotent batch merges). Returns the
-    * started query; callers drain with processAllAvailable. */
+    * started query; callers drain with processAllAvailable.
+    * `checkpointDir` pins the checkpoint so a STOPPED ingest can be
+    * resumed by a new query (the service-restart path: the file-source
+    * log skips already-merged files — spec-verified with an
+    * upsert-row counter, not just by the merge's idempotence). */
   def streamIngest(spark: SparkSession, baseDir: String, store: graft.store.DocStore,
-      maxFilesPerTrigger: Int = 100)
+      maxFilesPerTrigger: Int = 100, checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val ckpt = scratchTempDir("graft-ingest-ckpt").toString
+    val ckpt = checkpointDir.getOrElse(
+      scratchTempDir("graft-ingest-ckpt").toString)
     // same depth-3 contract as the batch scan (EmailIngest.scan): the
     // glob lists only base/<user>/<folder>/<file>, the anchored pattern
     // recovers hierarchy relative to baseDir

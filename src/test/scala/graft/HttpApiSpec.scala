@@ -248,6 +248,58 @@ class HttpApiSpec extends AnyFunSuite with SparkSpec {
     } finally api.stop()
   }
 
+  test("control-plane restart: a new server serves jobs from disk state") {
+    // the job log and store are on-disk state, not server memory — a
+    // process restart (new HttpApi over the same tracker/store roots)
+    // must keep serving completed jobs and accept new work that merges
+    // into the same store (the reference's equivalent: FastAPI restarts
+    // freely because Mongo holds the state, app/main.py:33-35)
+    val dir = Files.createTempDirectory("graft-http-restart")
+    val tracker = new JobTracker(spark, dir.resolve("jobs").toString)
+    val store = new EmailStore(spark, dir.resolve("store").toString)
+    val api1 = new HttpApi(spark, tracker, store)
+    val port1 = api1.start()
+    val jobId =
+      try {
+        val (ctype, body) = multipart("gen1.zip",
+          buildZip("u1/inbox/1_" -> msg("cp1")))
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port1/ingest"))
+            .header("Content-Type", ctype)
+            .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        val id = field(resp.body(), "job_id").get
+        assert(awaitTerminal(port1, id) == "PARSED")
+        id
+      } finally api1.stop()
+    // restart: fresh server + fresh tracker/store objects, same roots
+    val tracker2 = new JobTracker(spark, dir.resolve("jobs").toString)
+    val store2 = new EmailStore(spark, dir.resolve("store").toString)
+    val api2 = new HttpApi(spark, tracker2, store2)
+    val port2 = api2.start()
+    try {
+      // the pre-restart job is still served, terminal, with its source
+      val doc = get(port2, s"/jobs/$jobId")
+      assert(field(doc, "status").contains("PARSED"), doc)
+      assert(field(doc, "source").contains("gen1.zip"), doc)
+      // new work merges into the SAME store (cp1 re-delivered →
+      // mailbox union, cp2 new)
+      val (ctype, body) = multipart("gen2.zip", buildZip(
+        "u2/inbox/1_" -> msg("cp1"), "u2/inbox/2_" -> msg("cp2")))
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port2/ingest"))
+          .header("Content-Type", ctype)
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val id2 = field(resp.body(), "job_id").get
+      assert(awaitTerminal(port2, id2) == "PARSED")
+      assert(store2.read().count() == 2)
+      import org.apache.spark.sql.functions.{col, size => asize}
+      assert(store2.read().filter(col("dedupe_key") === "<cp1@x>")
+        .select(asize(col("mailboxes"))).collect().head.getInt(0) == 2)
+    } finally api2.stop()
+  }
+
   test("two uploads serialize on the ingest worker; both stores correct") {
     withApi { (_, port, store, _) =>
       def post(zip: Array[Byte], name: String): String = {

@@ -228,6 +228,48 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.length == batch.length && streamed.sameElements(batch))
   }
 
+  test("streaming ingest resumes from its checkpoint without re-merging") {
+    val base = Files.createTempDirectory("graft-restart-maildir")
+    val storeDir = Files.createTempDirectory("graft-restart-store").toString
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val inner = new EmailStore(spark, storeDir)
+    // counts ROWS handed to upsert: the restarted query must merge only
+    // the NEW files — "the store converged" alone wouldn't prove that,
+    // since the merge is idempotent and re-processing would converge too
+    val upserted = new java.util.concurrent.atomic.AtomicLong(0)
+    val store = new graft.store.DocStore {
+      def upsert(batch: org.apache.spark.sql.DataFrame): Unit = {
+        upserted.addAndGet(batch.count())
+        inner.upsert(batch)
+      }
+      def read(): org.apache.spark.sql.DataFrame = inner.read()
+      def isEmpty: Boolean = inner.isEmpty
+    }
+    writeMsg(base, "alice", "sent", "1_", "r1")
+    writeMsg(base, "bob", "inbox", "2_", "r2")
+    val q1 = StreamingOps.streamIngest(spark, base.toString, store,
+      checkpointDir = Some(ckpt))
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(store.read().count() == 2)
+    assert(upserted.get() == 2)
+    // the service restarts: NEW query, SAME checkpoint; two new files
+    // land, one a cross-mailbox duplicate of r1
+    writeMsg(base, "carol", "inbox", "3_", "r1")
+    writeMsg(base, "dave", "inbox", "4_", "r3")
+    val q2 = StreamingOps.streamIngest(spark, base.toString, store,
+      checkpointDir = Some(ckpt))
+    try { q2.processAllAvailable() } finally q2.stop()
+    val rows = store.read()
+    assert(rows.count() == 3) // r1 merged, not duplicated
+    // exactly the 2 NEW files crossed the merge after the restart — the
+    // file-source log in the checkpoint skipped the 2 already-ingested
+    assert(upserted.get() == 4, s"upserted ${upserted.get()} rows total")
+    val r1 = rows.filter("dedupe_key = '<r1@x>'").collect().head
+    val mbs = r1.getAs[Seq[org.apache.spark.sql.Row]]("mailboxes")
+      .map(_.getString(0)).toSet
+    assert(mbs == Set("alice", "carol"))
+  }
+
   test("restart twins reproduce the one-shot drains (e104/e105 recovery)") {
     val d = "/root/testdata/sf0.001"
     // e104 vs e101: dedup→windowed-agg across a stop/restart. Both run
