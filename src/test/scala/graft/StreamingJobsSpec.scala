@@ -268,6 +268,14 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
     val mbs = r1.getAs[Seq[org.apache.spark.sql.Row]]("mailboxes")
       .map(_.getString(0)).toSet
     assert(mbs == Set("alice", "carol"))
+    // degenerate restart: NO new files — the resumed query must merge
+    // nothing (the classic exactly-once edge: a crash-loop of restarts
+    // over a quiet source must not touch the store at all)
+    val q3 = StreamingOps.streamIngest(spark, base.toString, store,
+      checkpointDir = Some(ckpt))
+    try { q3.processAllAvailable() } finally q3.stop()
+    assert(upserted.get() == 4, "a no-new-input restart re-merged files")
+    assert(store.read().count() == 3)
   }
 
   test("restart twins reproduce the one-shot drains (e104/e105 recovery)") {

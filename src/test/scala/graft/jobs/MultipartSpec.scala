@@ -54,4 +54,36 @@ class MultipartSpec extends AnyFunSuite {
     assert(HttpApi.firstFilePart("multipart/form-data",
       wrap("x".getBytes(ISO_8859_1))).isLeft)
   }
+
+  test("property: arbitrary binary payloads round-trip unmangled") {
+    // RFC 2046's only content restriction is that the full
+    // CRLF-delimiter line must not appear in the payload (the sender
+    // chooses the boundary to ensure it); everything else — bare
+    // boundary bytes, partial delimiters, CRLFs, NULs, high bytes —
+    // must round-trip byte-exact
+    val crlfDelim = s"\r\n--$B".getBytes(ISO_8859_1)
+    def containsDelim(b: Array[Byte]): Boolean =
+      b.indices.exists(i => i + crlfDelim.length <= b.length &&
+        crlfDelim.indices.forall(j => b(i + j) == crlfDelim(j)))
+    val rnd = new scala.util.Random(7L)
+    val fragments = Seq(
+      s"--$B".getBytes(ISO_8859_1),          // bare boundary
+      s"\r\n--${B.dropRight(1)}".getBytes(ISO_8859_1), // near-delimiter
+      "\r\n\r\n".getBytes(ISO_8859_1),
+      Array[Byte](0, -1, 13, 10, 45, 45))
+    (1 to 200).foreach { _ =>
+      val n = rnd.nextInt(400)
+      val payload = new Array[Byte](n)
+      rnd.nextBytes(payload)
+      // splice a hostile fragment at a random offset
+      val frag = fragments(rnd.nextInt(fragments.length))
+      val at = if (n == 0) 0 else rnd.nextInt(n)
+      val spliced = payload.take(at) ++ frag ++ payload.drop(at)
+      if (!containsDelim(spliced)) {
+        val got = HttpApi.firstFilePart(ctype, wrap(spliced))
+        assert(got.toOption.exists(_._2.sameElements(spliced)),
+          s"payload of ${spliced.length} bytes mangled")
+      }
+    }
+  }
 }
