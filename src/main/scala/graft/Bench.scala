@@ -17,7 +17,9 @@ import org.apache.spark.sql.SparkSession
   *    instead of being charged to whichever query touches a registry
   *    first;
   *  - each query records the MEDIAN of 3 consecutive runs, so one noisy
-  *    scheduling window cannot fail the gate;
+  *    scheduling window cannot fail the gate; each cache warm records
+  *    the MIN of 3 clear-and-rebuild cycles (a one-time build's true
+  *    cost is its uncontended floor);
   *  - TWO sanity probes: the scalar q32 baseline (CPU contention) and a
   *    fixed micro-shuffle groupBy (shuffle/IO contention — the round-7
   *    blind spot). Either exceeding its envelope marks the JSON
@@ -27,9 +29,6 @@ import org.apache.spark.sql.SparkSession
   *    medians is kept — a genuine regression survives (both medians
   *    are genuine), a contention spike does not. Re-run names are
   *    recorded under `"rerun"` for transparency;
-  *  - an inflated cache warm (>2× committed) is cleared and rebuilt
-  *    once, keeping the min, since a one-shot warm has no median to
-  *    de-noise it;
   *  - a `drift` field reports the MEDIAN per-query ratio vs the
   *    committed envelope: diffuse neighbor noise (every query +5–20%,
   *    probes clean, no individual outlier) is invisible to the other
@@ -185,10 +184,8 @@ object Bench {
     }
     shuffleProbeSecs(spark) // discard: first probe run carries its JIT
     val probeStart = shuffleProbeSecs(spark)
-    // shared caches, each its own line item. An inflated warm (vs the
-    // committed envelope) is cleared and rebuilt once, keeping the min:
-    // a warm is timed once (idempotent no-op on re-entry), so unlike
-    // the median-of-3 queries it has no built-in noise rejection.
+    // shared caches, each its own line item, timed MIN-of-3 with
+    // targeted clears between cycles (see cacheRuns below)
     val cacheDefs: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("cache_dedup_frames",
         () => graft.ext.DedupOps.warm(spark, sfDir),

@@ -77,7 +77,11 @@ object IngestBench {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // GRAFT_INGEST_DIR pins the corpus to a fixed path (and reuses it
     // when already populated): the reference-side harness of the
-    // head-to-head must time the SAME files
+    // head-to-head must time the SAME files. Reuse is gated on a
+    // completion manifest recording n — a crashed partial synthesis or
+    // a changed GRAFT_INGEST_N must re-synthesize, never silently
+    // benchmark a different corpus than claimed (root-level dotfile:
+    // invisible to the depth-3 scan under test).
     val base = sys.env.get("GRAFT_INGEST_DIR") match {
       case Some(p) =>
         val d = java.nio.file.Paths.get(p)
@@ -85,12 +89,22 @@ object IngestBench {
         d
       case None => Files.createTempDirectory("graft-ingest-bench")
     }
+    val manifest = base.resolve(".complete")
     val files = {
-      val existing = if (Files.isDirectory(base)) {
+      val reusable = Files.exists(manifest) &&
+        new String(Files.readAllBytes(manifest), "UTF-8").trim == n.toString
+      if (reusable) {
         val s = Files.walk(base)
-        try s.filter(Files.isRegularFile(_)).count().toInt finally s.close()
-      } else 0
-      if (existing > 0) existing else synthesize(base, n)
+        try s.filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith(".")).count().toInt
+        finally s.close()
+      } else {
+        graft.Fs.deleteTree(base)
+        Files.createDirectories(base)
+        val written = synthesize(base, n)
+        Files.write(manifest, n.toString.getBytes("UTF-8"))
+        written
+      }
     }
     val storeDir = Files.createTempDirectory("graft-ingest-bench-store")
 

@@ -49,18 +49,32 @@ object ScaleDecade {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
     /** Exact candidate volume of the capped postings self-join:
-      * Σ_sh df·(df−1)/2 over the DF-capped representation. */
-    def candidateVolume(dir: String): Double =
-      graft.ext.DedupOps
+      * Σ_sh df·(df−1)/2 over the DF-capped representation. The sum is
+      * NULL over an empty/degenerate corpus — report 0, don't NPE. */
+    def candidateVolume(dir: String): Double = {
+      val r = graft.ext.DedupOps
         .dfCapped(graft.ext.DedupOps.hashedShinglesForProbe(spark, dir))
         .groupBy("sh").agg(count(lit(1)).as("df"))
-        .agg(sum(expr("df * (df - 1) / 2"))).head.getDouble(0)
+        .agg(sum(expr("df * (df - 1) / 2"))).head
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
 
-    def timeOnce(f: () => Unit): Double = {
-      val t0 = System.nanoTime()
-      try f() catch { case e: Throwable =>
-        System.err.println(s"[decade] FAILED: $e"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+    /** MIN of 3 clear-and-rebuild cycles — the Bench warm discipline
+      * (a one-shot build measurement has no noise rejection; round-9's
+      * 2× clean-run swing on cache_dedup_frames is the cautionary
+      * tale, and these numbers feed published exponents). */
+    def minOf3(f: () => Unit): Double = {
+      var best = Double.MaxValue
+      var i = 0
+      while (i < 3) {
+        graft.ext.DedupOps.clearCaches()
+        val t0 = System.nanoTime()
+        try f() catch { case e: Throwable =>
+          System.err.println(s"[decade] FAILED: $e"); return -1.0 }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        i += 1
+      }
+      best
     }
 
     /** One volume's line items. */
@@ -71,14 +85,14 @@ object ScaleDecade {
       val items = scala.collection.mutable.ArrayBuffer[(String, Double)]()
       items += "candidates" -> cands
       // dedup-warm components, worst-first guarded
-      items += "shingle_frame" -> timeOnce(() => {
+      items += "shingle_frame" -> minOf3(() => {
         graft.ext.DedupOps.hashedShinglesForProbe(spark, dir).count(); () })
-      items += "simhash_d53" -> timeOnce(() => {
+      items += "simhash_d53" -> minOf3(() => {
         graft.ext.DedupOps.simhash(spark, dir).count(); () })
-      items += "lsh_d52" -> timeOnce(() => {
+      items += "lsh_d52" -> minOf3(() => {
         graft.ext.DedupOps.minhashLsh(spark, dir).count(); () })
       if (cands <= PairBuildCandidateCeiling)
-        items += "pair_build_d51" -> timeOnce(() => {
+        items += "pair_build_d51" -> minOf3(() => {
           graft.ext.DedupOps.jaccardPairs(spark, dir).count(); () })
       else {
         System.err.println(f"[decade] pair build SKIPPED at $dir: " +

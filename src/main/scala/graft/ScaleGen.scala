@@ -47,22 +47,22 @@ object ScaleGen {
     * single file stays splittable by row group for batch parallelism. */
   private def writeSingleFile(df: DataFrame,
       outDir: java.nio.file.Path, name: String): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-scalegen")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).filter(p =>
-      p.getFileName.toString.startsWith("part-")).findFirst().get()
-    java.nio.file.Files.move(part, outDir.resolve(s"$name.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(tmp).sorted(
-      java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    Fs.writeSingleParquet(df, outDir.resolve(s"$name.parquet"))
+    ()
   }
 
   /** The documents regeneration alone (see class doc) — reusable by the
     * sf10 decade probe, which needs ONLY documents at ×100 (its three
     * target tiers scan nothing else; generating lineitem ×100 through
-    * the single-file writer would cost minutes for no measurement). */
+    * the single-file writer would cost minutes for no measurement).
+    *
+    * Driver-resident by design UP TO the sf10 decade: the sequential
+    * seeded Random makes the corpus deterministic, and at sf10
+    * (~500 k docs × ~330 B) the three driver-side collections total
+    * well under 1 GiB. The NEXT decade (5 M docs) should switch to a
+    * per-id-seeded `spark.range` generation — noted here rather than
+    * changed now because re-seeding would regenerate a different
+    * corpus and invalidate the committed SCALE measurements. */
   def generateDocuments(spark: SparkSession, src: String, out: String,
       factor: Int): Int = {
     val outDir = java.nio.file.Paths.get(out)

@@ -40,18 +40,27 @@ object SkewProbe {
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def timeOnce(f: () => Unit): Double = {
-      val t0 = System.nanoTime()
-      try f() catch { case e: Throwable =>
-        System.err.println(s"[skew] FAILED: $e"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+    // MIN of 3 clear-and-rebuild cycles for the warm (the Bench warm
+    // discipline — a one-shot build has no noise rejection, and this
+    // number becomes a published skewed/uniform ratio)
+    def warmMinOf3(dir: String): Double = {
+      var best = Double.MaxValue
+      var i = 0
+      while (i < 3) {
+        graft.query.FixtureCorpus.clear()
+        graft.graph.GraphOps.clearCaches()
+        val t0 = System.nanoTime()
+        try graft.query.FixtureCorpus.store(spark, dir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[skew] FAILED: $e"); return -1.0 }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        i += 1
+      }
+      best
     }
 
     def measure(dir: String): Seq[(String, Double)] = {
-      graft.query.FixtureCorpus.clear()
-      graft.graph.GraphOps.clearCaches()
-      val warm = "cache_fixture_corpus" -> timeOnce(() => {
-        graft.query.FixtureCorpus.store(spark, dir).count(); () })
+      val warm = "cache_fixture_corpus" -> warmMinOf3(dir)
       val qs = queries.map { q =>
         q -> Bench.median3(() => {
           SparkEntry.queries(q)(spark, dir).count(); () })

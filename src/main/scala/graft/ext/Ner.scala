@@ -32,9 +32,15 @@ object Ner {
   private val numberPattern = "[0-9]+(?:\\.[0-9]+)?"
 
   /** Title-case sequence: ≥2 capitalized words — the surface form
-    * shared by person and organization mentions. RE2-compatible (no
-    * lookaround), so the oracle runs the IDENTICAL pattern in DuckDB. */
-  private val titleSeqPattern = "[A-Z][a-z]+(?: [A-Z][a-z]+)+"
+    * shared by person and organization mentions. Each token is
+    * `[A-Z][A-Za-z]+` (initial capital, ≥2 letters, internal caps
+    * allowed) rather than strict `[A-Z][a-z]+`: all-caps suffix tokens
+    * like "LLC" must be matchable or the ORG branch is dead for them
+    * (caught in round-10 review — strict lowercase tails silently
+    * dropped every "… LLC" mention on BOTH engines, so the oracle
+    * could never see the miss). RE2-compatible (no lookaround), so the
+    * oracle runs the IDENTICAL pattern in DuckDB. */
+  private val titleSeqPattern = "[A-Z][A-Za-z]+(?: [A-Z][A-Za-z]+)+"
 
   /** Org suffixes for the context rule. RE2 has no lookahead, so
     * PERSON-vs-ORG is decided by a post-extraction context test on the
@@ -146,7 +152,7 @@ object Ner {
     s"""${graft.query.FixtureCorpus.sqlPrelude},
       |seqs AS (
       |  SELECT unnest(regexp_extract_all(subject,
-      |    '[A-Z][a-z]+(?: [A-Z][a-z]+)+')) AS t
+      |    '[A-Z][A-Za-z]+(?: [A-Z][A-Za-z]+)+')) AS t
       |  FROM m)
       |SELECT CASE WHEN string_split(t, ' ')[-1] IN ($inList)
       |    THEN 'ORG' ELSE 'PERSON' END AS entity_type,

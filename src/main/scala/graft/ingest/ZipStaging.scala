@@ -56,11 +56,9 @@ object ZipStaging {
   }
 
   /** Best-effort recursive cleanup of a staged dir
-    * (ref: cleanup app/orchestrator.py:73-74). */
-  def cleanup(dir: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(dir))
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-  }
+    * (ref: cleanup app/orchestrator.py:73-74). Shared impl
+    * [[graft.Fs.deleteTree]] — notably it swallows per-file failures,
+    * where the previous inline walk could THROW from the `stage` error
+    * path and mask the real extraction exception. */
+  def cleanup(dir: Path): Unit = graft.Fs.deleteTree(dir)
 }

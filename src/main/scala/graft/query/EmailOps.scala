@@ -230,18 +230,9 @@ object EmailOps {
     * materialize real corpora/stores in /tmp; without this, repeated
     * bench/verify runs accumulate the full corpus for the machine's
     * lifetime (the returned frames are force-cached first, so deleting
-    * the backing files never invalidates a served result). */
-  private def deleteTree(root: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    try {
-      val p = Paths.get(root)
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => try { Files.deleteIfExists(f); () }
-            catch { case _: Exception => () })
-    } catch { case _: Exception => () }
-  }
+    * the backing files never invalidates a served result). Shared
+    * impl: [[graft.Fs.deleteTree]]. */
+  private def deleteTree(root: String): Unit = graft.Fs.deleteTree(root)
 
   def realIngest(s: SparkSession, d: String): DataFrame =
     FixtureCorpus.cachedAux(s, d, "em71") {

@@ -98,16 +98,10 @@ object StreamingOps {
   private def cachedCount(d: String, tag: String)(count: => Long): Long =
     inCounts.computeIfAbsent(s"$d|$tag", _ => count).longValue()
 
-  /** Best-effort recursive delete for per-run scratch (checkpoints). */
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    try {
-      val all = Files.walk(root).iterator().asScala.toSeq
-      all.reverseIterator.foreach(p => try Files.deleteIfExists(p) catch {
-        case _: java.io.IOException => ()
-      })
-    } catch { case _: java.io.IOException => () }
-  }
+  /** Best-effort recursive delete for per-run scratch (checkpoints).
+    * Shared impl: [[graft.Fs.deleteTree]]. */
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    graft.Fs.deleteTree(root)
 
   /** Drain a streaming frame into a named memory sink, with the state
     * partitioning sized to `nIn` input rows: streaming state-store
@@ -797,14 +791,8 @@ object StreamingOps {
       // batch oracle counts), and both slices are non-empty on every
       // driver fixture
       val cut = mn + (mx - mn) / 2
-      def one(sub: String, df: DataFrame): java.nio.file.Path = {
-        val p = dir.resolve(sub)
-        df.coalesce(1).write.parquet(p.toString)
-        val s = Files.list(p)
-        try s.filter(_.getFileName.toString.startsWith("part-"))
-          .findFirst().get()
-        finally s.close()
-      }
+      def one(sub: String, df: DataFrame): java.nio.file.Path =
+        graft.Fs.writeSingleParquet(df, dir.resolve(s"$sub.parquet"))
       import spark.implicits._
       val far = mx + 360000000000000L // +100 h in ns (e100 staging)
       val sentinel = Seq((-1L, far, -1L, "error", 0.0, "{}"),
