@@ -336,6 +336,28 @@ class Round2Spec extends AnyFunSuite with SparkSpec {
     assert(withRef == n - n / 10)
   }
 
+  test("t63 census surfaces every planted entity class (intent, not parity)") {
+    // the t63 oracle shares its regex + classification with the Spark
+    // side, so a defect in the shared pattern passes the hash gate
+    // silently (round-10 case: [A-Z][a-z]+ could never match "LLC" —
+    // both engines agreed on the miss). Assert the INTENT separately:
+    // every planted suffix-org and a healthy person census must appear.
+    val census = graft.ext.Ner.titleCaseNer(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val orgs = census.collect { case ("ORG", text, n) => text -> n }.toMap
+    FixtureCorpus.orgNames.zip(FixtureCorpus.orgSuffixes).foreach {
+      case (org, suffix) =>
+        val name = s"$org $suffix"
+        assert(orgs.getOrElse(name, 0L) > 0, s"planted ORG '$name' missing")
+    }
+    // persons: every first name that lands on an id ≡ 0 (mod 11) row
+    val persons = census.collect { case ("PERSON", t, cnt) => t -> cnt }
+    assert(persons.nonEmpty && persons.map(_._2).sum > 0)
+    // no sequence may be double-classified
+    val texts = census.groupBy(_._2).filter(_._2.map(_._1).distinct.size > 1)
+    assert(texts.isEmpty, s"double-classified: ${texts.keys}")
+  }
+
   test("charset sniffing: C1 bytes select windows-1252 over latin-1") {
     import graft.codec.Rfc822Parser.smartDecode
     // 0x93/0x94 = curly quotes in cp1252, unassigned controls in latin-1
