@@ -55,7 +55,7 @@ object ScaleDecade {
       val r = graft.ext.DedupOps
         .dfCapped(graft.ext.DedupOps.hashedShinglesForProbe(spark, dir))
         .groupBy("sh").agg(count(lit(1)).as("df"))
-        .agg(sum(expr("df * (df - 1) / 2"))).head
+        .agg(sum(expr("df * (df - 1) / 2"))).head()
       if (r.isNullAt(0)) 0.0 else r.getDouble(0)
     }
 

@@ -75,7 +75,7 @@ object SkewProbe {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val n = docs.count().toDouble
       docs.groupBy(expr("doc_id % 7")).count()
-        .agg(max("count")).head.getLong(0) / n
+        .agg(max("count")).head().getLong(0) / n
     }
     val shareA = hotShare(base)
     val shareB = hotShare(skew)

@@ -110,7 +110,7 @@ object DedupOps {
     * total occurrences ≥ distinct). Shared by every dictionary-join
     * path selection. */
   private[graft] def estShingles(s: SparkSession, d: String): Long =
-    documents(s, d).agg(sum("n_chars")).head.getLong(0) / 6
+    documents(s, d).agg(sum("n_chars")).head().getLong(0) / 6
 
   // NOTE: d52's dictionary trick (md5 distinct shingles once, join
   // back) was tried here and measured SLOWER (+3.3s at sf0.1): with no

@@ -112,7 +112,7 @@ object FixtureCorpus {
   /** The merged email store derived from `documents` at `dir`, built
     * through the real parse→merge pipeline and cached per session. */
   def store(s: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent(System.identityHashCode(s) + "|" + dir,
+    cache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir",
       _ => build(s, dir))
 
   /** Unpersist all materialized stores (harness epilogue). */
@@ -127,7 +127,7 @@ object FixtureCorpus {
   private[query] def cachedAux(s: SparkSession, dir: String, tag: String)(
       f: => DataFrame): DataFrame =
     cache.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir + "|" + tag, _ => f)
+      s"${System.identityHashCode(s)}|$dir|$tag", _ => f)
 
   /** Drop only aux-tagged frames (targeted bench re-warm: the shared
     * fixture store survives, so rebuilding one aux entry cannot push

@@ -34,7 +34,7 @@ object EmailStore {
   /** Merge rows (one per physical file, store schema + `path` +
     * `__precedence` columns) into one row per dedupe_key. */
   private def mergeRows(rows: DataFrame): DataFrame = {
-    val dataCols = rows.columns
+    val dataCols = rows.columns.toIndexedSeq
       .filterNot(c => mergeOrderCols.contains(c))
       .filterNot(_ == "mailboxes").filterNot(_ == "dedupe_key")
     rows

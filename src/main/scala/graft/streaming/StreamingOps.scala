@@ -392,7 +392,7 @@ object StreamingOps {
             dir.resolve(s"staged_$i.parquet"), p.toAbsolutePath)
         }
       val maxTs = graft.Tables.events(spark, d)
-        .agg(max("ts")).head.getLong(0)
+        .agg(max("ts")).head().getLong(0)
       val far = maxTs + 360000000000000L // +100 h in ns
       import spark.implicits._
       Seq((-1L, far, -1L, "error", 0.0, "{}"),
@@ -783,7 +783,7 @@ object StreamingOps {
       org.apache.spark.sql.graft.Bridge.sessionUUID(spark) + "|" + d, { _ =>
       val dir = scratchTempDir("graft-restart-slices")
       val ev = graft.Tables.events(spark, d)
-      val r = ev.agg(min("ts"), max("ts")).head
+      val r = ev.agg(min("ts"), max("ts")).head()
       val (mn, mx) = (r.getLong(0), r.getLong(1))
       // midpoint cut: deterministic arithmetic (no sampling), splits by
       // EVENT TIME so slice-2 rows always sit above the watermark the
