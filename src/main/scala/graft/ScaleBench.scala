@@ -51,24 +51,40 @@ object ScaleBench {
   private def measure(spark: SparkSession, dir: String)
       : (Seq[(String, Double)], Seq[(String, Double)]) = {
     clearAll()
-    def timeOnce(f: () => Unit): Double = {
-      val t0 = System.nanoTime()
-      try f() catch { case e: Throwable =>
-        System.err.println(s"[scale] FAILED: $e"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+    // MIN of 3 clear-and-rebuild cycles per warm — the Bench warm
+    // discipline (one-shot build timings swung 2× between clean runs
+    // in round 9, and these numbers feed published exponents). The
+    // clear is the entry's own targeted clear so one warm's re-cycle
+    // cannot evict another's already-measured cache.
+    def minOf3(clear: () => Unit, f: () => Unit): Double = {
+      var best = Double.MaxValue
+      var i = 0
+      while (i < 3) {
+        if (i > 0) clear()
+        val t0 = System.nanoTime()
+        try f() catch { case e: Throwable =>
+          System.err.println(s"[scale] FAILED: $e"); return -1.0 }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        i += 1
+      }
+      best
     }
     val caches = Seq(
-      "cache_dedup_frames" ->
-        timeOnce(() => graft.ext.DedupOps.warm(spark, dir)),
-      "cache_kmeans_model" ->
-        timeOnce(() => graft.ext.SimilarityOps.warm(spark, dir)),
-      "cache_graph_edges" ->
-        timeOnce(() => graft.graph.GraphOps.warm(spark, dir)),
+      "cache_dedup_frames" -> minOf3(
+        () => graft.ext.DedupOps.clearCaches(),
+        () => graft.ext.DedupOps.warm(spark, dir)),
+      "cache_kmeans_model" -> minOf3(
+        () => graft.ext.SimilarityOps.clearCaches(),
+        () => graft.ext.SimilarityOps.warm(spark, dir)),
+      "cache_graph_edges" -> minOf3(
+        () => graft.graph.GraphOps.clearCaches(),
+        () => graft.graph.GraphOps.warm(spark, dir)),
       // the s81 incremental-index build: base-4/5 training + O(batch)
       // absorb — its exponent vs embedding growth is the update-path
       // scale claim (serving is the s80 line item)
-      "cache_s81_incr_index" ->
-        timeOnce(() => {
+      "cache_s81_incr_index" -> minOf3(
+        () => graft.ext.SimilarityOps.clearSavedIndexes("|incr"),
+        () => {
           graft.ext.SimilarityOps.ivfPqIncremental(spark, dir).count(); () }))
     val queries = Heavy.map { case (name, _) =>
       name -> Bench.median3(
