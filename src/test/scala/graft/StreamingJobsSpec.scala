@@ -310,6 +310,50 @@ class StreamingJobsSpec extends AnyFunSuite with SparkSpec {
       s"e106 diverged: ${restartCensus.length} vs ${oneShotCensus.length}")
   }
 
+  test("restart dedup drops a duplicate that arrives AFTER the restart") {
+    // the sharpest e104 case, pinned deterministically: a (user, type,
+    // window) key seen in phase 1 recurs in phase 2 — the duplicate
+    // can only be dropped if the dedup state SURVIVED the restart
+    // (the time-midpoint split puts the two occurrences on opposite
+    // sides of the stop). Events: u1 fires twice in the same 5-min
+    // bucket, once early (slice 1) and once late-in-bucket but past
+    // the timeline midpoint (slice 2); u2 pads the timeline so the
+    // midpoint falls between the two occurrences.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-e104-boundary")
+    val h = 3600L * 1000 * 1000 * 1000 // 1h in ns
+    val base = 1000L * h
+    // construction: timeline [base, base+8h+120s] puts the midpoint cut
+    // at base+4h+60s — INSIDE the 5-minute bucket starting base+4h and
+    // BETWEEN u1's two occurrences (+60s, on the cut → slice 1; +240s →
+    // slice 2), so the duplicate pair straddles the restart while
+    // sharing one dedup key
+    val pad = 8L * h + 120L * 1000 * 1000 * 1000
+    val ev = Seq(
+      (1L, base, 7L, "click", 0.0, "{}"),                    // timeline start
+      (2L, base + 4 * h + 60L * 1000 * 1000 * 1000, 1L, "click", 0.0, "{}"),
+      (3L, base + 4 * h + 240L * 1000 * 1000 * 1000, 1L, "click", 0.0, "{}"),
+      (4L, base + pad, 7L, "click", 0.0, "{}"))              // timeline end
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
+    // sanity: the cut separates events 2 and 3 (slice1 gets ts <= mid)
+    val mid = base + (pad / 2)
+    assert(base + 4 * h + 60L * 1000 * 1000 * 1000 <= mid &&
+      base + 4 * h + 240L * 1000 * 1000 * 1000 > mid,
+      "construction broken: dup occurrences not split by the midpoint")
+    val out = StreamingOps.streamDedupActivityRestart(spark, dir.toString)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2)))
+    // u1's two occurrences share (user, type, bucket 4h) → counted ONCE;
+    // the pad events occupy their own buckets
+    val dupBucketMs = (base + 4 * h) / 1000000L // ns → ms epoch
+    val dupRows = out.filter(_._1 == dupBucketMs)
+    assert(dupRows.length == 1 && dupRows.head._3 == 1L,
+      s"cross-restart duplicate not deduped: ${out.mkString(", ")}")
+    assert(out.map(_._3).sum == 3L, s"unexpected census: ${out.mkString(", ")}")
+  }
+
   test("fixtures hold no exact-30-minute gap (e89 oracle-sharing invariant)") {
     // session_window closes a session at last+gap EXCLUSIVE while the
     // batch lag-formulation keeps a gap of exactly 30 min open — e89
