@@ -989,6 +989,68 @@ object DedupOps {
       |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
       |FROM p JOIN c USING (ph) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- d61 semantic dedup (SemDeDup)
+
+  /** Cosine threshold above which two same-cluster vectors are
+    * semantic duplicates (matches d54's near-dup threshold). */
+  private[graft] val semTau = 0.4
+
+  /** d61: SEMANTIC dedup — the SemDeDup pipeline shape: block the
+    * corpus by a TRAINED k-means cluster assignment (the s66 coarse
+    * quantizer, shared model cache — not a given metadata column like
+    * d54's label blocking), compare pairwise cosine only WITHIN a
+    * cluster, and drop every vector that has a lower-id τ-neighbor in
+    * its cluster (first-writer-wins, the A2 merge rule applied to
+    * embeddings). Output is the per-vector keep/drop manifest.
+    *
+    * Scale shape: the pair space is n²/K per cluster — at 100 TB you
+    * scale K with the corpus so clusters stay bounded, and the d54
+    * sub-split guard caps any skewed cluster at `maxBlock` vectors
+    * (pairs across sub-blocks forfeited by design, the IVF-style
+    * approximation contract). The final apply is a broadcast left join
+    * of the tiny dropped set against the corpus — the corpus itself
+    * never shuffles to be deduplicated (the d57 contract). The whole
+    * pipeline incl. the clustering iteration is oracle-checked thanks
+    * to the model's fixed-point integer arithmetic. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val a = SimilarityOps.kmAssignedFull(s, d)
+      .withColumn("nrm",
+        sqrt(graft.functions.VecExprs.dot_d(col("v"), col("v"))))
+    val sizes = a.groupBy("cid").agg(count(lit(1)).as("bn"))
+    val ab = a.join(broadcast(sizes), "cid")
+      .withColumn("nsub",
+        greatest(ceil(col("bn") / maxBlock).cast("long"), lit(1L)))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("nsub")))
+      .select("cid", "sub", "vec_id", "v", "nrm")
+    val x = ab.toDF("cid", "sub", "vec_a", "va", "na")
+    val y = ab.toDF("cid", "sub", "vec_b", "vb", "nb")
+    val dropped = x.join(y, Seq("cid", "sub"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        round(graft.functions.VecExprs.dot_d(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= semTau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    a.select("vec_id", "cid")
+      .join(broadcast(dropped.withColumn("dropped", lit(true))),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dropped").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String = {
+    val cos = SimilarityOps.cosineSqlSnippetForDedup
+      .replace("QV", "a.v").replace("CV", "b.v")
+    s"""${SimilarityOps.kmSqlPrefixForDedup},
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id FROM aF a JOIN aF b
+      |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE round($cos, 6) >= $semTau)
+      |SELECT f.vec_id, f.cid, (d.vec_id IS NULL) AS keep
+      |FROM aF f LEFT JOIN dropped d ON d.vec_id = f.vec_id
+      |ORDER BY f.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_exact_dedup"    -> exactDedup _,
     "d51_jaccard_pairs"  -> jaccardPairs _,
@@ -1002,6 +1064,7 @@ object DedupOps {
     "d58_incremental_dedup" -> incrementalDedup _,
     "d59_passage_dedup"  -> passageDedup _,
     "d60_minhash_estimate" -> minhashEstimate _,
+    "d61_semantic_dedup" -> semanticDedup _,
     "t49_decontamination" -> decontamination _,
     "t57_corpus_funnel"  -> corpusFunnel _,
   )
@@ -1019,6 +1082,7 @@ object DedupOps {
     "d58_incremental_dedup" -> incrementalDedupSql,
     "d59_passage_dedup"  -> passageDedupSql,
     "d60_minhash_estimate" -> minhashEstimateSql,
+    "d61_semantic_dedup" -> semanticDedupSql,
     "t49_decontamination" -> decontaminationSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,
   )

@@ -96,6 +96,53 @@ object SimilarityOps {
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  // --------------------------------------------- s82 filtered search
+
+  /** s82: FILTERED vector search — exact top-5 cosine among only the
+    * candidates satisfying a metadata predicate (`label IN (1,3,5)`),
+    * the "vector search + WHERE clause" shape every serving stack
+    * needs (find similar docs *from these sources only*).
+    *
+    * Strategy is PRE-filter: the predicate lands on the candidate scan
+    * BEFORE any scoring (an `In` filter the parquet reader can push,
+    * visible as PushedFilters in the plan), so recall under the
+    * predicate is exact by construction and the scored volume shrinks
+    * by the predicate's selectivity. The alternative — post-filtering
+    * an unfiltered ANN result — loses recall whenever the top-k is
+    * dominated by non-matching vectors; with a pushed pre-filter +
+    * bounded-heap top-k there is no such loss and no extra pass.
+    * Same broadcast-queries + single-scan + heap shape as s60. */
+  def filteredKnn(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
+    val c = e.filter(col("label").isin(1, 3, 5))
+      .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
+      .groupBy("q_id")
+      .agg(topkUdaf(5)(col("cosine"), col("c_id")).as("tk"))
+    explodeTopK(scored, Seq("q_id"), "c_id", "cosine")
+      .select("q_id", "c_id", "cosine", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  val filteredKnnSql: String = {
+    val cosine = cosineSqlSnippet.replace("QV", "q.v").replace("CV", "c.v")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id q_id, c.vec_id c_id, round($cosine, 6) AS cosine
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |    AND c.label IN (1, 3, 5)),
+      |ranked AS (
+      |  SELECT q_id, c_id, cosine, CAST(row_number() OVER (
+      |    PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT q_id, c_id, cosine, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------- s61 IVF probe
 
   /** s61: IVF — centroid per `label` (position-wise mean), each query
@@ -350,6 +397,20 @@ object SimilarityOps {
   /** Final (post-iteration) assignment of every vector. */
   private def kmFinal(s: SparkSession, d: String): DataFrame =
     kmModel(s, d)._2
+
+  /** The trained full-corpus assignment (vec_id, v, qv, cid), exposed
+    * for the semantic-dedup tier (d61) — SemDeDup's cluster blocking IS
+    * this model; training it twice would double the cache_kmeans_model
+    * warm and let the two tiers drift apart. */
+  private[ext] def kmAssignedFull(s: SparkSession, d: String): DataFrame =
+    kmFinal(s, d)
+
+  /** The oracle-side twin of the trained model (CTE prefix ending in
+    * the full-corpus assignment `aF`), exposed for d61's SQL twin. */
+  private[ext] def kmSqlPrefixForDedup: String = kmSqlPrefix
+
+  /** Rounded-cosine SQL snippet (replace QV/CV), shared with d61. */
+  private[ext] def cosineSqlSnippetForDedup: String = cosineSqlSnippet
 
   /** s66: k-means cluster census after `kmIters` Lloyd iterations —
     * a REAL trained coarse quantizer (vs s61's label blocking), the
@@ -1379,6 +1440,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s60_knn_brute"     -> knnBrute _,
+    "s82_filtered_knn"  -> filteredKnn _,
     "s61_ivf_knn"       -> ivfKnn _,
     "s62_signlsh"       -> signLshBuckets _,
     "s64_ivf_multiprobe" -> ((s: SparkSession, d: String) => ivfMultiprobeKnn(s, d)),
@@ -1398,6 +1460,7 @@ object SimilarityOps {
 
   val oracleSql: Map[String, String] = Map(
     "s60_knn_brute"     -> knnBruteSql,
+    "s82_filtered_knn"  -> filteredKnnSql,
     "s61_ivf_knn"       -> ivfKnnSql,
     "s62_signlsh"       -> signLshBucketsSql,
     "s64_ivf_multiprobe" -> ivfMultiprobeKnnSql,

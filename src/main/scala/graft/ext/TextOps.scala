@@ -804,6 +804,67 @@ object TextOps {
       |    * 1000 // greatest(source_tokens, 1) AS BIGINT) AS repeat_x1000
       |FROM per_source, tot ORDER BY source""".stripMargin
 
+  // --------------------------------------------- t64 sequence packing
+
+  /** Tokens per training sequence (the fixed context length training
+    * examples are cut to). */
+  private[graft] val packCap = 512L
+  /** Documents per packing shard — the independent unit of work. */
+  private[graft] val packShard = 256L
+
+  /** t64: training-sequence PACKING — the step that turns a filtered
+    * corpus into fixed-length training examples: concatenate documents
+    * in a deterministic order and cut the token stream every `packCap`
+    * tokens (GPT-style concat-and-chunk; documents may straddle a cut).
+    * Emits, per document, its shard, token count, start offset in the
+    * shard's concatenated stream, the pack (training sequence) its
+    * first token lands in, and whether it straddles a pack boundary —
+    * the manifest a loader materializes examples from.
+    *
+    * Scale shape: the packing unit is the (source, shard) block of at
+    * most `packShard` contiguous doc_ids, NOT the whole corpus — the
+    * running-offset window runs inside bounded partitions that pack
+    * independently and in parallel (a corpus-global concat would
+    * serialize 100 TB through one sort). All arithmetic is BIGINT
+    * (cumulative sum + floor division), so the twin is engine-exact. */
+  def sequencePacking(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div $packShard"))
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("start_off", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"start_off div $packCap"))
+      .withColumn("straddles",
+        col("n_tokens") > 0 &&
+          expr(s"(start_off + n_tokens - 1) div $packCap") > col("pack_id"))
+      .select("doc_id", "source", "shard", "n_tokens", "start_off",
+        "pack_id", "straddles")
+      .orderBy("doc_id")
+  }
+
+  val sequencePackingSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |         x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    doc_id // $packShard AS shard
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, source, shard, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM t)
+      |SELECT doc_id, source, shard, n_tokens, start_off,
+      |  start_off // $packCap AS pack_id,
+      |  (n_tokens > 0 AND
+      |   (start_off + n_tokens - 1) // $packCap > start_off // $packCap)
+      |    AS straddles
+      |FROM o ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -822,6 +883,7 @@ object TextOps {
     "t59_source_profile"  -> sourceProfile _,
     "t61_bigram_lm"       -> bigramLm _,
     "t62_mixture_plan"    -> mixturePlan _,
+    "t64_sequence_packing" -> sequencePacking _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -842,5 +904,6 @@ object TextOps {
     "t59_source_profile"  -> sourceProfileSql,
     "t61_bigram_lm"       -> bigramLmSql,
     "t62_mixture_plan"    -> mixturePlanSql,
+    "t64_sequence_packing" -> sequencePackingSql,
   )
 }
