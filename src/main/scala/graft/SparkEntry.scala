@@ -100,7 +100,12 @@ object SparkEntry {
         // the RocksDB-backend restart proof: transformWithState census
         // resumed from a RocksDB checkpoint snapshot mid-input
         "e106_restart_user_census" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamUserCensusRestart(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamUserCensusRestart(s, d)),
+        // streaming twin of t65: the stateless chunk manifest on a file
+        // source drained through the exactly-once parquet file sink —
+        // shares t65's oracle (batch/stream parity on the RAG-prep tier)
+        "e107_stream_chunking" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamChunkOverlap(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -126,5 +131,6 @@ object SparkEntry {
         "e102_stream_user_census" -> StreamingOps.streamUserCensusSql,
         "e104_restart_dedup_activity" -> StreamingOps.streamDedupActivitySql,
         "e105_restart_closed_sessions" -> StreamingOps.streamClosedSessionsSql,
-        "e106_restart_user_census" -> StreamingOps.streamUserCensusSql)
+        "e106_restart_user_census" -> StreamingOps.streamUserCensusSql,
+        "e107_stream_chunking" -> TextOps.chunkOverlapSql)
 }

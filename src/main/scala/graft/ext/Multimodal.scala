@@ -343,6 +343,94 @@ object Multimodal {
       |FROM documents GROUP BY 1, 2
       |ORDER BY keep_media_id, kind""".stripMargin
 
+  // ---------------------------------------------- m77 shard manifest
+
+  /** Shard byte budget (a scaled-down WebDataset `maxsize`). */
+  private[graft] val shardBudget = 4096L
+  /** Media rows per manifest block — the independent unit of work. */
+  private[graft] val shardBlock = 256L
+
+  /** One manifest row: where a sample lands in its shard sequence. */
+  case class ShardSlot(media_id: Long, kind: String, block: Long,
+      n_bytes: Long, shard: Long, shard_off: Long)
+
+  /** m77: WebDataset-style SHARD packing manifest — the step that turns
+    * a media corpus into size-capped archive shards a dataloader
+    * streams sequentially: walk samples in deterministic (media_id)
+    * order and close the current shard whenever adding the next sample
+    * would exceed the byte budget (samples are never split; an
+    * oversize sample gets a shard of its own). Emits, per sample, its
+    * shard ordinal and byte offset within the shard — the manifest a
+    * tar-writer materializes archives from.
+    *
+    * The greedy close-on-overflow rule is inherently sequential (the
+    * boundary depends on the running remainder, so no window/cumsum
+    * reformulation is exact — contrast t64, whose fixed-length packs
+    * ARE a pure cumsum). It runs as `flatMapSortedGroups` over
+    * (kind, block) groups: Spark sorts each group's iterator inside the
+    * shuffle (no per-group materialization), and the sequential state
+    * is two longs.
+    *
+    * Scale shape: the packing unit is the (kind, block) group of at
+    * most `shardBlock` contiguous media_ids — bounded groups that pack
+    * independently and in parallel (a corpus-global walk would
+    * serialize 100 TB through one task). One shuffle of (id, kind,
+    * n_bytes) triples — payload bytes never move; the real tar write
+    * would stream payloads per-group from storage. */
+  def shardManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaMeta(s, d)
+      .select(col("media_id"), col("kind"),
+        expr(s"media_id div $shardBlock").as("block"),
+        (col("body_bytes") + 12L).as("n_bytes"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey { case (_, kind, block, _) => (kind, block) }
+      .flatMapSortedGroups(col("media_id")) { case ((kind, block), rows) =>
+        var shard = 0L; var used = 0L
+        rows.map { case (id, _, _, nb) =>
+          if (used > 0 && used + nb > shardBudget) { shard += 1; used = 0 }
+          val slot = ShardSlot(id, kind, block, nb, shard, used)
+          used += nb
+          slot
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** DuckDB twin: the same greedy walk as a per-(kind, block) recursive
+    * CTE advancing one row per step — exact because groups are bounded
+    * (≤`shardBlock` rows) and the state carried is (shard, used). */
+  val shardManifestSql: String =
+    s"""WITH RECURSIVE m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+      |    doc_id // $shardBlock AS block,
+      |    CAST(12 + octet_length(text::BLOB) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |r AS (
+      |  SELECT media_id, kind, block, n_bytes,
+      |    row_number() OVER (PARTITION BY kind, block ORDER BY media_id)
+      |      AS rn
+      |  FROM m),
+      |g AS (
+      |  SELECT media_id, kind, block, n_bytes, rn,
+      |    CAST(0 AS BIGINT) AS shard, CAST(0 AS BIGINT) AS shard_off,
+      |    n_bytes AS used
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.media_id, r.kind, r.block, r.n_bytes, r.rn,
+      |    CASE WHEN g.used + r.n_bytes > $shardBudget
+      |      THEN g.shard + 1 ELSE g.shard END,
+      |    CASE WHEN g.used + r.n_bytes > $shardBudget
+      |      THEN 0 ELSE g.used END,
+      |    CASE WHEN g.used + r.n_bytes > $shardBudget
+      |      THEN r.n_bytes ELSE g.used + r.n_bytes END
+      |  FROM g JOIN r ON r.kind = g.kind AND r.block = g.block
+      |    AND r.rn = g.rn + 1)
+      |SELECT media_id, kind, block, n_bytes, shard, shard_off
+      |FROM g ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m70_media_meta"     -> mediaMeta _,
     "m71_media_frames"   -> mediaFrames _,
@@ -351,6 +439,7 @@ object Multimodal {
     "m74_media_energy"   -> mediaEnergy _,
     "m75_media_scenes"   -> mediaScenes _,
     "m76_media_dedup"    -> mediaDedup _,
+    "m77_shard_manifest" -> shardManifest _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -361,5 +450,6 @@ object Multimodal {
     "m74_media_energy"   -> mediaEnergySql,
     "m75_media_scenes"   -> mediaScenesSql,
     "m76_media_dedup"    -> mediaDedupSql,
+    "m77_shard_manifest" -> shardManifestSql,
   )
 }

@@ -865,6 +865,76 @@ object TextOps {
       |    AS straddles
       |FROM o ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------ t65 overlapping chunks
+
+  /** Tokens per retrieval chunk. */
+  private[graft] val chunkTokens = 64L
+  /** Stride between chunk starts (overlap = chunkTokens - chunkStride). */
+  private[graft] val chunkStride = 48L
+
+  /** t65: sliding-window CHUNKING with overlap — the RAG/embedding prep
+    * step (split each document into fixed-size token windows whose
+    * starts advance by a stride smaller than the window, so adjacent
+    * chunks share `chunkTokens - chunkStride` tokens of context).
+    * Chunk starts are 0, stride, 2·stride, … up to the last start that
+    * still exposes new tokens (ceil((n-size)/stride)); a document at
+    * most `chunkTokens` long yields exactly one chunk. Emits the chunk
+    * manifest (doc, index, token span) plus the chunk-content md5 the
+    * embedding stage would key on.
+    *
+    * Scale shape: pure per-row projection + explode — NO shuffle, no
+    * state, whole-stage codegen end to end; the fan-out is bounded by
+    * n_tokens/stride per document (≈1.33× token amplification at
+    * 64/48), so output volume is a fixed small multiple of input and
+    * the op scales with the scan. Unlike t64's cross-document packing
+    * (which needs the bounded-partition window), chunking is
+    * document-local — embarrassingly parallel at any corpus size. */
+  def chunkOverlap(s: SparkSession, d: String): DataFrame =
+    chunkOverlapOf(documents(s, d)).orderBy("doc_id", "chunk_idx")
+
+  /** The t65 pass over an arbitrary (doc_id, source, text) frame —
+    * shared by the batch op, its streaming twin (e107), and specs.
+    * Unsorted (streaming frames can't sort); callers order on read. */
+  private[graft] def chunkOverlapOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L), expr(
+        s"greatest((n_tokens - $chunkTokens + $chunkStride - 1)" +
+          s" div $chunkStride, 0L)"))))
+      .withColumn("chunk_start", col("chunk_idx") * chunkStride)
+      .withColumn("chunk_len",
+        least(lit(chunkTokens), col("n_tokens") - col("chunk_start")))
+      .select(
+        col("doc_id"), col("source"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_len"),
+        md5(concat_ws(" ", slice(col("toks"),
+          (col("chunk_start") + 1).cast("int"),
+          col("chunk_len").cast("int")))).as("chunk_md5"))
+
+  val chunkOverlapSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, list_filter(
+      |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    greatest((CAST(len(toks) AS BIGINT) - $chunkTokens
+      |      + $chunkStride - 1) // $chunkStride, 0) AS last_chunk
+      |  FROM t WHERE len(toks) > 0),
+      |c AS (
+      |  SELECT doc_id, source, toks, n_tokens,
+      |    CAST(unnest(range(0, last_chunk + 1)) AS BIGINT) AS chunk_idx
+      |  FROM n)
+      |SELECT doc_id, source, chunk_idx,
+      |  chunk_idx * $chunkStride AS chunk_start,
+      |  least($chunkTokens, n_tokens - chunk_idx * $chunkStride) AS chunk_len,
+      |  md5(array_to_string(toks[CAST(chunk_idx * $chunkStride + 1 AS INT) :
+      |    CAST(chunk_idx * $chunkStride + least($chunkTokens,
+      |      n_tokens - chunk_idx * $chunkStride) AS INT)], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -884,6 +954,7 @@ object TextOps {
     "t61_bigram_lm"       -> bigramLm _,
     "t62_mixture_plan"    -> mixturePlan _,
     "t64_sequence_packing" -> sequencePacking _,
+    "t65_chunk_overlap"   -> chunkOverlap _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -905,5 +976,6 @@ object TextOps {
     "t61_bigram_lm"       -> bigramLmSql,
     "t62_mixture_plan"    -> mixturePlanSql,
     "t64_sequence_packing" -> sequencePackingSql,
+    "t65_chunk_overlap"   -> chunkOverlapSql,
   )
 }

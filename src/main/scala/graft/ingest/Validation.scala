@@ -190,11 +190,79 @@ object Validation {
       |    SELECT vec_id FROM embeddings GROUP BY vec_id HAVING count(*) > 1))
       |ORDER BY "check"""".stripMargin
 
+  // ------------------------------------------------ v74 drift report
+
+  /** v74: split DRIFT report — the audit a training pipeline runs after
+    * a hash split (t48) to confirm the held-out sets look like the
+    * train set: per split, document count, fixed-point mean length,
+    * short-document rate, language coverage, and each split's
+    * mean-length deviation from the corpus mean in ppm. A biased split
+    * (or a corpus whose distribution moved between snapshots) shows up
+    * as a large |mean_dev_ppm| on validation/test.
+    *
+    * Scale shape: one scan, one 3-group aggregation, and a broadcast
+    * join of the 3-row split frame against the 1-row corpus frame —
+    * the corpus never shuffles. All reported stats are integer
+    * (×100 / ppm fixed point), so the twin is engine-exact. */
+  def driftReport(s: SparkSession, d: String): DataFrame = {
+    val tagged = graft.Tables.documents(s, d)
+      .withColumn("bucket", graft.ext.TextOps.md5Long(
+        concat(lit("split:"), col("doc_id").cast("string"))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+    val per = tagged.groupBy("split").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("sum_chars"),
+      sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"),
+      countDistinct("lang").as("n_langs"))
+    val glob = tagged.agg(
+      sum("n_chars").as("g_chars"), count(lit(1)).as("g_docs"))
+    per.crossJoin(broadcast(glob))
+      .select(
+        col("split"), col("n_docs"),
+        expr("sum_chars * 100 div n_docs").as("mean_chars_x100"),
+        expr("n_short * 10000 div n_docs").as("short_bp"),
+        col("n_langs"),
+        expr("((sum_chars * 100 div n_docs) - (g_chars * 100 div g_docs))" +
+          " * 1000000 div (g_chars * 100 div g_docs)").as("mean_dev_ppm"))
+      .orderBy("split")
+  }
+
+  val driftReportSql: String =
+    """WITH tagged AS (
+      |  SELECT doc_id, n_chars, lang,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+      |      ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, n_chars, lang,
+      |          ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+      |            % 100 AS b
+      |        FROM documents)),
+      |per AS (
+      |  SELECT split, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |    CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_short,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |  FROM tagged GROUP BY split),
+      |corpus AS (
+      |  SELECT CAST(sum(n_chars) AS BIGINT) AS g_chars,
+      |    count(*) AS g_docs FROM tagged)
+      |SELECT split, n_docs,
+      |  sum_chars * 100 // n_docs AS mean_chars_x100,
+      |  n_short * 10000 // n_docs AS short_bp,
+      |  n_langs,
+      |  ((sum_chars * 100 // n_docs) - (g_chars * 100 // g_docs))
+      |    * 1000000 // (g_chars * 100 // g_docs) AS mean_dev_ppm
+      |FROM per, corpus ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v70_validation" -> validationSummary _,
     "v71_ref_integrity" -> refIntegrity _,
     "v72_column_profile" -> columnProfile _,
     "v73_embedding_audit" -> embeddingAudit _,
+    "v74_drift_report" -> driftReport _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -202,5 +270,6 @@ object Validation {
     "v71_ref_integrity" -> refIntegritySql,
     "v72_column_profile" -> columnProfileSql,
     "v73_embedding_audit" -> embeddingAuditSql,
+    "v74_drift_report" -> driftReportSql,
   )
 }

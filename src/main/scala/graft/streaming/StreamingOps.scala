@@ -959,6 +959,27 @@ object StreamingOps {
       .orderBy("reason")
   }
 
+  /** e107: the t65 chunker run as a STREAM — the stateless
+    * sliding-window chunk manifest
+    * ([[graft.ext.TextOps.chunkOverlapOf]]) composed onto a file source
+    * and drained through the exactly-once parquet FILE sink (chunk
+    * rows grow ~1.33× with input volume — never driver-resident).
+    * Shares t65's oracle (batch/stream parity on the RAG-prep tier).
+    * No watermark, no state: at scale this runs at source throughput
+    * as a pure per-file map with constant memory. */
+  def streamChunkOverlap(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    drainToFileSink(spark, "e107", nIn) {
+      graft.ext.TextOps.chunkOverlapOf(
+        spark.readStream
+          .schema(documentsSchema)
+          .parquet(stageDir))
+    }.orderBy("doc_id", "chunk_idx")
+  }
+
   /** Streaming maildir ingest: binaryFile stream → parse → per-batch
     * merge into the store (foreachBatch = the reference's per-task
     * upsert loop collapsed into idempotent batch merges). Returns the
