@@ -38,7 +38,16 @@ object ScaleBench {
     "s80_ivfpq_served" -> "emb",
     "e88_stream_join" -> "events",
     "e100_stream_unmatched" -> "events",
-    "e101_stream_dedup_activity" -> "events")
+    "e101_stream_dedup_activity" -> "events",
+    // round-10 additions: the three corpus-manifest builders (packing /
+    // chunking / sharding — expected scan-bound, exponent ≲ 1), the
+    // split-drift audit, and the two model-blocked embedding ops
+    "t64_sequence_packing" -> "docs",
+    "t65_chunk_overlap" -> "docs",
+    "m77_shard_manifest" -> "docs",
+    "v74_drift_report" -> "docs",
+    "d61_semantic_dedup" -> "emb",
+    "s82_filtered_knn" -> "emb")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
