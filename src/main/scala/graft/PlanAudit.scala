@@ -34,7 +34,9 @@ object PlanAudit {
       "v73_embedding_audit",
       "em70_partitioned_upsert", "em71_real_ingest", "s80_ivfpq_served",
       "s81_ivfpq_incr", "g102_cc_dataframe",
-      "t63_title_ner")
+      "t63_title_ner",
+      "d61_semantic_dedup", "s82_filtered_knn", "t64_sequence_packing",
+      "t65_chunk_overlap", "m77_shard_manifest", "v74_drift_report")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)
