@@ -32,13 +32,13 @@ object DedupOps {
     * eliminate inside higher-order-function lambdas, so inlining
     * `tokens(text)` into `shingles3` re-runs the split per element_at
     * (measured 20x slower). */
-  private def shingleRows(s: SparkSession, d: String): DataFrame =
+  private[ext] def shingleRows(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(shingles3(col("toks")))).as("shingle"))
 
-  private val shingleRowsSql =
+  private[ext] val shingleRowsSql =
     """SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, greatest(len(toks) - 1, 1)),
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle

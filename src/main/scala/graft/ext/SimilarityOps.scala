@@ -1508,9 +1508,227 @@ object SimilarityOps {
       |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------- s85 BM25 top-k
+
+  /** The fixed keyword query set for the sparse-retrieval tier: two
+    * terms per query so the per-document score sum is a single fp
+    * addition — commutative, hence aggregation-order-free (3+ terms
+    * would need the t61 integer-sum treatment the micro-unit snapping
+    * below already provides anyway). */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "query", 1L -> "filter", 1L -> "join",
+    2L -> "hash", 2L -> "table", 3L -> "stream", 3L -> "window")
+
+  /** s85: BM25 keyword retrieval — top-5 documents per fixed two-term
+    * query under Okapi BM25 (k1=1.2, b=0.75, Lucene-style
+    * ln(1 + (N−df+0.5)/(df+0.5)) idf that never goes negative): the
+    * SPARSE half of a hybrid retrieval stack, next to the dense ANN
+    * tiers (s60–s82).
+    *
+    * Fixed-point discipline (t56/t61 family): idf and the
+    * tf-normalization are each snapped to integer MICRO units and the
+    * per-document score is their exact BIGINT product-sum, so ranking
+    * and the oracle hash are engine-exact; avgdl enters as the exact
+    * rational dl·N/Σdl (never an fp average, whose summation order
+    * differs between engines).
+    *
+    * Scale shape: one corpus scan against the 8-row broadcast term
+    * table (tf evaluated inside the scan's codegen stage), an 8-row
+    * df aggregate + 1-row corpus-stats aggregate both broadcast back,
+    * and the per-query top-5 via the bounded-heap aggregate — the
+    * corpus never shuffles wide and nothing sorts corpus-wide. At
+    * 100 TB the df/stats tables are the classic tiny index sidecars. */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = bm25Queries.toDF("query_id", "term")
+    val dl = graft.Tables.documents(s, d)
+      .select(col("doc_id"), graft.ext.TextOps.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("bigint"))
+      .filter(col("dl") > 0)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = dl.crossJoin(broadcast(q))
+      .withColumn("tf",
+        size(filter(col("toks"), x => x === col("term"))).cast("bigint"))
+      .filter(col("tf") > 0)
+      .select("query_id", "term", "doc_id", "dl", "tf")
+    val dfreq = tf.groupBy("term").agg(
+      countDistinct("doc_id").as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      // decimal literals type differently across engines (DuckDB
+      // DECIMAL vs Spark double promotion), so both formulas are
+      // cleared to INTEGER rationals first: idf's argument
+      // (N−df+0.5)/(df+0.5)+1 == (2N+2)/(2df+1), and tfn's
+      // denominator tf + 1.2·(1 − 0.75 + 0.75·dl·N/Σdl) scaled by
+      // 10Σdl == 10·Σdl·tf + 3·Σdl + 9·dl·N. One double division of
+      // exact integers each — bit-identical in both engines.
+      .withColumn("idf_u", expr(
+        "cast(round(ln(cast(2 * (n_docs + 1) as double) / (2 * df + 1))" +
+          " * 1000000) as bigint)"))
+      .withColumn("tfn_u", expr(
+        "cast(round(cast(22 * tf as double) * sum_dl * 1000000 /" +
+          " (10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs))" +
+          " as bigint)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("idf_u") * col("tfn_u")).as("bm25_u"))
+      .groupBy("query_id")
+      .agg(topkUdaf(5)(col("bm25_u").cast("double"), col("doc_id")).as("tk"))
+    explodeTopK(scored, Seq("query_id"), "doc_id", "score")
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score").cast("bigint").as("bm25_u"))
+      .orderBy("query_id", "rank")
+  }
+
+  val bm25TopKSql: String = {
+    val qvals = bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+      |  FROM (VALUES $qvals) AS t(query_id, term)),
+      |toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |    x -> x <> '') AS toks FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM toks
+      |       WHERE len(toks) > 0),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      |          FROM dl),
+      |tf AS (
+      |  SELECT q.query_id, q.term, d.doc_id, d.dl,
+      |    CAST(len(list_filter(d.toks, x -> x = q.term)) AS BIGINT) AS tf
+      |  FROM dl d, q),
+      |dfreq AS (
+      |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM tf WHERE tf > 0 GROUP BY term),
+      |scored AS (
+      |  SELECT t.query_id, t.doc_id,
+      |    CAST(sum(
+      |      CAST(round(ln(CAST(2 * (s.n_docs + 1) AS DOUBLE)
+      |        / (2 * f.df + 1)) * 1000000) AS BIGINT) *
+      |      CAST(round(CAST(22 * t.tf AS DOUBLE) * s.sum_dl * 1000000
+      |        / (10 * s.sum_dl * t.tf + 3 * s.sum_dl + 9 * t.dl
+      |           * s.n_docs)) AS BIGINT)
+      |    ) AS BIGINT) AS bm25_u
+      |  FROM tf t JOIN dfreq f ON f.term = t.term, stats s
+      |  WHERE t.tf > 0
+      |  GROUP BY t.query_id, t.doc_id),
+      |ranked AS (
+      |  SELECT query_id, doc_id, bm25_u, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY bm25_u DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, doc_id, bm25_u FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // -------------------------------------------- s86 hybrid RRF fusion
+
+  /** s86: HYBRID retrieval — reciprocal-rank fusion (k=60) of a dense
+    * and a lexical ranking for each query document (doc_id < 10): the
+    * dense list is the exact cosine top-10 over the embedding column
+    * (the s60 shape), the lexical list the word-3-gram Jaccard top-10
+    * over the shingle inverted index (the d51 machinery pointed at a
+    * query set) — the dense+sparse fusion every production retrieval
+    * stack serves ("more like this" with both semantic and keyword
+    * evidence). RRF is RANK-based, so the fusion is integer-EXACT:
+    * each list contributes ⌊10⁶/(60+rank)⌋ and the Jaccard ordering
+    * itself uses the exact rational inter·10⁶ div union.
+    *
+    * Scale shape: dense = one corpus scan against broadcast queries
+    * with a bounded-heap top-10; lexical = the 10 query docs' shingles
+    * BROADCAST through the corpus shingle scan (the corpus never
+    * shuffles to be ranked), intersections counted per (q, c), sizes
+    * joined, bounded-heap top-10; fusion then touches ≤ 20 rows per
+    * query — a full-outer merge plus one more tiny heap. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10).toDF("q_id", "qv")
+    val dense = e.toDF("c_id", "cv")
+      .join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cosine", round(
+        dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
+      .groupBy("q_id").agg(topkUdaf(10)(col("cosine"), col("c_id")).as("tk"))
+    val denseR = explodeTopK(dense, Seq("q_id"), "c_id", "cosine")
+      .select(col("q_id"), col("c_id"), col("rank").as("rank_d"))
+    val sh = graft.ext.DedupOps.shingleRows(s, d)
+      .select(col("doc_id"), graft.ext.TextOps.md5Long(col("shingle")).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val qsh = sh.filter(col("doc_id") < 10).toDF("q_id", "qsh")
+    val inter = sh.toDF("c_id", "csh")
+      .join(broadcast(qsh),
+        col("csh") === col("qsh") && col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id").agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(broadcast(sizes.toDF("q_id", "sa")), "q_id")
+      .join(sizes.toDF("c_id", "sb"), "c_id")
+      .withColumn("jac_u", expr("inter * 1000000 div (sa + sb - inter)"))
+    val lexR = explodeTopK(
+      jac.groupBy("q_id")
+        .agg(topkUdaf(10)(col("jac_u").cast("double"), col("c_id")).as("tk")),
+      Seq("q_id"), "c_id", "jscore")
+      .select(col("q_id"), col("c_id"), col("rank").as("rank_l"))
+    val fused = denseR.join(lexR, Seq("q_id", "c_id"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(expr("1000000 div (60 + rank_d)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_l)"), lit(0L)))
+    explodeTopK(
+      fused.groupBy("q_id")
+        .agg(topkUdaf(5)(col("rrf_u").cast("double"), col("c_id")).as("tk")),
+      Seq("q_id"), "c_id", "score")
+      .select(col("q_id").as("query_id"), col("rank"),
+        col("c_id").as("doc_id"), col("score").cast("bigint").as("rrf_u"))
+      .orderBy("query_id", "rank")
+  }
+
+  val hybridRrfSql: String = {
+    val cosine = cosineSqlSnippet.replace("QV", "q.v").replace("CV", "c.v")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |dcand AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    round($cosine, 6) AS cosine
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |drk AS (
+      |  SELECT q_id, c_id, rank_d FROM (
+      |    SELECT q_id, c_id, row_number() OVER (
+      |      PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank_d
+      |    FROM dcand) WHERE rank_d <= 10),
+      |shs AS (${graft.ext.DedupOps.shingleRowsSql}),
+      |sh AS (SELECT doc_id,
+      |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh FROM shs),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS q_id, b.doc_id AS c_id, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < 10
+      |    AND b.doc_id <> a.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT i.q_id, i.c_id,
+      |    i.inter * 1000000 // (sa.n + sb.n - i.inter) AS jac_u
+      |  FROM inter i JOIN sizes sa ON sa.doc_id = i.q_id
+      |    JOIN sizes sb ON sb.doc_id = i.c_id),
+      |lrk AS (
+      |  SELECT q_id, c_id, rank_l FROM (
+      |    SELECT q_id, c_id, row_number() OVER (
+      |      PARTITION BY q_id ORDER BY jac_u DESC, c_id) AS rank_l
+      |    FROM jac) WHERE rank_l <= 10),
+      |fused AS (
+      |  SELECT coalesce(d.q_id, l.q_id) AS q_id,
+      |    coalesce(d.c_id, l.c_id) AS c_id,
+      |    coalesce(1000000 // (60 + d.rank_d), 0) +
+      |    coalesce(1000000 // (60 + l.rank_l), 0) AS rrf_u
+      |  FROM drk d FULL OUTER JOIN lrk l
+      |    ON l.q_id = d.q_id AND l.c_id = d.c_id),
+      |rk AS (
+      |  SELECT q_id, c_id, rrf_u, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY rrf_u DESC, c_id) AS rank
+      |  FROM fused)
+      |SELECT q_id AS query_id, rank, c_id AS doc_id,
+      |  CAST(rrf_u AS BIGINT) AS rrf_u
+      |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s60_knn_brute"     -> knnBrute _,
     "s84_knn_graph"     -> knnGraph _,
+    "s85_bm25_topk"     -> bm25TopK _,
+    "s86_hybrid_rrf"    -> hybridRrf _,
     "s82_filtered_knn"  -> filteredKnn _,
     "s61_ivf_knn"       -> ivfKnn _,
     "s62_signlsh"       -> signLshBuckets _,
@@ -1532,6 +1750,8 @@ object SimilarityOps {
   val oracleSql: Map[String, String] = Map(
     "s60_knn_brute"     -> knnBruteSql,
     "s84_knn_graph"     -> knnGraphSql,
+    "s85_bm25_topk"     -> bm25TopKSql,
+    "s86_hybrid_rrf"    -> hybridRrfSql,
     "s82_filtered_knn"  -> filteredKnnSql,
     "s61_ivf_knn"       -> ivfKnnSql,
     "s62_signlsh"       -> signLshBucketsSql,

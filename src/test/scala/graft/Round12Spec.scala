@@ -175,4 +175,92 @@ class Round12Spec extends AnyFunSuite with SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble - cos) < 1e-9)
     }
   }
+
+  test("s85 bm25 scores replay exactly from the raw corpus") {
+    val rows = graft.ext.SimilarityOps.bm25TopK(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.length == 20) // 4 queries x top-5
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[ \t\n\f\r]+")
+          .filter(_.nonEmpty).toSeq)
+      .filter(_._2.nonEmpty).toMap
+    val n = toks.size.toLong
+    val sumDl = toks.values.map(_.length.toLong).sum
+    val queries = Map(0L -> Seq("spark", "query"), 1L -> Seq("filter",
+      "join"), 2L -> Seq("hash", "table"), 3L -> Seq("stream", "window"))
+    val dfOf = queries.values.flatten.map(t =>
+      t -> toks.values.count(_.contains(t)).toLong).toMap
+    def bm25(q: Long, doc: Long): Long = {
+      val dl = toks(doc).length.toLong
+      queries(q).map { t =>
+        val tf = toks(doc).count(_ == t).toLong
+        if (tf == 0) 0L
+        else {
+          val idfU = math.round(
+            math.log(2.0 * (n + 1) / (2 * dfOf(t) + 1)) * 1000000)
+          val tfnU = math.round(22.0 * tf * sumDl * 1000000 /
+            (10 * sumDl * tf + 3 * sumDl + 9 * dl * n))
+          idfU * tfnU
+        }
+      }.sum
+    }
+    rows.foreach { case (q, _, doc, scoreU) =>
+      assert(scoreU == bm25(q, doc), s"query $q doc $doc")
+    }
+    // ranks strictly follow (score desc, doc_id asc) within each query
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toList == (1L to g.length).toList)
+      val key = byRank.map(r => (-r._4, r._3)).toList
+      assert(key == key.sorted)
+    }
+  }
+
+  test("s86 hybrid rrf fuses independently recomputed dense and lexical ranks") {
+    val rows = graft.ext.SimilarityOps.hybridRrf(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val vecs = Tables.embeddings(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dt = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dt / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val shOf = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val t = r.getString(1).toLowerCase.split("[ \t\n\f\r]+")
+          .filter(_.nonEmpty).toSeq
+        r.getLong(0) -> t.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    val expected = (0L until 10L).flatMap { q =>
+      val dense = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(10).map(_._1)
+      val lex = shOf.keys.filter(_ != q).toSeq
+        .map { c =>
+          val inter = (shOf(q) & shOf(c)).size.toLong
+          (c, if (inter == 0) -1L else
+            inter * 1000000 / (shOf(q).size + shOf(c).size - inter))
+        }
+        .filter(_._2 >= 0)
+        .sortBy { case (c, s) => (-s, c) }.take(10).map(_._1)
+      val cands = (dense ++ lex).distinct
+      cands.map { c =>
+        val rd = dense.indexOf(c); val rl = lex.indexOf(c)
+        val score = (if (rd >= 0) 1000000L / (60 + rd + 1) else 0L) +
+          (if (rl >= 0) 1000000L / (60 + rl + 1) else 0L)
+        (q, c, score)
+      }.sortBy { case (_, c, s) => (-s, c) }.take(5).zipWithIndex
+        .map { case ((qq, c, s), i) => (qq, i + 1L, c, s) }
+    }
+    assert(rows.sortBy(r => (r._1, r._2)).toList == expected.toList)
+  }
 }
