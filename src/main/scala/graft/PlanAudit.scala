@@ -36,7 +36,8 @@ object PlanAudit {
       "s81_ivfpq_incr", "g102_cc_dataframe",
       "t63_title_ner",
       "d61_semantic_dedup", "s82_filtered_knn", "t64_sequence_packing",
-      "t65_chunk_overlap", "m77_shard_manifest", "v74_drift_report")
+      "t65_chunk_overlap", "m77_shard_manifest", "v74_drift_report",
+      "t66_bpe_pairs", "s84_knn_graph", "s85_bm25_topk", "s86_hybrid_rrf")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)
