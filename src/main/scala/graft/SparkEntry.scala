@@ -105,7 +105,11 @@ object SparkEntry {
         // source drained through the exactly-once parquet file sink —
         // shares t65's oracle (batch/stream parity on the RAG-prep tier)
         "e107_stream_chunking" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamChunkOverlap(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamChunkOverlap(s, d)),
+        // streaming twin of s85: frozen-index BM25 scoring over a
+        // document stream, top-5 at read time — shares s85's oracle
+        "e108_stream_bm25" ->
+          ((s: SparkSession, d: String) => StreamingOps.streamBm25(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -132,5 +136,6 @@ object SparkEntry {
         "e104_restart_dedup_activity" -> StreamingOps.streamDedupActivitySql,
         "e105_restart_closed_sessions" -> StreamingOps.streamClosedSessionsSql,
         "e106_restart_user_census" -> StreamingOps.streamUserCensusSql,
-        "e107_stream_chunking" -> TextOps.chunkOverlapSql)
+        "e107_stream_chunking" -> TextOps.chunkOverlapSql,
+        "e108_stream_bm25" -> graft.ext.SimilarityOps.bm25TopKSql)
 }

@@ -1538,45 +1538,140 @@ object SimilarityOps {
     * and the per-query top-5 via the bounded-heap aggregate — the
     * corpus never shuffles wide and nothing sorts corpus-wide. At
     * 100 TB the df/stats tables are the classic tiny index sidecars. */
-  def bm25TopK(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val q = bm25Queries.toDF("query_id", "term")
-    val dl = graft.Tables.documents(s, d)
+  /** (doc_id, toks, dl) of non-empty documents — the per-document half
+    * of the BM25 pipeline, applicable to a batch OR a streaming frame
+    * with (doc_id, text). */
+  private[graft] def bm25DocLens(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), graft.ext.TextOps.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("bigint"))
       .filter(col("dl") > 0)
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val tf = dl.crossJoin(broadcast(q))
+
+  /** Per-(query, term, doc) micro-unit score contributions of `dl`
+    * rows against broadcast (q, dfreq, stats) sidecars — STATELESS
+    * (no aggregation), so the same stage scores a document stream in
+    * append mode against a frozen index (e108). */
+  private[graft] def bm25Contrib(dl: DataFrame, q: DataFrame,
+      dfreq: DataFrame, stats: DataFrame): DataFrame =
+    dl.crossJoin(broadcast(q))
       .withColumn("tf",
         size(filter(col("toks"), x => x === col("term"))).cast("bigint"))
       .filter(col("tf") > 0)
-      .select("query_id", "term", "doc_id", "dl", "tf")
-    val dfreq = tf.groupBy("term").agg(
-      countDistinct("doc_id").as("df"))
-    val scored = tf.join(broadcast(dfreq), "term")
+      .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
-      // decimal literals type differently across engines (DuckDB
-      // DECIMAL vs Spark double promotion), so both formulas are
-      // cleared to INTEGER rationals first: idf's argument
-      // (N−df+0.5)/(df+0.5)+1 == (2N+2)/(2df+1), and tfn's
-      // denominator tf + 1.2·(1 − 0.75 + 0.75·dl·N/Σdl) scaled by
-      // 10Σdl == 10·Σdl·tf + 3·Σdl + 9·dl·N. One double division of
-      // exact integers each — bit-identical in both engines.
-      .withColumn("idf_u", expr(
+      .transform(bm25Score)
+
+  /** Micro-unit BM25 scoring of a joined (query_id, term, doc_id, dl,
+    * tf, df, n_docs, sum_dl) frame — shared by the inline pipeline
+    * (s85/e108) and artifact serving (s87). Decimal literals type
+    * differently across engines (DuckDB DECIMAL vs Spark double
+    * promotion), so both formulas are cleared to INTEGER rationals
+    * first: idf's argument (N−df+0.5)/(df+0.5)+1 == (2N+2)/(2df+1),
+    * and tfn's denominator tf + 1.2·(1 − 0.75 + 0.75·dl·N/Σdl) scaled
+    * by 10Σdl == 10·Σdl·tf + 3·Σdl + 9·dl·N. One double division of
+    * exact integers each — bit-identical in both engines. */
+  private def bm25Score(j: DataFrame): DataFrame =
+    j.withColumn("idf_u", expr(
         "cast(round(ln(cast(2 * (n_docs + 1) as double) / (2 * df + 1))" +
           " * 1000000) as bigint)"))
       .withColumn("tfn_u", expr(
         "cast(round(cast(22 * tf as double) * sum_dl * 1000000 /" +
           " (10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs))" +
           " as bigint)"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("idf_u") * col("tfn_u")).as("bm25_u"))
+      .select(col("query_id"), col("term"), col("doc_id"),
+        (col("idf_u") * col("tfn_u")).as("contrib_u"))
+
+  /** Per-query top-5 from a (query_id, doc_id, contrib_u) contribution
+    * log — the read-time epilogue shared by s85, its streaming twin
+    * (e108) and the artifact-served variant (s87). */
+  private[graft] def bm25Finish(contrib: DataFrame): DataFrame = {
+    val scored = contrib
+      .groupBy("query_id", "doc_id").agg(sum("contrib_u").as("bm25_u"))
       .groupBy("query_id")
       .agg(topkUdaf(5)(col("bm25_u").cast("double"), col("doc_id")).as("tk"))
     explodeTopK(scored, Seq("query_id"), "doc_id", "score")
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score").cast("bigint").as("bm25_u"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The (q, dfreq, stats) index sidecars for a corpus — tiny frames a
+    * serving tier broadcasts (s85 inline; e108 frozen against a
+    * stream; s87 persisted to parquet). */
+  private[graft] def bm25Sidecars(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val q = bm25Queries.toDF("query_id", "term")
+    val dl = bm25DocLens(graft.Tables.documents(s, d))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val dfreq = dl.crossJoin(broadcast(q.select("term").distinct()))
+      .withColumn("tf",
+        size(filter(col("toks"), x => x === col("term"))).cast("bigint"))
+      .filter(col("tf") > 0)
+      .groupBy("term").agg(countDistinct("doc_id").as("df"))
+    (q, dfreq, stats)
+  }
+
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val (q, dfreq, stats) = bm25Sidecars(s, d)
+    bm25Finish(bm25Contrib(bm25DocLens(graft.Tables.documents(s, d)),
+      q, dfreq, stats).select("query_id", "doc_id", "contrib_u"))
+  }
+
+  // ------------------------------------------ s87 served BM25 index
+
+  /** Write the full inverted index as a 3-table parquet artifact:
+    * postings (term, doc_id, tf, dl) over the ENTIRE vocabulary, the
+    * per-term document frequencies, and the 1-row corpus stats. The
+    * "build once" half of a search deployment — everything serving
+    * needs, raw text excluded by design. */
+  def saveBm25Index(s: SparkSession, d: String, out: String): Unit = {
+    val dl = bm25DocLens(graft.Tables.documents(s, d))
+    val postings = dl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    postings.write.mode("overwrite").parquet(s"$out/postings")
+    postings.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .write.mode("overwrite").parquet(s"$out/dfreq")
+    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$out/stats")
+  }
+
+  /** s87: s85's BM25 retrieval served entirely from the RELOADED
+    * parquet artifact — the text column is never touched at serve
+    * time: the query terms prune the postings scan via a pushed
+    * `In(term, …)` filter (at 100 TB: partition pruning on a
+    * term-partitioned index — only the probed posting lists are
+    * read, the search-engine read path), df/stats broadcast as tiny
+    * sidecars, and scoring + top-5 reuse the s85 stages unchanged.
+    * Shares s85's oracle — proving the index round trip preserves
+    * ranking bit-for-bit (the s80 pattern applied to the SPARSE
+    * tier, completing the hybrid stack's build-once/serve-many
+    * story). */
+  def bm25Served(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|bm25"
+    val idx = indexBuildLock.synchronized {
+      Option(savedIndexDirs.get(key)).getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory("graft-bm25-index")
+        saveBm25Index(s, d, dir.toString)
+        savedIndexDirs.put(key, dir.toString)
+        dir.toString
+      }
+    }
+    val terms = bm25Queries.map(_._2).distinct
+    val q = bm25Queries.toDF("query_id", "term")
+    val post = s.read.parquet(s"$idx/postings")
+      .filter(col("term").isin(terms: _*))
+    val dfreq = s.read.parquet(s"$idx/dfreq")
+      .filter(col("term").isin(terms: _*))
+    val stats = s.read.parquet(s"$idx/stats")
+    bm25Finish(post
+      .join(broadcast(q), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .transform(bm25Score)
+      .select("query_id", "doc_id", "contrib_u"))
   }
 
   val bm25TopKSql: String = {
@@ -1729,6 +1824,7 @@ object SimilarityOps {
     "s84_knn_graph"     -> knnGraph _,
     "s85_bm25_topk"     -> bm25TopK _,
     "s86_hybrid_rrf"    -> hybridRrf _,
+    "s87_bm25_served"   -> bm25Served _,
     "s82_filtered_knn"  -> filteredKnn _,
     "s61_ivf_knn"       -> ivfKnn _,
     "s62_signlsh"       -> signLshBuckets _,
@@ -1752,6 +1848,7 @@ object SimilarityOps {
     "s84_knn_graph"     -> knnGraphSql,
     "s85_bm25_topk"     -> bm25TopKSql,
     "s86_hybrid_rrf"    -> hybridRrfSql,
+    "s87_bm25_served"   -> bm25TopKSql,
     "s82_filtered_knn"  -> filteredKnnSql,
     "s61_ivf_knn"       -> ivfKnnSql,
     "s62_signlsh"       -> signLshBucketsSql,

@@ -980,6 +980,43 @@ object StreamingOps {
     }.orderBy("doc_id", "chunk_idx")
   }
 
+  /** e108: s85's BM25 retrieval with the SCORING stage run as a
+    * STREAM against a FROZEN index — the serving split of a search
+    * deployment: the term/df/corpus-stats sidecars are built batch-side
+    * and pinned as literal frames (8 + 8 + 1 rows, a bounded collect),
+    * then the document stream flows through the stateless
+    * per-(query, term, doc) contribution stage
+    * ([[graft.ext.SimilarityOps.bm25Contrib]] — broadcast joins only,
+    * no aggregation, append-mode legal) into the exactly-once file
+    * sink; the per-query top-5 is the shared read-time epilogue (the
+    * e92 argmax-at-read-time precedent). Shares s85's oracle —
+    * batch/stream parity on the sparse-retrieval tier. At scale this
+    * scores late-arriving documents against a published index at
+    * source throughput with constant memory. */
+  def streamBm25(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val (q, dfreq, stats) = graft.ext.SimilarityOps.bm25Sidecars(spark, d)
+    // pin the sidecars as literal frames so micro-batches don't
+    // recompute them (bounded: |query vocab| + 1 rows)
+    val dfreqL = dfreq.as[(String, Long)].collect().toSeq.toDF("term", "df")
+    val statsL = stats.as[(Long, Long)].collect().toSeq
+      .toDF("n_docs", "sum_dl")
+    val contribLog = drainToFileSink(spark, "e108", nIn) {
+      graft.ext.SimilarityOps.bm25Contrib(
+        graft.ext.SimilarityOps.bm25DocLens(
+          spark.readStream
+            .schema(documentsSchema)
+            .parquet(stageDir)),
+        q, dfreqL, statsL)
+    }
+    graft.ext.SimilarityOps.bm25Finish(
+      contribLog.select("query_id", "doc_id", "contrib_u"))
+  }
+
   /** Streaming maildir ingest: binaryFile stream → parse → per-batch
     * merge into the store (foreachBatch = the reference's per-task
     * upsert loop collapsed into idempotent batch merges). Returns the

@@ -263,4 +263,13 @@ class Round12Spec extends AnyFunSuite with SparkSpec {
     }
     assert(rows.sortBy(r => (r._1, r._2)).toList == expected.toList)
   }
+
+  test("s87 artifact serving and e108 stream scoring match inline s85 frames") {
+    val inline = graft.ext.SimilarityOps.bm25TopK(spark, d).collect().toList
+    val served = graft.ext.SimilarityOps.bm25Served(spark, d).collect().toList
+    assert(served == inline, "artifact round trip must preserve ranking")
+    val streamed = graft.streaming.StreamingOps.streamBm25(spark, d)
+      .collect().toList
+    assert(streamed == inline, "frozen-index stream scoring must match batch")
+  }
 }
