@@ -47,7 +47,18 @@ object ScaleBench {
     "m77_shard_manifest" -> "docs",
     "v74_drift_report" -> "docs",
     "d61_semantic_dedup" -> "emb",
-    "s82_filtered_knn" -> "emb")
+    "s82_filtered_knn" -> "emb",
+    // retrieval-stack tier: t66/s85/s87 scan documents (vol ×10 per
+    // decade); s84 scans embeddings (×4). s86 scans BOTH (dense side
+    // embeddings ×4, lexical side documents ×10) — attributed to the
+    // COMBINED scanned-row growth (Σ rows at B / Σ rows at A), the
+    // only denominator that is neither flattering (docs alone) nor
+    // punitive (emb alone) for a mixed-input operator.
+    "t66_bpe_pairs" -> "docs",
+    "s84_knn_graph" -> "emb",
+    "s85_bm25_topk" -> "docs",
+    "s86_hybrid_rrf" -> "docs_emb",
+    "s87_bm25_served" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -56,8 +67,13 @@ object ScaleBench {
     graft.query.FixtureCorpus.clear()
   }
 
-  /** (cache line items, query line items) for one volume. */
-  private def measure(spark: SparkSession, dir: String)
+  /** (cache line items, query line items) for one volume. `only`
+    * (dev): restrict to named line items — cuts the add-one-operator
+    * rehearsal loop from the full ~30-item suite to the new entries;
+    * the partial result is MERGED into SCALE_DETAIL.json (see main)
+    * so a subset run can never clobber the full record. */
+  private def measure(spark: SparkSession, dir: String,
+      only: Option[Set[String]])
       : (Seq[(String, Double)], Seq[(String, Double)]) = {
     clearAll()
     // MIN of 3 clear-and-rebuild cycles per warm — the Bench warm
@@ -78,33 +94,51 @@ object ScaleBench {
       }
       best
     }
-    val caches = Seq(
-      "cache_dedup_frames" -> minOf3(
+    // (name, clear, build) — built lazily so a subset run skips the
+    // unselected builds entirely, not just their reporting
+    val cacheDefs: Seq[(String, () => Unit, () => Unit)] = Seq(
+      ("cache_dedup_frames",
         () => graft.ext.DedupOps.clearCaches(),
         () => graft.ext.DedupOps.warm(spark, dir)),
-      "cache_kmeans_model" -> minOf3(
+      ("cache_kmeans_model",
         () => graft.ext.SimilarityOps.clearCaches(),
         () => graft.ext.SimilarityOps.warm(spark, dir)),
-      "cache_graph_edges" -> minOf3(
+      ("cache_graph_edges",
         () => graft.graph.GraphOps.clearCaches(),
         () => graft.graph.GraphOps.warm(spark, dir)),
       // the s81 incremental-index build: base-4/5 training + O(batch)
       // absorb — its exponent vs embedding growth is the update-path
       // scale claim (serving is the s80 line item)
-      "cache_s81_incr_index" -> minOf3(
+      ("cache_s81_incr_index",
         () => graft.ext.SimilarityOps.clearSavedIndexes("|incr"),
         () => {
-          graft.ext.SimilarityOps.ivfPqIncremental(spark, dir).count(); () }))
-    val queries = Heavy.map { case (name, _) =>
-      name -> Bench.median3(
-        () => { SparkEntry.queries(name)(spark, dir).count(); () })
-    }
+          graft.ext.SimilarityOps.ivfPqIncremental(spark, dir).count(); () }),
+      // the s87 inverted-index build (one corpus scan → postings/df/
+      // stats artifact): its exponent vs docs growth is the index
+      // BUILD-path scale claim (serving is the s87 query line item,
+      // which runs against the artifact this warm leaves behind)
+      ("cache_s87_bm25_index",
+        () => graft.ext.SimilarityOps.clearSavedIndexes("|bm25"),
+        () => {
+          graft.ext.SimilarityOps.bm25Served(spark, dir).count(); () }))
+    val caches = cacheDefs
+      .filter { case (name, _, _) => only.forall(_.contains(name)) }
+      .map { case (name, clear, build) => name -> minOf3(clear, build) }
+    val queries = Heavy
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, _) =>
+        name -> Bench.median3(
+          () => { SparkEntry.queries(name)(spark, dir).count(); () })
+      }
     (caches, queries)
   }
 
   def main(args: Array[String]): Unit = {
     val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dirB = args.lift(1).getOrElse("/tmp/graft-sf1")
+    // optional 3rd arg (dev): comma-separated line-item names — run
+    // only those and MERGE into the existing SCALE_DETAIL.json
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val spark = Sessions.local()
     // input-volume ratios (so each time ratio is read against the
     // growth of the table it actually scans — embeddings grow ×4 per
@@ -115,7 +149,11 @@ object ScaleBench {
       "docs" -> rows(dirB, "documents").toDouble / rows(dirA, "documents"),
       "lineitem" -> rows(dirB, "lineitem").toDouble / rows(dirA, "lineitem"),
       "emb" -> rows(dirB, "embeddings").toDouble / rows(dirA, "embeddings"),
-      "events" -> rows(dirB, "events").toDouble / rows(dirA, "events"))
+      "events" -> rows(dirB, "events").toDouble / rows(dirA, "events"),
+      // combined growth for mixed-input operators (s86 scans both)
+      "docs_emb" ->
+        (rows(dirB, "documents") + rows(dirB, "embeddings")).toDouble /
+          (rows(dirA, "documents") + rows(dirA, "embeddings")))
     // JIT pre-warm (untimed): compile the heavy code paths at sf0.001
     val jit = "/root/testdata/sf0.001"
     try {
@@ -123,14 +161,15 @@ object ScaleBench {
       graft.ext.SimilarityOps.warm(spark, jit)
       graft.graph.GraphOps.warm(spark, jit)
       graft.ext.SimilarityOps.ivfPqIncremental(spark, jit).count()
-      Heavy.foreach { case (n, _) =>
-        SparkEntry.queries(n)(spark, jit).count() }
+      Heavy.filter { case (n, _) => only.forall(_.contains(n)) }
+        .foreach { case (n, _) =>
+          SparkEntry.queries(n)(spark, jit).count() }
     } catch { case e: Throwable =>
       System.err.println(s"[scale] JIT pre-warm failed (non-fatal): $e") }
     clearAll()
 
-    val (cachesA, queriesA) = measure(spark, dirA)
-    val (cachesB, queriesB) = measure(spark, dirB)
+    val (cachesA, queriesA) = measure(spark, dirA, only)
+    val (cachesB, queriesB) = measure(spark, dirB, only)
     clearAll()
 
     def fmt(v: Double): String =
@@ -140,7 +179,8 @@ object ScaleBench {
         "cache_dedup_frames" -> vol("docs"),
         "cache_kmeans_model" -> vol("emb"),
         "cache_graph_edges" -> vol("lineitem"),
-        "cache_s81_incr_index" -> vol("emb"))
+        "cache_s81_incr_index" -> vol("emb"),
+        "cache_s87_bm25_index" -> vol("docs"))
     val aMap = (cachesA ++ queriesA).toMap
     val items = (cachesB ++ queriesB).map { case (name, tB) =>
       val tA = aMap.getOrElse(name, -1.0)
@@ -151,7 +191,28 @@ object ScaleBench {
     }
     val volJson = vol.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
-    val line = s"""{"scale":"ratio_rehearsal","dirA":"$dirA","dirB":"$dirB","volumes":$volJson,"items":{${items.mkString(",")}}}"""
+    // subset runs merge into the existing record: re-serialize the
+    // prior items that were NOT re-measured, so a targeted new-operator
+    // probe can never clobber the full rehearsal file
+    val priorItems: Seq[String] = if (only.isEmpty) Seq.empty else {
+      try {
+        val p = java.nio.file.Paths.get("SCALE_DETAIL.json")
+        if (!java.nio.file.Files.exists(p)) Seq.empty
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(java.nio.file.Files.readString(p))
+          val its = root.get("items")
+          if (its == null) Seq.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            val measured = (cachesB ++ queriesB).map(_._1).toSet
+            its.fieldNames().asScala.filterNot(measured)
+              .map(n => s""""$n":${its.get(n).toString}""").toSeq
+          }
+        }
+      } catch { case _: Throwable => Seq.empty }
+    }
+    val line = s"""{"scale":"ratio_rehearsal","dirA":"$dirA","dirB":"$dirB","volumes":$volJson,"items":{${(priorItems ++ items).mkString(",")}}}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALE_DETAIL.json"),
