@@ -221,7 +221,18 @@ object Bench {
       ("cache_s80_index",
         () => { graft.ext.SimilarityOps.ivfPqKnnServed(spark, sfDir)
           .count(); () },
-        () => graft.ext.SimilarityOps.clearSavedIndexes(sfDir)))
+        () => graft.ext.SimilarityOps.clearSavedIndexes(sfDir)),
+      // the sparse-tier artifact builds: s87's one-shot inverted index
+      // and s88's base-build + append-absorb (both leave the artifact
+      // their query line items serve from)
+      ("cache_s87_bm25_index",
+        () => { graft.ext.SimilarityOps.bm25Served(spark, sfDir)
+          .count(); () },
+        () => graft.ext.SimilarityOps.clearSavedIndexes("|bm25")),
+      ("cache_s88_bm25_incr",
+        () => { graft.ext.SimilarityOps.bm25Incremental(spark, sfDir)
+          .count(); () },
+        () => graft.ext.SimilarityOps.clearSavedIndexes("|bm25incr")))
     val rerun = scala.collection.mutable.ArrayBuffer[String]()
     // MIN-of-3 for every warm (round-9 lesson: cache_dedup_frames
     // recorded 6.07 s and 11.85 s across two runs both self-reporting

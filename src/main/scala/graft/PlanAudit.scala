@@ -38,7 +38,7 @@ object PlanAudit {
       "d61_semantic_dedup", "s82_filtered_knn", "t64_sequence_packing",
       "t65_chunk_overlap", "m77_shard_manifest", "v74_drift_report",
       "t66_bpe_pairs", "s84_knn_graph", "s85_bm25_topk", "s86_hybrid_rrf",
-      "s87_bm25_served")
+      "s87_bm25_served", "s88_bm25_incr")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)

@@ -58,7 +58,8 @@ object ScaleBench {
     "s84_knn_graph" -> "emb",
     "s85_bm25_topk" -> "docs",
     "s86_hybrid_rrf" -> "docs_emb",
-    "s87_bm25_served" -> "docs")
+    "s87_bm25_served" -> "docs",
+    "s88_bm25_incr" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

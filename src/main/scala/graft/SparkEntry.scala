@@ -109,7 +109,12 @@ object SparkEntry {
         // streaming twin of s85: frozen-index BM25 scoring over a
         // document stream, top-5 at read time — shares s85's oracle
         "e108_stream_bm25" ->
-          ((s: SparkSession, d: String) => StreamingOps.streamBm25(s, d)))
+          ((s: SparkSession, d: String) => StreamingOps.streamBm25(s, d)),
+        // streaming twin of d58: new-crawl docs dedup-gated against the
+        // frozen corpus inverted index — shares d58's oracle
+        "e109_stream_incr_dedup" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamIncrementalDedup(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -137,5 +142,6 @@ object SparkEntry {
         "e105_restart_closed_sessions" -> StreamingOps.streamClosedSessionsSql,
         "e106_restart_user_census" -> StreamingOps.streamUserCensusSql,
         "e107_stream_chunking" -> TextOps.chunkOverlapSql,
-        "e108_stream_bm25" -> graft.ext.SimilarityOps.bm25TopKSql)
+        "e108_stream_bm25" -> graft.ext.SimilarityOps.bm25TopKSql,
+        "e109_stream_incr_dedup" -> DedupOps.incrementalDedupSql)
 }

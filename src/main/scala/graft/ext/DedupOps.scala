@@ -142,13 +142,34 @@ object DedupOps {
   /** The capped representation of an arbitrary (doc_id, sh) frame. The
     * hot set is tiny by construction → broadcast anti-join, no extra
     * shuffle of the postings. */
-  private[graft] def dfCapped(sh: DataFrame, cap: Int = dfCap): DataFrame = {
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select("sh")
+  private[graft] def dfCapped(sh: DataFrame, cap: Int = dfCap): DataFrame =
     // the USING join moves `sh` first — restore (doc_id, sh) because the
     // callers rename positionally via toDF
-    sh.join(broadcast(hot), Seq("sh"), "left_anti").select("doc_id", "sh")
-  }
+    sh.join(broadcast(hotSet(sh, cap)), Seq("sh"), "left_anti")
+      .select("doc_id", "sh")
+
+  /** The over-cap ("hot") shingle set of a (doc_id, sh) frame — tiny
+    * by construction. Exposed separately so e109 can FREEZE the full
+    * corpus's hot set batch-side and anti-join a document stream
+    * against it (the capped representation of the stream side must
+    * match the batch twin's, which caps against the whole corpus). */
+  private[graft] def hotSet(sh: DataFrame, cap: Int = dfCap): DataFrame =
+    sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("sh")
+
+  /** Corpus-frozen hot set for the streaming twin (see [[hotSet]]). */
+  private[graft] def frozenHotShingles(s: SparkSession, d: String): DataFrame =
+    hotSet(hashedShingles(s, d))
+
+  /** The (doc_id, sh) hashed-shingle transform of an arbitrary frame
+    * with (doc_id, text) — stateless column expressions only, so it
+    * applies unchanged to a STREAMING frame (e109). */
+  private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(col("toks")))).as("shingle"))
+      .select(col("doc_id"), md5Long(col("shingle")).as("sh"))
 
   // ------------------------------------------------------ d50 exact
 
@@ -777,11 +798,21 @@ object DedupOps {
     val sh = dfCappedShingles(s, d)
     val newSh = sh.filter(col("doc_id") % 7 === 3).toDF("n_id", "sh")
     val corpSh = sh.filter(col("doc_id") % 7 =!= 3).toDF("c_id", "sh")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = corpSh.join(broadcast(newSh), "sh")
       .groupBy("n_id", "c_id").agg(count(lit(1)).as("inter"))
-    // `inter` is bounded by the new batch's candidate fan-out — broadcast
-    // it against the per-doc size frame (big at scale) on both joins
+    incrDedupFinish(s, d, inter)
+  }
+
+  /** Scoring epilogue shared by d58 and its streaming twin (e109):
+    * an (n_id, c_id, inter) intersection-count frame → Jaccard →
+    * best corpus match per new doc → a verdict row for EVERY
+    * new-batch document. `inter` is bounded by the new batch's
+    * candidate fan-out — broadcast it against the per-doc size frame
+    * (big at scale) on both joins. */
+  private[graft] def incrDedupFinish(s: SparkSession, d: String,
+      inter: DataFrame): DataFrame = {
+    val sizes = dfCappedShingles(s, d)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val scored = broadcast(inter)
       .join(sizes.toDF("n_id", "nn"), "n_id")
       .join(sizes.toDF("c_id", "nc"), "c_id")

@@ -1674,6 +1674,73 @@ object SimilarityOps {
       .select("query_id", "doc_id", "contrib_u"))
   }
 
+  // ------------------------------------ s88 incremental BM25 index
+
+  /** Append-absorb one document batch into a BM25 index artifact:
+    * the batch's postings rows APPEND to `postings/`, and the batch's
+    * OWN df/stats rows append to `dfreq/` and `stats/` — nothing on
+    * disk is ever rewritten. Document frequencies and corpus stats
+    * are additive across disjoint doc sets, so serve time re-derives
+    * the exact sidecars by summing the (one row per term per batch /
+    * one row per batch) deltas. Update cost is O(batch) postings +
+    * O(batch vocab) sidecar rows; building the base index IS the
+    * first batch. */
+  private[graft] def appendBm25Batch(docs: DataFrame, out: String): Unit = {
+    val dl = bm25DocLens(docs)
+    val postings = dl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    postings.write.mode("append").parquet(s"$out/postings")
+    postings.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .write.mode("append").parquet(s"$out/dfreq")
+    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .write.mode("append").parquet(s"$out/stats")
+  }
+
+  /** s88: INCREMENTAL maintenance of the sparse index — the BM25
+    * twin of s81. The artifact is built from the BASE 4/5 of the
+    * corpus (the "already deployed" index), then the remaining batch
+    * is absorbed by [[appendBm25Batch]]: postings and sidecar DELTA
+    * rows parquet-APPEND, the base files are never touched, so the
+    * update is O(batch) like a search engine's segment write.
+    * Serving reuses the s87 read path with one addition: the term
+    * and corpus sidecars are summed across their per-batch delta
+    * rows (exact — df and Σdl are additive over disjoint doc sets).
+    * Shares s85's full-corpus oracle: the absorbed index must rank
+    * bit-identically to an index built from scratch on the union. */
+  def bm25Incremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key =
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|bm25incr"
+    val idx = indexBuildLock.synchronized {
+      Option(savedIndexDirs.get(key)).getOrElse {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bm25-incr").toString
+        val docs = graft.Tables.documents(s, d)
+        val b = docs.count() * 4 / 5
+        appendBm25Batch(docs.filter(col("doc_id") < b), dir)
+        appendBm25Batch(docs.filter(col("doc_id") >= b), dir)
+        savedIndexDirs.put(key, dir)
+        dir
+      }
+    }
+    val terms = bm25Queries.map(_._2).distinct
+    val q = bm25Queries.toDF("query_id", "term")
+    val post = s.read.parquet(s"$idx/postings")
+      .filter(col("term").isin(terms: _*))
+    val dfreq = s.read.parquet(s"$idx/dfreq")
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+    val stats = s.read.parquet(s"$idx/stats")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+    bm25Finish(post
+      .join(broadcast(q), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .transform(bm25Score)
+      .select("query_id", "doc_id", "contrib_u"))
+  }
+
   val bm25TopKSql: String = {
     val qvals = bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
@@ -1825,6 +1892,7 @@ object SimilarityOps {
     "s85_bm25_topk"     -> bm25TopK _,
     "s86_hybrid_rrf"    -> hybridRrf _,
     "s87_bm25_served"   -> bm25Served _,
+    "s88_bm25_incr"     -> bm25Incremental _,
     "s82_filtered_knn"  -> filteredKnn _,
     "s61_ivf_knn"       -> ivfKnn _,
     "s62_signlsh"       -> signLshBuckets _,
@@ -1849,6 +1917,7 @@ object SimilarityOps {
     "s85_bm25_topk"     -> bm25TopKSql,
     "s86_hybrid_rrf"    -> hybridRrfSql,
     "s87_bm25_served"   -> bm25TopKSql,
+    "s88_bm25_incr"     -> bm25TopKSql,
     "s82_filtered_knn"  -> filteredKnnSql,
     "s61_ivf_knn"       -> ivfKnnSql,
     "s62_signlsh"       -> signLshBucketsSql,

@@ -1017,6 +1017,46 @@ object StreamingOps {
       contribLog.select("query_id", "doc_id", "contrib_u"))
   }
 
+  /** e109: d58's STREAMING twin — the incremental-dedup absorb run
+    * against a live document feed: the corpus's capped inverted index
+    * (postings + the frozen over-cap hot-shingle set) is built
+    * batch-side, then the stream's new-crawl docs (doc_id % 7 == 3,
+    * filtered IN the stream — a feed carries everything) flow through
+    * the stateless shingle explode → anti-join the broadcast hot set
+    * (the stream side's capped representation must match the batch
+    * twin's, which caps against the whole corpus) → stream-static
+    * equi-join with the corpus postings, and each (new doc, corpus
+    * doc) shingle match lands as one row in the exactly-once file
+    * sink. The Jaccard scoring, best-match argmax and verdict rows
+    * are d58's read-time epilogue, so the drained log hash-checks
+    * against d58's oracle. At scale: per-batch join work tracks the
+    * BATCH's candidate fan-out, never corpus size — the streaming
+    * form of d58's O(batch) absorb contract (and of a crawler's
+    * continuous-ingest dedup gate). */
+  def streamIncrementalDedup(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val corpSh = graft.ext.DedupOps.dfCappedShingles(spark, d)
+      .filter(col("doc_id") % 7 =!= 3).toDF("c_id", "sh")
+    val hot = graft.ext.DedupOps.frozenHotShingles(spark, d)
+    val matchLog = drainToFileSink(spark, "e109", nIn) {
+      graft.ext.DedupOps.hashedShinglesOf(
+        spark.readStream
+          .schema(documentsSchema)
+          .parquet(stageDir)
+          .filter(col("doc_id") % 7 === 3))
+        .join(broadcast(hot), Seq("sh"), "left_anti")
+        // the USING join moves `sh` first — restore before renaming
+        .select(col("doc_id").as("n_id"), col("sh"))
+        .join(corpSh, "sh")
+        .select("n_id", "c_id")
+    }
+    graft.ext.DedupOps.incrDedupFinish(spark, d,
+      matchLog.groupBy("n_id", "c_id").agg(count(lit(1)).as("inter")))
+  }
+
   /** Streaming maildir ingest: binaryFile stream → parse → per-batch
     * merge into the store (foreachBatch = the reference's per-task
     * upsert loop collapsed into idempotent batch merges). Returns the

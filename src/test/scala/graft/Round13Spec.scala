@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 operators: incremental BM25 index maintenance (s88).
+  * The oracle gate proves the absorbed index ranks identically to a
+  * from-scratch build; these tests pin the invariants the hash can't
+  * express — that the absorb step really is append-only (the base
+  * files survive untouched), and that the delta-sidecar aggregation
+  * reconstructs the exact full-corpus statistics. */
+class Round13Spec extends AnyFunSuite with SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("s88 incremental serve == s85 from-scratch ranking, frame-equal") {
+    val incr = graft.ext.SimilarityOps.bm25Incremental(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val scratch = graft.ext.SimilarityOps.bm25TopK(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(incr == scratch)
+  }
+
+  test("s88 absorb appends: base artifact files survive byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-s88-spec").toString
+    val mk = (ids: Seq[Long]) =>
+      ids.map(i => (i, s"alpha beta gamma tok$i")).toDF("doc_id", "text")
+    graft.ext.SimilarityOps.appendBm25Batch(mk(0L to 7L), dir)
+    def census(sub: String): Map[String, Long] = {
+      val base = new java.io.File(s"$dir/$sub")
+      base.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    val before =
+      Seq("postings", "dfreq", "stats").map(s => s -> census(s)).toMap
+    graft.ext.SimilarityOps.appendBm25Batch(mk(8L to 9L), dir)
+    Seq("postings", "dfreq", "stats").foreach { sub =>
+      val after = census(sub)
+      before(sub).foreach { case (name, len) =>
+        assert(after.get(name).contains(len),
+          s"$sub/$name was rewritten or removed by the absorb")
+      }
+      assert(after.size > before(sub).size,
+        s"$sub gained no files — absorb did not append")
+    }
+    // delta-sidecar aggregation reconstructs full-corpus statistics
+    val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum("n_docs"), sum("sum_dl")).head()
+    assert(stats.getLong(0) == 10L)
+    assert(stats.getLong(1) == 40L) // 10 docs x 4 tokens
+    val df = spark.read.parquet(s"$dir/dfreq")
+      .groupBy("term").agg(sum("df").as("df"))
+      .filter(col("term") === "alpha").head().getLong(1)
+    assert(df == 10L, "df deltas must sum to the full-corpus df")
+  }
+}
