@@ -368,6 +368,7 @@ object Bench {
     graft.ext.SimilarityOps.clearCaches()
     graft.graph.GraphOps.clearCaches()
     graft.query.FixtureCorpus.clear()
+    graft.ingest.Validation.clearJsonl()
     spark.stop()
   }
 }

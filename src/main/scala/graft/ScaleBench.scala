@@ -59,7 +59,14 @@ object ScaleBench {
     "s85_bm25_topk" -> "docs",
     "s86_hybrid_rrf" -> "docs_emb",
     "s87_bm25_served" -> "docs",
-    "s88_bm25_incr" -> "docs")
+    "s88_bm25_incr" -> "docs",
+    // t67's per-shard row_number is the operator's scale question
+    // (the window must stay block-bounded, not corpus-global); v75
+    // re-reads the staged JSONL corpus (scan-bound); v76's full-outer
+    // diff carries only (doc_id, fp) through its shuffle
+    "t67_epoch_shuffle" -> "docs",
+    "v75_jsonl_ingest" -> "docs",
+    "v76_version_diff" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

@@ -114,7 +114,12 @@ object SparkEntry {
         // frozen corpus inverted index — shares d58's oracle
         "e109_stream_incr_dedup" ->
           ((s: SparkSession, d: String) =>
-            StreamingOps.streamIncrementalDedup(s, d)))
+            StreamingOps.streamIncrementalDedup(s, d)),
+        // streaming twin of v75: JSONL quarantine ingest on a text
+        // stream (from_json null = quarantine) — shares v75's oracle
+        "e110_stream_jsonl" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamJsonlQuarantine(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -143,5 +148,6 @@ object SparkEntry {
         "e106_restart_user_census" -> StreamingOps.streamUserCensusSql,
         "e107_stream_chunking" -> TextOps.chunkOverlapSql,
         "e108_stream_bm25" -> graft.ext.SimilarityOps.bm25TopKSql,
-        "e109_stream_incr_dedup" -> DedupOps.incrementalDedupSql)
+        "e109_stream_incr_dedup" -> DedupOps.incrementalDedupSql,
+        "e110_stream_jsonl" -> Validation.jsonlIngestSql)
 }

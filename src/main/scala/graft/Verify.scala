@@ -42,6 +42,7 @@ object Verify {
     graft.ext.SimilarityOps.clearCaches()
     graft.graph.GraphOps.clearCaches()
     graft.query.FixtureCorpus.clear()
+    graft.ingest.Validation.clearJsonl()
     spark.stop()
   }
 }

@@ -979,6 +979,49 @@ object TextOps {
       |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ
       |FROM pairs GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin
 
+  // ------------------------------------------------ t67 epoch shuffle
+
+  /** t67: deterministic EPOCH-SHUFFLE manifest — the training-order
+    * step between packing (t64) and the loader: every document gets a
+    * seed-reproducible pseudo-random position inside a hash-assigned
+    * loader shard (shard = md5("shard|"+id) mod 8, order key =
+    * md5("epoch7|"+id) — re-keying the seed string reshuffles every
+    * epoch without touching the data). The per-shard `row_number`
+    * sorts INSIDE a bounded block: #shards is chosen so one shard
+    * fits a loader worker (m77's byte-budget discipline applied to
+    * ordering), so this is never a corpus-global sort — at 100 TB
+    * each shard block sorts independently in parallel, and the
+    * manifest is the only output (the corpus itself never moves).
+    * Reference analogue: the sorted deterministic walk
+    * (ingest_enron.py:165-175) — same reproducibility contract,
+    * randomized order. */
+  def epochShuffle(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents(s, d)
+      .select(col("doc_id"),
+        (md5Long(concat(lit("shard|"), col("doc_id").cast("string")))
+          % 8).as("shard"),
+        md5(concat(lit("epoch7|"), col("doc_id").cast("string")))
+          .as("okey"))
+      .withColumn("position", row_number()
+        .over(Window.partitionBy("shard").orderBy("okey", "doc_id"))
+        .cast("bigint"))
+      .select("doc_id", "shard", "position")
+      .orderBy("shard", "position")
+  }
+
+  val epochShuffleSql: String =
+    """SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard
+      |    ORDER BY okey, doc_id) AS BIGINT) AS position
+      |FROM (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('shard|' || doc_id), 1, 15))::BIGINT % 8
+      |      AS shard,
+      |    md5('epoch7|' || doc_id) AS okey
+      |  FROM documents)
+      |ORDER BY shard, position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -1000,6 +1043,7 @@ object TextOps {
     "t64_sequence_packing" -> sequencePacking _,
     "t65_chunk_overlap"   -> chunkOverlap _,
     "t66_bpe_pairs"       -> bpePairs _,
+    "t67_epoch_shuffle"   -> epochShuffle _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1023,5 +1067,6 @@ object TextOps {
     "t64_sequence_packing" -> sequencePackingSql,
     "t65_chunk_overlap"   -> chunkOverlapSql,
     "t66_bpe_pairs"       -> bpePairsSql,
+    "t67_epoch_shuffle"   -> epochShuffleSql,
   )
 }

@@ -257,12 +257,155 @@ object Validation {
       |    * 1000000 // (g_chars * 100 // g_docs) AS mean_dev_ppm
       |FROM per, corpus ORDER BY split""".stripMargin
 
+  // ------------------------------------------------- v75 JSONL ingest
+
+  private val jsonlDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop the staged JSONL corpora (bench/verify epilogue). */
+  def clearJsonl(): Unit = {
+    jsonlDirs.values.forEach { dir =>
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(new java.io.File(dir))
+    }
+    jsonlDirs.clear()
+  }
+
+  /** v75: JSONL corpus ingest with corrupt-record QUARANTINE — the
+    * standard LLM-corpus interchange format read the production way:
+    * an explicit schema (never inferSchema — a second full scan at
+    * 100 TB), PERMISSIVE mode with `_corrupt_record`, so malformed
+    * lines land in quarantine instead of failing the job (the D5
+    * per-file error-isolation contract applied to a line-oriented
+    * source). The staged corpus is the documents table written as
+    * JSONL plus 3 deterministic malformed lines; the census must
+    * show every valid row parsed losslessly (per-source doc/char
+    * counts match the parquet truth) and exactly the 3 bad lines
+    * quarantined. */
+  /** The staged JSONL corpus dir for (session, sfdir) — documents as
+    * JSONL plus 3 deterministic malformed lines. Shared by v75 and
+    * its streaming twin (e110). */
+  private[graft] def stagedJsonl(s: SparkSession, d: String): String = {
+    val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d"
+    Option(jsonlDirs.get(key)).getOrElse {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-jsonl").toString
+      graft.Tables.documents(s, d)
+        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(out)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "part-corrupt.txt"),
+        "{\"doc_id\": oops\nnot json at all\n[1, 2\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      jsonlDirs.put(key, out)
+      out
+    }
+  }
+
+  /** The JSONL document schema (the explicit-schema contract both
+    * readers share; the batch path appends `_corrupt_record`). */
+  private[graft] val jsonlSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType)))
+
+  def jsonlIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = stagedJsonl(s, d)
+    val schema = org.apache.spark.sql.types.StructType(
+      jsonlSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .withColumn("src", when(col("_corrupt_record").isNotNull,
+        lit("_corrupt")).otherwise(col("source")))
+      .groupBy("src").agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum("n_chars"), lit(0L)).as("sum_chars"))
+      .select(col("src").as("source"), col("n_docs"), col("sum_chars"))
+      .orderBy("source")
+  }
+
+  val jsonlIngestSql: String =
+    """SELECT source, n_docs, sum_chars FROM (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY source
+      |  UNION ALL
+      |  SELECT '_corrupt', CAST(3 AS BIGINT), CAST(0 AS BIGINT))
+      |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------ v76 version diff
+
+  /** v76: corpus VERSION-DIFF audit — the snapshot-to-snapshot change
+    * census a data-versioning layer reports before a retrain: docs
+    * added, removed, content-changed, and unchanged between corpus
+    * v1 (everything but the %7==3 "new crawl", the d58/e109
+    * convention) and v2 (new crawl absorbed, %13==1 docs deleted,
+    * %11==5 docs revised). Both versions are deterministic
+    * projections of the documents table, so the twin replays them
+    * exactly. Scale shape: content hashes computed IN the scan, the
+    * full-outer join carries only (doc_id, fp) — document text never
+    * shuffles — and the output is a 4-row census. */
+  def versionDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val v1 = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("fp1"))
+    val v2 = docs.filter(col("doc_id") % 13 =!= 1)
+      .select(col("doc_id"), md5(when(col("doc_id") % 11 === 5,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") === col("fp2"), "unchanged")
+          .otherwise("changed"))
+      .groupBy("status").agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("status")
+  }
+
+  val versionDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, md5(text) AS fp1 FROM documents
+      |  WHERE doc_id % 7 <> 3),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 11 = 5 THEN text || ' [rev2]'
+      |        ELSE text END) AS fp2
+      |  FROM documents WHERE doc_id % 13 <> 1)
+      |SELECT CASE WHEN fp1 IS NULL THEN 'added'
+      |            WHEN fp2 IS NULL THEN 'removed'
+      |            WHEN fp1 = fp2 THEN 'unchanged'
+      |            ELSE 'changed' END AS status,
+      |  count(*) AS n_docs,
+      |  min(COALESCE(v1.doc_id, v2.doc_id)) AS min_doc_id,
+      |  max(COALESCE(v1.doc_id, v2.doc_id)) AS max_doc_id
+      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v70_validation" -> validationSummary _,
     "v71_ref_integrity" -> refIntegrity _,
     "v72_column_profile" -> columnProfile _,
     "v73_embedding_audit" -> embeddingAudit _,
     "v74_drift_report" -> driftReport _,
+    "v75_jsonl_ingest" -> jsonlIngest _,
+    "v76_version_diff" -> versionDiff _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -271,5 +414,7 @@ object Validation {
     "v72_column_profile" -> columnProfileSql,
     "v73_embedding_audit" -> embeddingAuditSql,
     "v74_drift_report" -> driftReportSql,
+    "v75_jsonl_ingest" -> jsonlIngestSql,
+    "v76_version_diff" -> versionDiffSql,
   )
 }

@@ -1057,6 +1057,40 @@ object StreamingOps {
       matchLog.groupBy("n_id", "c_id").agg(count(lit(1)).as("inter")))
   }
 
+  /** e110: v75's STREAMING twin — JSONL quarantine ingest on a live
+    * feed (the Kafka-consumer shape of corpus intake): the staged
+    * JSONL corpus (documents + 3 planted malformed lines) arrives as
+    * a text STREAM, each line is parsed against the explicit shared
+    * schema with `from_json` (null struct / null key = quarantine —
+    * the stream-side spelling of PERMISSIVE's `_corrupt_record`),
+    * and the stateless (source, n_chars) classification rows land in
+    * the exactly-once file sink; the per-source census is the
+    * read-time epilogue. Shares v75's oracle — batch/stream parity
+    * on the quarantine contract itself: both paths must classify
+    * exactly the same 3 lines corrupt and parse every valid row
+    * losslessly. At scale: pure per-line map at source throughput,
+    * constant memory, bad records never kill the stream (D5's
+    * error-isolation contract on an unbounded source). */
+  def streamJsonlQuarantine(spark: SparkSession, d: String): DataFrame = {
+    val dir = graft.ingest.Validation.stagedJsonl(spark, d)
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val log = drainToFileSink(spark, "e110", nIn) {
+      spark.readStream.text(dir)
+        .select(from_json(col("value"),
+          graft.ingest.Validation.jsonlSchema).as("j"))
+        .select(
+          when(col("j").isNull || col("j.doc_id").isNull, lit("_corrupt"))
+            .otherwise(col("j.source")).as("src"),
+          coalesce(col("j.n_chars"), lit(0L)).as("n_chars"))
+    }
+    log.groupBy("src").agg(
+        count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .select(col("src").as("source"), col("n_docs"), col("sum_chars"))
+      .orderBy("source")
+  }
+
   /** Streaming maildir ingest: binaryFile stream → parse → per-batch
     * merge into the store (foreachBatch = the reference's per-task
     * upsert loop collapsed into idempotent batch merges). Returns the

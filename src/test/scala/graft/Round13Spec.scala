@@ -55,4 +55,31 @@ class Round13Spec extends AnyFunSuite with SparkSpec {
       .filter(col("term") === "alpha").head().getLong(1)
     assert(df == 10L, "df deltas must sum to the full-corpus df")
   }
+
+  test("t67 shuffle: every doc placed once, positions contiguous per shard") {
+    val rows = graft.ext.TextOps.epochShuffle(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.Tables.documents(spark, d).count()
+    assert(rows.map(_._1).distinct.length.toLong == n,
+      "each document must appear exactly once")
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val pos = rs.map(_._3).sorted
+      assert(pos.head == 1L && pos.last == pos.length.toLong &&
+        pos.distinct.length == pos.length,
+        s"shard $shard positions must be contiguous 1..n")
+    }
+  }
+
+  test("v75 quarantine: exactly the 3 planted bad lines, parse lossless") {
+    val census = graft.ingest.Validation.jsonlIngest(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(census("_corrupt") == ((3L, 0L)))
+    val truth = graft.Tables.documents(spark, d)
+      .groupBy("source").agg(count(lit(1)), sum("n_chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(census.removed("_corrupt") == truth,
+      "valid JSONL rows must reproduce the parquet census exactly")
+  }
 }
