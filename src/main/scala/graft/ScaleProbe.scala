@@ -25,3 +25,20 @@ object ScaleProbe {
     spark.stop()
   }
 }
+
+/** Exact candidate-volume probe for the s84 band self-join at each
+  * given dir — the measured denominator behind SCALE.md's
+  * time-per-candidate reading for the kNN-graph tier. */
+object CandidateProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.isEmpty)
+      Seq("/root/testdata/sf0.1", "/tmp/graft-sf1") else args.toSeq
+    val spark = Sessions.local()
+    dirs.foreach { d =>
+      val c = graft.ext.SimilarityOps.knnGraphCandidates(spark, d)
+      println(s"[probe] s84_candidates dir=$d pairs=$c")
+    }
+    graft.ext.SimilarityOps.clearCaches()
+    spark.stop()
+  }
+}
