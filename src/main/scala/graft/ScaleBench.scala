@@ -66,7 +66,12 @@ object ScaleBench {
     // diff carries only (doc_id, fp) through its shuffle
     "t67_epoch_shuffle" -> "docs",
     "v75_jsonl_ingest" -> "docs",
-    "v76_version_diff" -> "docs")
+    "v76_version_diff" -> "docs",
+    // s89's brute truth is sample × corpus: sample grows with the
+    // corpus (vec_id % 20), so pair volume is n²/20 — the eval is
+    // the one deliberately corpus-quadratic item (run on a FIXED
+    // sample size in production); its exponent documents that choice
+    "s89_knn_graph_recall" -> "emb")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
