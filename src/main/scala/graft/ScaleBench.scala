@@ -71,7 +71,11 @@ object ScaleBench {
     // corpus (vec_id % 20), so pair volume is n²/20 — the eval is
     // the one deliberately corpus-quadratic item (run on a FIXED
     // sample size in production); its exponent documents that choice
-    "s89_knn_graph_recall" -> "emb")
+    "s89_knn_graph_recall" -> "emb",
+    // s90's pair space is n²/K per balanced cell (quadratic with K
+    // fixed — at scale K grows with the corpus, the IVF knob); its
+    // measured exponent documents the fixed-K behavior honestly
+    "s90_ivf_knn_graph" -> "emb")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

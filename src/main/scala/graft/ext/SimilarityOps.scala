@@ -1548,7 +1548,15 @@ object SimilarityOps {
     * such corpora a production graph build needs more/wider bands or
     * multi-probe (the s65 lesson) — and an eval like this one is how
     * the deployment discovers it BEFORE shipping the graph. */
-  def knnGraphRecall(s: SparkSession, d: String): DataFrame = {
+  def knnGraphRecall(s: SparkSession, d: String): DataFrame =
+    graphRecall(s, d, knnGraph(s, d))
+
+  /** Sampled recall@3 of any (vec_id, nbr_id) graph frame against the
+    * exact top-3 — shared by s89 (LSH-band graph) and s91 (IVF-blocked
+    * graph), so the two candidate-generation strategies are scored by
+    * the IDENTICAL eval. */
+  private def graphRecall(s: SparkSession, d: String,
+      g: DataFrame): DataFrame = {
     val e = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val sample = e.filter(col("vec_id") % 20 === 0)
@@ -1563,11 +1571,11 @@ object SimilarityOps {
         .agg(topkUdaf(3)(col("cosine"), col("vec_id")).as("tk")),
       Seq("s_id"), "nbr", "tcos")
       .select(col("s_id"), col("nbr"))
-    val graph = knnGraph(s, d)
+    val hits = g
       .filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("s_id"), col("nbr_id").as("nbr"),
         lit(1L).as("hit"))
-    truth.join(graph, Seq("s_id", "nbr"), "left")
+    truth.join(hits, Seq("s_id", "nbr"), "left")
       .groupBy("s_id")
       .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
         .as("recall_at_3"))
@@ -1575,9 +1583,9 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
-  val knnGraphRecallSql: String = {
+  private def graphRecallSql(graphSql: String): String = {
     val cosine = cosineSqlSnippet.replace("QV", "s.sv").replace("CV", "e2.v")
-    val graph = knnGraphSql.replaceAll("ORDER BY vec_id, rank$", "")
+    val graph = graphSql.replaceAll("ORDER BY vec_id, rank$", "")
     s"""WITH g AS (
       |  SELECT vec_id AS a_id, nbr_id AS b_id FROM ($graph)),
       |e2 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
@@ -1597,6 +1605,59 @@ object SimilarityOps {
       |FROM t3 LEFT JOIN g ON g.a_id = t3.s_id AND g.b_id = t3.nbr
       |GROUP BY 1 ORDER BY vec_id""".stripMargin
   }
+
+  val knnGraphRecallSql: String = graphRecallSql(knnGraphSql)
+
+  // ------------------------------------------ s90 IVF-blocked kNN graph
+
+  /** s90: the kNN graph rebuilt on the TRAINED coarse quantizer's
+    * cells instead of LSH bands — s89's measured ≈0.013 recall
+    * diagnosed the band structure as near-useless on this weakly-
+    * clustered corpus, and this is the fix the d61/SemDeDup blocking
+    * already uses: exact cosine among CELL-mates (pair space n²/K per
+    * balanced cell, the k-means partition adapting to the data where
+    * fixed random hyperplanes cannot). Same output contract as s84;
+    * s91 scores it with the identical sampled eval. At 100 TB the
+    * cell-size cap is d54/d61's sub-split guard plus the K knob —
+    * and the model is the SAME cached quantizer the IVF serving and
+    * semantic-dedup tiers already train (one model, three tiers). */
+  def ivfKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val a = kmAssignedFull(s, d)
+    val x = a.select(col("cid"), col("vec_id").as("a_id"), col("v").as("av"))
+    val y = a.select(col("cid"), col("vec_id").as("b_id"), col("v").as("bv"))
+    val scored = x.join(y, Seq("cid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cosine", round(
+        dot(col("av"), col("bv")) / (norm(col("av")) * norm(col("bv"))),
+        6))
+      .groupBy("a_id").agg(topkUdaf(3)(col("cosine"), col("b_id")).as("tk"))
+    explodeTopK(scored, Seq("a_id"), "nbr_id", "cosine")
+      .select(col("a_id").as("vec_id"), col("rank"), col("nbr_id"),
+        col("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val ivfKnnGraphSql: String = {
+    val cos = cosineSqlSnippet.replace("QV", "a.v").replace("CV", "b.v")
+    s"""$kmSqlPrefix,
+      |scored AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    round($cos, 6) AS cosine
+      |  FROM aF a JOIN aF b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT a_id, b_id, cosine, row_number() OVER (
+      |    PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rank
+      |  FROM scored)
+      |SELECT a_id AS vec_id, rank, b_id AS nbr_id, cosine
+      |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
+  /** s91: s90's recall eval — same sampled brute truth as s89, so the
+    * LSH-band and IVF-blocked graphs are scored head-to-head. */
+  def ivfKnnGraphRecall(s: SparkSession, d: String): DataFrame =
+    graphRecall(s, d, ivfKnnGraph(s, d))
+
+  val ivfKnnGraphRecallSql: String = graphRecallSql(ivfKnnGraphSql)
 
   // ------------------------------------------------- s85 BM25 top-k
 
@@ -1984,6 +2045,8 @@ object SimilarityOps {
     "s87_bm25_served"   -> bm25Served _,
     "s88_bm25_incr"     -> bm25Incremental _,
     "s89_knn_graph_recall" -> knnGraphRecall _,
+    "s90_ivf_knn_graph" -> ivfKnnGraph _,
+    "s91_ivf_graph_recall" -> ivfKnnGraphRecall _,
     "s82_filtered_knn"  -> filteredKnn _,
     "s61_ivf_knn"       -> ivfKnn _,
     "s62_signlsh"       -> signLshBuckets _,
@@ -2010,6 +2073,8 @@ object SimilarityOps {
     "s87_bm25_served"   -> bm25TopKSql,
     "s88_bm25_incr"     -> bm25TopKSql,
     "s89_knn_graph_recall" -> knnGraphRecallSql,
+    "s90_ivf_knn_graph" -> ivfKnnGraphSql,
+    "s91_ivf_graph_recall" -> ivfKnnGraphRecallSql,
     "s82_filtered_knn"  -> filteredKnnSql,
     "s61_ivf_knn"       -> ivfKnnSql,
     "s62_signlsh"       -> signLshBucketsSql,
