@@ -1622,10 +1622,26 @@ object SimilarityOps {
     * and the model is the SAME cached quantizer the IVF serving and
     * semantic-dedup tiers already train (one model, three tiers). */
   def ivfKnnGraph(s: SparkSession, d: String): DataFrame = {
+    // d54/d61's block-size guard: a skewed giant cell would blow the
+    // n²/K pair space, so oversized cells sub-split by vec_id hash
+    // before the self-join (pair count stays ~n·maxBlock). Neighbors
+    // across sub-blocks of the same cell are lost — at scale that is
+    // a measured recall trade (like every blocking choice in this
+    // tier), and on balanced cells (every fixture SF: bn << maxBlock,
+    // nsub = 1) the output is bit-identical to the unguarded join,
+    // which is what keeps the oracle exact.
     val a = kmAssignedFull(s, d)
-    val x = a.select(col("cid"), col("vec_id").as("a_id"), col("v").as("av"))
-    val y = a.select(col("cid"), col("vec_id").as("b_id"), col("v").as("bv"))
-    val scored = x.join(y, Seq("cid"))
+    val sizes = a.groupBy("cid").agg(count(lit(1)).as("bn"))
+    val ab = a.join(broadcast(sizes), "cid")
+      .withColumn("nsub", greatest(
+        ceil(col("bn") / graft.ext.DedupOps.maxBlock).cast("long"),
+        lit(1L)))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("nsub")))
+    val x = ab.select(col("cid"), col("sub"),
+      col("vec_id").as("a_id"), col("v").as("av"))
+    val y = ab.select(col("cid"), col("sub"),
+      col("vec_id").as("b_id"), col("v").as("bv"))
+    val scored = x.join(y, Seq("cid", "sub"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cosine", round(
         dot(col("av"), col("bv")) / (norm(col("av")) * norm(col("bv"))),

@@ -70,6 +70,19 @@ class Round13Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("s90/s91: IVF blocking beats the LSH bands under the same eval") {
+    import spark.implicits._
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg("recall_at_3")).head().getDouble(0)
+    val lsh = mean(graft.ext.SimilarityOps.knnGraphRecall(spark, d))
+    val ivf = mean(graft.ext.SimilarityOps.ivfKnnGraphRecall(spark, d))
+    assert(ivf > lsh,
+      s"the IVF-blocked graph ($ivf) must out-recall the band graph ($lsh)")
+    // full coverage: every vector receives a complete neighbor list
+    val n = graft.Tables.embeddings(spark, d).count()
+    assert(graft.ext.SimilarityOps.ivfKnnGraph(spark, d).count() == 3 * n)
+  }
+
   test("v75 quarantine: exactly the 3 planted bad lines, parse lossless") {
     val census = graft.ingest.Validation.jsonlIngest(spark, d)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
