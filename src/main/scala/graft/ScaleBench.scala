@@ -75,7 +75,8 @@ object ScaleBench {
     // s90's pair space is n²/K per balanced cell (quadratic with K
     // fixed — at scale K grows with the corpus, the IVF knob); its
     // measured exponent documents the fixed-K behavior honestly
-    "s90_ivf_knn_graph" -> "emb")
+    "s90_ivf_knn_graph" -> "emb",
+    "s92_multiprobe_graph" -> "emb")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

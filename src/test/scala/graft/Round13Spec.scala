@@ -76,8 +76,11 @@ class Round13Spec extends AnyFunSuite with SparkSpec {
       df.agg(avg("recall_at_3")).head().getDouble(0)
     val lsh = mean(graft.ext.SimilarityOps.knnGraphRecall(spark, d))
     val ivf = mean(graft.ext.SimilarityOps.ivfKnnGraphRecall(spark, d))
+    val mp = mean(graft.ext.SimilarityOps.multiprobeKnnGraphRecall(spark, d))
     assert(ivf > lsh,
       s"the IVF-blocked graph ($ivf) must out-recall the band graph ($lsh)")
+    assert(mp > ivf,
+      s"multi-probe ($mp) must out-recall single-probe ($ivf)")
     // full coverage: every vector receives a complete neighbor list
     val n = graft.Tables.embeddings(spark, d).count()
     assert(graft.ext.SimilarityOps.ivfKnnGraph(spark, d).count() == 3 * n)
