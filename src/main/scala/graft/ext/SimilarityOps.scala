@@ -1621,28 +1621,32 @@ object SimilarityOps {
     * cell-size cap is d54/d61's sub-split guard plus the K knob —
     * and the model is the SAME cached quantizer the IVF serving and
     * semantic-dedup tiers already train (one model, three tiers). */
-  def ivfKnnGraph(s: SparkSession, d: String): DataFrame = {
-    // d54/d61's block-size guard: a skewed giant cell would blow the
-    // n²/K pair space, so oversized cells sub-split by vec_id hash
-    // before the self-join (pair count stays ~n·maxBlock). Neighbors
-    // across sub-blocks of the same cell are lost — at scale that is
-    // a measured recall trade (like every blocking choice in this
-    // tier), and on balanced cells (every fixture SF: bn << maxBlock,
-    // nsub = 1) the output is bit-identical to the unguarded join,
-    // which is what keeps the oracle exact.
-    val a = kmAssignedFull(s, d)
+  /** The GUARDED within-cell pair frame of a (cid, vec_id, v)
+    * assignment — d54/d61's block-size guard: a skewed giant cell
+    * would blow the n²/K pair space, so oversized cells sub-split by
+    * vec_id hash before the self-join (pair count stays ~n·cap).
+    * Neighbors across sub-blocks of the same cell are lost — at
+    * scale that is a measured recall trade (like every blocking
+    * choice in this tier), and on balanced cells (every fixture SF:
+    * bn << cap, nsub = 1) the output is bit-identical to the
+    * unguarded join, which is what keeps the oracle exact. `cap`
+    * exposed for the spec (the d54 `embeddingPairsFrom` precedent). */
+  private[graft] def cellPairs(a: DataFrame, cap: Long): DataFrame = {
     val sizes = a.groupBy("cid").agg(count(lit(1)).as("bn"))
     val ab = a.join(broadcast(sizes), "cid")
-      .withColumn("nsub", greatest(
-        ceil(col("bn") / graft.ext.DedupOps.maxBlock).cast("long"),
+      .withColumn("nsub", greatest(ceil(col("bn") / cap).cast("long"),
         lit(1L)))
       .withColumn("sub", pmod(xxhash64(col("vec_id")), col("nsub")))
     val x = ab.select(col("cid"), col("sub"),
       col("vec_id").as("a_id"), col("v").as("av"))
     val y = ab.select(col("cid"), col("sub"),
       col("vec_id").as("b_id"), col("v").as("bv"))
-    val scored = x.join(y, Seq("cid", "sub"))
-      .filter(col("a_id") =!= col("b_id"))
+    x.join(y, Seq("cid", "sub")).filter(col("a_id") =!= col("b_id"))
+  }
+
+  def ivfKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val a = kmAssignedFull(s, d).select(col("cid"), col("vec_id"), col("v"))
+    val scored = cellPairs(a, graft.ext.DedupOps.maxBlock)
       .withColumn("cosine", round(
         dot(col("av"), col("bv")) / (norm(col("av")) * norm(col("bv"))),
         6))

@@ -86,6 +86,27 @@ class Round13Spec extends AnyFunSuite with SparkSpec {
     assert(graft.ext.SimilarityOps.ivfKnnGraph(spark, d).count() == 3 * n)
   }
 
+  test("s90 guard: a giant cell sub-splits, pairs stay ~n*cap") {
+    import spark.implicits._
+    // one cell of 90 vectors: unguarded pairs = 90*89 = 8010; cap=10
+    // forces nsub=9, bounding pairs near n*cap while every vector
+    // keeps neighbors from its own sub-block
+    val a = (0L until 90L).map(i => (7L, i, Seq(i.toDouble, 1.0)))
+      .toDF("cid", "vec_id", "v")
+    val unguarded = graft.ext.SimilarityOps.cellPairs(a, 1024L).count()
+    assert(unguarded == 90L * 89L)
+    val split = graft.ext.SimilarityOps.cellPairs(a, 10L)
+    val n = split.count()
+    assert(n < unguarded / 4,
+      s"sub-split must cut the pair space (got $n of $unguarded)")
+    // every vector still appears on the a-side (its sub-block is
+    // non-singleton with overwhelming probability at 90/9=10 per sub;
+    // assert the weaker but deterministic-enough full-coverage bound)
+    val covered = split.select("a_id").distinct().count()
+    assert(covered >= 85,
+      s"sub-split must keep near-full coverage (covered $covered/90)")
+  }
+
   test("v75 quarantine: exactly the 3 planted bad lines, parse lossless") {
     val census = graft.ingest.Validation.jsonlIngest(spark, d)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
