@@ -76,7 +76,8 @@ object ScaleBench {
     // fixed — at scale K grows with the corpus, the IVF knob); its
     // measured exponent documents the fixed-K behavior honestly
     "s90_ivf_knn_graph" -> "emb",
-    "s92_multiprobe_graph" -> "emb")
+    "s92_multiprobe_graph" -> "emb",
+    "t68_passage_decontam" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

@@ -984,16 +984,22 @@ object DedupOps {
   def passageDedup(s: SparkSession, d: String): DataFrame =
     passageDedupOf(documents(s, d))
 
-  /** The d59 pass over an arbitrary (doc_id, text) frame — exposed so
-    * property tests can drive it with adversarial token streams. */
-  private[graft] def passageDedupOf(docs: DataFrame): DataFrame = {
-    val p = docs
+  /** The (doc_id, ph) 10-token passage-hash frame of a (doc_id, text)
+    * frame — the sub-document unit shared by d59 (passage dedup) and
+    * t68 (passage decontamination). */
+  private def passageHashes(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, (size(toks)-1) div 10)," +
           " i -> concat_ws(' ', slice(toks, i*10+1, 10)))")).as("passage"))
       .select(col("doc_id"), md5Long(col("passage")).as("ph"))
+
+  /** The d59 pass over an arbitrary (doc_id, text) frame — exposed so
+    * property tests can drive it with adversarial token streams. */
+  private[graft] def passageDedupOf(docs: DataFrame): DataFrame = {
+    val p = passageHashes(docs)
     val counts = p.groupBy("ph").agg(count(lit(1)).as("cnt"))
     p.join(counts, "ph")
       .groupBy("doc_id")
@@ -1019,6 +1025,68 @@ object DedupOps {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pass,
       |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
       |FROM p JOIN c USING (ph) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------- t68 passage-level decontamination
+
+  /** t68: PASSAGE-level benchmark decontamination — t49's check at
+    * d59's sub-document granularity: a long training document that
+    * embeds a verbatim benchmark excerpt carries near-zero
+    * WHOLE-document shingle contamination (t49's blind spot grows
+    * with document length), but its 10-token passages hash-match the
+    * benchmark's exactly. Every training doc gets an audit row
+    * (n_hit = 0 included — the audit lists what it cleared, not just
+    * what it caught), with contamination in exact ppm so the twin is
+    * engine-exact. Scale shape: the benchmark passage set is tiny by
+    * construction → broadcast left joins; the corpus-side passages
+    * stream through one scan + one aggregation, exchanges carry
+    * 60-bit hashes, never passage text. */
+  def passageDecontam(s: SparkSession, d: String): DataFrame =
+    passageDecontamOf(documents(s, d))
+
+  /** The t68 pass over an arbitrary (doc_id, text) frame — exposed so
+    * the spec can plant a benchmark excerpt inside a training doc and
+    * assert the hit path (the fixture corpus has no cross-%97 exact
+    * passage at sf0.01, so the oracle alone exercises only zeros). */
+  private[graft] def passageDecontamOf(docs: DataFrame): DataFrame = {
+    val p = passageHashes(docs)
+    val bench = p.filter(col("doc_id") % 97 === 0).select("ph").distinct()
+    val train = p.filter(col("doc_id") % 97 =!= 0)
+    val hits = train.join(broadcast(bench), Seq("ph"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    train.groupBy("doc_id").agg(count(lit(1)).as("n_pass"))
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pass"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0) * 1000000 div n_pass").as("contam_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val passageDecontamSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, (len(toks)-1)//10 + 1),
+      |    i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS passage
+      |  FROM t WHERE len(toks) > 0),
+      |p AS (
+      |  SELECT doc_id, ('0x' || substr(md5(passage), 1, 15))::BIGINT AS ph
+      |  FROM px),
+      |bench AS (SELECT DISTINCT ph FROM p WHERE doc_id % 97 = 0),
+      |train AS (SELECT * FROM p WHERE doc_id % 97 <> 0),
+      |hits AS (
+      |  SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM train t2 JOIN bench b ON t2.ph = b.ph GROUP BY 1),
+      |sizes AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pass
+      |  FROM train GROUP BY 1)
+      |SELECT s.doc_id, s.n_pass,
+      |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  COALESCE(h.n_hit, 0) * 1000000 // s.n_pass AS contam_ppm
+      |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
 
   // --------------------------------------- d61 semantic dedup (SemDeDup)
 
@@ -1097,6 +1165,7 @@ object DedupOps {
     "d60_minhash_estimate" -> minhashEstimate _,
     "d61_semantic_dedup" -> semanticDedup _,
     "t49_decontamination" -> decontamination _,
+    "t68_passage_decontam" -> passageDecontam _,
     "t57_corpus_funnel"  -> corpusFunnel _,
   )
 
@@ -1115,6 +1184,7 @@ object DedupOps {
     "d60_minhash_estimate" -> minhashEstimateSql,
     "d61_semantic_dedup" -> semanticDedupSql,
     "t49_decontamination" -> decontaminationSql,
+    "t68_passage_decontam" -> passageDecontamSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,
   )
 }

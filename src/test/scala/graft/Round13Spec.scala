@@ -107,6 +107,27 @@ class Round13Spec extends AnyFunSuite with SparkSpec {
       s"sub-split must keep near-full coverage (covered $covered/90)")
   }
 
+  test("t68: a planted benchmark excerpt inside a long doc is caught") {
+    import spark.implicits._
+    val benchText = (0 until 20).map("bench" + _).mkString(" ") // 2 passages
+    val cleanText = (0 until 30).map("clean" + _).mkString(" ")
+    val docs = Seq(
+      (97L, benchText),                      // %97==0 → the benchmark doc
+      (1L, cleanText),                       // clean training doc
+      // training doc embedding the excerpt at a passage-ALIGNED offset
+      // (10 filler tokens, then the benchmark's 20)
+      (2L, ((0 until 10).map("fill" + _) ++
+        (0 until 20).map("bench" + _)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ext.DedupOps.passageDecontamOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!out.contains(97L), "benchmark docs are not audited rows")
+    assert(out(1L)._2 == 0L, "the clean doc must show zero hits")
+    assert(out(2L) == ((3L, 2L, 666666L)),
+      s"both embedded benchmark passages must hit (got ${out(2L)})")
+  }
+
   test("v75 quarantine: exactly the 3 planted bad lines, parse lossless") {
     val census = graft.ingest.Validation.jsonlIngest(spark, d)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
