@@ -77,7 +77,8 @@ object ScaleBench {
     // measured exponent documents the fixed-K behavior honestly
     "s90_ivf_knn_graph" -> "emb",
     "s92_multiprobe_graph" -> "emb",
-    "t68_passage_decontam" -> "docs")
+    "t68_passage_decontam" -> "docs",
+    "g103_semantic_cc" -> "emb")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

@@ -119,7 +119,13 @@ object SparkEntry {
         // stream (from_json null = quarantine) — shares v75's oracle
         "e110_stream_jsonl" ->
           ((s: SparkSession, d: String) =>
-            StreamingOps.streamJsonlQuarantine(s, d)))
+            StreamingOps.streamJsonlQuarantine(s, d)),
+        // streaming twin of t68: passage-level decontamination of a
+        // doc feed against the frozen benchmark passage set — shares
+        // t68's oracle
+        "e111_stream_decontam" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamPassageDecontam(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -149,5 +155,6 @@ object SparkEntry {
         "e107_stream_chunking" -> TextOps.chunkOverlapSql,
         "e108_stream_bm25" -> graft.ext.SimilarityOps.bm25TopKSql,
         "e109_stream_incr_dedup" -> DedupOps.incrementalDedupSql,
-        "e110_stream_jsonl" -> Validation.jsonlIngestSql)
+        "e110_stream_jsonl" -> Validation.jsonlIngestSql,
+        "e111_stream_decontam" -> DedupOps.passageDecontamSql)
 }

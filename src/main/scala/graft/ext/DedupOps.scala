@@ -987,7 +987,7 @@ object DedupOps {
   /** The (doc_id, ph) 10-token passage-hash frame of a (doc_id, text)
     * frame — the sub-document unit shared by d59 (passage dedup) and
     * t68 (passage decontamination). */
-  private def passageHashes(docs: DataFrame): DataFrame =
+  private[graft] def passageHashes(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)

@@ -699,7 +699,43 @@ object GraphOps {
     "g100_edge_jaccard"   -> edgeJaccard _,
     "g101_clustering_coef" -> clusteringCoefficient _,
     "g102_cc_dataframe"   -> copurchaseComponentsDF _,
+    "g103_semantic_cc"    -> semanticComponents _,
   )
+
+  /** g103: SEMANTIC clusters — connected components over the s90 IVF
+    * kNN graph's strong edges (cosine ≥ the d61 semantic threshold):
+    * the cluster assignment a curation pipeline uses for topic-level
+    * dedup, balancing, and diversity sampling, built by COMPOSING
+    * three proven tiers — the one cached k-means model (s66 family),
+    * the s90 cell-blocked neighbor graph, and g102's large-star/
+    * small-star O(log n) DataFrame CC loop. Vectors with no strong
+    * neighbor form no row (singletons are the corpus minus the edge
+    * set — a broadcast anti-join away when a pipeline needs them).
+    * Scale shape: edge volume is bounded by s90's top-3 output
+    * (≤ 3n rows pre-filter), and the CC loop is the audited g102
+    * substrate (constant-size plans via per-round localCheckpoint). */
+  def semanticComponents(s: SparkSession, d: String): DataFrame =
+    EmailGraph.componentsLargeSmallStar(s,
+      graft.ext.SimilarityOps.ivfKnnGraph(s, d)
+        .filter(col("cosine") >= graft.ext.DedupOps.semTau)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+      .select(col("id").as("vec_id"), col("component"))
+      .orderBy("vec_id")
+
+  val semanticComponentsSql: String = {
+    val g = graft.ext.SimilarityOps.ivfKnnGraphSql
+      .replaceAll("ORDER BY vec_id, rank$", "")
+    s"""WITH RECURSIVE g0 AS ($g),
+      |sede AS (SELECT vec_id AS a, nbr_id AS b FROM g0
+      |         WHERE cosine >= ${graft.ext.DedupOps.semTau}),
+      |ue AS (SELECT a, b FROM sede UNION SELECT b, a FROM sede),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM ue) t
+      |  UNION
+      |  SELECT reach.a, ue.b FROM reach JOIN ue ON reach.b = ue.a)
+      |SELECT a AS vec_id, min(b) AS component FROM reach
+      |GROUP BY a ORDER BY vec_id""".stripMargin
+  }
 
   val emailGraphCensusSql: String =
     s"""${graft.query.FixtureCorpus.sqlPrelude},
@@ -740,5 +776,6 @@ object GraphOps {
     "g101_clustering_coef" -> clusteringCoefficientSql,
     // identical oracle to g92: substrate parity is the point
     "g102_cc_dataframe"  -> copurchaseComponentsSql,
+    "g103_semantic_cc"   -> semanticComponentsSql,
   )
 }

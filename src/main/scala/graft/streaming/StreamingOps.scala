@@ -1091,6 +1091,45 @@ object StreamingOps {
       .orderBy("source")
   }
 
+  /** e111: t68's STREAMING twin — passage-level benchmark
+    * decontamination of a live document feed: the benchmark's
+    * 10-token passage-hash set is built batch-side (tiny by
+    * construction → broadcast), the stream's training docs flow
+    * through the stateless passage explode → LEFT join against the
+    * broadcast set, and each passage lands in the exactly-once file
+    * sink as a (doc_id, is_hit) row; the per-doc census (n_pass,
+    * n_hit, exact-ppm contamination — zero-hit docs included) is the
+    * read-time epilogue. Shares t68's oracle — batch/stream parity
+    * on the contamination gate itself. At scale: a crawler checks
+    * each incoming document against the frozen benchmark set at
+    * source throughput with constant memory, the same
+    * frozen-sidecar-plus-stateless-stage shape as e108/e109/e110. */
+  def streamPassageDecontam(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val bench = graft.ext.DedupOps.passageHashes(
+        graft.Tables.documents(spark, d))
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("ph")).distinct()
+      .withColumn("is_hit", lit(1L))
+    val log = drainToFileSink(spark, "e111", nIn) {
+      graft.ext.DedupOps.passageHashes(
+        spark.readStream
+          .schema(documentsSchema)
+          .parquet(stageDir)
+          .filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(bench), Seq("ph"), "left")
+        .select(col("doc_id"), coalesce(col("is_hit"), lit(0L)).as("hit"))
+    }
+    log.groupBy("doc_id").agg(
+        count(lit(1)).as("n_pass"), sum("hit").as("n_hit"))
+      .select(col("doc_id"), col("n_pass"), col("n_hit"),
+        expr("n_hit * 1000000 div n_pass").as("contam_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Streaming maildir ingest: binaryFile stream → parse → per-batch
     * merge into the store (foreachBatch = the reference's per-task
     * upsert loop collapsed into idempotent batch merges). Returns the
