@@ -212,6 +212,10 @@ object Bench {
       ("cache_em72_http",
         () => { graft.query.EmailOps.httpIngest(spark, sfDir).count(); () },
         () => graft.query.FixtureCorpus.clearAux("em72")),
+      ("cache_em73_compaction",
+        () => { graft.query.EmailOps.compactedStore(spark, sfDir)
+          .count(); () },
+        () => graft.query.FixtureCorpus.clearAux("em73")),
       ("cache_s81_incr_index",
         () => { graft.ext.SimilarityOps.ivfPqIncremental(spark, sfDir)
           .count(); () },

@@ -32,7 +32,8 @@ object PlanAudit {
       "d60_minhash_estimate", "m76_media_dedup",
       "s79_mmr_topk", "e103_ewma_daily", "q52_mom_growth",
       "v73_embedding_audit",
-      "em70_partitioned_upsert", "em71_real_ingest", "s80_ivfpq_served",
+      "em70_partitioned_upsert", "em71_real_ingest", "em73_store_compaction",
+      "s80_ivfpq_served",
       "s81_ivfpq_incr", "g102_cc_dataframe",
       "t63_title_ner",
       "d61_semantic_dedup", "s82_filtered_knn", "t64_sequence_packing",

@@ -140,7 +140,16 @@ object ScaleBench {
       ("cache_s87_bm25_index",
         () => graft.ext.SimilarityOps.clearSavedIndexes("|bm25"),
         () => {
-          graft.ext.SimilarityOps.bm25Served(spark, dir).count(); () }))
+          graft.ext.SimilarityOps.bm25Served(spark, dir).count(); () }),
+      // em73's store build + compaction rewrite is cachedAux per
+      // (session, dir) like em71 — timed as its own min-of-3 build
+      // with a targeted clear so the rehearsal measures the store
+      // REWRITE, never a cached-frame read (a Heavy median-of-3 would
+      // time the cache on runs 2-3 and report a fantasy exponent)
+      ("em73_store_compaction",
+        () => graft.query.FixtureCorpus.clearAux("em73"),
+        () => {
+          graft.query.EmailOps.compactedStore(spark, dir).count(); () }))
     val caches = cacheDefs
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, clear, build) => name -> minOf3(clear, build) }
@@ -181,6 +190,7 @@ object ScaleBench {
       graft.ext.SimilarityOps.warm(spark, jit)
       graft.graph.GraphOps.warm(spark, jit)
       graft.ext.SimilarityOps.ivfPqIncremental(spark, jit).count()
+      graft.query.EmailOps.compactedStore(spark, jit).count()
       Heavy.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (n, _) =>
           SparkEntry.queries(n)(spark, jit).count() }
@@ -200,7 +210,8 @@ object ScaleBench {
         "cache_kmeans_model" -> vol("emb"),
         "cache_graph_edges" -> vol("lineitem"),
         "cache_s81_incr_index" -> vol("emb"),
-        "cache_s87_bm25_index" -> vol("docs"))
+        "cache_s87_bm25_index" -> vol("docs"),
+        "em73_store_compaction" -> vol("docs"))
     val aMap = (cachesA ++ queriesA).toMap
     val items = (cachesB ++ queriesB).map { case (name, tB) =>
       val tA = aMap.getOrElse(name, -1.0)

@@ -423,6 +423,66 @@ object EmailOps {
       |    FROM f GROUP BY 2)
       |ORDER BY kind, k""".stripMargin
 
+  // --------------------------------------- em73 store compaction
+
+  /** em73: SMALL-FILES COMPACTION under the oracle — the maintenance
+    * pass an incremental store needs at 100 TB. Every upsert/streaming
+    * batch writes its affected months with one file per write task, so
+    * a busy month accumulates tiny files that shred scan throughput
+    * (per-split scheduling, footer reads, row-group overhead). The
+    * rehearsal: build the month-partitioned store from the fixture
+    * corpus (the write fans each month across the shuffle's tasks —
+    * genuine fragmentation, not a synthetic split), run
+    * [[graft.store.PartitionedEmailStore.compact]], and read the SAME
+    * census em70 reads. Compaction is content-invariant by contract,
+    * so the oracle is the uncompacted synthesis rules — any row lost,
+    * duplicated, or moved across months by the rewrite breaks the
+    * hash. The file-count contract (every compacted month packed to
+    * its byte-budgeted target, strictly fewer files) is asserted
+    * in-query from a driver-side metadata walk, so a silent no-op
+    * compaction also fails the gate. */
+  def compactedStore(s: SparkSession, d: String): DataFrame =
+    FixtureCorpus.cachedAux(s, d, "em73") {
+      val docs = FixtureCorpus.parsedDocs(s, d)
+        .withColumn("date",
+          expr("timestampadd(MONTH, CAST(doc_id % 12 AS INT), date)"))
+        .drop("doc_id")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-em73").toString
+      val store = new graft.store.PartitionedEmailStore(s, root + "/store")
+      try {
+        store.upsert(docs)
+        val before = store.fileCensus()
+        val plan = store.compact()
+        require(plan.nonEmpty,
+          s"fixture store produced no compactable month (census $before)")
+        val after = store.fileCensus()
+        plan.foreach { p =>
+          require(after(p.month) <= p.want && after(p.month) < p.filesBefore,
+            s"month ${p.month}: ${p.filesBefore} files -> ${after(p.month)}" +
+              s", want ${p.want} — compaction contract broken")
+        }
+        val out = store.read()
+          .select(col("dedupe_key"), col("subject"), col("date_month"),
+            size(col("mailboxes")).as("n_mailboxes"),
+            array_join(array_sort(
+              expr("transform(mailboxes, m -> m.user)")), ",").as("mb_users"))
+          .orderBy("dedupe_key")
+        // force before the finally deletes the store files: the served
+        // frame must not lazily re-read deleted paths
+        out.cache().count()
+        out
+      } finally deleteTree(root)
+    }
+
+  val compactedStoreSql: String =
+    s"""$sqlPrelude
+      |SELECT dedupe_key, subject,
+      |  strftime(dt + to_months(CAST(doc_id % 12 AS INT)), '%Y-%m')
+      |    AS date_month,
+      |  CAST(1 AS INT) AS n_mailboxes, usr AS mb_users
+      |FROM m ORDER BY dedupe_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "em60_by_mailbox"    -> byMailbox _,
     "em61_by_recipient"  -> byRecipient _,
@@ -436,6 +496,7 @@ object EmailOps {
     "em70_partitioned_upsert" -> partitionedUpsert _,
     "em71_real_ingest"   -> realIngest _,
     "em72_http_ingest"   -> httpIngest _,
+    "em73_store_compaction" -> compactedStore _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -451,5 +512,6 @@ object EmailOps {
     "em70_partitioned_upsert" -> partitionedUpsertSql,
     "em71_real_ingest"   -> realIngestSql,
     "em72_http_ingest"   -> httpIngestSql,
+    "em73_store_compaction" -> compactedStoreSql,
   )
 }

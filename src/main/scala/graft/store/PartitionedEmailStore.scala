@@ -102,6 +102,83 @@ class PartitionedEmailStore(spark: SparkSession, root: String)
     } finally { compact.unpersist(); () }
   }
 
+  /** Data-file count per month partition — a driver-side metadata walk
+    * (never touches row data), the assertion surface for the
+    * compaction contract. */
+  def fileCensus(): Map[String, Int] =
+    if (isEmpty) Map.empty
+    else fs.listStatus(new Path(root))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("date_month="))
+      .map(p => p.getPath.getName.stripPrefix("date_month=") ->
+        fs.listStatus(p.getPath).count(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet")))
+      .toMap
+
+  /** Per-month compaction report row: how many data files the month
+    * held before the rewrite and the file-count budget it was packed
+    * toward (`want` = ceil(bytes/targetBytes)). */
+  case class CompactionPlan(month: String, filesBefore: Int, want: Int)
+
+  /** SMALL-FILES compaction — the maintenance pass every incremental
+    * store needs at 100 TB: each upsert/streaming batch writes its
+    * affected months with one file per write task, so a month touched
+    * by many small batches accumulates files whose per-file size
+    * shreds scan throughput (row-group overhead, footer reads, task
+    * scheduling per tiny split). This rewrites ONLY months whose file
+    * count exceeds their byte-budgeted target (`ceil(bytes /
+    * targetBytes)`), packing rows into `want` hash-groups per month;
+    * untouched months' files are never rewritten (dynamic overwrite,
+    * same contract as [[upsert]]).
+    *
+    * Content-INVARIANT by construction — same rows, same months, fewer
+    * files — which is exactly what the em73 oracle checks (census
+    * parity through a compacted store). Scale shape: the planning walk
+    * is driver-side FILE METADATA only (O(#partitions + #files), never
+    * rows), and data moves only for the months actually compacted.
+    * The [[KeyIndex]] is left untouched: compaction never changes a
+    * (dedupe_key → month) fact, and a crash mid-rewrite can only
+    * strand stale-EXTRA index entries (keys whose rows were lost with
+    * the partial month), which are safe — the index over-approximates
+    * affected months; missing entries would be the unsafe direction
+    * and compaction cannot create those.
+    *
+    * Returns the per-month plan it executed (empty = nothing to do),
+    * so callers/specs can assert the file-count contract without
+    * re-listing. */
+  def compact(targetBytes: Long = 128L << 20): Seq[CompactionPlan] = {
+    if (isEmpty) return Seq.empty
+    val plan = fs.listStatus(new Path(root))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("date_month="))
+      .flatMap { p =>
+        val files = fs.listStatus(p.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val want = math.max(1L, math.ceil(
+          files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
+        if (files.length > want)
+          Some(CompactionPlan(
+            p.getPath.getName.stripPrefix("date_month="),
+            files.length, want))
+        else None
+      }.toSeq
+    if (plan.nonEmpty) {
+      import spark.implicits._
+      val wants = plan.map(p => (p.month, p.want))
+        .toDF("date_month", "want")
+      val packed = read()
+        .join(broadcast(wants), Seq("date_month"))
+        .withColumn("fg", pmod(xxhash64(col("dedupe_key")), col("want")))
+        .repartition(col("date_month"), col("fg"))
+        .drop("want", "fg")
+        // materialize BEFORE the overwrite deletes the source files
+        // (the same speculative-reread hazard as upsert's merge)
+        .localCheckpoint()
+      write(packed.drop("date_month"))
+    }
+    plan
+  }
+
   /** Dynamic partition overwrite: only partitions present in `df` are
     * replaced; everything else is left byte-identical on disk. */
   private def write(df: DataFrame): Unit =

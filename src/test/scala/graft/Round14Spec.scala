@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 operators: partitioned-store small-files compaction
+  * (em73). The oracle gate proves the census through a compacted
+  * store still matches the synthesis rules; these tests pin the
+  * mechanics the hash can't express — the per-month file-count
+  * contract, idempotence (a compacted store is a no-op for a second
+  * pass, byte-identical on disk), and multi-group packing when a
+  * month's bytes exceed one target file. */
+class Round14Spec extends AnyFunSuite with SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** Fresh month-partitioned store over the fixture corpus, months
+    * spread like em70/em73 so every month partition materializes. */
+  private def freshStore(): (graft.store.PartitionedEmailStore, String) = {
+    val docs = graft.query.FixtureCorpus.parsedDocs(spark, d)
+      .withColumn("date",
+        expr("timestampadd(MONTH, CAST(doc_id % 12 AS INT), date)"))
+      .drop("doc_id")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-em73-spec").toString
+    val store = new graft.store.PartitionedEmailStore(spark, root + "/store")
+    store.upsert(docs)
+    (store, root)
+  }
+
+  private def rows(store: graft.store.PartitionedEmailStore) =
+    store.read()
+      .select(col("dedupe_key"), col("subject"), col("date_month"),
+        size(col("mailboxes")).as("n_mailboxes"))
+      .collect().map(_.toSeq).toSet
+
+  private def diskState(root: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(root))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath.stripPrefix(root) -> f.length()).toMap
+  }
+
+  test("compact packs fragmented months and a second pass is a no-op") {
+    val (store, root) = freshStore()
+    try {
+      val before = store.fileCensus()
+      val content = rows(store)
+      val plan = store.compact()
+      assert(plan.nonEmpty, s"nothing compactable in $before")
+      val after = store.fileCensus()
+      plan.foreach { p =>
+        assert(after(p.month) <= p.want)
+        assert(after(p.month) < p.filesBefore)
+        assert(before(p.month) == p.filesBefore)
+      }
+      // months not in the plan were never rewritten
+      (before.keySet -- plan.map(_.month).toSet).foreach { m =>
+        assert(after(m) == before(m))
+      }
+      assert(rows(store) == content, "compaction changed store content")
+      // idempotence: everything already at its budget → empty plan,
+      // and the second pass leaves the tree byte-identical
+      val disk = diskState(root)
+      assert(store.compact().isEmpty)
+      assert(diskState(root) == disk)
+    } finally Fs.deleteTree(root)
+  }
+
+  test("multi-group packing honors want > 1 without row loss") {
+    val (store, root) = freshStore()
+    try {
+      val content = rows(store)
+      // pick a per-month byte budget of about half the biggest month,
+      // so its want lands at 2+ and the packer must split groups
+      val monthBytes = diskState(root).toSeq
+        .flatMap { case (p, len) =>
+          "date_month=([^/]+)/".r.findFirstMatchIn(p)
+            .map(m => m.group(1) -> len) }
+        .groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).sum }
+      val target = math.max(1L, monthBytes.values.max / 2)
+      val plan = store.compact(targetBytes = target)
+      assert(plan.exists(_.want > 1),
+        s"budget $target produced no multi-group month: $plan")
+      val after = store.fileCensus()
+      plan.foreach(p => assert(after(p.month) <= p.want))
+      assert(rows(store) == content)
+    } finally Fs.deleteTree(root)
+  }
+}
