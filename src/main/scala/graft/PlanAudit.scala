@@ -42,7 +42,8 @@ object PlanAudit {
       "s87_bm25_served", "s88_bm25_incr",
       "t67_epoch_shuffle", "v75_jsonl_ingest", "v76_version_diff",
       "s89_knn_graph_recall", "s90_ivf_knn_graph", "s91_ivf_graph_recall",
-      "s92_multiprobe_graph", "t68_passage_decontam", "g103_semantic_cc")
+      "s92_multiprobe_graph", "t68_passage_decontam", "g103_semantic_cc",
+      "d62_semantic_reps")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)

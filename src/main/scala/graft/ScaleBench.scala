@@ -78,7 +78,8 @@ object ScaleBench {
     "s90_ivf_knn_graph" -> "emb",
     "s92_multiprobe_graph" -> "emb",
     "t68_passage_decontam" -> "docs",
-    "g103_semantic_cc" -> "emb")
+    "g103_semantic_cc" -> "emb",
+    "d62_semantic_reps" -> "emb")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

@@ -1150,6 +1150,82 @@ object DedupOps {
       |ORDER BY f.vec_id""".stripMargin
   }
 
+  /** d62: semantic-cluster REPRESENTATIVE selection — the keep step
+    * after g103's transitive clustering: for each semantic cluster
+    * (connected component of the s90 strong-edge graph), keep the
+    * member closest to the cluster CENTROID (highest cosine, ties to
+    * the smallest vec_id) — the SemDeDup-style "one canonical doc per
+    * semantic group" decision, but by centroid proximity over the
+    * whole transitive cluster rather than d61's greedy lower-id rule
+    * within a k-means cell. Output is the per-cluster manifest
+    * (representative id, its centroid cosine, member count) a
+    * curation pipeline joins back to drop the rest.
+    *
+    * Scale shape: centroids via posexplode → per-(component, pos)
+    * mean — members×dim rows through ONE shuffle, linear in corpus —
+    * then an equi-join back on component and a single plain aggregate
+    * (min-of-struct argmax — map-side partials, no per-cluster sort
+    * or window). Cosines are rounded to 6 digits BEFORE the argmax on
+    * both engines, so the representative choice is engine-exact (the
+    * s60-family discipline). No pairwise stage anywhere: cost is
+    * O(members·dim), not O(cluster²). */
+  def semanticRepresentatives(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VecExprs.dot_d
+    val members = graft.graph.GraphOps.semanticComponents(s, d)
+      .join(SimilarityOps.kmAssignedFull(s, d).select("vec_id", "v"),
+        "vec_id")
+    val cent = members
+      .select(col("component"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("component", "pos").agg(avg("x").as("cx"))
+      .groupBy("component")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        p => p.getField("cx")).as("cv"))
+    members.join(cent, "component")
+      .withColumn("cosine", round(
+        dot_d(col("v"), col("cv")) /
+          (sqrt(dot_d(col("v"), col("v"))) *
+            sqrt(dot_d(col("cv"), col("cv")))), 6))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("cosine")).as("nc"), col("vec_id").as("id")))
+          .as("m"))
+      .select(col("component"), col("m.id").as("rep_vec_id"),
+        (-col("m.nc")).as("rep_cosine"), col("n_members"))
+      .orderBy("component")
+  }
+
+  // lazy for the same object-init-cycle reason as
+  // GraphOps.semanticComponentsSql, which this composes
+  lazy val semanticRepresentativesSql: String = {
+    val comp = graft.graph.GraphOps.semanticComponentsSql
+      .replaceAll("ORDER BY vec_id$", "")
+    val cos = SimilarityOps.cosineSqlSnippetForDedup
+      .replace("QV", "m.v").replace("CV", "cent.cv")
+    s"""WITH comp AS ($comp),
+      |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |mem AS (
+      |  SELECT c.component, c.vec_id, e2.v
+      |  FROM comp c JOIN e2 ON e2.vec_id = c.vec_id),
+      |cent AS (
+      |  SELECT component, list(cx ORDER BY i) AS cv FROM (
+      |    SELECT component, i, avg(v[i]) AS cx
+      |    FROM mem, generate_series(1, 64) AS g(i)
+      |    GROUP BY component, i)
+      |  GROUP BY component),
+      |scored AS (
+      |  SELECT m.component, m.vec_id, round($cos, 6) AS cosine
+      |  FROM mem m JOIN cent ON cent.component = m.component),
+      |ranked AS (
+      |  SELECT component, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY component
+      |      ORDER BY cosine DESC, vec_id) AS rn,
+      |    count(*) OVER (PARTITION BY component) AS nm
+      |  FROM scored)
+      |SELECT component, vec_id AS rep_vec_id, cosine AS rep_cosine,
+      |  CAST(nm AS BIGINT) AS n_members
+      |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_exact_dedup"    -> exactDedup _,
     "d51_jaccard_pairs"  -> jaccardPairs _,
@@ -1164,6 +1240,7 @@ object DedupOps {
     "d59_passage_dedup"  -> passageDedup _,
     "d60_minhash_estimate" -> minhashEstimate _,
     "d61_semantic_dedup" -> semanticDedup _,
+    "d62_semantic_reps"  -> semanticRepresentatives _,
     "t49_decontamination" -> decontamination _,
     "t68_passage_decontam" -> passageDecontam _,
     "t57_corpus_funnel"  -> corpusFunnel _,
@@ -1183,6 +1260,7 @@ object DedupOps {
     "d59_passage_dedup"  -> passageDedupSql,
     "d60_minhash_estimate" -> minhashEstimateSql,
     "d61_semantic_dedup" -> semanticDedupSql,
+    "d62_semantic_reps"  -> semanticRepresentativesSql,
     "t49_decontamination" -> decontaminationSql,
     "t68_passage_decontam" -> passageDecontamSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,

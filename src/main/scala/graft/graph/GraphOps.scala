@@ -722,7 +722,12 @@ object GraphOps {
       .select(col("id").as("vec_id"), col("component"))
       .orderBy("vec_id")
 
-  val semanticComponentsSql: String = {
+  // LAZY: composed from SimilarityOps' SQL and read by DedupOps'
+  // d62 oracle during ITS initializer — a plain val here closes an
+  // object-init cycle (GraphOps -> SimilarityOps -> DedupOps ->
+  // GraphOps.semanticComponentsSql) that NPEs depending on which
+  // object the JVM initializes first (Round14Spec hit it)
+  lazy val semanticComponentsSql: String = {
     val g = graft.ext.SimilarityOps.ivfKnnGraphSql
       .replaceAll("ORDER BY vec_id, rank$", "")
     s"""WITH RECURSIVE g0 AS ($g),

@@ -4,12 +4,15 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-14 operators: partitioned-store small-files compaction
-  * (em73). The oracle gate proves the census through a compacted
-  * store still matches the synthesis rules; these tests pin the
-  * mechanics the hash can't express — the per-month file-count
-  * contract, idempotence (a compacted store is a no-op for a second
-  * pass, byte-identical on disk), and multi-group packing when a
-  * month's bytes exceed one target file. */
+  * (em73) and semantic-cluster representative selection (d62). The
+  * oracle gate proves em73's census through a compacted store still
+  * matches the synthesis rules and d62's manifest matches the
+  * recursive-CTE oracle; these tests pin the mechanics the hash
+  * can't express — the per-month file-count contract, idempotence
+  * (a compacted store is a no-op for a second pass, byte-identical
+  * on disk), multi-group packing when a month's bytes exceed one
+  * target file, and d62's membership invariant (the representative
+  * is always a member of its own g103 cluster). */
 class Round14Spec extends AnyFunSuite with SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
@@ -66,6 +69,19 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
       assert(store.compact().isEmpty)
       assert(diskState(root) == disk)
     } finally Fs.deleteTree(root)
+  }
+
+  test("d62 representative belongs to its cluster; counts match g103") {
+    val byComp = graft.graph.GraphOps.semanticComponents(spark, d)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("component")))
+      .groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
+    val reps = graft.ext.DedupOps.semanticRepresentatives(spark, d).collect()
+    assert(reps.nonEmpty && reps.size == byComp.size)
+    reps.foreach { r =>
+      val members = byComp(r.getAs[Long]("component"))
+      assert(members.contains(r.getAs[Long]("rep_vec_id")))
+      assert(members.size.toLong == r.getAs[Long]("n_members"))
+    }
   }
 
   test("multi-group packing honors want > 1 without row loss") {
