@@ -185,18 +185,35 @@ object EmailOps {
     val batch1 = docs.filter(col("doc_id") % 2 === 0).drop("doc_id")
     val batch2 = docs.filter(col("doc_id") % 2 === 1).drop("doc_id")
       .unionByName(shifted(FixtureCorpus.redeliveries(s, d)).drop("doc_id"))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-em70").toString + "/store"
-    val store = new graft.store.PartitionedEmailStore(s, root)
-    store.upsert(batch1)
-    store.upsert(batch2)
-    store.read()
-      .select(col("dedupe_key"), col("subject"), col("date_month"),
-        size(col("mailboxes")).as("n_mailboxes"),
-        array_join(array_sort(expr("transform(mailboxes, m -> m.user)")), ",")
-          .as("mb_users"))
-      .orderBy("dedupe_key")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-em70").toString
+    val store = new graft.store.PartitionedEmailStore(s, base + "/store")
+    try {
+      store.upsert(batch1)
+      store.upsert(batch2)
+      val out = store.read()
+        .select(col("dedupe_key"), col("subject"), col("date_month"),
+          size(col("mailboxes")).as("n_mailboxes"),
+          array_join(array_sort(expr("transform(mailboxes, m -> m.user)")), ",")
+            .as("mb_users"))
+        .orderBy("dedupe_key")
+      // force before the finally deletes the store files (em71/em72's
+      // reclaim rule): this entry deliberately rebuilds per call — the
+      // honest write-path timing — so without the delete every bench/
+      // verify invocation would strand a full store in /tmp; the
+      // previous call's served frame is unpersisted so a median-of-3
+      // loop holds at most one census in the block store
+      out.cache().count()
+      em70Last.getAndSet(out) match {
+        case null => ()
+        case prev => prev.unpersist(); ()
+      }
+      out
+    } finally deleteTree(base)
   }
+
+  private val em70Last =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
   val partitionedUpsertSql: String =
     s"""$sqlPrelude
