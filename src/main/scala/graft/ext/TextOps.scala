@@ -1022,6 +1022,102 @@ object TextOps {
       |  FROM documents)
       |ORDER BY shard, position""".stripMargin
 
+  /** t69: per-source quality-threshold CALIBRATION — the step between
+    * scoring (t42/t50) and filtering that real pipelines run: a single
+    * global threshold over-filters some crawl sources and
+    * under-filters others, so each source gets its own cutoff at a
+    * target quantile of its OWN score distribution (here: drop the
+    * bottom 30%, keep the top 70%). Integer fixed point throughout:
+    * the score is exact ppm arithmetic (non-punct ppm + stopword ppm,
+    * `div` truncation identical on both engines) and the threshold is
+    * the k-th order statistic at k = max(1, 3n div 10) — no fp
+    * percentile estimator, so the whole calibration table
+    * hash-matches the oracle.
+    *
+    * Scale shape: docs collapse to (source, score) COUNTS first — the
+    * cumulative window then runs over at most |ppm grid| rows per
+    * source (score values live on a bounded integer grid, so the
+    * sorted frame is GRID-bounded, not corpus-bounded), never over
+    * documents. Two hash aggregations + one tiny window + one
+    * broadcast-size join back to the counts. */
+  def sourceCalibration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        tokens(col("text")).as("__toks"))
+      .select(col("source"),
+        greatest(length(col("text")), lit(1)).cast("long").as("n_chars"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          "[^A-Za-z0-9 ]", ""))).cast("long").as("punct"),
+        greatest(size(col("__toks")), lit(1)).cast("long").as("n_toks"),
+        size(filter(col("__toks"),
+          x => x.isin("the", "a", "of", "and"))).cast("long").as("stop"))
+      .select(col("source"),
+        expr("(1000000 * (n_chars - punct)) div n_chars" +
+          " + (1000000 * stop) div n_toks").as("score"))
+    // no explicit cache: the two consumers below share the identical
+    // aggregate subplan, which Spark serves via ReusedExchange
+    val counts = scored.groupBy("source", "score")
+      .agg(count(lit(1)).as("n"))
+    val cum = counts
+      .withColumn("running", sum("n").over(Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_docs", sum("n").over(Window.partitionBy("source")))
+    val thr = cum
+      .filter(col("running") >= greatest(lit(1L),
+        expr("(3 * n_docs) div 10")))
+      .groupBy("source").agg(min("score").as("thr"),
+        max("n_docs").as("n_docs"))
+    counts.join(thr, "source")
+      .groupBy("source")
+      .agg(max("thr").as("thr"), max("n_docs").as("n_docs"),
+        sum(when(col("score") >= col("thr"), col("n"))
+          .otherwise(lit(0L))).as("n_keep"))
+      .select(col("source"), col("n_docs"), col("thr"), col("n_keep"),
+        expr("(1000000 * n_keep) div n_docs").as("keep_ppm"))
+      .orderBy("source")
+  }
+
+  val sourceCalibrationSql: String =
+    """WITH scored AS (
+      |  SELECT source,
+      |    (1000000 * (n_chars - punct)) // n_chars
+      |      + (1000000 * stop) // n_toks AS score
+      |  FROM (
+      |    SELECT source,
+      |      CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
+      |      CAST(length(text) - length(regexp_replace(text,
+      |        '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct,
+      |      CAST(greatest(len(list_filter(
+      |        regexp_split_to_array(lower(text), '\s+'), x -> x <> '')), 1)
+      |        AS BIGINT) AS n_toks,
+      |      CAST(len(list_filter(
+      |        regexp_split_to_array(lower(text), '\s+'),
+      |        x -> x IN ('the','a','of','and'))) AS BIGINT) AS stop
+      |    FROM documents)),
+      |counts AS (
+      |  SELECT source, score, count(*) AS n FROM scored
+      |  GROUP BY source, score),
+      |cum AS (
+      |  SELECT source, score, n,
+      |    sum(n) OVER (PARTITION BY source ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+      |    sum(n) OVER (PARTITION BY source) AS n_docs
+      |  FROM counts),
+      |thr AS (
+      |  SELECT source, min(score) AS thr, max(n_docs) AS n_docs
+      |  FROM cum WHERE running >= greatest(1, (3 * n_docs) // 10)
+      |  GROUP BY source)
+      |SELECT c.source, CAST(t.n_docs AS BIGINT) AS n_docs, t.thr,
+      |  CAST(sum(CASE WHEN c.score >= t.thr THEN c.n ELSE 0 END)
+      |    AS BIGINT) AS n_keep,
+      |  CAST((1000000 * CAST(sum(CASE WHEN c.score >= t.thr THEN c.n
+      |    ELSE 0 END) AS BIGINT)) // t.n_docs AS BIGINT) AS keep_ppm
+      |FROM counts c JOIN thr t ON t.source = c.source
+      |GROUP BY c.source, t.n_docs, t.thr
+      |ORDER BY c.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -1044,6 +1140,7 @@ object TextOps {
     "t65_chunk_overlap"   -> chunkOverlap _,
     "t66_bpe_pairs"       -> bpePairs _,
     "t67_epoch_shuffle"   -> epochShuffle _,
+    "t69_source_calibration" -> sourceCalibration _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1068,5 +1165,6 @@ object TextOps {
     "t65_chunk_overlap"   -> chunkOverlapSql,
     "t66_bpe_pairs"       -> bpePairsSql,
     "t67_epoch_shuffle"   -> epochShuffleSql,
+    "t69_source_calibration" -> sourceCalibrationSql,
   )
 }
