@@ -79,7 +79,13 @@ object ScaleBench {
     "s92_multiprobe_graph" -> "emb",
     "t68_passage_decontam" -> "docs",
     "g103_semantic_cc" -> "emb",
-    "d62_semantic_reps" -> "emb")
+    "d62_semantic_reps" -> "emb",
+    // t69's window runs over (source, score) counts — the ppm GRID
+    // bounds the sorted frame, so the exponent should track the scan
+    "t69_source_calibration" -> "docs",
+    // m78's signature build is one payload scan; candidates ride the
+    // capped (kind, band) equi-join — the d52 shape on binary media
+    "m78_media_neardup" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

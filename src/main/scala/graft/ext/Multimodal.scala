@@ -431,6 +431,134 @@ object Multimodal {
       |SELECT media_id, kind, block, n_bytes, shard, shard_off
       |FROM g ORDER BY media_id""".stripMargin
 
+  // --------------------------------- m78 media near-dup (fingerprint)
+
+  private val fpFrames = 8 // signature length (frames)
+  private val fpQuant = 64L // energy quantization step
+  private val fpBand = 4 // frames per LSH band
+  private val fpMatchMin = 6 // of fpFrames that must agree
+  private val fpBandCap = 32L // hot-band guard (d52's DF-cap discipline)
+
+  /** m78: NEAR-dup detection over the multimodal column — the
+    * perceptual-fingerprint shape (Chromaprint/pHash-style): every
+    * payload gets a signature of its first 8 frames' quantized
+    * energies (the m74 content-derived stub feature generalized to
+    * all kinds — a real pipeline would put chroma/MFCC or DCT frames
+    * here, the dataflow is identical), candidates come from a 2-band
+    * LSH equi-join WITHIN a kind (exact match on either half of the
+    * signature — never an all-pairs scan, the d52 blocking discipline
+    * applied to binary media), and a pair is a near-dup when ≥ 6 of
+    * 8 quantized frames agree. Catches the perturbed re-encodes
+    * m76's exact-md5 dedup can't see.
+    *
+    * Scale shape: the signature build is one per-partition frame map
+    * over payloads (shuffle carries (media_id, 8 longs) — never
+    * payload bytes); candidates are equi-joins on (kind, band)
+    * strings with hot bands above `fpBandCap` members dropped by an
+    * aggregate-and-filter (the DF-cap rule: a degenerate band would
+    * otherwise go quadratic); the verify step compares two 8-element
+    * arrays per candidate. Media with fewer than 8 frames carry no
+    * signature (too short to fingerprint) — both engines exclude them
+    * structurally. */
+  def mediaNearDup(s: SparkSession, d: String): DataFrame =
+    mediaNearDupOf(mediaTable(s, d))
+
+  /** The m78 pipeline over an arbitrary media frame — factored so the
+    * spec can plant a controlled near-dup (few flipped bytes) and a
+    * degenerate hot band, which the fixture corpus only thinly
+    * exercises (its injected near-dups mostly cross kinds). */
+  private[graft] def mediaNearDupOf(media: Dataset[MediaRow]): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    val sigSrc = media.flatMap { m =>
+      frameSlices(m.payload).take(fpFrames).map { case (i, slice) =>
+        (m.media_id, m.kind, i.toLong,
+          slice.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+      }
+    }.toDF("media_id", "kind", "frame_idx", "energy")
+    val sig = sigSrc
+      .withColumn("q", expr(s"energy div $fpQuant"))
+      .groupBy("media_id", "kind")
+      .agg(transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("q")))),
+        p => p.getField("q")).as("sig"))
+      .filter(size(col("sig")) === fpFrames)
+    val bands = sig.select(col("media_id"), col("kind"),
+        posexplode(array(
+          slice(col("sig"), 1, fpBand),
+          slice(col("sig"), fpBand + 1, fpBand))).as(Seq("band_idx", "b")))
+      .select(col("media_id"), col("kind"), col("band_idx"),
+        array_join(transform(col("b"), _.cast("string")), ",").as("band"))
+    val coldBands = bands
+      .groupBy("kind", "band_idx", "band").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= fpBandCap)
+      .select("kind", "band_idx", "band")
+    val safe = bands.join(coldBands, Seq("kind", "band_idx", "band"))
+    val cand = safe.toDF("kind", "band_idx", "band", "media_a")
+      .join(safe.toDF("kind", "band_idx", "band", "media_b"),
+        Seq("kind", "band_idx", "band"))
+      .filter(col("media_a") < col("media_b"))
+      .select("kind", "media_a", "media_b").distinct()
+    cand
+      .join(sig.select(col("media_id").as("media_a"),
+        col("sig").as("sig_a")), "media_a")
+      .join(sig.select(col("media_id").as("media_b"),
+        col("sig").as("sig_b")), "media_b")
+      .withColumn("n_match", expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
+        .cast("long"))
+      .filter(col("n_match") >= fpMatchMin)
+      .select("kind", "media_a", "media_b", "n_match")
+      .orderBy("media_a", "media_b")
+  }
+
+  val mediaNearDupSql: String =
+    s"""WITH fr AS (
+      |  SELECT media_id, kind, i AS frame_idx,
+      |    CAST(coalesce(list_sum(list_transform(range(1, length(f) + 1),
+      |      j -> ascii(substr(f, CAST(j AS INT), 1)))), 0) AS BIGINT)
+      |      AS energy
+      |  FROM (
+      |    SELECT doc_id AS media_id,
+      |      ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind, i,
+      |      substring(text, CAST(i * 64 + 1 AS INT), 64) AS f
+      |    FROM (SELECT doc_id, text,
+      |            unnest(range(0, least(greatest(length(text) // 64, 1),
+      |              $fpFrames))) AS i
+      |          FROM documents))),
+      |sig AS (
+      |  SELECT media_id, kind,
+      |    list(energy // $fpQuant ORDER BY frame_idx) AS sig
+      |  FROM fr GROUP BY media_id, kind HAVING count(*) = $fpFrames),
+      |bands AS (
+      |  SELECT media_id, kind, bi AS band_idx,
+      |    array_to_string(CASE bi WHEN 0 THEN sig[1:$fpBand]
+      |      ELSE sig[${fpBand + 1}:${2 * fpBand}] END, ',') AS band
+      |  FROM sig, generate_series(0, 1) AS g(bi)),
+      |cold AS (
+      |  SELECT kind, band_idx, band FROM bands
+      |  GROUP BY kind, band_idx, band
+      |  HAVING count(*) <= $fpBandCap),
+      |safe AS (
+      |  SELECT b.* FROM bands b
+      |  JOIN cold c ON c.kind = b.kind AND c.band_idx = b.band_idx
+      |    AND c.band = b.band),
+      |cand AS (
+      |  SELECT DISTINCT a.kind, a.media_id AS media_a,
+      |    b.media_id AS media_b
+      |  FROM safe a JOIN safe b
+      |    ON a.kind = b.kind AND a.band_idx = b.band_idx
+      |    AND a.band = b.band AND a.media_id < b.media_id)
+      |SELECT c.kind, c.media_a, c.media_b,
+      |  CAST(len(list_filter(range(1, ${fpFrames + 1}),
+      |    i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_match
+      |FROM cand c
+      |JOIN sig sa ON sa.media_id = c.media_a
+      |JOIN sig sb ON sb.media_id = c.media_b
+      |WHERE len(list_filter(range(1, ${fpFrames + 1}),
+      |  i -> sa.sig[i] = sb.sig[i])) >= $fpMatchMin
+      |ORDER BY media_a, media_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m70_media_meta"     -> mediaMeta _,
     "m71_media_frames"   -> mediaFrames _,
@@ -440,6 +568,7 @@ object Multimodal {
     "m75_media_scenes"   -> mediaScenes _,
     "m76_media_dedup"    -> mediaDedup _,
     "m77_shard_manifest" -> shardManifest _,
+    "m78_media_neardup"  -> mediaNearDup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -451,5 +580,6 @@ object Multimodal {
     "m75_media_scenes"   -> mediaScenesSql,
     "m76_media_dedup"    -> mediaDedupSql,
     "m77_shard_manifest" -> shardManifestSql,
+    "m78_media_neardup"  -> mediaNearDupSql,
   )
 }

@@ -84,6 +84,44 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("m78 finds a planted near-dup, rejects far pairs, caps hot bands") {
+    import spark.implicits._
+    import graft.ext.Multimodal.MediaRow
+    def payload(seed: Int, flipFrames: Set[Int]): Array[Byte] = {
+      val header = Array[Byte]('G', 'F', 'T', '1', 0, 64, 0, 64, 2, 0, 0, 0)
+      // constant bytes within a frame, distinct across (seed, frame):
+      // frame energy = 64 * base, so the quantized signature is exactly
+      // the base sequence; a flipped frame shifts energy by +128 = two
+      // quantization steps (always visible), and different seeds share
+      // no frame value (7 and 5 are units mod 64, seeds chosen apart)
+      val body = Array.tabulate(8 * 64) { i =>
+        val f = i / 64
+        val base = ((seed * 7 + 5 * f) % 64 + 32).toByte
+        if (flipFrames.contains(f)) (base + 2).toByte else base
+      }
+      header ++ body
+    }
+    val rows = Seq(
+      // near-dup: 2 of 8 frames perturbed -> bands still collide
+      // (frames 0-3 untouched), 6 of 8 quantized frames agree
+      MediaRow(1L, "audio", payload(5, Set.empty)),
+      MediaRow(2L, "audio", payload(5, Set(6, 7))),
+      // far pair: same band 0 but 3 perturbed frames -> 5/8, rejected
+      MediaRow(3L, "audio", payload(9, Set.empty)),
+      MediaRow(4L, "audio", payload(9, Set(5, 6, 7))),
+      // same content as media 1 but a DIFFERENT kind: never paired
+      MediaRow(5L, "video", payload(5, Set.empty)))
+    val out = graft.ext.Multimodal.mediaNearDupOf(rows.toDS())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(("audio", 1L, 2L, 6L)))
+
+    // hot-band cap: 40 identical payloads share every band; the band
+    // census drops the band before any pair forms
+    val hot = (10L until 50L).map(i => MediaRow(i, "image", payload(1, Set.empty)))
+    assert(graft.ext.Multimodal.mediaNearDupOf(hot.toDS()).count() == 0L)
+  }
+
   test("multi-group packing honors want > 1 without row loss") {
     val (store, root) = freshStore()
     try {
