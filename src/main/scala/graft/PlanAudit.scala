@@ -43,7 +43,8 @@ object PlanAudit {
       "t67_epoch_shuffle", "v75_jsonl_ingest", "v76_version_diff",
       "s89_knn_graph_recall", "s90_ivf_knn_graph", "s91_ivf_graph_recall",
       "s92_multiprobe_graph", "t68_passage_decontam", "g103_semantic_cc",
-      "d62_semantic_reps", "t69_source_calibration", "m78_media_neardup")
+      "d62_semantic_reps", "t69_source_calibration", "m78_media_neardup",
+      "m79_media_incr_neardup")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)

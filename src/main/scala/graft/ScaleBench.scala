@@ -85,7 +85,8 @@ object ScaleBench {
     "t69_source_calibration" -> "docs",
     // m78's signature build is one payload scan; candidates ride the
     // capped (kind, band) equi-join — the d52 shape on binary media
-    "m78_media_neardup" -> "docs")
+    "m78_media_neardup" -> "docs",
+    "m79_media_incr_neardup" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

@@ -125,7 +125,13 @@ object SparkEntry {
         // t68's oracle
         "e111_stream_decontam" ->
           ((s: SparkSession, d: String) =>
-            StreamingOps.streamPassageDecontam(s, d)))
+            StreamingOps.streamPassageDecontam(s, d)),
+        // streaming twin of m79: the media crawler's near-dup gate —
+        // frozen corpus band index, stateless fingerprint stream —
+        // shares m79's oracle
+        "e112_stream_media_gate" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamMediaDedupGate(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -156,5 +162,7 @@ object SparkEntry {
         "e108_stream_bm25" -> graft.ext.SimilarityOps.bm25TopKSql,
         "e109_stream_incr_dedup" -> DedupOps.incrementalDedupSql,
         "e110_stream_jsonl" -> Validation.jsonlIngestSql,
-        "e111_stream_decontam" -> DedupOps.passageDecontamSql)
+        "e111_stream_decontam" -> DedupOps.passageDecontamSql,
+        "e112_stream_media_gate" ->
+          graft.ext.Multimodal.mediaIncrNearDupSql)
 }

@@ -38,17 +38,25 @@ object Multimodal {
     * every downstream op is reproducible. */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    documents(s, d).select("doc_id", "text").as[(Long, String)].map {
-      case (id, text) =>
-        val kind = kinds((id % 3).toInt)
-        val body = text.getBytes(StandardCharsets.UTF_8)
-        val w = (64 + (id * 31) % 1024).toInt
-        val h = (64 + (id * 17) % 768).toInt
-        val header = Array[Byte]('G', 'F', 'T', '1',
-          (w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte,
-          (body.length >> 8).toByte, body.length.toByte,
-          (id % 3).toByte, 0)
-        MediaRow(id, kind, header ++ body)
+    mediaRowsOf(documents(s, d).select("doc_id", "text").as[(Long, String)])
+  }
+
+  /** The media synthesis over an arbitrary (doc_id, text) frame — a
+    * stateless typed map, so it composes onto a STREAMING Dataset too
+    * (e112 rides it). */
+  private[graft] def mediaRowsOf(docs: Dataset[(Long, String)])
+      : Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.map { case (id, text) =>
+      val kind = kinds((id % 3).toInt)
+      val body = text.getBytes(StandardCharsets.UTF_8)
+      val w = (64 + (id * 31) % 1024).toInt
+      val h = (64 + (id * 17) % 768).toInt
+      val header = Array[Byte]('G', 'F', 'T', '1',
+        (w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte,
+        (body.length >> 8).toByte, body.length.toByte,
+        (id % 3).toByte, 0)
+      MediaRow(id, kind, header ++ body)
     }
   }
 
@@ -467,28 +475,36 @@ object Multimodal {
     * spec can plant a controlled near-dup (few flipped bytes) and a
     * degenerate hot band, which the fixture corpus only thinly
     * exercises (its injected near-dups mostly cross kinds). */
-  private[graft] def mediaNearDupOf(media: Dataset[MediaRow]): DataFrame = {
+  /** Per-media quantized 8-frame energy signature, computed DIRECTLY
+    * in the typed map (the whole payload is in the row, so no
+    * frame-explode → groupBy shuffle is ever needed — and the same
+    * stateless shape is legal inside an append-mode stream, which is
+    * what e112 rides). Media shorter than `fpFrames` frames emit no
+    * row. */
+  private[graft] def signaturesOf(media: Dataset[MediaRow]): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
-    val sigSrc = media.flatMap { m =>
-      frameSlices(m.payload).take(fpFrames).map { case (i, slice) =>
-        (m.media_id, m.kind, i.toLong,
-          slice.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
-      }
-    }.toDF("media_id", "kind", "frame_idx", "energy")
-    val sig = sigSrc
-      .withColumn("q", expr(s"energy div $fpQuant"))
-      .groupBy("media_id", "kind")
-      .agg(transform(
-        array_sort(collect_list(struct(col("frame_idx"), col("q")))),
-        p => p.getField("q")).as("sig"))
-      .filter(size(col("sig")) === fpFrames)
-    val bands = sig.select(col("media_id"), col("kind"),
+    media.flatMap { m =>
+      val frames = frameSlices(m.payload).take(fpFrames)
+      if (frames.length < fpFrames) Nil
+      else Seq((m.media_id, m.kind, frames.map { case (_, slice) =>
+        slice.foldLeft(0L)((acc, b) => acc + (b & 0xff)) / fpQuant }))
+    }.toDF("media_id", "kind", "sig")
+  }
+
+  /** The 2-band LSH keys of a signature frame: (media_id, kind,
+    * band_idx, band-string). */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("media_id"), col("kind"),
         posexplode(array(
           slice(col("sig"), 1, fpBand),
           slice(col("sig"), fpBand + 1, fpBand))).as(Seq("band_idx", "b")))
       .select(col("media_id"), col("kind"), col("band_idx"),
         array_join(transform(col("b"), _.cast("string")), ",").as("band"))
+
+  private[graft] def mediaNearDupOf(media: Dataset[MediaRow]): DataFrame = {
+    val sig = signaturesOf(media)
+    val bands = bandsOf(sig)
     val coldBands = bands
       .groupBy("kind", "band_idx", "band").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= fpBandCap)
@@ -559,6 +575,141 @@ object Multimodal {
       |  i -> sa.sig[i] = sb.sig[i])) >= $fpMatchMin
       |ORDER BY media_a, media_b""".stripMargin
 
+  // ---------------------------- m79 incremental media near-dup gate
+
+  /** m79: INCREMENTAL media near-dup — d58's absorb contract applied
+    * to the multimodal column: a "new crawl batch" of media
+    * (media_id % 7 == 3) is checked against the EXISTING corpus by
+    * the m78 fingerprint (≥ 6/8 quantized frames agree, within a
+    * kind) without ever re-pairing the corpus against itself. The
+    * corpus-side band index streams through an equi-join against the
+    * BROADCAST new-batch bands (a crawl increment is small by
+    * definition), hot corpus bands above `fpBandCap` are dropped
+    * before any pair forms, and the verdict is one row per new media:
+    * its best corpus match (max frame agreement, ties → smallest
+    * corpus id, a plain min-of-struct aggregate) or is_dup=0 if
+    * novel. At 100 TB: per-batch work tracks the batch's candidate
+    * fan-out, never corpus size — the media tier's crawler-ingest
+    * gate, the same shape as d58/e109 for text. */
+  def mediaIncrNearDup(s: SparkSession, d: String): DataFrame = {
+    val newBands = bandsOf(signaturesOf(mediaTable(s, d))
+      .filter(col("media_id") % 7 === 3))
+      .select(col("kind"), col("band_idx"), col("band"),
+        col("media_id").as("n_id"))
+    val cand = corpusBandIndex(s, d)
+      .join(broadcast(newBands), Seq("kind", "band_idx", "band"))
+      .select("n_id", "c_id")
+    incrMediaFinish(s, d, cand)
+  }
+
+  /** The corpus side of the m79 gate — (kind, band_idx, band, c_id)
+    * with hot bands (> `fpBandCap` members) dropped. Shared with the
+    * streaming twin (e112) so the two paths can never diverge on the
+    * capped representation. */
+  private[graft] def corpusBandIndex(s: SparkSession, d: String): DataFrame = {
+    val corpBands = bandsOf(signaturesOf(mediaTable(s, d))
+      .filter(col("media_id") % 7 =!= 3))
+    val cold = corpBands.groupBy("kind", "band_idx", "band")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= fpBandCap)
+      .select("kind", "band_idx", "band")
+    corpBands.join(cold, Seq("kind", "band_idx", "band"))
+      .select(col("kind"), col("band_idx"), col("band"),
+        col("media_id").as("c_id"))
+  }
+
+  /** Scoring epilogue shared by m79 and its streaming twin (e112): a
+    * candidate (n_id, c_id) frame (possibly with band-collision
+    * duplicates — dedup'd here) → frame-agreement count from the
+    * signatures → best corpus match per new media → a verdict row for
+    * EVERY new-batch media (including those too short to fingerprint:
+    * un-checkable, reported novel). Candidates are bounded by the new
+    * batch's fan-out — broadcast on both signature joins' small
+    * sides. */
+  private[graft] def incrMediaFinish(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame = {
+    val sig = signaturesOf(mediaTable(s, d))
+    val scored = broadcast(cand.select("n_id", "c_id").distinct())
+      .join(sig.select(col("media_id").as("c_id"), col("sig").as("sig_c")),
+        "c_id")
+      .join(broadcast(sig.select(col("media_id").as("n_id"),
+        col("sig").as("sig_n"))), "n_id")
+      .withColumn("n_match", expr(
+        "size(filter(zip_with(sig_n, sig_c, (x, y) -> x = y), m -> m))")
+        .cast("long"))
+      .filter(col("n_match") >= fpMatchMin)
+    val best = scored.groupBy("n_id")
+      .agg(min(struct((-col("n_match")).as("nm"), col("c_id").as("cid")))
+        .as("m"))
+      .select(col("n_id").as("new_media_id"), col("m.cid").as("dup_of"),
+        (-col("m.nm")).as("best_match"))
+    documents(s, d).filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id").as("new_media_id"),
+        element_at(lit(kinds), (col("doc_id") % 3 + 1).cast("int"))
+          .as("kind"))
+      .join(broadcast(best), Seq("new_media_id"), "left")
+      .select(col("new_media_id"), col("kind"), col("dup_of"),
+        col("best_match"),
+        when(col("dup_of").isNotNull, 1L).otherwise(0L).as("is_dup"))
+      .orderBy("new_media_id")
+  }
+
+  val mediaIncrNearDupSql: String =
+    s"""WITH fr AS (
+      |  SELECT media_id, kind, i AS frame_idx,
+      |    CAST(coalesce(list_sum(list_transform(range(1, length(f) + 1),
+      |      j -> ascii(substr(f, CAST(j AS INT), 1)))), 0) AS BIGINT)
+      |      AS energy
+      |  FROM (
+      |    SELECT doc_id AS media_id,
+      |      ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind, i,
+      |      substring(text, CAST(i * 64 + 1 AS INT), 64) AS f
+      |    FROM (SELECT doc_id, text,
+      |            unnest(range(0, least(greatest(length(text) // 64, 1),
+      |              $fpFrames))) AS i
+      |          FROM documents))),
+      |sig AS (
+      |  SELECT media_id, kind,
+      |    list(energy // $fpQuant ORDER BY frame_idx) AS sig
+      |  FROM fr GROUP BY media_id, kind HAVING count(*) = $fpFrames),
+      |bands AS (
+      |  SELECT media_id, kind, bi AS band_idx,
+      |    array_to_string(CASE bi WHEN 0 THEN sig[1:$fpBand]
+      |      ELSE sig[${fpBand + 1}:${2 * fpBand}] END, ',') AS band
+      |  FROM sig, generate_series(0, 1) AS g(bi)),
+      |cold AS (
+      |  SELECT kind, band_idx, band FROM bands WHERE media_id % 7 <> 3
+      |  GROUP BY kind, band_idx, band
+      |  HAVING count(*) <= $fpBandCap),
+      |cand AS (
+      |  SELECT DISTINCT n.media_id AS n_id, c.media_id AS c_id
+      |  FROM bands c
+      |  JOIN cold k ON k.kind = c.kind AND k.band_idx = c.band_idx
+      |    AND k.band = c.band
+      |  JOIN bands n ON n.kind = c.kind AND n.band_idx = c.band_idx
+      |    AND n.band = c.band
+      |  WHERE c.media_id % 7 <> 3 AND n.media_id % 7 = 3),
+      |scored AS (
+      |  SELECT cand.n_id, cand.c_id,
+      |    CAST(len(list_filter(range(1, ${fpFrames + 1}),
+      |      i -> sn.sig[i] = sc.sig[i])) AS BIGINT) AS n_match
+      |  FROM cand
+      |  JOIN sig sn ON sn.media_id = cand.n_id
+      |  JOIN sig sc ON sc.media_id = cand.c_id
+      |  WHERE len(list_filter(range(1, ${fpFrames + 1}),
+      |    i -> sn.sig[i] = sc.sig[i])) >= $fpMatchMin),
+      |best AS (
+      |  SELECT n_id, c_id, n_match FROM scored
+      |  QUALIFY row_number() OVER (PARTITION BY n_id
+      |    ORDER BY n_match DESC, c_id) = 1)
+      |SELECT d.doc_id AS new_media_id,
+      |  ['image','audio','video'][(d.doc_id % 3 + 1)::INT] AS kind,
+      |  best.c_id AS dup_of, best.n_match AS best_match,
+      |  CAST(CASE WHEN best.c_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_dup
+      |FROM documents d LEFT JOIN best ON best.n_id = d.doc_id
+      |WHERE d.doc_id % 7 = 3 ORDER BY new_media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m70_media_meta"     -> mediaMeta _,
     "m71_media_frames"   -> mediaFrames _,
@@ -569,6 +720,7 @@ object Multimodal {
     "m76_media_dedup"    -> mediaDedup _,
     "m77_shard_manifest" -> shardManifest _,
     "m78_media_neardup"  -> mediaNearDup _,
+    "m79_media_incr_neardup" -> mediaIncrNearDup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -581,5 +733,6 @@ object Multimodal {
     "m76_media_dedup"    -> mediaDedupSql,
     "m77_shard_manifest" -> shardManifestSql,
     "m78_media_neardup"  -> mediaNearDupSql,
+    "m79_media_incr_neardup" -> mediaIncrNearDupSql,
   )
 }

@@ -1130,6 +1130,43 @@ object StreamingOps {
       .orderBy("doc_id")
   }
 
+  /** e112: m79's STREAMING twin — the media crawler's continuous
+    * near-dup gate: the corpus's cold-capped fingerprint band index is
+    * built batch-side ([[graft.ext.Multimodal.corpusBandIndex]], the
+    * SAME capped representation as the batch twin), then the stream's
+    * new-crawl media (media_id % 7 == 3, filtered IN the stream) flow
+    * through the stateless synthesize → signature → band explode (all
+    * per-row typed maps, no aggregation — append-mode legal) into a
+    * stream-static equi-join on (kind, band_idx, band), and each
+    * candidate (new, corpus) pair lands in the exactly-once file sink.
+    * Frame-agreement scoring, the best-match argmax and the verdict
+    * rows are m79's read-time epilogue, so the drained log
+    * hash-checks against m79's oracle. At scale: per-batch join work
+    * tracks the batch's candidate fan-out, never corpus size — the
+    * media tier's form of the e109 crawler gate. */
+  def streamMediaDedupGate(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val corpIdx = graft.ext.Multimodal.corpusBandIndex(spark, d)
+    val log = drainToFileSink(spark, "e112", nIn) {
+      import spark.implicits._
+      graft.ext.Multimodal.bandsOf(graft.ext.Multimodal.signaturesOf(
+        graft.ext.Multimodal.mediaRowsOf(
+          spark.readStream
+            .schema(documentsSchema)
+            .parquet(stageDir)
+            .filter(col("doc_id") % 7 === 3)
+            .select("doc_id", "text").as[(Long, String)])))
+        .select(col("kind"), col("band_idx"), col("band"),
+          col("media_id").as("n_id"))
+        .join(corpIdx, Seq("kind", "band_idx", "band"))
+        .select("n_id", "c_id")
+    }
+    graft.ext.Multimodal.incrMediaFinish(spark, d, log)
+  }
+
   /** Streaming maildir ingest: binaryFile stream → parse → per-batch
     * merge into the store (foreachBatch = the reference's per-task
     * upsert loop collapsed into idempotent batch merges). Returns the
