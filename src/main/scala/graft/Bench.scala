@@ -180,6 +180,7 @@ object Bench {
       graft.ext.DedupOps.clearCaches()
       graft.ext.SimilarityOps.clearCaches()
       graft.graph.GraphOps.clearCaches()
+      graft.ext.Multimodal.clearCaches()
       graft.query.FixtureCorpus.clear()
     }
     shuffleProbeSecs(spark) // discard: first probe run carries its JIT
@@ -216,6 +217,16 @@ object Bench {
         () => { graft.query.EmailOps.compactedStore(spark, sfDir)
           .count(); () },
         () => graft.query.FixtureCorpus.clearAux("em73")),
+      // shared semantic-CC assignment (g103 + d62 serve from it) and
+      // shared media signature frame (m78/m79/e112)
+      ("cache_semantic_cc",
+        () => { graft.graph.GraphOps.semanticComponentsCached(spark, sfDir)
+          .count(); () },
+        () => graft.graph.GraphOps.clearSemanticCc()),
+      ("cache_media_sigs",
+        () => { graft.ext.Multimodal.cachedSignatures(spark, sfDir)
+          .count(); () },
+        () => graft.ext.Multimodal.clearCaches()),
       ("cache_s81_incr_index",
         () => { graft.ext.SimilarityOps.ivfPqIncremental(spark, sfDir)
           .count(); () },
@@ -371,6 +382,7 @@ object Bench {
     graft.ext.DedupOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
     graft.graph.GraphOps.clearCaches()
+    graft.ext.Multimodal.clearCaches()
     graft.query.FixtureCorpus.clear()
     graft.ingest.Validation.clearJsonl()
     spark.stop()

@@ -46,4 +46,16 @@ final class FrameRegistry {
     cache.values.forEach(df => { df.unpersist(); () })
     cache.clear()
   }
+
+  /** Drop (and unpersist) only the entries whose key starts with
+    * `prefix` — the targeted clear a bench warm's rebuild cycle needs
+    * so re-timing one cached frame can never evict another registry
+    * entry that was already measured. */
+  def drop(prefix: String): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) { e.getValue.unpersist(); it.remove() }
+    }
+  }
 }

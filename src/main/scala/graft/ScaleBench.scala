@@ -92,6 +92,7 @@ object ScaleBench {
     graft.ext.DedupOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
     graft.graph.GraphOps.clearCaches()
+    graft.ext.Multimodal.clearCaches()
     graft.query.FixtureCorpus.clear()
   }
 
@@ -157,7 +158,20 @@ object ScaleBench {
       ("em73_store_compaction",
         () => graft.query.FixtureCorpus.clearAux("em73"),
         () => {
-          graft.query.EmailOps.compactedStore(spark, dir).count(); () }))
+          graft.query.EmailOps.compactedStore(spark, dir).count(); () }),
+      // the shared semantic-CC assignment (g103 + d62 both serve from
+      // it) and the shared media signature frame (m78/m79/e112): their
+      // builds are the honest exponent carriers, the query line items
+      // measure serve-side work
+      ("cache_semantic_cc",
+        () => graft.graph.GraphOps.clearSemanticCc(),
+        () => {
+          graft.graph.GraphOps.semanticComponentsCached(spark, dir)
+            .count(); () }),
+      ("cache_media_sigs",
+        () => graft.ext.Multimodal.clearCaches(),
+        () => {
+          graft.ext.Multimodal.cachedSignatures(spark, dir).count(); () }))
     val caches = cacheDefs
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, clear, build) => name -> minOf3(clear, build) }
@@ -219,7 +233,9 @@ object ScaleBench {
         "cache_graph_edges" -> vol("lineitem"),
         "cache_s81_incr_index" -> vol("emb"),
         "cache_s87_bm25_index" -> vol("docs"),
-        "em73_store_compaction" -> vol("docs"))
+        "em73_store_compaction" -> vol("docs"),
+        "cache_semantic_cc" -> vol("emb"),
+        "cache_media_sigs" -> vol("docs"))
     val aMap = (cachesA ++ queriesA).toMap
     val items = (cachesB ++ queriesB).map { case (name, tB) =>
       val tA = aMap.getOrElse(name, -1.0)

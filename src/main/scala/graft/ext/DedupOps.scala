@@ -1171,12 +1171,25 @@ object DedupOps {
     * O(members·dim), not O(cluster²). */
   def semanticRepresentatives(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VecExprs.dot_d
-    val members = graft.graph.GraphOps.semanticComponents(s, d)
+    val members = graft.graph.GraphOps.semanticComponentsCached(s, d)
       .join(SimilarityOps.kmAssignedFull(s, d).select("vec_id", "v"),
         "vec_id")
+    // centroid components in exact integer MICRO-units: a plain avg()
+    // over shuffled double partials is summation-order-dependent (and
+    // DuckDB's avg has its own order), so a member whose cosine sits
+    // on a 6-digit rounding boundary could flip the hash between runs
+    // or engines. Summing round(x·10⁶) as BIGINT is exact on both
+    // sides; the final sx/(n·10⁶) division starts from identical
+    // inputs, so every centroid double — and every downstream cosine
+    // — is bit-identical cross-engine (the kmMeans fixed-point
+    // discipline).
     val cent = members
       .select(col("component"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("component", "pos").agg(avg("x").as("cx"))
+      .groupBy("component", "pos")
+      .agg(sum(round(col("x") * 1000000).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("component"), col("pos"),
+        (col("sx").cast("double") / (col("n") * 1000000.0)).as("cx"))
       .groupBy("component")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         p => p.getField("cx")).as("cv"))
@@ -1208,7 +1221,9 @@ object DedupOps {
       |  FROM comp c JOIN e2 ON e2.vec_id = c.vec_id),
       |cent AS (
       |  SELECT component, list(cx ORDER BY i) AS cv FROM (
-      |    SELECT component, i, avg(v[i]) AS cx
+      |    SELECT component, i,
+      |      CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
+      |        / (count(*) * 1000000.0) AS cx
       |    FROM mem, generate_series(1, 64) AS g(i)
       |    GROUP BY component, i)
       |  GROUP BY component),

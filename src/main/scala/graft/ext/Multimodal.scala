@@ -21,6 +21,11 @@ import graft.Tables._
   */
 object Multimodal {
 
+  private val frames = new graft.FrameRegistry
+
+  /** Release the cached signature frame (bench harness epilogue). */
+  def clearCaches(): Unit = frames.clear()
+
   /** Media row: payload + envelope metadata. */
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
@@ -469,7 +474,7 @@ object Multimodal {
     * signature (too short to fingerprint) — both engines exclude them
     * structurally. */
   def mediaNearDup(s: SparkSession, d: String): DataFrame =
-    mediaNearDupOf(mediaTable(s, d))
+    nearDupFromSig(cachedSignatures(s, d))
 
   /** The m78 pipeline over an arbitrary media frame — factored so the
     * spec can plant a controlled near-dup (few flipped bytes) and a
@@ -492,6 +497,16 @@ object Multimodal {
     }.toDF("media_id", "kind", "sig")
   }
 
+  /** The per-(session, dir) cached corpus signature frame — THREE
+    * consumers ride it (m78's self-join, m79's corpus/new split, and
+    * e112's batch-side band index), and each uncached reference
+    * re-runs the full payload synthesis + energy fold scan. Its
+    * one-time cost is the `cache_media_sigs` bench/rehearsal warm
+    * line item; [[clearCaches]] is the targeted re-time clear (the
+    * registry holds only this frame). */
+  private[graft] def cachedSignatures(s: SparkSession, d: String): DataFrame =
+    frames.cached(s, d, "media_sigs") { signaturesOf(mediaTable(s, d)) }
+
   /** The 2-band LSH keys of a signature frame: (media_id, kind,
     * band_idx, band-string). */
   private[graft] def bandsOf(sig: DataFrame): DataFrame =
@@ -502,8 +517,10 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("band_idx"),
         array_join(transform(col("b"), _.cast("string")), ",").as("band"))
 
-  private[graft] def mediaNearDupOf(media: Dataset[MediaRow]): DataFrame = {
-    val sig = signaturesOf(media)
+  private[graft] def mediaNearDupOf(media: Dataset[MediaRow]): DataFrame =
+    nearDupFromSig(signaturesOf(media))
+
+  private def nearDupFromSig(sig: DataFrame): DataFrame = {
     val bands = bandsOf(sig)
     val coldBands = bands
       .groupBy("kind", "band_idx", "band").agg(count(lit(1)).as("bn"))
@@ -592,7 +609,7 @@ object Multimodal {
     * fan-out, never corpus size — the media tier's crawler-ingest
     * gate, the same shape as d58/e109 for text. */
   def mediaIncrNearDup(s: SparkSession, d: String): DataFrame = {
-    val newBands = bandsOf(signaturesOf(mediaTable(s, d))
+    val newBands = bandsOf(cachedSignatures(s, d)
       .filter(col("media_id") % 7 === 3))
       .select(col("kind"), col("band_idx"), col("band"),
         col("media_id").as("n_id"))
@@ -607,7 +624,7 @@ object Multimodal {
     * streaming twin (e112) so the two paths can never diverge on the
     * capped representation. */
   private[graft] def corpusBandIndex(s: SparkSession, d: String): DataFrame = {
-    val corpBands = bandsOf(signaturesOf(mediaTable(s, d))
+    val corpBands = bandsOf(cachedSignatures(s, d)
       .filter(col("media_id") % 7 =!= 3))
     val cold = corpBands.groupBy("kind", "band_idx", "band")
       .agg(count(lit(1)).as("bn"))
@@ -628,11 +645,17 @@ object Multimodal {
     * sides. */
   private[graft] def incrMediaFinish(s: SparkSession, d: String,
       cand: DataFrame): DataFrame = {
-    val sig = signaturesOf(mediaTable(s, d))
+    val sig = cachedSignatures(s, d)
+    // broadcast only batch-bounded frames: the candidate set and the
+    // NEW-batch signatures (media_id % 7 == 3). The corpus-side
+    // signature frame streams through a plain join — broadcasting it
+    // would be an O(corpus) driver materialization, exactly the
+    // unbounded-collect class this gate exists to avoid.
+    val newSig = sig.filter(col("media_id") % 7 === 3)
     val scored = broadcast(cand.select("n_id", "c_id").distinct())
       .join(sig.select(col("media_id").as("c_id"), col("sig").as("sig_c")),
         "c_id")
-      .join(broadcast(sig.select(col("media_id").as("n_id"),
+      .join(broadcast(newSig.select(col("media_id").as("n_id"),
         col("sig").as("sig_n"))), "n_id")
       .withColumn("n_match", expr(
         "size(filter(zip_with(sig_n, sig_c, (x, y) -> x = y), m -> m))")

@@ -715,12 +715,27 @@ object GraphOps {
     * (≤ 3n rows pre-filter), and the CC loop is the audited g102
     * substrate (constant-size plans via per-round localCheckpoint). */
   def semanticComponents(s: SparkSession, d: String): DataFrame =
-    EmailGraph.componentsLargeSmallStar(s,
-      graft.ext.SimilarityOps.ivfKnnGraph(s, d)
-        .filter(col("cosine") >= graft.ext.DedupOps.semTau)
-        .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
-      .select(col("id").as("vec_id"), col("component"))
-      .orderBy("vec_id")
+    semanticComponentsCached(s, d).orderBy("vec_id")
+
+  /** The cached (vec_id, component) assignment behind g103 — registry
+    * cached per (session, dir) because TWO driver entries ride it
+    * (g103's census and d62's representative selection) and the build
+    * is the iterative large-star/small-star loop: without the cache,
+    * every d62 call would re-run the whole CC job the g103 line item
+    * already times. Its one-time cost is the `cache_semantic_cc`
+    * bench/rehearsal warm line item; [[clearSemanticCc]] is that
+    * warm's targeted re-time clear. */
+  private[graft] def semanticComponentsCached(s: SparkSession,
+      d: String): DataFrame =
+    frames.cached(s, d, "semantic_cc") {
+      EmailGraph.componentsLargeSmallStar(s,
+        graft.ext.SimilarityOps.ivfKnnGraph(s, d)
+          .filter(col("cosine") >= graft.ext.DedupOps.semTau)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+        .select(col("id").as("vec_id"), col("component"))
+    }
+
+  def clearSemanticCc(): Unit = frames.drop("semantic_cc|")
 
   // LAZY: composed from SimilarityOps' SQL and read by DedupOps'
   // d62 oracle during ITS initializer — a plain val here closes an
