@@ -44,7 +44,7 @@ object PlanAudit {
       "s89_knn_graph_recall", "s90_ivf_knn_graph", "s91_ivf_graph_recall",
       "s92_multiprobe_graph", "t68_passage_decontam", "g103_semantic_cc",
       "d62_semantic_reps", "t69_source_calibration", "m78_media_neardup",
-      "m79_media_incr_neardup")
+      "m79_media_incr_neardup", "e113_transition_matrix")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)

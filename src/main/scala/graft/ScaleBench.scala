@@ -39,6 +39,8 @@ object ScaleBench {
     "e88_stream_join" -> "events",
     "e100_stream_unmatched" -> "events",
     "e101_stream_dedup_activity" -> "events",
+    // e113's window is per-user-local; the matrix is |types|^2
+    "e113_transition_matrix" -> "events",
     // round-10 additions: the three corpus-manifest builders (packing /
     // chunking / sharding — expected scan-bound, exponent ≲ 1), the
     // split-drift audit, and the two model-blocked embedding ops

@@ -131,7 +131,12 @@ object SparkEntry {
         // shares m79's oracle
         "e112_stream_media_gate" ->
           ((s: SparkSession, d: String) =>
-            StreamingOps.streamMediaDedupGate(s, d)))
+            StreamingOps.streamMediaDedupGate(s, d)),
+        // streaming twin of e113: the live first-order Markov counter
+        // (per-user last-event custom state) — shares e113's oracle
+        "e114_stream_transitions" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamTransitions(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -164,5 +169,6 @@ object SparkEntry {
         "e110_stream_jsonl" -> Validation.jsonlIngestSql,
         "e111_stream_decontam" -> DedupOps.passageDecontamSql,
         "e112_stream_media_gate" ->
-          graft.ext.Multimodal.mediaIncrNearDupSql)
+          graft.ext.Multimodal.mediaIncrNearDupSql,
+        "e114_stream_transitions" -> EventOps.transitionMatrixSql)
 }

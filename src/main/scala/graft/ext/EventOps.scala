@@ -575,7 +575,67 @@ object EventOps {
       |  CAST(s AS BIGINT) AS ewma_cents
       |FROM ew ORDER BY event_type, day_ts""".stripMargin
 
+  /** e113: clickstream TRANSITION matrix — first-order Markov counts
+    * over session-local event pairs: for each user's time-ordered
+    * stream, every adjacent (prev_type → type) pair within e82's
+    * 30-minute session gap counts one transition, and each row of the
+    * matrix carries its count plus the row-normalized probability in
+    * exact ppm (integer `div`, engine-exact). The "where do users go
+    * next" table behind funnel design and anomaly baselines.
+    *
+    * Scale shape: ONE user_id shuffle (the funnel/sessionize
+    * contract); the lag window is per-user-local, transition counts
+    * partial-aggregate map-side into an |event-type|² frame (tiny by
+    * construction), and the row totals broadcast back onto it. */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("tsus", "event_id")
+    val seq = events(s, d)
+      .withColumn("tsus", expr("ts div 1000"))
+      .withColumn("prev_ts", lag("tsus", 1).over(byUser))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+    transitionFinish(seq
+      .filter(col("prev_type").isNotNull &&
+        col("tsus") - col("prev_ts") <= 1800000000L)
+      .select(col("prev_type").as("from_type"),
+        col("event_type").as("to_type")))
+  }
+
+  /** Aggregation epilogue shared by e113 and its streaming twin
+    * (e114): a raw (from_type, to_type) transition-fact frame → the
+    * counted matrix with row-normalized exact-ppm probabilities. */
+  private[graft] def transitionFinish(pairs: DataFrame): DataFrame = {
+    val trans = pairs
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum("n").as("tn"))
+    trans.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000000 * n) div tn").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val transitionMatrixSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsus,
+      |    lag(epoch_us(ts)) OVER w AS prev_ts,
+      |    lag(event_type) OVER w AS prev_type
+      |  FROM events
+      |  WINDOW w AS (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |tr AS (
+      |  SELECT prev_type AS from_type, event_type AS to_type,
+      |    count(*) AS n
+      |  FROM t
+      |  WHERE prev_type IS NOT NULL AND tsus - prev_ts <= 1800000000
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT from_type, sum(n) AS tn FROM tr GROUP BY 1)
+      |SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n,
+      |  CAST((1000000 * tr.n) // tot.tn AS BIGINT) AS p_ppm
+      |FROM tr JOIN tot ON tot.from_type = tr.from_type
+      |ORDER BY tr.from_type, tr.to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e113_transition_matrix" -> transitionMatrix _,
     "e80_tumbling_window" -> tumblingWindow _,
     "e81_hopping_window"  -> hoppingWindow _,
     "e82_sessionize"      -> sessionize _,
@@ -601,5 +661,6 @@ object EventOps {
     "e94_retention"       -> retentionSql,
     "e97_rate_spikes"     -> rateSpikesSql,
     "e103_ewma_daily"     -> ewmaDailySql,
+    "e113_transition_matrix" -> transitionMatrixSql,
   )
 }

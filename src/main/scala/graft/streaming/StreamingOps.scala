@@ -1130,6 +1130,64 @@ object StreamingOps {
       .orderBy("doc_id")
   }
 
+  case class TransEvent(user_id: Long, ts: Long, event_id: Long, tp: String)
+  case class LastEvent(ts: Long, tp: String)
+  case class TransitionFact(from_type: String, to_type: String)
+
+  /** The per-user transition extractor behind e114: custom state holds
+    * only the user's LAST event; each batch's events sort per-user on
+    * (ts, event_id) — the batch twin's exact lag order — and every
+    * adjacent pair within the 30-minute session gap emits one
+    * transition fact. Emitted facts are final (append-legal). */
+  def transitionStream(
+      events: org.apache.spark.sql.Dataset[TransEvent])
+      : org.apache.spark.sql.Dataset[TransitionFact] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionFact](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[TransEvent], state: GroupState[LastEvent]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[TransitionFact]
+          it.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            last.foreach { l =>
+              if (e.ts - l.ts <= 1800000000L)
+                out += TransitionFact(l.tp, e.tp)
+            }
+            last = Some(LastEvent(e.ts, e.tp))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** e114: e113's STREAMING twin — the transition matrix maintained
+    * against a live event feed: per-user LAST-event custom state (the
+    * minimal state a first-order Markov counter needs — one row per
+    * user, never a history), each arriving event emitting its
+    * session-local transition fact into the exactly-once file sink;
+    * counting and exact-ppm row normalization are e113's read-time
+    * epilogue, so the drained log hash-checks against e113's oracle.
+    * At scale: state is O(users), per-batch work is O(batch), and the
+    * matrix itself is |event-type|² — the live "where do users go
+    * next" table. */
+  def streamTransitions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val stageDir = stageFile(spark, d, "events.parquet")
+    val nIn = cachedCount(d, "ev_all") {
+      spark.read.parquet(s"$d/events.parquet").count()
+    }
+    val log = drainToFileSink(spark, "e114", nIn) {
+      transitionStream(
+        spark.readStream.schema(eventsSchema).parquet(stageDir)
+          .select(col("user_id"), expr("ts div 1000").as("ts"),
+            col("event_id"), col("event_type").as("tp"))
+          .as[TransEvent]).toDF()
+    }
+    graft.ext.EventOps.transitionFinish(log)
+  }
+
   /** e112: m79's STREAMING twin — the media crawler's continuous
     * near-dup gate: the corpus's cold-capped fingerprint band index is
     * built batch-side ([[graft.ext.Multimodal.corpusBandIndex]], the
