@@ -122,6 +122,37 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
     assert(graft.ext.Multimodal.mediaNearDupOf(hot.toDS()).count() == 0L)
   }
 
+  test("e114 links transitions across micro-batches via last-event state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.TransEvent
+    val input = MemoryStream[TransEvent]
+    val out = graft.streaming.StreamingOps.transitionStream(input.toDS())
+    val q = out.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("e114_out").start()
+    try {
+      val M = 60L * 1000000L // one minute in µs
+      // batch 1: user 1 view→click (in-session); user 2 one event
+      input.addData(
+        TransEvent(1L, 0 * M, 10L, "view"),
+        TransEvent(1L, 5 * M, 11L, "click"),
+        TransEvent(2L, 0 * M, 20L, "view"))
+      q.processAllAvailable()
+      // batch 2: user 1's purchase 10 min after batch 1's click (the
+      // CROSS-BATCH transition only the persisted state can see);
+      // user 2's next event 31 min later — past the session gap, no
+      // transition
+      input.addData(
+        TransEvent(1L, 15 * M, 12L, "purchase"),
+        TransEvent(2L, 31 * M, 21L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("e114_out")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(got == Seq(("click", "purchase"), ("view", "click")))
+    } finally q.stop()
+  }
+
   test("multi-group packing honors want > 1 without row loss") {
     val (store, root) = freshStore()
     try {
