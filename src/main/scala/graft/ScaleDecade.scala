@@ -28,6 +28,11 @@ object ScaleDecade {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val sf1 = args.lift(1).getOrElse("/tmp/graft-sf1")
     val sf10 = args.lift(2).getOrElse("/tmp/graft-sf10")
+    // optional 4th arg (dev): comma-separated line-item names — run
+    // only those and MERGE into the existing SCALE_DECADE.json (the
+    // ScaleBench subset discipline: a targeted add-one-item probe must
+    // never clobber the full record or re-pay the ~1 h full rerun)
+    val only: Option[Set[String]] = args.lift(3).map(_.split(",").toSet)
     val spark = Sessions.local()
 
     if (!new java.io.File(s"$sf1/documents.parquet").exists())
@@ -79,32 +84,49 @@ object ScaleDecade {
 
     /** One volume's line items. */
     def measure(dir: String): Seq[(String, Double)] = {
-      graft.ext.DedupOps.clearCaches()
-      val cands = candidateVolume(dir)
-      graft.ext.DedupOps.clearCaches()
       val items = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-      items += "candidates" -> cands
+      def want(n: String) = only.forall(_.contains(n))
+      if (want("candidates") || want("pair_build_d51")) {
+        graft.ext.DedupOps.clearCaches()
+        val cands = candidateVolume(dir)
+        graft.ext.DedupOps.clearCaches()
+        items += "candidates" -> cands
+      }
       // dedup-warm components, worst-first guarded
-      items += "shingle_frame" -> minOf3(() => {
-        graft.ext.DedupOps.hashedShinglesForProbe(spark, dir).count(); () })
-      items += "simhash_d53" -> minOf3(() => {
-        graft.ext.DedupOps.simhash(spark, dir).count(); () })
-      items += "lsh_d52" -> minOf3(() => {
-        graft.ext.DedupOps.minhashLsh(spark, dir).count(); () })
-      if (cands <= PairBuildCandidateCeiling)
+      if (want("shingle_frame"))
+        items += "shingle_frame" -> minOf3(() => {
+          graft.ext.DedupOps.hashedShinglesForProbe(spark, dir).count(); () })
+      if (want("simhash_d53"))
+        items += "simhash_d53" -> minOf3(() => {
+          graft.ext.DedupOps.simhash(spark, dir).count(); () })
+      if (want("lsh_d52"))
+        items += "lsh_d52" -> minOf3(() => {
+          graft.ext.DedupOps.minhashLsh(spark, dir).count(); () })
+      if (!want("pair_build_d51")) ()
+      else if (items.toMap.getOrElse("candidates", 0.0)
+          <= PairBuildCandidateCeiling)
         items += "pair_build_d51" -> minOf3(() => {
           graft.ext.DedupOps.jaccardPairs(spark, dir).count(); () })
       else {
         System.err.println(f"[decade] pair build SKIPPED at $dir: " +
-          f"$cands%.3g candidates > ${PairBuildCandidateCeiling}%.1g " +
+          f"${items.toMap.getOrElse("candidates", 0.0)}%.3g candidates" +
+          f" > ${PairBuildCandidateCeiling}%.1g " +
           "ceiling (disk-backed shuffle would not fit the box); " +
           "cost-per-candidate exponent measured at sf0.1->sf1 = 0.44-0.48")
         items += "pair_build_d51" -> -1.0
       }
-      items += "d59_passage_dedup" -> Bench.median3(() => {
-        SparkEntry.queries("d59_passage_dedup")(spark, dir).count(); () })
-      items += "t61_bigram_lm" -> Bench.median3(() => {
-        SparkEntry.queries("t61_bigram_lm")(spark, dir).count(); () })
+      if (want("d59_passage_dedup"))
+        items += "d59_passage_dedup" -> Bench.median3(() => {
+          SparkEntry.queries("d59_passage_dedup")(spark, dir).count(); () })
+      if (want("t61_bigram_lm"))
+        items += "t61_bigram_lm" -> Bench.median3(() => {
+          SparkEntry.queries("t61_bigram_lm")(spark, dir).count(); () })
+      // t69's ≥0.7 first-decade exponent (0.72) — documents-only scan,
+      // so the second decade slots into this probe's volume pair
+      if (want("t69_source_calibration"))
+        items += "t69_source_calibration" -> Bench.median3(() => {
+          SparkEntry.queries("t69_source_calibration")(spark, dir)
+            .count(); () })
       graft.ext.DedupOps.clearCaches()
       items.toSeq
     }
@@ -122,7 +144,26 @@ object ScaleDecade {
         if (ratio > 0) math.log(ratio) / math.log(volDocs) else -1.0
       s""""$name":{"a":${fmt(tA)},"b":${fmt(tB)},"ratio":${fmt(ratio)},"exponent":${fmt(expo)}}"""
     }
-    val line = s"""{"scale":"second_decade","dirA":"$sf1","dirB":"$sf10","vol_docs":${fmt(volDocs)},"items":{${items.mkString(",")}}}"""
+    // subset runs merge into the existing record (ScaleBench rule)
+    val priorItems: Seq[String] = if (only.isEmpty) Seq.empty else {
+      try {
+        val pth = java.nio.file.Paths.get("SCALE_DECADE.json")
+        if (!java.nio.file.Files.exists(pth)) Seq.empty
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(java.nio.file.Files.readString(pth))
+          val its = root.get("items")
+          if (its == null) Seq.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            val measured = b.map(_._1).toSet
+            its.fieldNames().asScala.filterNot(measured)
+              .map(n => s""""$n":${its.get(n).toString}""").toSeq
+          }
+        }
+      } catch { case _: Throwable => Seq.empty }
+    }
+    val line = s"""{"scale":"second_decade","dirA":"$sf1","dirB":"$sf10","vol_docs":${fmt(volDocs)},"items":{${(priorItems ++ items).mkString(",")}}}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALE_DECADE.json"),
