@@ -140,6 +140,25 @@ object ScaleGen {
     println(s"[scalegen] wrote skewed docs to $out: n=$n hot=$nHot")
   }
 
+  /** Skewed-EVENTS variant: remap user_id so ONE user owns ~`share`
+    * of all events (the power-law head of any real activity stream) —
+    * a deterministic hash gate on event_id; ts/event_id/type/value/
+    * props stay byte-identical, so a timing delta on the per-user
+    * window tiers (e82/e93/e113) is attributable to the key
+    * distribution alone. */
+  def generateSkewedEvents(spark: SparkSession, src: String, out: String,
+      share: Double = 0.3): Unit = {
+    val outDir = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(outDir)
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val pct = math.round(share * 100).toInt
+    val skewed = ev.withColumn("user_id",
+      when(pmod(xxhash64(col("event_id")), lit(100)) < pct, lit(0L))
+        .otherwise(col("user_id")))
+    writeSingleFile(skewed, outDir, "events")
+    println(s"[scalegen] wrote skewed events to $out (share=$share)")
+  }
+
   def generate(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
     val outDir = java.nio.file.Paths.get(out)

@@ -82,13 +82,45 @@ object SkewProbe {
 
     val a = measure(base)
     val b = measure(skew)
-    val aMap = a.toMap
-    val items = b.map { case (name, tB) =>
+
+    // ---- EVENT-tier skew: the per-user WINDOW queries (sessionize /
+    // funnel / transition matrix) cannot partial-aggregate their
+    // per-key sort, so a hot user funnels their share of the corpus
+    // through one task — the honest exposure this block measures
+    // (vs the email tier above, where map-side partials absorb the
+    // hot key before the exchange).
+    val evSkew = args.lift(2).getOrElse("/tmp/graft-sf1-evskew")
+    if (!new java.io.File(s"$evSkew/events.parquet").exists())
+      ScaleGen.generateSkewedEvents(spark, base, evSkew, share = 0.3)
+    val evQueries = Seq("e82_sessionize", "e93_funnel",
+      "e113_transition_matrix")
+    try evQueries.foreach(q => SparkEntry.queries(q)(spark, jit).count())
+    catch { case e: Throwable =>
+      System.err.println(s"[skew] event JIT pre-warm failed: $e") }
+    def hotUserShare(dir: String): Double = {
+      import org.apache.spark.sql.functions._
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val n = ev.count().toDouble
+      ev.groupBy("user_id").count()
+        .agg(max("count")).head().getLong(0) / n
+    }
+    def measureEvents(dir: String): Seq[(String, Double)] =
+      evQueries.map { q =>
+        q -> Bench.median3(() => {
+          SparkEntry.queries(q)(spark, dir).count(); () })
+      }
+    val ea = measureEvents(base)
+    val eb = measureEvents(evSkew)
+    val userShareA = hotUserShare(base)
+    val userShareB = hotUserShare(evSkew)
+
+    val aMap = (a ++ ea).toMap
+    val items = (b ++ eb).map { case (name, tB) =>
       val tA = aMap.getOrElse(name, -1.0)
       val ratio = if (tA > 0 && tB > 0) tB / tA else -1.0
       s""""$name":{"uniform":${fmt(tA)},"skewed":${fmt(tB)},"ratio":${fmt(ratio)}}"""
     }
-    val line = s"""{"scale":"skew_rehearsal","uniform":"$base","skewed":"$skew","hot_sender_share":{"uniform":${fmt(shareA)},"skewed":${fmt(shareB)}},"items":{${items.mkString(",")}}}"""
+    val line = s"""{"scale":"skew_rehearsal","uniform":"$base","skewed":"$skew","hot_sender_share":{"uniform":${fmt(shareA)},"skewed":${fmt(shareB)}},"ev_skewed":"$evSkew","hot_user_share":{"uniform":${fmt(userShareA)},"skewed":${fmt(userShareB)}},"items":{${items.mkString(",")}}}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("SKEW_DETAIL.json"),
