@@ -46,6 +46,7 @@ object ScaleDecade {
       graft.ext.DedupOps.warm(spark, jit)
       SparkEntry.queries("d59_passage_dedup")(spark, jit).count()
       SparkEntry.queries("t61_bigram_lm")(spark, jit).count()
+      SparkEntry.queries("t69_source_calibration")(spark, jit).count()
     } catch { case e: Throwable =>
       System.err.println(s"[decade] JIT pre-warm failed (non-fatal): $e") }
     graft.ext.DedupOps.clearCaches()
@@ -144,24 +145,39 @@ object ScaleDecade {
         if (ratio > 0) math.log(ratio) / math.log(volDocs) else -1.0
       s""""$name":{"a":${fmt(tA)},"b":${fmt(tB)},"ratio":${fmt(ratio)},"exponent":${fmt(expo)}}"""
     }
-    // subset runs merge into the existing record (ScaleBench rule)
+    // subset runs merge into the existing record (ScaleBench rule).
+    // An unreadable record ABORTS the subset run instead of silently
+    // yielding an empty prior set — swallowing the failure would make
+    // the final write clobber the ~1h full-rehearsal record, the exact
+    // outcome this merge mode exists to prevent. Prior values re-emit
+    // through the same %.3f fmt() so untouched entries stay
+    // byte-stable across subset runs.
     val priorItems: Seq[String] = if (only.isEmpty) Seq.empty else {
-      try {
-        val pth = java.nio.file.Paths.get("SCALE_DECADE.json")
-        if (!java.nio.file.Files.exists(pth)) Seq.empty
-        else {
-          val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          val root = om.readTree(java.nio.file.Files.readString(pth))
-          val its = root.get("items")
-          if (its == null) Seq.empty
-          else {
-            import scala.jdk.CollectionConverters._
-            val measured = b.map(_._1).toSet
-            its.fieldNames().asScala.filterNot(measured)
-              .map(n => s""""$n":${its.get(n).toString}""").toSeq
-          }
+      val pth = java.nio.file.Paths.get("SCALE_DECADE.json")
+      if (!java.nio.file.Files.exists(pth)) Seq.empty
+      else {
+        val root = try {
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(pth))
+        } catch { case e: Throwable =>
+          sys.error(s"SCALE_DECADE.json unreadable ($e): aborting the " +
+            "subset run rather than clobbering the full record — fix " +
+            "or remove the file, or run without a subset arg")
         }
-      } catch { case _: Throwable => Seq.empty }
+        val its = root.get("items")
+        if (its == null) Seq.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          val measured = b.map(_._1).toSet
+          its.fieldNames().asScala.filterNot(measured).map { n =>
+            val o = its.get(n)
+            s""""$n":{"a":${fmt(o.get("a").asDouble())},"b":${fmt(
+              o.get("b").asDouble())},"ratio":${fmt(
+              o.get("ratio").asDouble())},"exponent":${fmt(
+              o.get("exponent").asDouble())}}"""
+          }.toSeq
+        }
+      }
     }
     val line = s"""{"scale":"second_decade","dirA":"$sf1","dirB":"$sf10","vol_docs":${fmt(volDocs)},"items":{${(priorItems ++ items).mkString(",")}}}"""
     println(line)

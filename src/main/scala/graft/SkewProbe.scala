@@ -12,122 +12,135 @@ package graft
   * bounds every hot-key fan-in before the exchange, so a 30%-hot key
   * costs ~nothing — a skew-sensitive plan (e.g. a shuffle carrying raw
   * hot-key rows into one reducer) would show up as a skewed/uniform
-  * ratio well above 1. */
+  * ratio well above 1.
+  *
+  * The event tier carries the one shape that genuinely CANNOT
+  * partial-aggregate — per-user windows (e82/e93/e113 sort each
+  * user's events inside one task) — so a second block measures those
+  * against [[ScaleGen.generateSkewedEvents]] (one user owning 30% of
+  * all events).
+  *
+  * Measurement discipline: every uniform/skewed sample pair is
+  * INTERLEAVED (uniform run i immediately followed by skewed run i,
+  * ×3; queries reduce by median, builds by min — the Bench warm
+  * discipline) so time-separated ambient drift cannot masquerade as,
+  * or mask, a skew signal. The first committed record measured the
+  * two corpora in separate sequential blocks and its sibling ratios
+  * drifted to 0.65–0.90 on structurally skew-free plans — exactly
+  * that artifact. */
 object SkewProbe {
 
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/tmp/graft-sf1")
     val skew = args.lift(1).getOrElse("/tmp/graft-sf1-skew")
+    val evSkew = args.lift(2).getOrElse("/tmp/graft-sf1-evskew")
     val spark = Sessions.local()
 
     if (!new java.io.File(s"$base/documents.parquet").exists())
       ScaleGen.generate(spark, "/root/testdata/sf0.1", base, 10)
     if (!new java.io.File(s"$skew/documents.parquet").exists())
       ScaleGen.generateSkewed(spark, base, skew, share = 0.3)
+    if (!new java.io.File(s"$evSkew/events.parquet").exists())
+      ScaleGen.generateSkewedEvents(spark, base, evSkew, share = 0.3)
 
-    val queries = Seq("em64_comm_edges", "em65_mailbox_counts",
+    val emailQueries = Seq("em64_comm_edges", "em65_mailbox_counts",
       "g91_email_graph")
+    val eventQueries = Seq("e82_sessionize", "e93_funnel",
+      "e113_transition_matrix")
 
     // untimed JIT pre-warm at the smallest SF
     val jit = "/root/testdata/sf0.001"
     try {
       graft.query.FixtureCorpus.store(spark, jit).count()
-      queries.foreach(q => SparkEntry.queries(q)(spark, jit).count())
+      (emailQueries ++ eventQueries)
+        .foreach(q => SparkEntry.queries(q)(spark, jit).count())
     } catch { case e: Throwable =>
       System.err.println(s"[skew] JIT pre-warm failed (non-fatal): $e") }
-    graft.query.FixtureCorpus.clear()
-    graft.graph.GraphOps.clearCaches()
+
+    def clearStores(): Unit = {
+      graft.query.FixtureCorpus.clear()
+      graft.graph.GraphOps.clearCaches()
+    }
+    clearStores()
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // MIN of 3 clear-and-rebuild cycles for the warm (the Bench warm
-    // discipline — a one-shot build has no noise rejection, and this
-    // number becomes a published skewed/uniform ratio)
-    def warmMinOf3(dir: String): Double = {
-      var best = Double.MaxValue
+    def timeOne(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    /** Interleaved A/B sampling: (base run i, dirB run i) pairs ×3,
+      * reduced per side. */
+    def interleaved(dirB: String, reduce: Seq[Double] => Double)(
+        run: String => Unit): (Double, Double) = {
+      val sa = scala.collection.mutable.ArrayBuffer[Double]()
+      val sb = scala.collection.mutable.ArrayBuffer[Double]()
       var i = 0
       while (i < 3) {
-        graft.query.FixtureCorpus.clear()
-        graft.graph.GraphOps.clearCaches()
-        val t0 = System.nanoTime()
-        try graft.query.FixtureCorpus.store(spark, dir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[skew] FAILED: $e"); return -1.0 }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        sa += timeOne(run(base))
+        sb += timeOne(run(dirB))
         i += 1
       }
-      best
+      (reduce(sa.toSeq), reduce(sb.toSeq))
     }
 
-    def measure(dir: String): Seq[(String, Double)] = {
-      val warm = "cache_fixture_corpus" -> warmMinOf3(dir)
-      val qs = queries.map { q =>
-        q -> Bench.median3(() => {
-          SparkEntry.queries(q)(spark, dir).count(); () })
+    val items = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+
+    // ---- email tier (vs the skewed-documents corpus)
+    locally {
+      val (wa, wb) = interleaved(skew, _.min) { dir =>
+        clearStores()
+        graft.query.FixtureCorpus.store(spark, dir).count(); ()
       }
-      warm +: qs
+      items += (("cache_fixture_corpus", wa, wb))
+      clearStores()
+      // warm both corpora's stores once so query samples are serve-side
+      graft.query.FixtureCorpus.store(spark, base).count()
+      graft.query.FixtureCorpus.store(spark, skew).count()
+      emailQueries.foreach { q =>
+        val (qa, qb) = interleaved(skew, median) { dir =>
+          SparkEntry.queries(q)(spark, dir).count(); ()
+        }
+        items += ((q, qa, qb))
+      }
+      clearStores()
     }
 
-    // max sender share, measured on both corpora so the report carries
+    // ---- event tier (vs the skewed-events corpus)
+    eventQueries.foreach { q =>
+      val (qa, qb) = interleaved(evSkew, median) { dir =>
+        SparkEntry.queries(q)(spark, dir).count(); ()
+      }
+      items += ((q, qa, qb))
+    }
+
+    // max key share, measured on both corpora so the report carries
     // the actual skew (not just the generator's intent)
-    def hotShare(dir: String): Double = {
+    def hotShare(dir: String, key: String, table: String): Double = {
       import org.apache.spark.sql.functions._
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val n = docs.count().toDouble
-      docs.groupBy(expr("doc_id % 7")).count()
-        .agg(max("count")).head().getLong(0) / n
+      val t = spark.read.parquet(s"$dir/$table.parquet")
+      val n = t.count().toDouble
+      t.groupBy(expr(key)).count().agg(max("count")).head().getLong(0) / n
     }
-    val shareA = hotShare(base)
-    val shareB = hotShare(skew)
+    val shareA = hotShare(base, "doc_id % 7", "documents")
+    val shareB = hotShare(skew, "doc_id % 7", "documents")
+    val userShareA = hotShare(base, "user_id", "events")
+    val userShareB = hotShare(evSkew, "user_id", "events")
 
-    val a = measure(base)
-    val b = measure(skew)
-
-    // ---- EVENT-tier skew: the per-user WINDOW queries (sessionize /
-    // funnel / transition matrix) cannot partial-aggregate their
-    // per-key sort, so a hot user funnels their share of the corpus
-    // through one task — the honest exposure this block measures
-    // (vs the email tier above, where map-side partials absorb the
-    // hot key before the exchange).
-    val evSkew = args.lift(2).getOrElse("/tmp/graft-sf1-evskew")
-    if (!new java.io.File(s"$evSkew/events.parquet").exists())
-      ScaleGen.generateSkewedEvents(spark, base, evSkew, share = 0.3)
-    val evQueries = Seq("e82_sessionize", "e93_funnel",
-      "e113_transition_matrix")
-    try evQueries.foreach(q => SparkEntry.queries(q)(spark, jit).count())
-    catch { case e: Throwable =>
-      System.err.println(s"[skew] event JIT pre-warm failed: $e") }
-    def hotUserShare(dir: String): Double = {
-      import org.apache.spark.sql.functions._
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-      val n = ev.count().toDouble
-      ev.groupBy("user_id").count()
-        .agg(max("count")).head().getLong(0) / n
-    }
-    def measureEvents(dir: String): Seq[(String, Double)] =
-      evQueries.map { q =>
-        q -> Bench.median3(() => {
-          SparkEntry.queries(q)(spark, dir).count(); () })
-      }
-    val ea = measureEvents(base)
-    val eb = measureEvents(evSkew)
-    val userShareA = hotUserShare(base)
-    val userShareB = hotUserShare(evSkew)
-
-    val aMap = (a ++ ea).toMap
-    val items = (b ++ eb).map { case (name, tB) =>
-      val tA = aMap.getOrElse(name, -1.0)
+    val itemsJson = items.map { case (name, tA, tB) =>
       val ratio = if (tA > 0 && tB > 0) tB / tA else -1.0
       s""""$name":{"uniform":${fmt(tA)},"skewed":${fmt(tB)},"ratio":${fmt(ratio)}}"""
     }
-    val line = s"""{"scale":"skew_rehearsal","uniform":"$base","skewed":"$skew","hot_sender_share":{"uniform":${fmt(shareA)},"skewed":${fmt(shareB)}},"ev_skewed":"$evSkew","hot_user_share":{"uniform":${fmt(userShareA)},"skewed":${fmt(userShareB)}},"items":{${items.mkString(",")}}}"""
+    val line = s"""{"scale":"skew_rehearsal","uniform":"$base","skewed":"$skew","hot_sender_share":{"uniform":${fmt(shareA)},"skewed":${fmt(shareB)}},"ev_skewed":"$evSkew","hot_user_share":{"uniform":${fmt(userShareA)},"skewed":${fmt(userShareB)}},"interleaved":true,"items":{${itemsJson.mkString(",")}}}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("SKEW_DETAIL.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    graft.query.FixtureCorpus.clear()
-    graft.graph.GraphOps.clearCaches()
+    clearStores()
     spark.stop()
   }
 }

@@ -1131,14 +1131,24 @@ object StreamingOps {
   }
 
   case class TransEvent(user_id: Long, ts: Long, event_id: Long, tp: String)
-  case class LastEvent(ts: Long, tp: String)
+  case class LastEvent(ts: Long, event_id: Long, tp: String)
   case class TransitionFact(from_type: String, to_type: String)
 
   /** The per-user transition extractor behind e114: custom state holds
-    * only the user's LAST event; each batch's events sort per-user on
-    * (ts, event_id) — the batch twin's exact lag order — and every
+    * only the user's LAST event (ts + event_id, so the tie-break
+    * matches the batch twin's (tsus, event_id) lag order exactly);
+    * each batch's events sort per-user on that key and every FORWARD
     * adjacent pair within the 30-minute session gap emits one
-    * transition fact. Emitted facts are final (append-legal). */
+    * transition fact. An event that predates the stored last (a
+    * cross-batch out-of-order arrival) is DROPPED, never linked — a
+    * one-row state cannot re-derive the global order a late event
+    * changes, and silently linking it backwards would emit a
+    * (from, to) pair the batch twin's lag order never produces; the
+    * contract is per-user in-order delivery across batches (the e95
+    * funnel's monotone rule), which the single-batch oracle drain and
+    * any time-ordered feed satisfy. A null-typed LAST event links no
+    * transition (the batch twin's `prev_type IS NOT NULL` filter).
+    * Emitted facts are final (append-legal). */
   def transitionStream(
       events: org.apache.spark.sql.Dataset[TransEvent])
       : org.apache.spark.sql.Dataset[TransitionFact] = {
@@ -1151,11 +1161,15 @@ object StreamingOps {
           var last = state.getOption
           val out = Seq.newBuilder[TransitionFact]
           it.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
-            last.foreach { l =>
-              if (e.ts - l.ts <= 1800000000L)
-                out += TransitionFact(l.tp, e.tp)
+            last match {
+              case Some(l) if e.ts > l.ts ||
+                  (e.ts == l.ts && e.event_id > l.event_id) =>
+                if (l.tp != null && e.ts - l.ts <= 1800000000L)
+                  out += TransitionFact(l.tp, e.tp)
+                last = Some(LastEvent(e.ts, e.event_id, e.tp))
+              case Some(_) => () // out-of-order arrival: dropped
+              case None => last = Some(LastEvent(e.ts, e.event_id, e.tp))
             }
-            last = Some(LastEvent(e.ts, e.tp))
           }
           last.foreach(state.update)
           out.result().iterator
