@@ -150,6 +150,23 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
       val got = spark.table("e114_out")
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
       assert(got == Seq(("click", "purchase"), ("view", "click")))
+      // batch 3: an out-of-order arrival (predates user 1's stored
+      // last) must be DROPPED, not linked backwards; a null-typed
+      // event is a legal transition TARGET (the batch twin filters
+      // only null prev_type) but as the new last it links NOTHING
+      // forward
+      input.addData(
+        TransEvent(1L, 10 * M, 13L, "late"),
+        TransEvent(2L, 33 * M, 22L, null),
+        TransEvent(2L, 35 * M, 23L, "view"))
+      q.processAllAvailable()
+      val got2 = spark.table("e114_out")
+        .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))))
+        .toSeq.sortBy(p => (p._1.getOrElse(""), p._2.getOrElse("")))
+      assert(got2 == Seq(
+        (Some("click"), None), // user 2: click(31) -> null(33)
+        (Some("click"), Some("purchase")),
+        (Some("view"), Some("click"))), s"got $got2")
     } finally q.stop()
   }
 
