@@ -44,8 +44,14 @@ object PlanAudit {
       "s89_knn_graph_recall", "s90_ivf_knn_graph", "s91_ivf_graph_recall",
       "s92_multiprobe_graph", "t68_passage_decontam", "g103_semantic_cc",
       "d62_semantic_reps", "t69_source_calibration", "m78_media_neardup",
-      "m79_media_incr_neardup", "e113_transition_matrix")
-    interesting.foreach { name =>
+      "m79_media_incr_neardup", "e113_transition_matrix",
+      "t70_contam_safe_split", "t71_bpe_token_count",
+      "s94_ivfpq_tombstones")
+    // optional arg: comma-separated subset (dev loop — audit one new
+    // operator without re-executing the whole list)
+    val subset = args.headOption.map(_.split(",").toSet)
+    val selected = subset.fold(interesting)(s => interesting.filter(s))
+    selected.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // execute THIS df so AQE finalizes (PLANS.md gotcha)
       val plan = df.queryExecution.executedPlan.toString
@@ -64,7 +70,8 @@ object PlanAudit {
       println(f"$name%-24s BHJ=$bhj SMJ=$smj BNLJ=$bnlj CART=$cart WSC=$wsc UDF=$udfs WIN=$win | $pushed")
     }
     // full plan for the two most scale-critical ones
-    Seq("q03_shipping_priority", "d52_minhash_lsh").foreach { name =>
+    Seq("q03_shipping_priority", "d52_minhash_lsh")
+      .filter(n => subset.forall(_.contains(n))).foreach { name =>
       println(s"\n======== $name\n")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).take(4000))

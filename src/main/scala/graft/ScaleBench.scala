@@ -88,7 +88,14 @@ object ScaleBench {
     // m78's signature build is one payload scan; candidates ride the
     // capped (kind, band) equi-join — the d52 shape on binary media
     "m78_media_neardup" -> "docs",
-    "m79_media_incr_neardup" -> "docs")
+    "m79_media_incr_neardup" -> "docs",
+    "t70_contam_safe_split" -> "docs",
+    // t71's fold is vocab-bounded; only the (source, word) collapse
+    // scans the corpus — expect the t66 shape
+    "t71_bpe_token_count" -> "docs",
+    // s94 serves from the same artifact as s80 plus one anti-join;
+    // expect s80's serve-side flatness
+    "s94_ivfpq_tombstones" -> "emb")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

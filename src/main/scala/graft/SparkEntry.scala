@@ -136,7 +136,13 @@ object SparkEntry {
         // (per-user last-event custom state) — shares e113's oracle
         "e114_stream_transitions" ->
           ((s: SparkSession, d: String) =>
-            StreamingOps.streamTransitions(s, d)))
+            StreamingOps.streamTransitions(s, d)),
+        // streaming twin of t70: the contamination-safe split gate on
+        // a live doc feed (frozen benchmark sidecar, stateless routing
+        // explode, census at read time) — shares t70's oracle
+        "e115_stream_contam_split" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamContamSplit(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -170,5 +176,6 @@ object SparkEntry {
         "e111_stream_decontam" -> DedupOps.passageDecontamSql,
         "e112_stream_media_gate" ->
           graft.ext.Multimodal.mediaIncrNearDupSql,
-        "e114_stream_transitions" -> EventOps.transitionMatrixSql)
+        "e114_stream_transitions" -> EventOps.transitionMatrixSql,
+        "e115_stream_contam_split" -> TextOps.contamSafeSplitSql)
 }

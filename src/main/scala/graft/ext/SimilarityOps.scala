@@ -820,9 +820,16 @@ object SimilarityOps {
     * embeddings table at serve time, as a real query stream would be),
     * and the result shares s75's oracle — proving the save/load round
     * trip preserves the index bit-for-bit. */
-  def ivfPqKnnServed(s: SparkSession, d: String): DataFrame = {
+  def ivfPqKnnServed(s: SparkSession, d: String): DataFrame =
+    serveAdcFromArtifact(s, d, builtIndexDir(s, d))
+
+  /** Build-or-get the saved serving artifact for (session, dir) —
+    * shared by s80 and s94 (the tombstone op must mutate the SAME
+    * artifact s80 serves from for the sidecar-invisibility claim to
+    * mean anything). */
+  private def builtIndexDir(s: SparkSession, d: String): String = {
     val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d"
-    val idx = indexBuildLock.synchronized {
+    indexBuildLock.synchronized {
       Option(savedIndexDirs.get(key)).getOrElse {
         val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-index")
         saveIvfPqIndex(s, d, dir.toString)
@@ -830,16 +837,23 @@ object SimilarityOps {
         dir.toString
       }
     }
-    serveAdcFromArtifact(s, d, idx)
   }
 
-  /** The "serve many" half shared by s80/s81: probe + LUT + ADC top-k
-    * run entirely from a saved artifact dir. */
+  /** The "serve many" half shared by s80/s81/s94: probe + LUT + ADC
+    * top-k run entirely from a saved artifact dir. With
+    * `dropTombstones` the `tombstones` sidecar is anti-joined against
+    * cell members BEFORE the top-k heap, so a deleted vector can
+    * neither rank nor displace a survivor. */
   private def serveAdcFromArtifact(s: SparkSession, d: String,
-      idx: String): DataFrame = {
+      idx: String, dropTombstones: Boolean = false): DataFrame = {
     val cent = s.read.parquet(s"$idx/centroids")
-    val members = s.read.parquet(s"$idx/members")
+    val members0 = s.read.parquet(s"$idx/members")
       .select(col("vec_id").as("c_id"), col("cid"))
+    val members =
+      if (dropTombstones)
+        members0.join(s.read.parquet(s"$idx/tombstones").distinct(),
+          Seq("c_id"), "left_anti")
+      else members0
     val cb = s.read.parquet(s"$idx/codebooks")
     val codes = s.read.parquet(s"$idx/codes")
       .select(col("vec_id").as("c_id"), col("j"), col("cid").as("code"))
@@ -959,6 +973,60 @@ object SimilarityOps {
     }
     serveAdcFromArtifact(s, d, idx)
   }
+
+  // ------------------------- s94 tombstone deletes on the served index
+
+  /** s94: index DELETION without rebuild — the lifecycle step s81's
+    * append-only adds leave open: a decontamination verdict (t70), a
+    * dedup decision (d57), or a takedown order removes vectors from a
+    * SERVED index. The delete cohort (every vector with
+    * vec_id % 13 == 5 — the quarantined-cohort stand-in) is written as
+    * a TOMBSTONE sidecar under the saved artifact; the four base
+    * tables are never rewritten (delete cost O(delete set), the s81
+    * discipline applied to removal), and serving anti-joins the
+    * sidecar against cell members BEFORE the ADC top-k heap, so a
+    * deleted vector can neither rank nor displace a survivor — the
+    * k-th result is always a retained vector, not a hole. Queries are
+    * runtime input and stay servable even when their own vector is
+    * tombstoned (deleting from the index ≠ losing the right to ask).
+    * The sidecar is invisible to readers that don't opt in — s80's
+    * serving over the same artifact is byte-identical before and
+    * after the delete (spec-pinned). At scale the tombstone set rides
+    * an equi-anti-join on vec_id: AQE broadcasts it while small and
+    * shuffles a mass purge; periodic compaction (em73's discipline)
+    * folds tombstones into the base tables offline. */
+  def ivfPqTombstoned(s: SparkSession, d: String): DataFrame = {
+    val idx = builtIndexDir(s, d)
+    // idempotent delete manifest for the rehearsal (production appends
+    // delete batches; serving reads DISTINCT either way)
+    s.read.parquet(s"$idx/members")
+      .select(col("vec_id").as("c_id"))
+      .filter(col("c_id") % 13 === 5)
+      .write.mode("overwrite").parquet(s"$idx/tombstones")
+    serveAdcFromArtifact(s, d, idx, dropTombstones = true)
+  }
+
+  val ivfPqTombstonedSql: String =
+    s"""$pqSqlPrefix,
+      |member AS (SELECT vec_id AS c_id, cid FROM ($kmAssignSql)
+      |  WHERE vec_id % 13 <> 5),
+      |probe AS (SELECT q_id, cid FROM ($kmProbeSql)),
+      |lut AS (
+      |  SELECT s.vec_id q_id, s.j, c.cid AS code, $pqD16 AS qd2
+      |  FROM subs s JOIN cb c ON c.j = s.j WHERE s.vec_id < 10),
+      |scored AS (
+      |  SELECT p.q_id, p.cid, m.c_id, sum(l.qd2) AS ad2
+      |  FROM probe p
+      |  JOIN member m ON m.cid = p.cid AND m.c_id <> p.q_id
+      |  JOIN enc e2 ON e2.vec_id = m.c_id
+      |  JOIN lut l ON l.q_id = p.q_id AND l.j = e2.j AND l.code = e2.cid
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT q_id, cid, c_id, ad2, CAST(row_number() OVER (
+      |    PARTITION BY q_id ORDER BY ad2 ASC, c_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT q_id, cid, c_id, CAST(ad2 AS BIGINT) AS ad2, rank
+      |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   val ivfPqIncrSql: String = {
     val trainWhere = "vec_id < (SELECT 4 * count(*) // 5 FROM embeddings)"
@@ -2170,6 +2238,7 @@ object SimilarityOps {
     "s79_mmr_topk"      -> mmrTopK _,
     "s80_ivfpq_served"  -> ivfPqKnnServed _,
     "s81_ivfpq_incr"    -> ivfPqIncremental _,
+    "s94_ivfpq_tombstones" -> ivfPqTombstoned _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2202,5 +2271,6 @@ object SimilarityOps {
     // the in-session index's
     "s80_ivfpq_served"  -> ivfPqKnnSql,
     "s81_ivfpq_incr"    -> ivfPqIncrSql,
+    "s94_ivfpq_tombstones" -> ivfPqTombstonedSql,
   )
 }

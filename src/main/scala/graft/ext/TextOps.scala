@@ -1118,6 +1118,198 @@ object TextOps {
       |GROUP BY c.source, t.n_docs, t.thr
       |ORDER BY c.source""".stripMargin
 
+  /** t70: contamination-SAFE split manifest — the ship step that
+    * composes t48's deterministic hash split with t68's passage-level
+    * contamination gate: benchmark documents route to their own
+    * `benchmark` bucket (never trained on), any training document
+    * with ≥ 1 exact 10-token passage hit against the benchmark set
+    * routes to `quarantined` (t68's verdict applied as a routing
+    * decision, not just an audit row), and only clean documents take
+    * their t48 train/validation/test assignment. The split key is the
+    * SAME salted hash as t48, so a document's home split never
+    * changes as the quarantine rule evolves — re-running the gate
+    * after a benchmark refresh moves docs only between `quarantined`
+    * and their fixed home, never between train and test (the leakage
+    * invariant a data-versioned pipeline needs).
+    *
+    * Scale shape: t68's machinery unchanged (tiny benchmark set
+    * broadcasts, corpus passages stream through one scan), the
+    * contaminated-doc set is hit-bounded and broadcasts onto the
+    * corpus scan, and the census is one hash aggregation. */
+  def contamSafeSplit(s: SparkSession, d: String): DataFrame =
+    contamSafeSplitOf(documents(s, d))
+
+  /** The t70 pass over an arbitrary (doc_id, text, n_chars) frame —
+    * exposed so the spec can plant a benchmark excerpt and assert the
+    * quarantine routing (the fixture corpus has no cross-%97 exact
+    * passage, so the oracle alone exercises only clean routing). */
+  private[graft] def contamSafeSplitOf(docs: DataFrame): DataFrame = {
+    val p = graft.ext.DedupOps.passageHashes(docs)
+    val bench = p.filter(col("doc_id") % 97 === 0).select("ph").distinct()
+    val contam = p.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("ph"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("bad", lit(true))
+    docs
+      .withColumn("bucket",
+        md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100)
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .withColumn("split",
+        when(col("doc_id") % 97 === 0, "benchmark")
+          .when(col("bad"), "quarantined")
+          .when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_doc_id"))
+      .orderBy("split")
+  }
+
+  val contamSafeSplitSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, (len(toks)-1)//10 + 1),
+      |    i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS passage
+      |  FROM t WHERE len(toks) > 0),
+      |p AS (
+      |  SELECT doc_id, ('0x' || substr(md5(passage), 1, 15))::BIGINT AS ph
+      |  FROM px),
+      |bench AS (SELECT DISTINCT ph FROM p WHERE doc_id % 97 = 0),
+      |contam AS (
+      |  SELECT DISTINCT p.doc_id FROM p JOIN bench b ON p.ph = b.ph
+      |  WHERE p.doc_id % 97 <> 0),
+      |assigned AS (
+      |  SELECT d.doc_id, d.n_chars,
+      |    CASE WHEN d.doc_id % 97 = 0 THEN 'benchmark'
+      |         WHEN c.doc_id IS NOT NULL THEN 'quarantined'
+      |         WHEN d.bucket < 80 THEN 'train'
+      |         WHEN d.bucket < 90 THEN 'validation'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, n_chars,
+      |          ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100
+      |            AS bucket
+      |        FROM documents) d
+      |  LEFT JOIN contam c ON c.doc_id = d.doc_id)
+      |SELECT split, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id
+      |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+
+  // ------------------------------------------------ t71 BPE token counting
+
+  /** t71: token counting under the TRAINED tokenizer — the application
+    * step t66 induces merges for. The top-20 first-round merge table
+    * (t66's published ranking) is applied greedily in rank order to
+    * every vocabulary word, and each source reports its whitespace
+    * token count, its BPE token count, and the exact tokens-per-word
+    * ratio (ppm) — the number a mixture plan (t62) budgets with when
+    * "tokens" means tokenizer tokens, not words.
+    *
+    * Mechanics: a word is segmented as '|'-prefixed symbols
+    * ("hello" → "|h|e|l|l|o"); merge pair "ll" is the literal replace
+    * "|l|l" → "|ll" — left-to-right non-overlapping, exactly BPE's
+    * greedy application of one merge, and unambiguous because '|'
+    * marks every symbol start and symbols never contain '|': the
+    * merge table and the merged vocabulary are restricted to
+    * alphanumeric words, and any other word falls back to one token
+    * per character (the byte-fallback discipline). Merges fold in
+    * rank order (count desc, pair asc — t66's ordering), so a later
+    * merge sees earlier merges' fused symbols, exactly like
+    * sequential BPE application.
+    *
+    * Scale shape: the corpus scan collapses to (source, word) counts
+    * with map-side partials; the fold runs once per DISTINCT word
+    * (vocab-bounded — the t66 trick — so the 20-replace chain never
+    * touches corpus-sized data); the merge table rides a broadcast
+    * crossJoin as one 20-element array. Nothing after the first
+    * aggregation is corpus-sized. */
+  def bpeTokenCount(s: SparkSession, d: String): DataFrame =
+    bpeTokenCountOf(documents(s, d))
+
+  /** The t71 pass over an arbitrary frame with (source, text) — shared
+    * with the spec, which pins the greedy/rank-order/fallback
+    * mechanics on a corpus with hand-computable merges. */
+  private[graft] def bpeTokenCountOf(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+    // t66's published top-20, minus pairs the '|' scheme can't carry
+    // (non-alphanumeric), ranked exactly as t66 ranks them
+    val mergeArr = bpePairsOf(docs)
+      .filter(col("pair").rlike("^[a-z0-9]{2}$"))
+      .agg(array_sort(collect_list(struct(
+        col("n_occ").unary_-.as("neg_occ"), col("pair")))).as("ranked"))
+      .select(transform(col("ranked"), m => m.getField("pair"))
+        .as("merges"))
+    val seg = words.select("w").distinct()
+      .crossJoin(broadcast(mergeArr))
+      .withColumn("rep",
+        when(col("w").rlike("^[a-z0-9]+$"),
+          aggregate(col("merges"),
+            regexp_replace(col("w"), "(.)", "|$1"),
+            (acc, m) => call_function("replace", acc,
+              concat(lit("|"), substring(m, 1, 1),
+                lit("|"), substring(m, 2, 1)),
+              concat(lit("|"), m)))))
+      .select(col("w"),
+        when(col("rep").isNull, length(col("w")).cast("bigint"))
+          .otherwise((length(col("rep")) -
+            length(call_function("replace", col("rep"), lit("|"), lit(""))))
+            .cast("bigint")).as("n_sym"))
+    words.join(seg, Seq("w"))
+      .groupBy("source")
+      .agg(sum(col("freq")).as("ws_tokens"),
+        sum(col("freq") * col("n_sym")).as("bpe_tokens"))
+      .withColumn("tokens_per_word_ppm",
+        expr("bpe_tokens * 1000000 div ws_tokens"))
+      .select("source", "ws_tokens", "bpe_tokens", "tokens_per_word_ppm")
+      .orderBy("source")
+  }
+
+  val bpeTokenCountSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |words AS (SELECT source, w, count(*) AS freq FROM toks
+      |  GROUP BY source, w),
+      |vocab0 AS (SELECT w, sum(freq) AS n FROM words GROUP BY w),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, length(w)),
+      |    i -> w[i:i+1])) AS pair, n
+      |  FROM vocab0 WHERE length(w) >= 2),
+      |ranked AS (
+      |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ FROM pairs
+      |  GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 20),
+      |merges AS (
+      |  SELECT list(pair ORDER BY n_occ DESC, pair) AS ms FROM ranked
+      |  WHERE regexp_matches(pair, '^[a-z0-9]{2}$')),
+      |seg0 AS (
+      |  SELECT w, CASE WHEN regexp_matches(w, '^[a-z0-9]+$') THEN
+      |      list_reduce(
+      |        list_prepend(regexp_replace(w, '(.)', '|\1', 'g'), ms),
+      |        (acc, m) -> replace(acc,
+      |          '|' || m[1:1] || '|' || m[2:2], '|' || m))
+      |    END AS r
+      |  FROM (SELECT DISTINCT w FROM words) CROSS JOIN merges),
+      |seg AS (
+      |  SELECT w, CASE WHEN r IS NULL THEN CAST(length(w) AS BIGINT)
+      |    ELSE CAST(length(r) - length(replace(r, '|', '')) AS BIGINT)
+      |    END AS n_sym
+      |  FROM seg0)
+      |SELECT source, CAST(sum(freq) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(freq * n_sym) AS BIGINT) AS bpe_tokens,
+      |  CAST(sum(freq * n_sym) * 1000000 // sum(freq) AS BIGINT)
+      |    AS tokens_per_word_ppm
+      |FROM words JOIN seg USING (w)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -1141,6 +1333,8 @@ object TextOps {
     "t66_bpe_pairs"       -> bpePairs _,
     "t67_epoch_shuffle"   -> epochShuffle _,
     "t69_source_calibration" -> sourceCalibration _,
+    "t70_contam_safe_split" -> contamSafeSplit _,
+    "t71_bpe_token_count"   -> bpeTokenCount _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1166,5 +1360,7 @@ object TextOps {
     "t66_bpe_pairs"       -> bpePairsSql,
     "t67_epoch_shuffle"   -> epochShuffleSql,
     "t69_source_calibration" -> sourceCalibrationSql,
+    "t70_contam_safe_split" -> contamSafeSplitSql,
+    "t71_bpe_token_count"   -> bpeTokenCountSql,
   )
 }

@@ -1130,6 +1130,82 @@ object StreamingOps {
       .orderBy("doc_id")
   }
 
+  /** e115: t70's STREAMING twin — the contamination-SAFE split gate on
+    * a live document feed. The benchmark's 10-token passage-hash set
+    * is built batch-side (tiny by construction → broadcast); every
+    * streamed doc explodes to passage hashes WITH its routing fields
+    * (n_chars and the t48 salted split bucket) riding along — a
+    * zero-token doc keeps one null-passage row so the census never
+    * loses it — and each (doc_id, n_chars, bucket, hit) row lands in
+    * the exactly-once file sink; the routing decision (benchmark /
+    * quarantined / stable home bucket) and the split census are the
+    * read-time epilogue. Shares t70's oracle — batch/stream parity on
+    * the ROUTING contract itself: a doc the batch gate quarantines
+    * must be quarantined by the live gate, and every clean doc must
+    * take the same salted-hash home. At scale: the crawler routes
+    * each incoming doc at source throughput with constant memory
+    * (frozen broadcast sidecar + stateless explode, the e108–e112
+    * shape); re-freezing the sidecar after a benchmark refresh moves
+    * docs only between quarantine and their fixed home, never across
+    * train/test. */
+  def streamContamSplit(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val bench = graft.ext.DedupOps.passageHashes(
+        graft.Tables.documents(spark, d))
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("ph")).distinct()
+      .withColumn("is_hit", lit(1L))
+    val log = drainToFileSink(spark, "e115", nIn) {
+      contamRouteLog(spark.readStream
+        .schema(documentsSchema)
+        .parquet(stageDir), bench)
+    }
+    contamRouteCensus(log)
+  }
+
+  /** The e115 per-passage routing log over an arbitrary (streaming or
+    * batch) documents frame — exposed so the spec can drive the
+    * zero-token null-passage path the fixture corpus never exercises. */
+  private[graft] def contamRouteLog(
+      docs: DataFrame, bench: DataFrame): DataFrame = {
+    import graft.ext.TextOps.{md5Long, tokens}
+    docs
+      .select(col("doc_id"), col("n_chars"),
+        (md5Long(concat(lit("split:"), col("doc_id").cast("string")))
+          % 100).as("bucket"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("n_chars"), col("bucket"),
+        explode(when(size(col("toks")) > 0, expr(
+          "transform(sequence(0, (size(toks)-1) div 10)," +
+            " i -> concat_ws(' ', slice(toks, i*10+1, 10)))"))
+          .otherwise(array(lit(null).cast("string")))).as("passage"))
+      .select(col("doc_id"), col("n_chars"), col("bucket"),
+        md5Long(col("passage")).as("ph"))
+      .join(broadcast(bench), Seq("ph"), "left")
+      .select(col("doc_id"), col("n_chars"), col("bucket"),
+        coalesce(col("is_hit"), lit(0L)).as("hit"))
+  }
+
+  /** The e115 read-time epilogue: per-doc verdict → t70 routing →
+    * split census (same output contract as the batch twin). */
+  private[graft] def contamRouteCensus(log: DataFrame): DataFrame =
+    log.groupBy("doc_id", "n_chars", "bucket")
+      .agg(max("hit").as("bad"))
+      .withColumn("split",
+        when(col("doc_id") % 97 === 0, "benchmark")
+          .when(col("bad") === 1L, "quarantined")
+          .when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_doc_id"))
+      .orderBy("split")
+
   case class TransEvent(user_id: Long, ts: Long, event_id: Long, tp: String)
   case class LastEvent(ts: Long, event_id: Long, tp: String)
   case class TransitionFact(from_type: String, to_type: String)

@@ -170,6 +170,115 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("t70 quarantines a planted contaminated doc; other splits stable") {
+    import spark.implicits._
+    // doc 0 is benchmark (0 % 97 == 0); the dirty variant of doc 5
+    // embeds one of its exact 10-token passages ALIGNED at a passage
+    // boundary (10 filler tokens first); docs 7/8 are clean
+    val benchText = (1 to 20).map(i => s"b$i").mkString(" ")
+    val excerpt = (1 to 10).map(i => s"b$i").mkString(" ")
+    val filler = (1 to 10).map(i => s"x$i").mkString(" ")
+    def corpus(doc5: String) = Seq(
+      (0L, benchText, 10L),
+      (5L, doc5, 20L),
+      (7L, "clean seven words here nothing shared at all", 30L),
+      (8L, "another clean document with its own words", 40L))
+      .toDF("doc_id", "text", "n_chars")
+    def census(doc5: String): Map[String, (Long, Long)] =
+      graft.ext.TextOps.contamSafeSplitOf(corpus(doc5))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("min_doc_id"))).toMap
+    val clean = census(filler + " " + filler)
+    val dirty = census(filler + " " + excerpt)
+    assert(!clean.contains("quarantined"))
+    assert(dirty("quarantined") == (1L, 5L))
+    assert(dirty("benchmark") == clean("benchmark"))
+    // doc 5 left its home split; every other doc's assignment is
+    // untouched (the same salted hash key as t48 — the leakage
+    // invariant: quarantine moves docs out, never between splits)
+    val moved = clean.collect { case (k, (n, _))
+      if dirty.getOrElse(k, (0L, 0L))._1 != n => k }
+    assert(moved.size == 1 &&
+      clean(moved.head)._1 - dirty.getOrElse(moved.head, (0L, 0L))._1 == 1)
+  }
+
+  test("e115 census keeps zero-token docs and matches the batch twin") {
+    import spark.implicits._
+    // doc 0 is benchmark; doc 5 embeds a boundary-aligned benchmark
+    // passage (quarantine); doc 7 is whitespace-only — ZERO tokens, the
+    // path the fixture corpus never exercises: the batch twin keeps it
+    // (left join on docs), so the stream twin's null-passage row must
+    // keep it too, or the census silently loses a doc
+    val benchText = (1 to 20).map(i => s"b$i").mkString(" ")
+    val excerpt = (1 to 10).map(i => s"b$i").mkString(" ")
+    val filler = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (0L, benchText, 10L),
+      (5L, filler + " " + excerpt, 20L),
+      (7L, "   \t  ", 30L),
+      (8L, "another clean document with its own words", 40L))
+      .toDF("doc_id", "text", "n_chars")
+    val bench = graft.ext.DedupOps.passageHashes(
+        docs.filter($"doc_id" % 97 === 0))
+      .select("ph").distinct().withColumn("is_hit", lit(1L))
+    val log = graft.streaming.StreamingOps.contamRouteLog(docs, bench)
+    // the zero-token doc survives the explode as exactly one hit=0 row
+    assert(log.filter($"doc_id" === 7L).collect()
+      .map(r => r.getAs[Long]("hit")).toSeq == Seq(0L))
+    val stream = graft.streaming.StreamingOps.contamRouteCensus(log)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ext.TextOps.contamSafeSplitOf(docs)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+    assert(stream.map(_.head).contains("quarantined"))
+    // all four docs accounted for
+    assert(stream.map(_(1).asInstanceOf[Long]).sum == 4L)
+  }
+
+  test("t71 applies merges greedily in rank order with char fallback") {
+    import spark.implicits._
+    // vocab: aaa×3, aaaa×1, ab×1, b×1, x-y×1 → pair counts: aa=9 (2
+    // per 'aaa' × freq 3, 3 per 'aaaa'), ab=1, x-=1, -y=1 → ranked
+    // alnum merge list [aa, ab]. Hand-applied: aaa→|aa|a (2 — greedy
+    // left-to-right, NOT 3), aaaa→|aa|aa (2), ab→|ab (1), b→1,
+    // x-y→3 (non-alnum char fallback)
+    val docs = Seq(
+      ("s1", "aaa aaa ab x-y"),
+      ("s2", "aaa b aaaa")).toDF("source", "text")
+    val got = graft.ext.TextOps.bpeTokenCountOf(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens"),
+          r.getAs[Long]("tokens_per_word_ppm"))).toMap
+    assert(got("s1") == (4L, 8L, 2000000L))   // 2+2+1+3 BPE tokens
+    assert(got("s2") == (3L, 5L, 1666666L))   // 2+1+2; exact div ppm
+  }
+
+  test("s94 tombstones delete from serving; sidecar invisible to s80") {
+    val before = graft.ext.SimilarityOps.ivfPqKnnServed(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val del = graft.ext.SimilarityOps.ivfPqTombstoned(spark, d)
+      .collect().map(_.toSeq).toSeq
+    def cohort(rows: Seq[Seq[Any]]) =
+      rows.filter(_(2).asInstanceOf[Long] % 13 == 5)
+    // the delete is real: no cohort member survives in the tombstoned
+    // serving (and the baseline surfaced at least one, so this isn't
+    // vacuously true on the fixture)
+    assert(cohort(before).nonEmpty)
+    assert(cohort(del).isEmpty)
+    // no holes: every query keeps a full (or corpus-bounded) top-k —
+    // a displaced cohort member is replaced by the next survivor,
+    // so per-query row counts never shrink
+    val nBefore = before.groupBy(_.head).view.mapValues(_.size).toMap
+    val nDel = del.groupBy(_.head).view.mapValues(_.size).toMap
+    assert(nBefore.keySet == nDel.keySet)
+    assert(nBefore.forall { case (q, n) => nDel(q) == n })
+    // the sidecar is invisible to readers that don't opt in: s80's
+    // serving over the SAME artifact is identical after the delete
+    val after = graft.ext.SimilarityOps.ivfPqKnnServed(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+  }
+
   test("multi-group packing honors want > 1 without row loss") {
     val (store, root) = freshStore()
     try {
