@@ -95,7 +95,10 @@ object ScaleBench {
     "t71_bpe_token_count" -> "docs",
     // s94 serves from the same artifact as s80 plus one anti-join;
     // expect s80's serve-side flatness
-    "s94_ivfpq_tombstones" -> "emb")
+    "s94_ivfpq_tombstones" -> "emb",
+    // t72 = one token-count scan + a #sources broadcast; expect the
+    // t62 scan-bound shape
+    "t72_mixture_realize" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

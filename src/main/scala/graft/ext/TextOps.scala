@@ -762,8 +762,13 @@ object TextOps {
     * Budget = 2× the corpus total; shares fixed 40/30/20/10-style by
     * source index. Pure integer arithmetic on a #sources-row frame —
     * the corpus sees ONE map-side-combining token-count aggregate. */
-  def mixturePlan(s: SparkSession, d: String): DataFrame = {
-    val perSource = documents(s, d)
+  def mixturePlan(s: SparkSession, d: String): DataFrame =
+    mixturePlanOf(documents(s, d))
+
+  /** The t62 pass over an arbitrary (source, text) frame — shared
+    * with t72, which realizes this plan into a sampling manifest. */
+  private[graft] def mixturePlanOf(docs: DataFrame): DataFrame = {
+    val perSource = docs
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("source_tokens"))
@@ -803,6 +808,101 @@ object TextOps {
       |    WHEN 'src1' THEN 300 WHEN 'src2' THEN 200 ELSE 100 END) // 1000)
       |    * 1000 // greatest(source_tokens, 1) AS BIGINT) AS repeat_x1000
       |FROM per_source, tot ORDER BY source""".stripMargin
+
+  // --------------------------------------- t72 mixture realization
+
+  /** t72: mixture REALIZATION — the sampling manifest that turns
+    * t62's per-source repeat factors into actual per-document copy
+    * counts a loader runs: every doc gets `repeat_x1000 div 1000`
+    * full copies, plus one extra copy iff its deterministic md5 coin
+    * (`md5("mix:"+doc_id) % 1000`) lands under the fractional part —
+    * one formula covering both repetition (repeat > 1000) and
+    * subsampling (repeat < 1000, where base is 0 and the coin decides
+    * membership outright). The coin is a pure function of doc_id: no
+    * RNG state, so under a fixed plan the realization is
+    * reproducible, embarrassingly parallel, and resumable mid-corpus;
+    * when a corpus refresh moves the plan, docs flip in coin order —
+    * the minimal, deterministic delta, never a reshuffle of the whole
+    * selection. Output is the per-source
+    * realization census: docs seen/selected, total copies, realized
+    * vs target tokens, and the fill accuracy in exact ppm (the
+    * sanity row a run is signed off on — fractional-doc granularity
+    * bounds how far fill_ppm can sit from 1,000,000).
+    *
+    * Scale shape: ONE corpus scan computes per-doc token counts; the
+    * #sources-row plan broadcasts onto it; the census is one hash
+    * aggregation with map-side partials. Nothing is corpus-sized
+    * after the scan, and no sampling step serializes. */
+  def mixtureRealize(s: SparkSession, d: String): DataFrame =
+    mixtureRealizeOf(documents(s, d))
+
+  /** The t72 pass over an arbitrary (source, doc_id, text) frame —
+    * shared with the spec, which pins the copy bounds, the exact
+    * integer-epoch fill, and the subsample bookkeeping on an
+    * engineered plan. */
+  private[graft] def mixtureRealizeOf(docs: DataFrame): DataFrame = {
+    val plan = mixturePlanOf(docs)
+      .select("source", "target_tokens", "repeat_x1000")
+    docs
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("coin",
+        md5Long(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000)
+      .withColumn("copies",
+        expr("repeat_x1000 div 1000") +
+          when(col("coin") < expr("repeat_x1000 % 1000"), 1L)
+            .otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("copies") > 0, 1L).otherwise(0L)).as("sel_docs"),
+        sum("copies").as("realized_copies"),
+        sum(col("copies") * col("n_tok")).as("realized_tokens"),
+        max("target_tokens").as("target_tokens"))
+      .withColumn("fill_ppm",
+        expr("realized_tokens * 1000000 div greatest(target_tokens, 1L)"))
+      .select("source", "n_docs", "sel_docs", "realized_copies",
+        "realized_tokens", "target_tokens", "fill_ppm")
+      .orderBy("source")
+  }
+
+  val mixtureRealizeSql: String =
+    """WITH per_source AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        x -> x <> ''))) AS source_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT sum(source_tokens) AS corpus_tokens FROM per_source),
+      |plan AS (
+      |  SELECT source,
+      |    CAST(2 * corpus_tokens * (CASE source WHEN 'src0' THEN 400
+      |      WHEN 'src1' THEN 300 WHEN 'src2' THEN 200 ELSE 100 END) // 1000
+      |      AS BIGINT) AS target_tokens,
+      |    CAST((2 * corpus_tokens * (CASE source WHEN 'src0' THEN 400
+      |      WHEN 'src1' THEN 300 WHEN 'src2' THEN 200 ELSE 100 END) // 1000)
+      |      * 1000 // greatest(source_tokens, 1) AS BIGINT) AS repeat_x1000
+      |  FROM per_source, tot),
+      |d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT d.source, d.n_tok, p.target_tokens,
+      |    p.repeat_x1000 // 1000 +
+      |      (CASE WHEN ('0x' || substr(md5('mix:' || d.doc_id), 1, 15))
+      |          ::BIGINT % 1000 < p.repeat_x1000 % 1000
+      |        THEN 1 ELSE 0 END) AS copies
+      |  FROM d JOIN plan p USING (source))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN copies > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS sel_docs,
+      |  CAST(sum(copies) AS BIGINT) AS realized_copies,
+      |  CAST(sum(copies * n_tok) AS BIGINT) AS realized_tokens,
+      |  CAST(max(target_tokens) AS BIGINT) AS target_tokens,
+      |  CAST(sum(copies * n_tok) * 1000000
+      |    // greatest(max(target_tokens), 1) AS BIGINT) AS fill_ppm
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
 
   // --------------------------------------------- t64 sequence packing
 
@@ -1335,6 +1435,7 @@ object TextOps {
     "t69_source_calibration" -> sourceCalibration _,
     "t70_contam_safe_split" -> contamSafeSplit _,
     "t71_bpe_token_count"   -> bpeTokenCount _,
+    "t72_mixture_realize"   -> mixtureRealize _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1362,5 +1463,6 @@ object TextOps {
     "t69_source_calibration" -> sourceCalibrationSql,
     "t70_contam_safe_split" -> contamSafeSplitSql,
     "t71_bpe_token_count"   -> bpeTokenCountSql,
+    "t72_mixture_realize"   -> mixtureRealizeSql,
   )
 }

@@ -279,6 +279,37 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
     assert(after == before)
   }
 
+  test("t72 realizes integer epochs exactly and subsampling consistently") {
+    import spark.implicits._
+    // engineered plan: src0 holds 100 tokens (2 docs × 50), src3 900
+    // (9 docs × 100) → corpus 1000, budget 2000. src0: share 400‰ →
+    // target 800 → repeat exactly 8000 (8 full copies, no coin).
+    // src3: share 100‰ → target 200 → repeat 222 (pure coin
+    // subsample, copies ∈ {0,1})
+    val mk50 = (1 to 50).map(i => s"w$i").mkString(" ")
+    val mk100 = (1 to 100).map(i => s"v$i").mkString(" ")
+    val docs = (
+      (1 to 2).map(i => ("src0", i.toLong, mk50)) ++
+      (10 to 18).map(i => ("src3", i.toLong, mk100))
+    ).toDF("source", "doc_id", "text")
+    def run() = graft.ext.TextOps.mixtureRealizeOf(docs)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val out = run()
+    // integer-epoch source: exact fill, every doc selected
+    assert(out("src0") ==
+      Seq(2L, 2L, 16L, 800L, 800L, 1000000L))
+    // subsampled source: copies == selected docs (base 0), realized
+    // bookkeeping internally consistent, nobody copied twice
+    val Seq(n3, sel3, cp3, tok3, tgt3, fill3) =
+      out("src3").map(_.asInstanceOf[Long])
+    assert(n3 == 9L && tgt3 == 200L)
+    assert(sel3 == cp3 && sel3 <= n3)
+    assert(tok3 == 100L * sel3)
+    assert(fill3 == tok3 * 1000000L / 200L)
+    // the coin is deterministic: a rerun realizes the same manifest
+    assert(run() == out)
+  }
+
   test("multi-group packing honors want > 1 without row loss") {
     val (store, root) = freshStore()
     try {
