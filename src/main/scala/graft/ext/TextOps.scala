@@ -829,10 +829,12 @@ object TextOps {
     * sanity row a run is signed off on — fractional-doc granularity
     * bounds how far fill_ppm can sit from 1,000,000).
     *
-    * Scale shape: ONE corpus scan computes per-doc token counts; the
-    * #sources-row plan broadcasts onto it; the census is one hash
-    * aggregation with map-side partials. Nothing is corpus-sized
-    * after the scan, and no sampling step serializes. */
+    * Scale shape: scan-bound — the plan's per-source aggregate and
+    * the per-doc token counts are separate scan branches (≤3 in the
+    * executed plan, each collapsing to map-side partials on the
+    * scan); the #sources-row plan broadcasts onto the doc scan; the
+    * census is one hash aggregation. Nothing is corpus-sized after
+    * the scans, and no sampling step serializes. */
   def mixtureRealize(s: SparkSession, d: String): DataFrame =
     mixtureRealizeOf(documents(s, d))
 
@@ -1055,17 +1057,20 @@ object TextOps {
 
   /** The t66 pass over an arbitrary frame with a `text` column —
     * shared by the operator and its spec. */
-  private[graft] def bpePairsOf(docs: DataFrame): DataFrame = {
-    val vocab = docs
+  private[graft] def bpePairsOf(docs: DataFrame): DataFrame =
+    bpePairsFromVocab(docs
       .select(explode(tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .filter(length(col("w")) >= 2)
-    vocab
+      .groupBy("w").agg(count(lit(1)).as("n")))
+
+  /** The pair-ranking half over an already-built (w, n) vocabulary —
+    * exposed so t71 can feed it the vocabulary derived from its own
+    * (source, word) aggregate instead of re-scanning the corpus. */
+  private[graft] def bpePairsFromVocab(vocab: DataFrame): DataFrame =
+    vocab.filter(length(col("w")) >= 2)
       .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
         i => col("w").substr(i, lit(2)))).as("pair"), col("n"))
       .groupBy("pair").agg(sum("n").as("n_occ"))
       .orderBy(col("n_occ").desc, col("pair")).limit(20)
-  }
 
   val bpePairsSql: String =
     """WITH toks AS (
@@ -1340,8 +1345,19 @@ object TextOps {
       .select(col("source"), explode(tokens(col("text"))).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("freq"))
     // t66's published top-20, minus pairs the '|' scheme can't carry
-    // (non-alphanumeric), ranked exactly as t66 ranks them
-    val mergeArr = bpePairsOf(docs)
+    // (non-alphanumeric), ranked exactly as t66 ranks them. The
+    // vocabulary is DERIVED from the same (source, word) aggregate the
+    // census uses; Catalyst then collapses the derived aggregates
+    // straight onto the scan (checked in the executed plan: no
+    // exchange reuse fires — instead each of the three branches gets
+    // its own minimal scan→partial-agg pipeline, the optimizer's
+    // trade of one extra scan-bound branch for a narrower exchange).
+    // Corpus cost is ≤3 parallel scan branches and everything after
+    // the first aggregation is vocab-bounded; a deployment running
+    // t66/t71 together would pin the words frame as a shared
+    // registry-cached warm, the cache_dedup_frames discipline.
+    val mergeArr = bpePairsFromVocab(
+        words.groupBy("w").agg(sum("freq").as("n")))
       .filter(col("pair").rlike("^[a-z0-9]{2}$"))
       .agg(array_sort(collect_list(struct(
         col("n_occ").unary_-.as("neg_occ"), col("pair")))).as("ranked"))
