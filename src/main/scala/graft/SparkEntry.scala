@@ -142,7 +142,13 @@ object SparkEntry {
         // explode, census at read time) — shares t70's oracle
         "e115_stream_contam_split" ->
           ((s: SparkSession, d: String) =>
-            StreamingOps.streamContamSplit(s, d)))
+            StreamingOps.streamContamSplit(s, d)),
+        // streaming twin of t72: the mixture-sampling gate at ingest
+        // (frozen plan sidecar, stateless deterministic copy counts,
+        // census at read time) — shares t72's oracle
+        "e116_stream_mixture" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamMixtureRealize(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -177,5 +183,6 @@ object SparkEntry {
         "e112_stream_media_gate" ->
           graft.ext.Multimodal.mediaIncrNearDupSql,
         "e114_stream_transitions" -> EventOps.transitionMatrixSql,
-        "e115_stream_contam_split" -> TextOps.contamSafeSplitSql)
+        "e115_stream_contam_split" -> TextOps.contamSafeSplitSql,
+        "e116_stream_mixture" -> TextOps.mixtureRealizeSql)
 }

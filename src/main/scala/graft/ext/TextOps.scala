@@ -842,19 +842,30 @@ object TextOps {
     * shared with the spec, which pins the copy bounds, the exact
     * integer-epoch fill, and the subsample bookkeeping on an
     * engineered plan. */
-  private[graft] def mixtureRealizeOf(docs: DataFrame): DataFrame = {
-    val plan = mixturePlanOf(docs)
-      .select("source", "target_tokens", "repeat_x1000")
+  private[graft] def mixtureRealizeOf(docs: DataFrame): DataFrame =
+    mixtureCensusOf(mixtureCopiesWith(docs,
+      mixturePlanOf(docs).select(
+        "source", "target_tokens", "repeat_x1000")))
+
+  /** The per-doc copy assignment against a (frozen) plan frame —
+    * stateless, so e116 runs it verbatim on a document STREAM with
+    * the plan as a batch-side broadcast sidecar. */
+  private[graft] def mixtureCopiesWith(
+      docs: DataFrame, plan: DataFrame): DataFrame =
     docs
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .join(broadcast(plan), Seq("source"))
       .withColumn("coin",
         md5Long(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000)
-      .withColumn("copies",
-        expr("repeat_x1000 div 1000") +
+      .select(col("source"), col("n_tok"), col("target_tokens"),
+        (expr("repeat_x1000 div 1000") +
           when(col("coin") < expr("repeat_x1000 % 1000"), 1L)
-            .otherwise(0L))
+            .otherwise(0L)).as("copies"))
+
+  /** The t72/e116 read-time census over per-doc copy rows. */
+  private[graft] def mixtureCensusOf(perDoc: DataFrame): DataFrame =
+    perDoc
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("copies") > 0, 1L).otherwise(0L)).as("sel_docs"),
@@ -866,7 +877,6 @@ object TextOps {
       .select("source", "n_docs", "sel_docs", "realized_copies",
         "realized_tokens", "target_tokens", "fill_ppm")
       .orderBy("source")
-  }
 
   val mixtureRealizeSql: String =
     """WITH per_source AS (

@@ -1206,6 +1206,34 @@ object StreamingOps {
         min("doc_id").as("min_doc_id"))
       .orderBy("split")
 
+  /** e116: t72's STREAMING twin — the mixture-sampling gate applied at
+    * ingest: the #sources-row plan (t62's targets + repeat factors) is
+    * built batch-side and broadcast as a frozen sidecar, every
+    * streamed doc takes its copy count from the shared stateless
+    * assignment (integer epochs + the deterministic md5 coin — no RNG
+    * state, so replays and restarts assign identically), and the
+    * per-doc (source, n_tok, target, copies) rows land in the
+    * exactly-once file sink; the per-source realization census is the
+    * read-time epilogue. Shares t72's oracle — batch/stream parity on
+    * the sampling decision itself. At scale: a crawler materializes
+    * training copies at source throughput with constant memory (one
+    * row per doc, no explode, no stateful operator), and re-freezing
+    * the plan after a corpus refresh flips docs in coin order. */
+  def streamMixtureRealize(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val plan = graft.ext.TextOps
+      .mixturePlanOf(graft.Tables.documents(spark, d))
+      .select("source", "target_tokens", "repeat_x1000")
+    val log = drainToFileSink(spark, "e116", nIn) {
+      graft.ext.TextOps.mixtureCopiesWith(
+        spark.readStream.schema(documentsSchema).parquet(stageDir), plan)
+    }
+    graft.ext.TextOps.mixtureCensusOf(log)
+  }
+
   case class TransEvent(user_id: Long, ts: Long, event_id: Long, tp: String)
   case class LastEvent(ts: Long, event_id: Long, tp: String)
   case class TransitionFact(from_type: String, to_type: String)
