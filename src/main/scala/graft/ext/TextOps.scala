@@ -1326,17 +1326,22 @@ object TextOps {
     * ratio (ppm) — the number a mixture plan (t62) budgets with when
     * "tokens" means tokenizer tokens, not words.
     *
-    * Mechanics: a word is segmented as '|'-prefixed symbols
-    * ("hello" → "|h|e|l|l|o"); merge pair "ll" is the literal replace
-    * "|l|l" → "|ll" — left-to-right non-overlapping, exactly BPE's
-    * greedy application of one merge, and unambiguous because '|'
-    * marks every symbol start and symbols never contain '|': the
-    * merge table and the merged vocabulary are restricted to
-    * alphanumeric words, and any other word falls back to one token
-    * per character (the byte-fallback discipline). Merges fold in
-    * rank order (count desc, pair asc — t66's ordering), so a later
-    * merge sees earlier merges' fused symbols, exactly like
-    * sequential BPE application.
+    * Mechanics: a word is segmented as SELF-DELIMITED symbols
+    * ("hello" → "|h~|e~|l~|l~|o~"); merge pair "ll" is the literal
+    * replace "|l~|l~" → "|ll~" — left-to-right non-overlapping,
+    * exactly BPE's greedy application of one merge, and unambiguous
+    * because every symbol carries its own open ('|') and close ('~')
+    * markers, so a match can only span two COMPLETE adjacent symbols
+    * — a prefix-open encoding ("|l|l") would let "|t|h" match inside
+    * "|t|he" and fuse half of a multi-char symbol, which is not BPE.
+    * The merge table and the merged vocabulary are restricted to
+    * alphanumeric words (neither marker can occur inside a symbol),
+    * and any other word falls back to one token per character (the
+    * byte-fallback discipline). Merges fold in rank order (count
+    * desc, pair asc — t66's ordering), so a later merge sees earlier
+    * merges' fused symbols, exactly like sequential BPE application;
+    * the Round14 property spec checks the whole chain against an
+    * independent symbol-list BPE reference on random corpora.
     *
     * Scale shape: the corpus scan collapses to (source, word) counts
     * with map-side partials; the fold runs once per DISTINCT word
@@ -1378,11 +1383,11 @@ object TextOps {
       .withColumn("rep",
         when(col("w").rlike("^[a-z0-9]+$"),
           aggregate(col("merges"),
-            regexp_replace(col("w"), "(.)", "|$1"),
+            regexp_replace(col("w"), "(.)", "|$1~"),
             (acc, m) => call_function("replace", acc,
-              concat(lit("|"), substring(m, 1, 1),
-                lit("|"), substring(m, 2, 1)),
-              concat(lit("|"), m)))))
+              concat(lit("|"), substring(m, 1, 1), lit("~"),
+                lit("|"), substring(m, 2, 1), lit("~")),
+              concat(lit("|"), m, lit("~"))))))
       .select(col("w"),
         when(col("rep").isNull, length(col("w")).cast("bigint"))
           .otherwise((length(col("rep")) -
@@ -1419,9 +1424,9 @@ object TextOps {
       |seg0 AS (
       |  SELECT w, CASE WHEN regexp_matches(w, '^[a-z0-9]+$') THEN
       |      list_reduce(
-      |        list_prepend(regexp_replace(w, '(.)', '|\1', 'g'), ms),
+      |        list_prepend(regexp_replace(w, '(.)', '|\1~', 'g'), ms),
       |        (acc, m) -> replace(acc,
-      |          '|' || m[1:1] || '|' || m[2:2], '|' || m))
+      |          '|' || m[1:1] || '~|' || m[2:2] || '~', '|' || m || '~'))
       |    END AS r
       |  FROM (SELECT DISTINCT w FROM words) CROSS JOIN merges),
       |seg AS (

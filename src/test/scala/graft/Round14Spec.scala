@@ -279,6 +279,58 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
     assert(after == before)
   }
 
+  test("t71 segmentation matches a symbol-list BPE reference (property)") {
+    import spark.implicits._
+    // independent reference: greedy BPE over symbol LISTS — each
+    // ranked merge fuses only two COMPLETE adjacent symbols in one
+    // left-to-right pass. A 2-letter alphabet makes merge
+    // interactions dense: e.g. word "aab" under ranked merges
+    // [ab, aa] must stay 2 symbols [a, ab] — the prefix-open
+    // encoding ("|a|ab" matching search "|a|a") collapsed it to 1,
+    // which is exactly the divergence this property pins down.
+    def refCount(word: String, merges: Seq[String]): Long = {
+      var syms = word.map(_.toString).toVector
+      for (m <- merges) {
+        val (a, b) = (m.substring(0, 1), m.substring(1, 2))
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    val rnd = new scala.util.Random(20260814)
+    def word() = (1 to 1 + rnd.nextInt(6))
+      .map(_ => "ab" (rnd.nextInt(2))).mkString
+    for (_ <- 1 to 3) {
+      val rows = (1 to 30).map(i =>
+        ("s" + (i % 2), i.toLong, (1 to 8).map(_ => word()).mkString(" ")))
+      val docs = rows.toDF("source", "doc_id", "text")
+      // the merge ranking, recomputed independently (t66's ordering)
+      val vocab = rows.flatMap(_._3.split(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val merges = vocab.toSeq.filter(_._1.length >= 2)
+        .flatMap { case (w, n) =>
+          w.sliding(2).map(_ -> n) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .sortBy { case (p, n) => (-n, p) }.take(20).map(_._1)
+      val expected = rows.groupBy(_._1).view.mapValues { rs =>
+        val ws = rs.map(_._3.split(" ").length.toLong).sum
+        val bpe = rs.flatMap(_._3.split(" "))
+          .map(refCount(_, merges)).sum
+        (ws, bpe)
+      }.toMap
+      val got = graft.ext.TextOps.bpeTokenCountOf(docs)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens"))).toMap
+      assert(got == expected)
+    }
+  }
+
   test("t72 realizes integer epochs exactly and subsampling consistently") {
     import spark.implicits._
     // engineered plan: src0 holds 100 tokens (2 docs × 50), src3 900
