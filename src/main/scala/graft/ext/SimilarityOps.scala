@@ -1973,7 +1973,6 @@ object SimilarityOps {
     * tier, completing the hybrid stack's build-once/serve-many
     * story). */
   def bm25Served(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|bm25"
     val idx = indexBuildLock.synchronized {
       Option(savedIndexDirs.get(key)).getOrElse {
@@ -1983,13 +1982,46 @@ object SimilarityOps {
         dir.toString
       }
     }
+    serveBm25From(s, idx, sumDeltas = false, dropTombstones = false)
+  }
+
+  /** The shared artifact read path behind every served-BM25 variant:
+    * query terms prune the postings scan (pushed `In`), df/corpus
+    * stats ride as broadcast sidecars, scoring + top-5 reuse the s85
+    * stages. `sumDeltas` re-derives the sidecars by summing per-batch
+    * delta rows (s88's segment discipline — exact, since df and Σdl
+    * are additive over disjoint doc sets); `dropTombstones` opts into
+    * the delete segment (s95): postings anti-join the tombstone list
+    * BEFORE scoring and the sidecar sums include the NEGATIVE
+    * correction rows the delete step wrote. A reader that doesn't opt
+    * in never touches the sidecar dirs — s87/s88 serving is untouched
+    * by a pending delete, exactly the s80/s94 invisibility contract. */
+  private[graft] def serveBm25From(s: SparkSession, idx: String,
+      sumDeltas: Boolean, dropTombstones: Boolean): DataFrame = {
+    import s.implicits._
     val terms = bm25Queries.map(_._2).distinct
     val q = bm25Queries.toDF("query_id", "term")
-    val post = s.read.parquet(s"$idx/postings")
+    val post0 = s.read.parquet(s"$idx/postings")
       .filter(col("term").isin(terms: _*))
-    val dfreq = s.read.parquet(s"$idx/dfreq")
-      .filter(col("term").isin(terms: _*))
-    val stats = s.read.parquet(s"$idx/stats")
+    val post =
+      if (dropTombstones)
+        post0.join(broadcast(s.read.parquet(s"$idx/tombstones").distinct()),
+          Seq("doc_id"), "left_anti")
+      else post0
+    val dfreq0 =
+      (if (dropTombstones) s.read.parquet(s"$idx/dfreq", s"$idx/dfreq_del")
+       else s.read.parquet(s"$idx/dfreq"))
+        .filter(col("term").isin(terms: _*))
+    val dfreq =
+      if (sumDeltas) dfreq0.groupBy("term").agg(sum("df").as("df"))
+      else dfreq0
+    val stats0 =
+      if (dropTombstones) s.read.parquet(s"$idx/stats", s"$idx/stats_del")
+      else s.read.parquet(s"$idx/stats")
+    val stats =
+      if (sumDeltas)
+        stats0.agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      else stats0
     bm25Finish(post
       .join(broadcast(q), "term")
       .join(broadcast(dfreq), "term")
@@ -2032,11 +2064,17 @@ object SimilarityOps {
     * rows (exact — df and Σdl are additive over disjoint doc sets).
     * Shares s85's full-corpus oracle: the absorbed index must rank
     * bit-identically to an index built from scratch on the union. */
-  def bm25Incremental(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  def bm25Incremental(s: SparkSession, d: String): DataFrame =
+    serveBm25From(s, bm25IncrDir(s, d),
+      sumDeltas = true, dropTombstones = false)
+
+  /** The two-segment incremental artifact (base 4/5 + absorbed 1/5),
+    * built once per (session, dir) — shared by s88 (delta serving),
+    * s95 (tombstone deletes) and s96 (compaction). */
+  private def bm25IncrDir(s: SparkSession, d: String): String = {
     val key =
       s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|bm25incr"
-    val idx = indexBuildLock.synchronized {
+    indexBuildLock.synchronized {
       Option(savedIndexDirs.get(key)).getOrElse {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-bm25-incr").toString
@@ -2048,24 +2086,122 @@ object SimilarityOps {
         dir
       }
     }
-    val terms = bm25Queries.map(_._2).distinct
-    val q = bm25Queries.toDF("query_id", "term")
-    val post = s.read.parquet(s"$idx/postings")
-      .filter(col("term").isin(terms: _*))
-    val dfreq = s.read.parquet(s"$idx/dfreq")
-      .filter(col("term").isin(terms: _*))
-      .groupBy("term").agg(sum("df").as("df"))
-    val stats = s.read.parquet(s"$idx/stats")
-      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
-    bm25Finish(post
-      .join(broadcast(q), "term")
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .transform(bm25Score)
-      .select("query_id", "doc_id", "contrib_u"))
   }
 
-  val bm25TopKSql: String = {
+  // ------------------------- s95 tombstone deletes on the BM25 index
+
+  /** The s95 delete step: write the delete cohort's segment sidecars
+    * under `idx`. Everything is derived FROM THE INDEX ITSELF — a
+    * takedown needs no access to the raw corpus text:
+    *  - `tombstones/`  the deleted doc_ids (the anti-join list),
+    *  - `dfreq_del/`   one NEGATIVE df row per term the cohort's
+    *                   postings touch (−#deleted docs containing it),
+    *  - `stats_del/`   one NEGATIVE (n_docs, sum_dl) correction row
+    *                   from the cohort's distinct (doc_id, dl) pairs.
+    * BM25's sidecars are additive over disjoint doc sets, so a delete
+    * is just a segment with negative counts — the base and append
+    * segments are never rewritten, and the step costs O(delete set)
+    * postings rows. Idempotent (mode overwrite): re-running a delete
+    * batch re-derives the same sidecars, the D7 retry discipline. */
+  private[graft] def bm25DeleteCohort(s: SparkSession, idx: String): Unit = {
+    val dead = s.read.parquet(s"$idx/postings")
+      .filter(col("doc_id") % 10 === 3)
+    dead.select("doc_id").distinct()
+      .write.mode("overwrite").parquet(s"$idx/tombstones")
+    dead.groupBy("term")
+      .agg((countDistinct("doc_id") * -1L).as("df"))
+      .write.mode("overwrite").parquet(s"$idx/dfreq_del")
+    dead.select("doc_id", "dl").distinct()
+      .agg((count(lit(1)) * -1L).as("n_docs"),
+        (sum("dl") * -1L).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$idx/stats_del")
+  }
+
+  /** s95: document DELETES on the served BM25 index — s94's lifecycle
+    * step on the SPARSE tier. A takedown / decontamination / dedup
+    * verdict (the doc_id % 10 == 3 cohort stand-in) must remove
+    * documents from a LIVE index without a rebuild — but unlike the
+    * ANN tiers, BM25's SCORES depend on corpus statistics (df, N,
+    * Σdl), so dropping the postings alone would serve stale idf/avgdl
+    * weights computed over documents that no longer exist. The delete
+    * step ([[bm25DeleteCohort]]) therefore writes a delete SEGMENT:
+    * the tombstone list plus negative df/stats correction rows derived
+    * from the cohort's own postings. Serving opts in: postings
+    * anti-join the tombstones before scoring, and the s88 delta sums
+    * simply include the negative rows — after which every weight is
+    * EXACTLY the from-scratch value on the filtered corpus, which is
+    * what the oracle checks (s85's SQL with the cohort removed).
+    * Non-opt-in readers (s87/s88) are untouched — spec-pinned. At
+    * scale: delete cost is O(delete set), the tombstone anti-join
+    * rides AQE broadcast while small, and s96's compaction folds the
+    * segment into the base offline. */
+  def bm25Tombstoned(s: SparkSession, d: String): DataFrame = {
+    val idx = bm25IncrDir(s, d)
+    bm25DeleteCohort(s, idx)
+    serveBm25From(s, idx, sumDeltas = true, dropTombstones = true)
+  }
+
+  val bm25TombstonedSql: String = bm25TopKSqlWhere("doc_id % 10 <> 3")
+
+  // ------------------------------- s96 BM25 segment compaction
+
+  /** s96: COMPACTION — the offline fold that closes the segment
+    * lifecycle s88 (append deltas) and s95 (delete segments) open.
+    * The accumulated artifact state (base + absorbed batch + negative
+    * delete segment) is rewritten into a FRESH single-segment
+    * artifact: postings minus the tombstoned docs, ONE df row per
+    * surviving term (the delta sum, ≤0 rows dropped), ONE corpus
+    * stats row, and no sidecar dirs at all — after which serving uses
+    * the plain s87 single-segment read path with zero per-query merge
+    * work (no delta sums, no anti-join). The source artifact is never
+    * touched (compact-to-new-directory + pointer swap — the em73
+    * discipline, so concurrent readers of the old artifact are never
+    * broken and the swap is atomic). Shares s95's filtered-corpus
+    * oracle: compaction must preserve ranking bit-for-bit, and the
+    * spec additionally pins the layout (one row per term, no cohort
+    * doc in postings, no tombstone sidecar). At scale the rewrite is
+    * one corpus-of-postings scan — amortized over every query it
+    * saves the merge work for, the classic LSM/search-engine segment
+    * merge. */
+  def bm25Compacted(s: SparkSession, d: String): DataFrame = {
+    val src = bm25IncrDir(s, d)
+    val key =
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|bm25compact"
+    val idx = indexBuildLock.synchronized {
+      Option(savedIndexDirs.get(key)).getOrElse {
+        bm25DeleteCohort(s, src)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bm25-compact").toString
+        compactBm25(s, src, dir)
+        savedIndexDirs.put(key, dir)
+        dir
+      }
+    }
+    serveBm25From(s, idx, sumDeltas = false, dropTombstones = false)
+  }
+
+  /** The s96 fold itself: rewrite `src` (base + deltas + delete
+    * segment) as a fresh single-segment artifact at `out`. */
+  private[graft] def compactBm25(
+      s: SparkSession, src: String, out: String): Unit = {
+    s.read.parquet(s"$src/postings")
+      .join(broadcast(s.read.parquet(s"$src/tombstones").distinct()),
+        Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$out/postings")
+    s.read.parquet(s"$src/dfreq", s"$src/dfreq_del")
+      .groupBy("term").agg(sum("df").as("df"))
+      .filter(col("df") > 0)
+      .write.mode("overwrite").parquet(s"$out/dfreq")
+    s.read.parquet(s"$src/stats", s"$src/stats_del")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$out/stats")
+  }
+
+  /** s85's oracle SQL with a document-cohort filter injected — `TRUE`
+    * is the full corpus (s85/s87/s88/e108); s95/s96 filter out the
+    * tombstoned cohort, making the oracle the from-scratch BM25 over
+    * the surviving documents (stats and all). */
+  private def bm25TopKSqlWhere(docFilter: String): String = {
     val qvals = bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
       |  FROM (VALUES $qvals) AS t(query_id, term)),
@@ -2073,7 +2209,7 @@ object SimilarityOps {
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
       |    x -> x <> '') AS toks FROM documents),
       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM toks
-      |       WHERE len(toks) > 0),
+      |       WHERE len(toks) > 0 AND ($docFilter)),
       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
       |          FROM dl),
       |tf AS (
@@ -2102,6 +2238,8 @@ object SimilarityOps {
       |SELECT query_id, rank, doc_id, bm25_u FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
+
+  val bm25TopKSql: String = bm25TopKSqlWhere("TRUE")
 
   // -------------------------------------------- s86 hybrid RRF fusion
 
@@ -2239,6 +2377,8 @@ object SimilarityOps {
     "s80_ivfpq_served"  -> ivfPqKnnServed _,
     "s81_ivfpq_incr"    -> ivfPqIncremental _,
     "s94_ivfpq_tombstones" -> ivfPqTombstoned _,
+    "s95_bm25_tombstones" -> bm25Tombstoned _,
+    "s96_bm25_compacted"  -> bm25Compacted _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2272,5 +2412,7 @@ object SimilarityOps {
     "s80_ivfpq_served"  -> ivfPqKnnSql,
     "s81_ivfpq_incr"    -> ivfPqIncrSql,
     "s94_ivfpq_tombstones" -> ivfPqTombstonedSql,
+    "s95_bm25_tombstones" -> bm25TombstonedSql,
+    "s96_bm25_compacted"  -> bm25TombstonedSql,
   )
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 operators: the sparse-index lifecycle closure — s95
+  * tombstone deletes on the served BM25 index (the delete SEGMENT:
+  * tombstone list + negative df/stats correction rows) and s96
+  * segment compaction (base + append deltas + delete segment folded
+  * into a fresh single-segment artifact). The oracle gate proves both
+  * rank bit-identically to a from-scratch BM25 over the surviving
+  * corpus; these tests pin the mechanics the hash can't express —
+  * base segments surviving a delete byte-identical, non-opt-in
+  * readers seeing no change, delete idempotence (the D7 retry
+  * discipline), and the compacted artifact's layout contract. */
+class Round15Spec extends AnyFunSuite with SparkSpec {
+
+  import graft.ext.SimilarityOps
+
+  /** Synthetic corpus covering every fixed query term; the s95 cohort
+    * (doc_id % 10 == 3 → ids 3 and 13) monopolizes the term "query",
+    * so the delete also exercises a term whose df drops to ZERO. */
+  private def mkDocs(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map { i =>
+      val extra =
+        if (i % 10 == 3) "spark spark spark query query"
+        else s"hash table tok$i"
+      (i, s"spark join stream window filter $extra")
+    }.toDF("doc_id", "text")
+  }
+
+  /** Two-segment artifact (the s88 shape) over docs 0..13. */
+  private def freshArtifact(): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-s95-spec").toString
+    SimilarityOps.appendBm25Batch(mkDocs(0L to 9L), dir)
+    SimilarityOps.appendBm25Batch(mkDocs(10L to 13L), dir)
+    dir
+  }
+
+  private def serve(idx: String, sumDeltas: Boolean, tomb: Boolean) =
+    SimilarityOps.serveBm25From(spark, idx, sumDeltas, tomb)
+      .collect().map(_.toSeq).toSeq
+
+  private def fileCensus(dir: String, sub: String): Map[String, Long] = {
+    val base = new java.io.File(s"$dir/$sub")
+    base.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length()).toMap
+  }
+
+  test("s95 delete: cohort gone, stats exact, non-opt-in serving untouched") {
+    val dir = freshArtifact()
+    val before = serve(dir, sumDeltas = true, tomb = false)
+    val census = Seq("postings", "dfreq", "stats")
+      .map(s => s -> fileCensus(dir, s)).toMap
+
+    SimilarityOps.bm25DeleteCohort(spark, dir)
+
+    // base + append segments survive byte-identical (delete = new
+    // sidecar dirs only, never a rewrite)
+    Seq("postings", "dfreq", "stats").foreach { sub =>
+      assert(fileCensus(dir, sub) == census(sub),
+        s"$sub was rewritten by the delete step")
+    }
+    // a reader that doesn't opt in sees NO change
+    assert(serve(dir, sumDeltas = true, tomb = false) == before)
+
+    val del = serve(dir, sumDeltas = true, tomb = true)
+    def cohort(rows: Seq[Seq[Any]]) =
+      rows.filter(_(2).asInstanceOf[Long] % 10 == 3)
+    assert(cohort(before).nonEmpty, "cohort never ranked — vacuous test")
+    assert(cohort(del).isEmpty)
+
+    // THE stats contract: tombstone serving must equal a from-scratch
+    // index over the survivors — same postings, same df, same N/Σdl,
+    // hence bit-identical scores (not just the same doc set)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-s95-scratch").toString
+    SimilarityOps.appendBm25Batch(
+      mkDocs((0L to 13L).filter(_ % 10 != 3)), scratch)
+    assert(del == serve(scratch, sumDeltas = true, tomb = false))
+  }
+
+  test("s95 delete is idempotent (D7 retry discipline)") {
+    val dir = freshArtifact()
+    SimilarityOps.bm25DeleteCohort(spark, dir)
+    val once = serve(dir, sumDeltas = true, tomb = true)
+    val tombOnce = spark.read.parquet(s"$dir/tombstones")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    SimilarityOps.bm25DeleteCohort(spark, dir)
+    assert(serve(dir, sumDeltas = true, tomb = true) == once)
+    val tombTwice = spark.read.parquet(s"$dir/tombstones")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(tombTwice == tombOnce && tombOnce == Seq(3L, 13L))
+  }
+
+  test("s96 compaction: layout pinned, ranking preserved, source intact") {
+    val dir = freshArtifact()
+    SimilarityOps.bm25DeleteCohort(spark, dir)
+    val tombServe = serve(dir, sumDeltas = true, tomb = true)
+
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-s96-spec").toString
+    SimilarityOps.compactBm25(spark, dir, out)
+
+    // layout contract: single segment — exactly one df row per term,
+    // all positive; no sidecar dirs; no tombstoned doc in postings
+    val dfreq = spark.read.parquet(s"$out/dfreq")
+    assert(dfreq.groupBy("term").count().filter(col("count") > 1).count() == 0)
+    assert(dfreq.filter(col("df") <= 0).count() == 0)
+    assert(!dfreq.select("term").collect().map(_.getString(0))
+      .contains("query"), "a fully-deleted term must leave the dfreq")
+    Seq("tombstones", "dfreq_del", "stats_del").foreach { sub =>
+      assert(!new java.io.File(s"$out/$sub").exists(),
+        s"compacted artifact must not carry $sub")
+    }
+    assert(spark.read.parquet(s"$out/postings")
+      .filter(col("doc_id") % 10 === 3).count() == 0)
+    assert(spark.read.parquet(s"$out/stats").count() == 1)
+    // exact folded stats: 12 survivors x 8 tokens each
+    val st = spark.read.parquet(s"$out/stats").head()
+    assert(st.getAs[Long]("n_docs") == 12L)
+    assert(st.getAs[Long]("sum_dl") == 96L)
+
+    // the plain single-segment read path over the compacted artifact
+    // ranks exactly like the delta+tombstone path over the source
+    assert(serve(out, sumDeltas = false, tomb = false) == tombServe)
+
+    // the source artifact is never touched by compaction
+    assert(serve(dir, sumDeltas = true, tomb = true) == tombServe)
+  }
+}
