@@ -148,7 +148,14 @@ object SparkEntry {
         // census at read time) — shares t72's oracle
         "e116_stream_mixture" ->
           ((s: SparkSession, d: String) =>
-            StreamingOps.streamMixtureRealize(s, d)))
+            StreamingOps.streamMixtureRealize(s, d)),
+        // streaming twin of d63: semantic decontamination as a
+        // crawl-time gate (frozen benchmark-embedding sidecar,
+        // stateless micro-cosine scoring, verdict at read time) —
+        // shares d63's oracle
+        "e117_stream_sem_decontam" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamSemanticDecontam(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -184,5 +191,6 @@ object SparkEntry {
           graft.ext.Multimodal.mediaIncrNearDupSql,
         "e114_stream_transitions" -> EventOps.transitionMatrixSql,
         "e115_stream_contam_split" -> TextOps.contamSafeSplitSql,
-        "e116_stream_mixture" -> TextOps.mixtureRealizeSql)
+        "e116_stream_mixture" -> TextOps.mixtureRealizeSql,
+        "e117_stream_sem_decontam" -> DedupOps.semanticDecontamSql)
 }

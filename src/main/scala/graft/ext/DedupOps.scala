@@ -1241,6 +1241,93 @@ object DedupOps {
       |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
   }
 
+  // --------------------------------- d63 semantic decontamination
+
+  /** d63: SEMANTIC decontamination — the dense complement of the
+    * lexical checks (t49 whole-document shingles, t68 passages): a
+    * training document whose EMBEDDING sits too close to a benchmark
+    * member leaks eval signal even when not one n-gram matches (a
+    * paraphrase, a translation, a reformatted copy), so the gate a
+    * careful pipeline runs before training is similarity against the
+    * benchmark set in embedding space. The benchmark cohort
+    * (vec_id % 37 == 2 — the held-out eval-set stand-in, disjoint
+    * from training by t70's routing) broadcasts; every remaining
+    * corpus vector gets ONE audit row: its max cosine against the
+    * benchmark in exact integer micros (round-6, the d62 discipline,
+    * so the argmax is engine-exact), the closest benchmark member
+    * (ties to the smallest id via one min-of-struct aggregate), and
+    * the verdict at τ = 0.36 — calibrated to the fixture's p99 so
+    * the contaminated branch actually fires under the oracle.
+    *
+    * Scale shape: benchmark sets are bounded by construction (an
+    * eval suite, not a corpus), so this is ONE corpus scan against a
+    * broadcast |bench|-row table; partial aggregation collapses each
+    * scan partition to one row per corpus vector BEFORE the exchange,
+    * so the shuffle carries n audit rows, never n×|bench| scored
+    * rows — the s60 shape with the bounded heap replaced by a
+    * min-struct argmax. Stateless scoring + an upsertable per-vector
+    * epilogue, so the same stages gate a crawl stream (e117). */
+  def semanticDecontam(s: SparkSession, d: String): DataFrame = {
+    val e = normedVectors(embeddings(s, d))
+    contamVerdict(contamScores(
+      e.filter(col("vec_id") % 37 =!= 2),
+      e.filter(col("vec_id") % 37 === 2).toDF("b_id", "bv", "bn")))
+  }
+
+  /** (vec_id, v, nrm) with the norm precomputed per vector. */
+  private[graft] def normedVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VecExprs.dot_d(col("v"), col("v"))))
+
+  /** The stateless d63 scoring stage: (vec_id, b_id, cos_u) for every
+    * (corpus vector, benchmark member) pair — row-local against the
+    * broadcast benchmark, so it runs unchanged on a streaming frame
+    * (e117's per-batch gate). */
+  private[graft] def contamScores(
+      corpus: DataFrame, bench: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("b_id"),
+        // integer micro-cosine (the d62 fixed-point discipline)
+        round(graft.functions.VecExprs.dot_d(col("v"), col("bv"))
+            / (col("nrm") * col("bn")) * 1000000)
+          .cast("bigint").as("cos_u"))
+
+  /** The d63 read-time epilogue: per-vector max/argmax + verdict. */
+  private[graft] def contamVerdict(scores: DataFrame): DataFrame =
+    scores
+      .groupBy("vec_id")
+      .agg(min(struct((col("cos_u") * -1L).as("nc"), col("b_id"))).as("m"))
+      .select(col("vec_id"),
+        col("m.b_id").as("bench_id"),
+        (col("m.nc") * -1L).as("max_cos_u"),
+        when(col("m.nc") * -1L >= 360000L, "contaminated")
+          .otherwise("clean").as("verdict"))
+      .orderBy("vec_id")
+
+  private val contamCosSql =
+    """list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * b.bv[i]))
+      | / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+      |    * sqrt(list_sum(list_transform(b.bv, x -> x * x))))""".stripMargin
+
+  val semanticDecontamSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |b AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE vec_id % 37 = 2),
+      |c AS (SELECT vec_id, v FROM e WHERE vec_id % 37 <> 2),
+      |sc AS (
+      |  SELECT c.vec_id, b.b_id,
+      |    CAST(round(($contamCosSql) * 1000000) AS BIGINT) AS cos_u
+      |  FROM c, b),
+      |rk AS (
+      |  SELECT vec_id, b_id, cos_u, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY cos_u DESC, b_id) AS rn
+      |  FROM sc)
+      |SELECT vec_id, b_id AS bench_id, cos_u AS max_cos_u,
+      |  CASE WHEN cos_u >= 360000 THEN 'contaminated' ELSE 'clean' END
+      |    AS verdict
+      |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_exact_dedup"    -> exactDedup _,
     "d51_jaccard_pairs"  -> jaccardPairs _,
@@ -1256,6 +1343,7 @@ object DedupOps {
     "d60_minhash_estimate" -> minhashEstimate _,
     "d61_semantic_dedup" -> semanticDedup _,
     "d62_semantic_reps"  -> semanticRepresentatives _,
+    "d63_semantic_decontam" -> semanticDecontam _,
     "t49_decontamination" -> decontamination _,
     "t68_passage_decontam" -> passageDecontam _,
     "t57_corpus_funnel"  -> corpusFunnel _,
@@ -1276,6 +1364,7 @@ object DedupOps {
     "d60_minhash_estimate" -> minhashEstimateSql,
     "d61_semantic_dedup" -> semanticDedupSql,
     "d62_semantic_reps"  -> semanticRepresentativesSql,
+    "d63_semantic_decontam" -> semanticDecontamSql,
     "t49_decontamination" -> decontaminationSql,
     "t68_passage_decontam" -> passageDecontamSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,

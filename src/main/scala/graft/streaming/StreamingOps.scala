@@ -1234,6 +1234,45 @@ object StreamingOps {
     graft.ext.TextOps.mixtureCensusOf(log)
   }
 
+  /** embeddings schema for streaming reads. */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** e117: d63's STREAMING twin — semantic decontamination as a
+    * crawl-time gate: the benchmark embedding set (bounded by
+    * construction — an eval suite, not a corpus) is built batch-side
+    * and broadcast as the frozen sidecar, every streamed corpus
+    * vector flows through the STATELESS micro-cosine scoring stage
+    * (row-local against the broadcast — append-mode legal, no
+    * stateful operator), and the (vec_id, b_id, cos_u) contribution
+    * rows land in the exactly-once file sink; the per-vector
+    * max/argmax + verdict are d63's read-time epilogue, so the
+    * drained log hash-checks against d63's oracle. At scale: each
+    * incoming embedding is gated at source throughput with constant
+    * memory, and re-freezing the sidecar after a benchmark refresh
+    * re-scores only future arrivals — the e108–e116 shape on the
+    * dense tier. */
+  def streamSemanticDecontam(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "embeddings.parquet")
+    val nIn = cachedCount(d, "emb_all") {
+      spark.read.parquet(s"$d/embeddings.parquet").count()
+    }
+    val bench = graft.ext.DedupOps
+      .normedVectors(graft.Tables.embeddings(spark, d))
+      .filter(col("vec_id") % 37 === 2)
+      .toDF("b_id", "bv", "bn")
+    val log = drainToFileSink(spark, "e117", nIn) {
+      graft.ext.DedupOps.contamScores(
+        graft.ext.DedupOps.normedVectors(
+          spark.readStream.schema(embeddingsSchema).parquet(stageDir))
+          .filter(col("vec_id") % 37 =!= 2),
+        bench)
+    }
+    graft.ext.DedupOps.contamVerdict(log)
+  }
+
   case class TransEvent(user_id: Long, ts: Long, event_id: Long, tp: String)
   case class LastEvent(ts: Long, event_id: Long, tp: String)
   case class TransitionFact(from_type: String, to_type: String)

@@ -130,4 +130,23 @@ class Round15Spec extends AnyFunSuite with SparkSpec {
     // the source artifact is never touched by compaction
     assert(serve(dir, sumDeltas = true, tomb = true) == tombServe)
   }
+
+  test("d63 mechanics: exact-copy leak flags, argmax ties to smallest bench id") {
+    import spark.implicits._
+    import graft.ext.DedupOps
+    val mk = (rows: Seq[(Long, Seq[Float])]) =>
+      rows.toDF("vec_id", "embedding")
+    val bench = DedupOps.normedVectors(mk(Seq(
+      1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f)))).toDF("b_id", "bv", "bn")
+    val corpus = DedupOps.normedVectors(mk(Seq(
+      10L -> Seq(2f, 0f),    // exact direction copy of bench 1 → cos 1
+      11L -> Seq(1f, 1f),    // equidistant from both → tie, bench 1
+      12L -> Seq(0f, -3f)))) // best is cos 0 vs bench 1 → clean
+    val got = DedupOps.contamVerdict(DedupOps.contamScores(corpus, bench))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(10L) == (1L, 1000000L, "contaminated"))
+    assert(got(11L) == (1L, 707107L, "contaminated")) // tie → smallest
+    assert(got(12L) == (1L, 0L, "clean"))
+  }
 }
