@@ -46,7 +46,8 @@ object PlanAudit {
       "d62_semantic_reps", "t69_source_calibration", "m78_media_neardup",
       "m79_media_incr_neardup", "e113_transition_matrix",
       "t70_contam_safe_split", "t71_bpe_token_count",
-      "s94_ivfpq_tombstones", "t72_mixture_realize")
+      "s94_ivfpq_tombstones", "t72_mixture_realize",
+      "s95_bm25_tombstones", "s96_bm25_compacted", "d63_semantic_decontam")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

@@ -98,7 +98,18 @@ object ScaleBench {
     "s94_ivfpq_tombstones" -> "emb",
     // t72 = one token-count scan + a #sources broadcast; expect the
     // t62 scan-bound shape
-    "t72_mixture_realize" -> "docs")
+    "t72_mixture_realize" -> "docs",
+    // s95 re-runs the delete step (cohort postings scan + sidecar
+    // writes) plus the opt-in serve each timing run — the measured
+    // cost IS delete+serve; s96 serves from the compacted artifact
+    // (built once, its rewrite timed as cache_s96_compact below) so
+    // its line item is the pure single-segment serve
+    "s95_bm25_tombstones" -> "docs",
+    "s96_bm25_compacted" -> "docs",
+    // d63 = one corpus scan against the broadcast benchmark; the
+    // n×|bench| scored rows collapse map-side, so expect the s60
+    // scan-bound shape vs embedding growth
+    "d63_semantic_decontam" -> "emb")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -175,6 +186,15 @@ object ScaleBench {
       // it) and the shared media signature frame (m78/m79/e112): their
       // builds are the honest exponent carriers, the query line items
       // measure serve-side work
+      // the s96 compaction REWRITE (postings anti-join + sidecar
+      // folds into a fresh single-segment artifact): one
+      // postings-scan-bound pass, the honest exponent carrier for
+      // the compact path (the s96 query line item measures the
+      // serve over the result)
+      ("cache_s96_compact",
+        () => graft.ext.SimilarityOps.clearSavedIndexes("|bm25compact"),
+        () => {
+          graft.ext.SimilarityOps.bm25Compacted(spark, dir).count(); () }),
       ("cache_semantic_cc",
         () => graft.graph.GraphOps.clearSemanticCc(),
         () => {
@@ -246,6 +266,7 @@ object ScaleBench {
         "cache_s81_incr_index" -> vol("emb"),
         "cache_s87_bm25_index" -> vol("docs"),
         "em73_store_compaction" -> vol("docs"),
+        "cache_s96_compact" -> vol("docs"),
         "cache_semantic_cc" -> vol("emb"),
         "cache_media_sigs" -> vol("docs"))
     val aMap = (cachesA ++ queriesA).toMap
