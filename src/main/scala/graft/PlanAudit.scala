@@ -47,7 +47,8 @@ object PlanAudit {
       "m79_media_incr_neardup", "e113_transition_matrix",
       "t70_contam_safe_split", "t71_bpe_token_count",
       "s94_ivfpq_tombstones", "t72_mixture_realize",
-      "s95_bm25_tombstones", "s96_bm25_compacted", "d63_semantic_decontam")
+      "s95_bm25_tombstones", "s96_bm25_compacted", "d63_semantic_decontam",
+      "s97_ivfpq_compacted")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

@@ -109,7 +109,11 @@ object ScaleBench {
     // d63 = one corpus scan against the broadcast benchmark; the
     // n×|bench| scored rows collapse map-side, so expect the s60
     // scan-bound shape vs embedding growth
-    "d63_semantic_decontam" -> "emb")
+    "d63_semantic_decontam" -> "emb",
+    // s97 serves the compacted (sidecar-free) artifact through s80's
+    // plain path — expect s80's serve-side flatness; the compaction
+    // rewrite itself is cache_s97_compact
+    "s97_ivfpq_compacted" -> "emb")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -195,6 +199,12 @@ object ScaleBench {
         () => graft.ext.SimilarityOps.clearSavedIndexes("|bm25compact"),
         () => {
           graft.ext.SimilarityOps.bm25Compacted(spark, dir).count(); () }),
+      // the s97 ANN compaction rewrite (members/codes anti-join +
+      // frozen-model copy into a fresh artifact)
+      ("cache_s97_compact",
+        () => graft.ext.SimilarityOps.clearSavedIndexes("|ivfpqcompact"),
+        () => {
+          graft.ext.SimilarityOps.ivfPqCompacted(spark, dir).count(); () }),
       ("cache_semantic_cc",
         () => graft.graph.GraphOps.clearSemanticCc(),
         () => {
@@ -267,6 +277,7 @@ object ScaleBench {
         "cache_s87_bm25_index" -> vol("docs"),
         "em73_store_compaction" -> vol("docs"),
         "cache_s96_compact" -> vol("docs"),
+        "cache_s97_compact" -> vol("emb"),
         "cache_semantic_cc" -> vol("emb"),
         "cache_media_sigs" -> vol("docs"))
     val aMap = (cachesA ++ queriesA).toMap

@@ -997,13 +997,68 @@ object SimilarityOps {
     * folds tombstones into the base tables offline. */
   def ivfPqTombstoned(s: SparkSession, d: String): DataFrame = {
     val idx = builtIndexDir(s, d)
-    // idempotent delete manifest for the rehearsal (production appends
-    // delete batches; serving reads DISTINCT either way)
+    ivfPqDeleteCohort(s, idx)
+    serveAdcFromArtifact(s, d, idx, dropTombstones = true)
+  }
+
+  /** The s94 delete step: idempotent tombstone manifest for the
+    * rehearsal cohort (production appends delete batches; serving
+    * reads DISTINCT either way). Shared with s97's compaction. */
+  private[graft] def ivfPqDeleteCohort(s: SparkSession, idx: String): Unit =
     s.read.parquet(s"$idx/members")
       .select(col("vec_id").as("c_id"))
       .filter(col("c_id") % 13 === 5)
       .write.mode("overwrite").parquet(s"$idx/tombstones")
-    serveAdcFromArtifact(s, d, idx, dropTombstones = true)
+
+  // ------------------------- s97 ANN artifact compaction
+
+  /** s97: the DENSE twin of s96 — the offline fold that retires s94's
+    * tombstone sidecar: members and codes are rewritten minus the
+    * tombstoned vectors into a FRESH artifact, the frozen model
+    * (centroids, codebooks) is carried over unchanged, and no sidecar
+    * dirs exist afterwards — serving is s80's plain read path with
+    * zero anti-join work per query. Compact-to-new-directory + pointer
+    * swap (the em73/s96 discipline): the source artifact is never
+    * touched, so s80/s94 readers of the old artifact are never broken
+    * and the swap is atomic. Shares s94's oracle — compaction must
+    * preserve the tombstoned ranking bit-for-bit. Unlike BM25 (s96),
+    * ADC scores are per-vector — deleting a member changes no other
+    * vector's score — so the fold is pure row removal with no
+    * statistics to correct; at scale, members/codes partitioned by
+    * cell id confine the rewrite to the cells the delete cohort
+    * actually touches (the em73 affected-partition discipline). */
+  def ivfPqCompacted(s: SparkSession, d: String): DataFrame = {
+    val src = builtIndexDir(s, d)
+    val key =
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|ivfpqcompact"
+    val idx = indexBuildLock.synchronized {
+      Option(savedIndexDirs.get(key)).getOrElse {
+        ivfPqDeleteCohort(s, src)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-ivfpq-compact").toString
+        compactIvfPq(s, src, dir)
+        savedIndexDirs.put(key, dir)
+        dir
+      }
+    }
+    serveAdcFromArtifact(s, d, idx, dropTombstones = false)
+  }
+
+  /** The s97 fold itself: rewrite `src` minus its tombstones as a
+    * fresh sidecar-free artifact at `out` (frozen model copied). */
+  private[graft] def compactIvfPq(
+      s: SparkSession, src: String, out: String): Unit = {
+    val tomb = s.read.parquet(s"$src/tombstones").distinct()
+    s.read.parquet(s"$src/members")
+      .join(broadcast(tomb.toDF("vec_id")), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$out/members")
+    s.read.parquet(s"$src/codes")
+      .join(broadcast(tomb.toDF("vec_id")), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$out/codes")
+    s.read.parquet(s"$src/centroids")
+      .write.mode("overwrite").parquet(s"$out/centroids")
+    s.read.parquet(s"$src/codebooks")
+      .write.mode("overwrite").parquet(s"$out/codebooks")
   }
 
   val ivfPqTombstonedSql: String =
@@ -2379,6 +2434,7 @@ object SimilarityOps {
     "s94_ivfpq_tombstones" -> ivfPqTombstoned _,
     "s95_bm25_tombstones" -> bm25Tombstoned _,
     "s96_bm25_compacted"  -> bm25Compacted _,
+    "s97_ivfpq_compacted" -> ivfPqCompacted _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2414,5 +2470,6 @@ object SimilarityOps {
     "s94_ivfpq_tombstones" -> ivfPqTombstonedSql,
     "s95_bm25_tombstones" -> bm25TombstonedSql,
     "s96_bm25_compacted"  -> bm25TombstonedSql,
+    "s97_ivfpq_compacted" -> ivfPqTombstonedSql,
   )
 }

@@ -131,6 +131,57 @@ class Round15Spec extends AnyFunSuite with SparkSpec {
     assert(serve(dir, sumDeltas = true, tomb = true) == tombServe)
   }
 
+  test("s97 compaction: sidecar retired, serving preserved, source intact") {
+    val d = "/root/testdata/sf0.001"
+    val tombServe = SimilarityOps.ivfPqTombstoned(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val plainServe = SimilarityOps.ivfPqKnnServed(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val compServe = SimilarityOps.ivfPqCompacted(spark, d)
+      .collect().map(_.toSeq).toSeq
+    // compaction preserves the tombstoned ranking bit-for-bit, and
+    // the two servings genuinely differ (the fold is non-vacuous)
+    assert(compServe == tombServe)
+    assert(compServe != plainServe)
+    // the source artifact is untouched: both old-artifact readers
+    // still see their own views after the compaction
+    assert(SimilarityOps.ivfPqKnnServed(spark, d)
+      .collect().map(_.toSeq).toSeq == plainServe)
+    assert(SimilarityOps.ivfPqTombstoned(spark, d)
+      .collect().map(_.toSeq).toSeq == tombServe)
+  }
+
+  test("s97 fold layout: no cohort rows, frozen model carried, no sidecars") {
+    import spark.implicits._
+    // a tiny synthetic artifact: 6 members/codes, cohort = {5, 18}
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-s97-src").toString
+    val ids = Seq(1L, 4L, 5L, 7L, 18L, 20L)
+    ids.map(i => (i, i % 3)).toDF("vec_id", "cid")
+      .write.parquet(s"$src/members")
+    ids.flatMap(i => Seq(0, 1).map(j => (i, j, i % 4)))
+      .toDF("vec_id", "j", "cid").write.parquet(s"$src/codes")
+    Seq((0L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)))
+      .toDF("cid", "cv").write.parquet(s"$src/centroids")
+    Seq((0, 0L, Seq(1.0)), (1, 1L, Seq(2.0)))
+      .toDF("j", "cid", "cv").write.parquet(s"$src/codebooks")
+    Seq(5L, 18L).toDF("c_id").write.parquet(s"$src/tombstones")
+
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-s97-out").toString
+    SimilarityOps.compactIvfPq(spark, src, out)
+
+    assert(spark.read.parquet(s"$out/members")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L, 7L, 20L))
+    assert(spark.read.parquet(s"$out/codes")
+      .select("vec_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L, 7L, 20L))
+    // the frozen model rides along unchanged
+    assert(spark.read.parquet(s"$out/centroids").count() == 2)
+    assert(spark.read.parquet(s"$out/codebooks").count() == 2)
+    assert(!new java.io.File(s"$out/tombstones").exists())
+  }
+
   test("d63 mechanics: exact-copy leak flags, argmax ties to smallest bench id") {
     import spark.implicits._
     import graft.ext.DedupOps
