@@ -113,7 +113,12 @@ object ScaleBench {
     // s97 serves the compacted (sidecar-free) artifact through s80's
     // plain path — expect s80's serve-side flatness; the compaction
     // rewrite itself is cache_s97_compact
-    "s97_ivfpq_compacted" -> "emb")
+    "s97_ivfpq_compacted" -> "emb",
+    // v77 rides the cached d51 pair frame: two doc-id equi-joins
+    // driven by the (post-threshold, small) near-dup pair set, with
+    // the split assignment a pure projection — expect pair-bounded,
+    // near-flat serve-side time
+    "v77_split_leakage" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

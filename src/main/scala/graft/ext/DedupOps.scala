@@ -289,6 +289,13 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
 
+  /** d51's near-dup pair set (doc_a, doc_b) from the session cache —
+    * the input to the v77 cross-split leakage audit. */
+  private[graft] def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    scoredPairsCached(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+
   val jaccardPairsSql: String =
     s"""WITH shs AS ($shingleRowsSql),
       |sh AS (SELECT doc_id,

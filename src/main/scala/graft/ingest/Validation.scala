@@ -398,6 +398,75 @@ object Validation {
       |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
       |GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ------------------------------------- v77 cross-split leakage audit
+
+  /** v77: cross-split LEAKAGE audit — the check that catches the
+    * classic eval-inflation bug: a test/validation document that is a
+    * NEAR-DUPLICATE of a training document leaks training signal into
+    * the eval even though the doc ids differ (so t48's stable split
+    * can't see it — splits are hash-random over ids, near-dups are
+    * content structure). Every d51 near-dup pair is classified by the
+    * unordered pair of split assignments of its endpoints: same-split
+    * pairs are `intra` (benign — dedup handles them), different-split
+    * pairs are `leak` (a d57-style apply must collapse the pair into
+    * ONE split, or the eval is contaminated). The census row per
+    * (split_a, split_b) class carries the pair count and a concrete
+    * example (min doc_a) — the audit a pipeline runs between dedup
+    * and training.
+    *
+    * Scale shape: the split assignment is a pure projection on the
+    * doc scan (t48's md5 rule, no shuffle), and both joins are
+    * equi-joins keyed by doc id with the NEAR-DUP PAIR frame — the
+    * small side by construction after dedup thresholds — driving the
+    * cost; the d51 candidate machinery (inverted-index self-join,
+    * DF caps) is reused from the session cache, not recomputed. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.TextOps.md5Long
+    val split = graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        (md5Long(concat(lit("split:"), col("doc_id").cast("string")))
+          % 100).as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test").as("split"))
+    graft.ext.DedupOps.nearDupPairs(s, d)
+      .join(split.toDF("doc_a", "sa"), "doc_a")
+      .join(split.toDF("doc_b", "sb"), "doc_b")
+      .withColumn("split_a", least(col("sa"), col("sb")))
+      .withColumn("split_b", greatest(col("sa"), col("sb")))
+      .withColumn("verdict",
+        when(col("split_a") === col("split_b"), "intra").otherwise("leak"))
+      .groupBy("split_a", "split_b", "verdict")
+      .agg(count(lit(1)).as("n_pairs"), min("doc_a").as("min_doc_a"))
+      .orderBy("split_a", "split_b")
+  }
+
+  /** Composed SQL reading DedupOps' val — must be lazy: the oracleSql
+    * maps force vals during object init and the cross-object reference
+    * would NPE depending on class-load order (t71/d62 lesson). */
+  lazy val splitLeakageSql: String =
+    s"""WITH p AS (
+      |  SELECT doc_a, doc_b FROM (${graft.ext.DedupOps.jaccardPairsSql})),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN bucket < 80 THEN 'train'
+      |         WHEN bucket < 90 THEN 'validation'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |          ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+      |            % 100 AS bucket
+      |        FROM documents)),
+      |j AS (
+      |  SELECT least(sa.split, sb.split) AS split_a,
+      |    greatest(sa.split, sb.split) AS split_b, p.doc_a
+      |  FROM p JOIN s sa ON sa.doc_id = p.doc_a
+      |         JOIN s sb ON sb.doc_id = p.doc_b)
+      |SELECT split_a, split_b,
+      |  CASE WHEN split_a = split_b THEN 'intra' ELSE 'leak' END AS verdict,
+      |  count(*) AS n_pairs, min(doc_a) AS min_doc_a
+      |FROM j GROUP BY 1, 2, 3 ORDER BY split_a, split_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v70_validation" -> validationSummary _,
     "v71_ref_integrity" -> refIntegrity _,
@@ -406,6 +475,7 @@ object Validation {
     "v74_drift_report" -> driftReport _,
     "v75_jsonl_ingest" -> jsonlIngest _,
     "v76_version_diff" -> versionDiff _,
+    "v77_split_leakage" -> splitLeakage _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -416,5 +486,6 @@ object Validation {
     "v74_drift_report" -> driftReportSql,
     "v75_jsonl_ingest" -> jsonlIngestSql,
     "v76_version_diff" -> versionDiffSql,
+    "v77_split_leakage" -> splitLeakageSql,
   )
 }
