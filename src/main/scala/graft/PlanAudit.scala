@@ -48,7 +48,8 @@ object PlanAudit {
       "t70_contam_safe_split", "t71_bpe_token_count",
       "s94_ivfpq_tombstones", "t72_mixture_realize",
       "s95_bm25_tombstones", "s96_bm25_compacted", "d63_semantic_decontam",
-      "s97_ivfpq_compacted", "v77_split_leakage")
+      "s97_ivfpq_compacted", "v77_split_leakage",
+      "t73_tokenizer_fertility")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

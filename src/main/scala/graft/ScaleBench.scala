@@ -118,7 +118,9 @@ object ScaleBench {
     // driven by the (post-threshold, small) near-dup pair set, with
     // the split assignment a pure projection — expect pair-bounded,
     // near-flat serve-side time
-    "v77_split_leakage" -> "docs")
+    "v77_split_leakage" -> "docs",
+    // t73 = t71's machinery keyed by lang — expect t71's shape
+    "t73_tokenizer_fertility" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

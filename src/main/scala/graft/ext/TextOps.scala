@@ -1355,10 +1355,19 @@ object TextOps {
   /** The t71 pass over an arbitrary frame with (source, text) — shared
     * with the spec, which pins the greedy/rank-order/fallback
     * mechanics on a corpus with hand-computable merges. */
-  private[graft] def bpeTokenCountOf(docs: DataFrame): DataFrame = {
+  private[graft] def bpeTokenCountOf(docs: DataFrame): DataFrame =
+    bpeTokenCountGrouped(docs, "source")
+
+  /** The t71/t73 pass grouped by an arbitrary per-doc key column —
+    * "source" for t71's mixing-budget table, "lang" for t73's
+    * fertility table. The merge table is induced from the WHOLE
+    * corpus either way: ONE tokenizer is trained and shared, which
+    * is exactly why per-group fertility can differ. */
+  private[graft] def bpeTokenCountGrouped(
+      docs: DataFrame, key: String): DataFrame = {
     val words = docs
-      .select(col("source"), explode(tokens(col("text"))).as("w"))
-      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+      .select(col(key), explode(tokens(col("text"))).as("w"))
+      .groupBy(key, "w").agg(count(lit(1)).as("freq"))
     // t66's published top-20, minus pairs the '|' scheme can't carry
     // (non-alphanumeric), ranked exactly as t66 ranks them. The
     // vocabulary is DERIVED from the same (source, word) aggregate the
@@ -1394,22 +1403,37 @@ object TextOps {
             length(call_function("replace", col("rep"), lit("|"), lit(""))))
             .cast("bigint")).as("n_sym"))
     words.join(seg, Seq("w"))
-      .groupBy("source")
+      .groupBy(key)
       .agg(sum(col("freq")).as("ws_tokens"),
         sum(col("freq") * col("n_sym")).as("bpe_tokens"))
       .withColumn("tokens_per_word_ppm",
         expr("bpe_tokens * 1000000 div ws_tokens"))
-      .select("source", "ws_tokens", "bpe_tokens", "tokens_per_word_ppm")
-      .orderBy("source")
+      .select(key, "ws_tokens", "bpe_tokens", "tokens_per_word_ppm")
+      .orderBy(key)
   }
 
-  val bpeTokenCountSql: String =
-    """WITH toks AS (
-      |  SELECT source, unnest(list_filter(
-      |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+  // ------------------------------------ t73 tokenizer fertility by language
+
+  /** t73: tokenizer FERTILITY by language — the multilingual-fairness
+    * table: a BPE vocabulary is trained once on the whole corpus, so
+    * languages under-represented in the training mix compress worse
+    * (more tokens per word — higher fertility), which silently taxes
+    * their context budget and their per-token pricing. The
+    * measurement is t71's exact machinery grouped by `lang` instead
+    * of `source`: whitespace vs BPE token counts and the exact
+    * tokens-per-word ppm, per language, under the SHARED t66 merge
+    * table. Same scale shape as t71 (everything after the first
+    * aggregation is vocab-bounded). */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame =
+    bpeTokenCountGrouped(documents(s, d), "lang")
+
+  private def bpeTokenCountSqlBy(key: String): String =
+    s"""WITH toks AS (
+      |  SELECT $key, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
       |  FROM documents),
-      |words AS (SELECT source, w, count(*) AS freq FROM toks
-      |  GROUP BY source, w),
+      |words AS (SELECT $key, w, count(*) AS freq FROM toks
+      |  GROUP BY $key, w),
       |vocab0 AS (SELECT w, sum(freq) AS n FROM words GROUP BY w),
       |pairs AS (
       |  SELECT unnest(list_transform(range(1, length(w)),
@@ -1420,11 +1444,11 @@ object TextOps {
       |  GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 20),
       |merges AS (
       |  SELECT list(pair ORDER BY n_occ DESC, pair) AS ms FROM ranked
-      |  WHERE regexp_matches(pair, '^[a-z0-9]{2}$')),
+      |  WHERE regexp_matches(pair, '^[a-z0-9]{2}$$')),
       |seg0 AS (
-      |  SELECT w, CASE WHEN regexp_matches(w, '^[a-z0-9]+$') THEN
+      |  SELECT w, CASE WHEN regexp_matches(w, '^[a-z0-9]+$$') THEN
       |      list_reduce(
-      |        list_prepend(regexp_replace(w, '(.)', '|\1~', 'g'), ms),
+      |        list_prepend(regexp_replace(w, '(.)', '|\\1~', 'g'), ms),
       |        (acc, m) -> replace(acc,
       |          '|' || m[1:1] || '~|' || m[2:2] || '~', '|' || m || '~'))
       |    END AS r
@@ -1434,12 +1458,15 @@ object TextOps {
       |    ELSE CAST(length(r) - length(replace(r, '|', '')) AS BIGINT)
       |    END AS n_sym
       |  FROM seg0)
-      |SELECT source, CAST(sum(freq) AS BIGINT) AS ws_tokens,
+      |SELECT $key, CAST(sum(freq) AS BIGINT) AS ws_tokens,
       |  CAST(sum(freq * n_sym) AS BIGINT) AS bpe_tokens,
       |  CAST(sum(freq * n_sym) * 1000000 // sum(freq) AS BIGINT)
       |    AS tokens_per_word_ppm
       |FROM words JOIN seg USING (w)
-      |GROUP BY source ORDER BY source""".stripMargin
+      |GROUP BY $key ORDER BY $key""".stripMargin
+
+  val bpeTokenCountSql: String = bpeTokenCountSqlBy("source")
+  val tokenizerFertilitySql: String = bpeTokenCountSqlBy("lang")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
@@ -1467,6 +1494,7 @@ object TextOps {
     "t70_contam_safe_split" -> contamSafeSplit _,
     "t71_bpe_token_count"   -> bpeTokenCount _,
     "t72_mixture_realize"   -> mixtureRealize _,
+    "t73_tokenizer_fertility" -> tokenizerFertility _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1495,5 +1523,6 @@ object TextOps {
     "t70_contam_safe_split" -> contamSafeSplitSql,
     "t71_bpe_token_count"   -> bpeTokenCountSql,
     "t72_mixture_realize"   -> mixtureRealizeSql,
+    "t73_tokenizer_fertility" -> tokenizerFertilitySql,
   )
 }
