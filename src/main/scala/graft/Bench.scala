@@ -217,6 +217,10 @@ object Bench {
         () => { graft.query.EmailOps.compactedStore(spark, sfDir)
           .count(); () },
         () => graft.query.FixtureCorpus.clearAux("em73")),
+      ("cache_em74_retention",
+        () => { graft.query.EmailOps.retainedStore(spark, sfDir)
+          .count(); () },
+        () => graft.query.FixtureCorpus.clearAux("em74")),
       // shared semantic-CC assignment (g103 + d62 serve from it) and
       // shared media signature frame (m78/m79/e112)
       ("cache_semantic_cc",
@@ -247,7 +251,17 @@ object Bench {
       ("cache_s88_bm25_incr",
         () => { graft.ext.SimilarityOps.bm25Incremental(spark, sfDir)
           .count(); () },
-        () => graft.ext.SimilarityOps.clearSavedIndexes("|bm25incr")))
+        () => graft.ext.SimilarityOps.clearSavedIndexes("|bm25incr")),
+      // the two compaction rewrites (sparse s96, dense s97): their
+      // query line items then time the pure single-segment serve
+      ("cache_s96_compact",
+        () => { graft.ext.SimilarityOps.bm25Compacted(spark, sfDir)
+          .count(); () },
+        () => graft.ext.SimilarityOps.clearSavedIndexes("|bm25compact")),
+      ("cache_s97_compact",
+        () => { graft.ext.SimilarityOps.ivfPqCompacted(spark, sfDir)
+          .count(); () },
+        () => graft.ext.SimilarityOps.clearSavedIndexes("|ivfpqcompact")))
     val rerun = scala.collection.mutable.ArrayBuffer[String]()
     // MIN-of-3 for every warm (round-9 lesson: cache_dedup_frames
     // recorded 6.07 s and 11.85 s across two runs both self-reporting

@@ -193,6 +193,13 @@ object ScaleBench {
         () => graft.query.FixtureCorpus.clearAux("em73"),
         () => {
           graft.query.EmailOps.compactedStore(spark, dir).count(); () }),
+      // em74's store build + partition-drop retention, cachedAux like
+      // em73 — the rehearsal times build+retain, whose scale claim is
+      // that the retention step itself is partition-metadata-bounded
+      ("em74_store_retention",
+        () => graft.query.FixtureCorpus.clearAux("em74"),
+        () => {
+          graft.query.EmailOps.retainedStore(spark, dir).count(); () }),
       // the shared semantic-CC assignment (g103 + d62 both serve from
       // it) and the shared media signature frame (m78/m79/e112): their
       // builds are the honest exponent carriers, the query line items
@@ -262,6 +269,7 @@ object ScaleBench {
       graft.graph.GraphOps.warm(spark, jit)
       graft.ext.SimilarityOps.ivfPqIncremental(spark, jit).count()
       graft.query.EmailOps.compactedStore(spark, jit).count()
+      graft.query.EmailOps.retainedStore(spark, jit).count()
       Heavy.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (n, _) =>
           SparkEntry.queries(n)(spark, jit).count() }
@@ -283,6 +291,7 @@ object ScaleBench {
         "cache_s81_incr_index" -> vol("emb"),
         "cache_s87_bm25_index" -> vol("docs"),
         "em73_store_compaction" -> vol("docs"),
+        "em74_store_retention" -> vol("docs"),
         "cache_s96_compact" -> vol("docs"),
         "cache_s97_compact" -> vol("emb"),
         "cache_semantic_cc" -> vol("emb"),

@@ -500,6 +500,69 @@ object EmailOps {
       |  CAST(1 AS INT) AS n_mailboxes, usr AS mb_users
       |FROM m ORDER BY dedupe_key""".stripMargin
 
+  // --------------------------------------- em74 retention enforcement
+
+  /** em74: data-RETENTION enforcement under the oracle — the TTL pass
+    * every store with a compliance or cost boundary runs: expire all
+    * data older than the retention window. On the month-partitioned
+    * store this is a PARTITION-METADATA operation
+    * ([[graft.store.PartitionedEmailStore.retain]]): dropped months'
+    * directories are deleted whole — no row read or rewritten,
+    * O(#dropped partitions) — and retained months' files stay
+    * byte-identical, both asserted in-query from the file census so a
+    * retention that scanned, rewrote, or missed a month fails the
+    * gate. The rehearsal: build the 12-month store (em73's spread),
+    * retain `>= 2001-11` (drops exactly the six 2001-05..2001-10
+    * months, also asserted), read em70's census — the oracle is the
+    * synthesis rules with the retention predicate applied, so every
+    * surviving row must be exactly the pre-retention row (nothing
+    * lost from retained months, nothing surviving from dropped ones).
+    * The `unknown` (null-date) partition is always retained by
+    * contract — spec-pinned in Round15Spec, with the KeyIndex
+    * self-heal path for a re-inserted expired key. */
+  def retainedStore(s: SparkSession, d: String): DataFrame =
+    FixtureCorpus.cachedAux(s, d, "em74") {
+      val docs = FixtureCorpus.parsedDocs(s, d)
+        .withColumn("date",
+          expr("timestampadd(MONTH, CAST(doc_id % 12 AS INT), date)"))
+        .drop("doc_id")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-em74").toString
+      val store = new graft.store.PartitionedEmailStore(s, root + "/store")
+      try {
+        store.upsert(docs)
+        val before = store.fileCensus()
+        val dropped = store.retain("2001-11")
+        require(dropped == (5 to 10).map(m => f"2001-$m%02d"),
+          s"retention dropped $dropped — expiry contract broken")
+        val after = store.fileCensus()
+        require(after.keySet == before.keySet -- dropped,
+          s"retained partition set wrong: $after vs $before minus $dropped")
+        require(after.forall { case (m, n) => before(m) == n },
+          "a retained month was rewritten by retention")
+        val out = store.read()
+          .select(col("dedupe_key"), col("subject"), col("date_month"),
+            size(col("mailboxes")).as("n_mailboxes"),
+            array_join(array_sort(
+              expr("transform(mailboxes, m -> m.user)")), ",").as("mb_users"))
+          .orderBy("dedupe_key")
+        // force before the finally deletes the store files
+        out.cache().count()
+        out
+      } finally deleteTree(root)
+    }
+
+  val retainedStoreSql: String =
+    s"""$sqlPrelude
+      |SELECT dedupe_key, subject,
+      |  strftime(dt + to_months(CAST(doc_id % 12 AS INT)), '%Y-%m')
+      |    AS date_month,
+      |  CAST(1 AS INT) AS n_mailboxes, usr AS mb_users
+      |FROM m
+      |WHERE strftime(dt + to_months(CAST(doc_id % 12 AS INT)), '%Y-%m')
+      |  >= '2001-11'
+      |ORDER BY dedupe_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "em60_by_mailbox"    -> byMailbox _,
     "em61_by_recipient"  -> byRecipient _,
@@ -514,6 +577,7 @@ object EmailOps {
     "em71_real_ingest"   -> realIngest _,
     "em72_http_ingest"   -> httpIngest _,
     "em73_store_compaction" -> compactedStore _,
+    "em74_store_retention" -> retainedStore _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -530,5 +594,6 @@ object EmailOps {
     "em71_real_ingest"   -> realIngestSql,
     "em72_http_ingest"   -> httpIngestSql,
     "em73_store_compaction" -> compactedStoreSql,
+    "em74_store_retention" -> retainedStoreSql,
   )
 }

@@ -179,6 +179,46 @@ class PartitionedEmailStore(spark: SparkSession, root: String)
     plan
   }
 
+  /** RETENTION / TTL enforcement — drop every month partition strictly
+    * older than `cutoffMonth` ("yyyy-MM"; lexicographic order IS
+    * chronological for this format). A retention pass is the reason a
+    * store partitions by its age key in the first place: expiry
+    * becomes a PARTITION-METADATA operation — the dropped months'
+    * directories are deleted whole, O(#dropped partitions) driver-side
+    * file ops, no row ever read, scanned, or rewritten, and retained
+    * months' files are untouched (byte-identical, same contract as
+    * upsert/compact for unaffected partitions).
+    *
+    * The `unknown` partition (null dates) is always RETAINED: a row
+    * whose age is unknowable must not be silently destroyed — the D5
+    * quarantine philosophy applied to deletion; an operator expires it
+    * explicitly or repairs the date first.
+    *
+    * The [[KeyIndex]] is deliberately left in place: entries for
+    * expired keys now point at months that hold nothing, which is the
+    * SAFE direction (the index over-approximates affected months —
+    * same argument as [[compact]]'s crash story; missing entries would
+    * be unsafe and retention cannot create those), and the entries
+    * self-heal — the next upsert carrying such a key probes the empty
+    * month, finds no existing row, writes the fresh one, and
+    * `index.refresh` rewrites the entry from what is then on disk.
+    *
+    * Returns the dropped month names (sorted) so callers/specs can
+    * assert the expiry contract without re-listing. */
+  def retain(cutoffMonth: String): Seq[String] = {
+    if (isEmpty) return Seq.empty
+    val dropped = fs.listStatus(new Path(root))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("date_month="))
+      .map(_.getPath)
+      .filter { p =>
+        val m = p.getName.stripPrefix("date_month=")
+        m != "unknown" && m < cutoffMonth
+      }
+    dropped.foreach { p => fs.delete(p, true); () }
+    dropped.map(_.getName.stripPrefix("date_month=")).sorted.toSeq
+  }
+
   /** Dynamic partition overwrite: only partitions present in `df` are
     * replaced; everything else is left byte-identical on disk. */
   private def write(df: DataFrame): Unit =

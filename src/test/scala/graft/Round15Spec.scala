@@ -182,6 +182,52 @@ class Round15Spec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(s"$out/tombstones").exists())
   }
 
+  test("em74 retention: unknown partition survives, expired key self-heals") {
+    val d = "/root/testdata/sf0.001"
+    val docs0 = graft.query.FixtureCorpus.parsedDocs(spark, d)
+      .filter(col("doc_id") < 40)
+      .withColumn("date",
+        expr("timestampadd(MONTH, CAST(doc_id % 12 AS INT), date)"))
+    // doc 13 gets a NULL date → lands in the `unknown` partition
+    val docs = docs0
+      .withColumn("date",
+        when(col("doc_id") === 13L, lit(null).cast("timestamp"))
+          .otherwise(col("date")))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-em74-spec").toString
+    val store = new graft.store.PartitionedEmailStore(spark, root + "/store")
+    try {
+      store.upsert(docs.drop("doc_id"))
+      val dropped = store.retain("2001-11")
+      assert(dropped.nonEmpty && dropped.forall(_ < "2001-11"))
+      // the unknowable-age row is never silently destroyed
+      assert(store.fileCensus().contains("unknown"))
+      assert(store.read().filter(col("dedupe_key") === "<d13@corp>")
+        .count() == 1)
+      // every expired key is really gone
+      assert(store.read()
+        .filter(col("date_month") < "2001-11" &&
+          col("date_month") =!= "unknown").count() == 0)
+      // self-heal: doc 0 (month 2001-05) was expired; its stale index
+      // entry points at the dropped month — re-inserting the key must
+      // land it cleanly and refresh the index to the new month
+      assert(store.read().filter(col("dedupe_key") === "<d0@corp>")
+        .count() == 0)
+      val fresh = docs0.filter(col("doc_id") === 0L).drop("doc_id")
+        .withColumn("date", expr("timestampadd(MONTH, 12, date)"))
+      store.upsert(fresh)
+      val re = store.read().filter(col("dedupe_key") === "<d0@corp>")
+      assert(re.count() == 1)
+      assert(re.head().getAs[String]("date_month") == "2002-05")
+      import spark.implicits._
+      val months = store.index
+        .monthsFor(Seq("<d0@corp>").toDF("dedupe_key"))
+        .collect().map(_.getString(0)).toSeq
+      assert(months == Seq("2002-05"),
+        s"index entry not refreshed after re-insert: $months")
+    } finally graft.Fs.deleteTree(root)
+  }
+
   test("d63 mechanics: exact-copy leak flags, argmax ties to smallest bench id") {
     import spark.implicits._
     import graft.ext.DedupOps
