@@ -227,6 +227,12 @@ object Bench {
         () => { graft.graph.GraphOps.semanticComponentsCached(spark, sfDir)
           .count(); () },
         () => graft.graph.GraphOps.clearSemanticCc()),
+      // g104's deployed base-label table (its query line item then
+      // times the absorb alone)
+      ("cache_g104_base_cc",
+        () => { graft.graph.GraphOps.incrementalComponents(spark, sfDir)
+          .count(); () },
+        () => graft.graph.GraphOps.clearIncrCcBase()),
       ("cache_media_sigs",
         () => { graft.ext.Multimodal.cachedSignatures(spark, sfDir)
           .count(); () },

@@ -49,7 +49,8 @@ object PlanAudit {
       "s94_ivfpq_tombstones", "t72_mixture_realize",
       "s95_bm25_tombstones", "s96_bm25_compacted", "d63_semantic_decontam",
       "s97_ivfpq_compacted", "v77_split_leakage",
-      "t73_tokenizer_fertility", "em74_store_retention")
+      "t73_tokenizer_fertility", "em74_store_retention",
+      "g104_incremental_cc")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

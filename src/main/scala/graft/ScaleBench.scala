@@ -120,7 +120,11 @@ object ScaleBench {
     // near-flat serve-side time
     "v77_split_leakage" -> "docs",
     // t73 = t71's machinery keyed by lang — expect t71's shape
-    "t73_tokenizer_fertility" -> "docs")
+    "t73_tokenizer_fertility" -> "docs",
+    // g104's absorb is quotient-CC + one broadcast remap — the line
+    // item times the absorb (base labels cached, built as
+    // cache_g104_base_cc)
+    "g104_incremental_cc" -> "lineitem")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -224,6 +228,14 @@ object ScaleBench {
         () => {
           graft.graph.GraphOps.semanticComponentsCached(spark, dir)
             .count(); () }),
+      // g104's deployed base-label table (CC over the base 4/5 of the
+      // co-purchase graph) — the build half whose absorb the g104
+      // line item measures
+      ("cache_g104_base_cc",
+        () => graft.graph.GraphOps.clearIncrCcBase(),
+        () => {
+          graft.graph.GraphOps.incrementalComponents(spark, dir)
+            .count(); () }),
       ("cache_media_sigs",
         () => graft.ext.Multimodal.clearCaches(),
         () => {
@@ -295,6 +307,7 @@ object ScaleBench {
         "cache_s96_compact" -> vol("docs"),
         "cache_s97_compact" -> vol("emb"),
         "cache_semantic_cc" -> vol("emb"),
+        "cache_g104_base_cc" -> vol("lineitem"),
         "cache_media_sigs" -> vol("docs"))
     val aMap = (cachesA ++ queriesA).toMap
     val items = (cachesB ++ queriesB).map { case (name, tB) =>

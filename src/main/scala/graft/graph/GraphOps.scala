@@ -113,6 +113,91 @@ object GraphOps {
       |  UNION ALL SELECT p2 FROM edges)
       |GROUP BY part_id ORDER BY degree DESC, part_id LIMIT 25""".stripMargin
 
+  // ---------------------------- g104 incremental component maintenance
+
+  /** Co-purchase edges restricted to an order predicate — the
+    * base/batch split behind g104 (the shared [[copurchaseEdges]]
+    * frame is the unrestricted union). */
+  private def copurchaseEdgesWhere(s: SparkSession, d: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val hi = lineitem(s, d).filter(col("l_quantity") >= 48)
+      .filter(pred).select("l_orderkey", "l_partkey")
+    hi.toDF("l_orderkey", "p1")
+      .join(hi.toDF("l_orderkey", "p2"), "l_orderkey")
+      .filter(col("p1") < col("p2"))
+      .select("p1", "p2").distinct()
+  }
+
+  /** The "already deployed" component-label table: CC of the BASE
+    * graph (orders with l_orderkey % 5 != 0 — the 4/5 discipline of
+    * s81/s88/d58), cached per (session, dir). This is the artifact a
+    * deployment maintains; g104's line item times the ABSORB. */
+  private def incrCcBase(s: SparkSession, d: String): DataFrame =
+    frames.cached(s, d, "incr_cc_base") {
+      EmailGraph.componentsLargeSmallStar(s,
+        copurchaseEdgesWhere(s, d, col("l_orderkey") % 5 =!= 0)
+          .toDF("src", "dst"))
+    }
+
+  private[graft] def clearIncrCcBase(): Unit = frames.drop("incr_cc_base|")
+
+  /** The g104 absorb: fold a new edge batch into an existing
+    * component labeling WITHOUT recomputing over the corpus. New
+    * edges are projected into COMPONENT space (each endpoint replaced
+    * by its current label; unseen vertices stand for themselves), CC
+    * runs on that QUOTIENT graph — whose size is bounded by the batch
+    * and the components it touches, never the corpus — and the
+    * resulting label→label remap is applied back as one broadcast
+    * join over the label table. Labels are min-member-ids throughout,
+    * and the min over a merged group of quotient vertices (old
+    * labels, i.e. min ids of their components, plus new vertex ids)
+    * IS the min id of the merged component — so the absorbed labeling
+    * is bit-identical to a from-scratch CC over the union graph,
+    * which is exactly what sharing g92's oracle checks. */
+  private[graft] def absorbEdgesIntoCc(s: SparkSession,
+      baseLabels: DataFrame, batch: DataFrame): DataFrame = {
+    val lab = baseLabels.toDF("id", "comp")
+    val proj = batch.toDF("a", "b")
+      .join(lab.toDF("a", "ca"), Seq("a"), "left")
+      .join(lab.toDF("b", "cb"), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("src"),
+        coalesce(col("cb"), col("b")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    // quotient CC, materialized once (used for both the remap and the
+    // new-vertex labels; bounded by touched components + batch)
+    val merge = EmailGraph.componentsLargeSmallStar(s, proj)
+      .localCheckpoint()
+    val oldOut = lab
+      .join(broadcast(merge.toDF("comp", "newc")), Seq("comp"), "left")
+      .select(col("id"), coalesce(col("newc"), col("comp")).as("component"))
+    // vertices the base never saw: every one appears in the quotient
+    // graph (its projected edge cannot collapse — its own id stands in,
+    // and no base label equals a non-base id), so the inner join is
+    // total over them
+    val newOut = batch.select(col("p1").as("id"))
+      .union(batch.select(col("p2")))
+      .distinct()
+      .join(lab.select("id"), Seq("id"), "left_anti")
+      .join(broadcast(merge.toDF("id", "component")), Seq("id"))
+    oldOut.unionByName(newOut)
+  }
+
+  /** g104: INCREMENTAL connected-components maintenance — the graph
+    * twin of the index-absorb tier (s81/s88/m79/d58): a new day of
+    * orders adds co-purchase edges, and the deployed component
+    * labeling must absorb them at batch cost, not corpus cost. The
+    * update work is O(batch + touched components): the quotient-graph
+    * CC and the broadcast remap never scan or shuffle the corpus-wide
+    * label table beyond one equi-join. Shares g92's oracle — the
+    * absorbed labeling must be bit-identical to a from-scratch CC
+    * over the full graph (base ∪ batch covers every edge, since an
+    * edge pair arising in both cohorts is idempotent under union). */
+  def incrementalComponents(s: SparkSession, d: String): DataFrame =
+    absorbEdgesIntoCc(s, incrCcBase(s, d),
+      copurchaseEdgesWhere(s, d, col("l_orderkey") % 5 === 0))
+      .select(col("id").as("part_id"), col("component"))
+      .orderBy("part_id")
+
   // --------------------------------------- g94 fixed-point PageRank
 
   private val prScale = 1000000L // rank 1.0 == 1e6
@@ -700,6 +785,7 @@ object GraphOps {
     "g101_clustering_coef" -> clusteringCoefficient _,
     "g102_cc_dataframe"   -> copurchaseComponentsDF _,
     "g103_semantic_cc"    -> semanticComponents _,
+    "g104_incremental_cc" -> incrementalComponents _,
   )
 
   /** g103: SEMANTIC clusters — connected components over the s90 IVF
@@ -797,5 +883,6 @@ object GraphOps {
     // identical oracle to g92: substrate parity is the point
     "g102_cc_dataframe"  -> copurchaseComponentsSql,
     "g103_semantic_cc"   -> semanticComponentsSql,
+    "g104_incremental_cc" -> copurchaseComponentsSql,
   )
 }

@@ -228,6 +228,32 @@ class Round15Spec extends AnyFunSuite with SparkSpec {
     } finally graft.Fs.deleteTree(root)
   }
 
+  test("g104 absorb: transitive merges, new vertices, no-ops on hand graphs") {
+    import spark.implicits._
+    val baseEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("src", "dst")
+    val baseLabels = graft.graph.EmailGraph
+      .componentsLargeSmallStar(spark, baseEdges)
+    // sanity on the base: three components labeled by min member
+    val base = baseLabels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // batch: (3,11)+(11,21) TRANSITIVELY merge all three base comps
+    // (the merge must chain through the quotient graph, not just
+    // pairwise); (40,41)+(30,40) build an all-new component; (20,21)
+    // duplicates an existing edge (absorb must be a no-op for it)
+    val batch = Seq((3L, 11L), (11L, 21L), (40L, 41L), (30L, 40L),
+      (20L, 21L)).toDF("p1", "p2")
+    val got = graft.graph.GraphOps
+      .absorbEdgesIntoCc(spark, baseLabels, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 1L, 21L -> 1L,
+      30L -> 30L, 40L -> 30L, 41L -> 30L))
+  }
+
   test("d63 mechanics: exact-copy leak flags, argmax ties to smallest bench id") {
     import spark.implicits._
     import graft.ext.DedupOps
