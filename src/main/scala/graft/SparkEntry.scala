@@ -155,7 +155,13 @@ object SparkEntry {
         // shares d63's oracle
         "e117_stream_sem_decontam" ->
           ((s: SparkSession, d: String) =>
-            StreamingOps.streamSemanticDecontam(s, d)))
+            StreamingOps.streamSemanticDecontam(s, d)),
+        // restart-recovery proof for e114's custom Markov-counter
+        // state (the fourth restart state shape) — shares e113's
+        // oracle
+        "e118_restart_transitions" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamTransitionsRestart(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -192,5 +198,6 @@ object SparkEntry {
         "e114_stream_transitions" -> EventOps.transitionMatrixSql,
         "e115_stream_contam_split" -> TextOps.contamSafeSplitSql,
         "e116_stream_mixture" -> TextOps.mixtureRealizeSql,
-        "e117_stream_sem_decontam" -> DedupOps.semanticDecontamSql)
+        "e117_stream_sem_decontam" -> DedupOps.semanticDecontamSql,
+        "e118_restart_transitions" -> EventOps.transitionMatrixSql)
 }

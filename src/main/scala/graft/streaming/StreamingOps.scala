@@ -1345,6 +1345,35 @@ object StreamingOps {
     graft.ext.EventOps.transitionFinish(log)
   }
 
+  /** e118: e114's transition counter stopped mid-input and RESUMED
+    * from its checkpoint — the restart proof for the custom
+    * Markov-counter state, extending the e104–e106 family to its
+    * fourth state shape (watermarked dedup keys, open sessions,
+    * RocksDB ValueState, and now a flatMapGroupsWithState last-event
+    * record). The sharp case is the phase boundary itself: every
+    * user's LAST phase-1 event lives only in the restored state
+    * store, and their FIRST phase-2 event must link to it — one
+    * state row lost or re-derived and the boundary transitions
+    * vanish or double, which the shared e113 batch oracle would
+    * hash-catch. The time-split staging preserves per-user
+    * (ts, event_id) order across the boundary, so e114's in-order
+    * delivery contract holds by construction. */
+  def streamTransitionsRestart(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (stageDir, addPhase2) = stageTwoSlices(spark, d, sentinel = false)
+    val nIn = cachedCount(d, "ev_all") {
+      spark.read.parquet(s"$d/events.parquet").count()
+    }
+    val log = drainFileSinkWithRestart(spark, s"$d|e118", nIn, addPhase2) {
+      transitionStream(
+        spark.readStream.schema(eventsSchema).parquet(stageDir)
+          .select(col("user_id"), expr("ts div 1000").as("ts"),
+            col("event_id"), col("event_type").as("tp"))
+          .as[TransEvent]).toDF()
+    }
+    graft.ext.EventOps.transitionFinish(log)
+  }
+
   /** e112: m79's STREAMING twin — the media crawler's continuous
     * near-dup gate: the corpus's cold-capped fingerprint band index is
     * built batch-side ([[graft.ext.Multimodal.corpusBandIndex]], the
