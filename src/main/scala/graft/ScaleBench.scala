@@ -124,7 +124,11 @@ object ScaleBench {
     // g104's absorb is quotient-CC + one broadcast remap — the line
     // item times the absorb (base labels cached, built as
     // cache_g104_base_cc)
-    "g104_incremental_cc" -> "lineitem")
+    "g104_incremental_cc" -> "lineitem",
+    // d64's gate is batch × touched-cell work against the cached s81
+    // artifact (built as cache_s81_incr_index) — expect serve-side
+    // near-flatness
+    "d64_incr_semantic_dedup" -> "emb")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

@@ -1248,6 +1248,78 @@ object DedupOps {
       |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
   }
 
+  // --------------------------- d64 incremental semantic dedup gate
+
+  /** d64: the SemDeDup gate at INGEST time — before s81 absorbs a new
+    * embedding batch into the served index, decide which batch
+    * vectors are semantic duplicates of the ALREADY-INDEXED corpus
+    * and should be dropped instead of absorbed (the d58/m79 absorb
+    * contract on the dense tier). The gate runs against the SAME
+    * frozen artifact s81 maintains: each batch vector is assigned to
+    * its nearest FROZEN base-trained coarse centroid (the artifact's
+    * own quantizer — the batch never influences training), compared
+    * by round-6 cosine against the BASE members of that cell only,
+    * and dropped iff any τ-neighbor exists among them (τ = d61's
+    * semTau). Output is the per-batch-vector keep/drop manifest.
+    *
+    * Scale shape: per-batch work is |batch| × (touched cell sizes) —
+    * never corpus×corpus and never batch×batch (intra-batch dups are
+    * d61's job after absorb); cells stay bounded because K scales
+    * with the corpus (the IVF knob), and the batch assignment is one
+    * broadcast-centroid argmin. The manifest join-back is the d57
+    * broadcast contract. Oracle: the frozen-model assignment is
+    * replayed bit-for-bit in DuckDB (kmSqlPrefixFrom with the base
+    * training predicate — fixed-point Lloyd, so even the frozen
+    * quantizer hash-checks), then the same cell-blocked batch×base
+    * cosine test. */
+  def incrementalSemanticDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VecExprs.dot_d
+    val idx = SimilarityOps.incrIndexDirForDedup(s, d)
+    val b = SimilarityOps.incrBaseCut(s, d)
+    val cent = s.read.parquet(s"$idx/centroids")
+    val qb = SimilarityOps.kmAssignForDedup(
+        SimilarityOps.quantizedForDedup(s, d).filter(col("vec_id") >= b),
+        cent)
+      .select(col("vec_id"), col("cid"), col("v"))
+      .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
+    val base = s.read.parquet(s"$idx/members")
+      .filter(col("vec_id") < b)
+      .join(SimilarityOps.quantizedForDedup(s, d).select("vec_id", "v"),
+        "vec_id")
+      .select(col("vec_id").as("b_id"), col("cid"), col("v").as("bv"))
+      .withColumn("bn", sqrt(dot_d(col("bv"), col("bv"))))
+    val dropped = qb.join(base, "cid")
+      .withColumn("cosine",
+        round(dot_d(col("v"), col("bv")) / (col("nrm") * col("bn")), 6))
+      .filter(col("cosine") >= semTau)
+      .select("vec_id").distinct()
+    qb.select("vec_id", "cid")
+      .join(broadcast(dropped.withColumn("dropped", lit(true))),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dropped").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val incrementalSemanticDedupSql: String = {
+    val cos = SimilarityOps.cosineSqlSnippetForDedup
+      .replace("QV", "n.v").replace("CV", "o.v")
+    val prefix = SimilarityOps.kmSqlPrefixFromForDedup(
+      "vec_id < (SELECT 4 * count(*) // 5 FROM embeddings)")
+    s"""$prefix,
+      |cut AS (SELECT 4 * count(*) // 5 AS b FROM embeddings),
+      |batch AS (
+      |  SELECT f.vec_id, f.cid, f.v FROM aF f, cut WHERE f.vec_id >= cut.b),
+      |basem AS (
+      |  SELECT f.vec_id, f.cid, f.v FROM aF f, cut WHERE f.vec_id < cut.b),
+      |dropped AS (
+      |  SELECT DISTINCT n.vec_id
+      |  FROM batch n JOIN basem o ON o.cid = n.cid
+      |  WHERE round($cos, 6) >= $semTau)
+      |SELECT b2.vec_id, b2.cid, (d.vec_id IS NULL) AS keep
+      |FROM batch b2 LEFT JOIN dropped d ON d.vec_id = b2.vec_id
+      |ORDER BY b2.vec_id""".stripMargin
+  }
+
   // --------------------------------- d63 semantic decontamination
 
   /** d63: SEMANTIC decontamination — the dense complement of the
@@ -1351,6 +1423,7 @@ object DedupOps {
     "d61_semantic_dedup" -> semanticDedup _,
     "d62_semantic_reps"  -> semanticRepresentatives _,
     "d63_semantic_decontam" -> semanticDecontam _,
+    "d64_incr_semantic_dedup" -> incrementalSemanticDedup _,
     "t49_decontamination" -> decontamination _,
     "t68_passage_decontam" -> passageDecontam _,
     "t57_corpus_funnel"  -> corpusFunnel _,
@@ -1372,6 +1445,7 @@ object DedupOps {
     "d61_semantic_dedup" -> semanticDedupSql,
     "d62_semantic_reps"  -> semanticRepresentativesSql,
     "d63_semantic_decontam" -> semanticDecontamSql,
+    "d64_incr_semantic_dedup" -> incrementalSemanticDedupSql,
     "t49_decontamination" -> decontaminationSql,
     "t68_passage_decontam" -> passageDecontamSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,

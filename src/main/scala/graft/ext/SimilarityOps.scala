@@ -908,9 +908,15 @@ object SimilarityOps {
     * over the updated artifact; the DuckDB twin recomputes the same
     * base-trained frozen-model ADC over the unioned corpus, so
     * assignment, encoding, append, and serving all hash-check. */
-  def ivfPqIncremental(s: SparkSession, d: String): DataFrame = {
+  def ivfPqIncremental(s: SparkSession, d: String): DataFrame =
+    serveAdcFromArtifact(s, d, incrIndexDir(s, d))
+
+  /** Build-or-get the incremental artifact (base-4/5-trained frozen
+    * model + absorbed batch rows) — shared by s81's serving and d64's
+    * ingest-time semantic-dedup gate. */
+  private def incrIndexDir(s: SparkSession, d: String): String = {
     val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|incr"
-    val idx = indexBuildLock.synchronized {
+    indexBuildLock.synchronized {
       Option(savedIndexDirs.get(key)).getOrElse {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-ivfpq-incr").toString
@@ -971,8 +977,21 @@ object SimilarityOps {
         dir
       }
     }
-    serveAdcFromArtifact(s, d, idx)
   }
+
+  // --- helpers exposed for d64 (registered in DedupOps): the
+  // ingest-time semantic-dedup gate runs against the SAME frozen
+  // artifact s81 maintains
+  private[ext] def incrIndexDirForDedup(s: SparkSession, d: String): String =
+    incrIndexDir(s, d)
+  private[ext] def incrBaseCut(s: SparkSession, d: String): Long =
+    incrBase(s, d)
+  private[ext] def quantizedForDedup(s: SparkSession, d: String): DataFrame =
+    quantized(s, d)
+  private[ext] def kmAssignForDedup(
+      e: DataFrame, cent: DataFrame): DataFrame = kmAssign(e, cent)
+  private[ext] def kmSqlPrefixFromForDedup(trainWhere: String): String =
+    kmSqlPrefixFrom(trainWhere)
 
   // ------------------------- s94 tombstone deletes on the served index
 
