@@ -50,7 +50,8 @@ object PlanAudit {
       "s95_bm25_tombstones", "s96_bm25_compacted", "d63_semantic_decontam",
       "s97_ivfpq_compacted", "v77_split_leakage",
       "t73_tokenizer_fertility", "em74_store_retention",
-      "g104_incremental_cc", "d64_incr_semantic_dedup")
+      "g104_incremental_cc", "d64_incr_semantic_dedup",
+      "s98_tombstoned_recall")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

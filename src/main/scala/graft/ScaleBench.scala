@@ -128,7 +128,10 @@ object ScaleBench {
     // d64's gate is batch × touched-cell work against the cached s81
     // artifact (built as cache_s81_incr_index) — expect serve-side
     // near-flatness
-    "d64_incr_semantic_dedup" -> "emb")
+    "d64_incr_semantic_dedup" -> "emb",
+    // s98 = survivors-only brute truth (one corpus scan vs 10
+    // broadcast queries) + the s94 serving — expect the s60 shape
+    "s98_tombstoned_recall" -> "emb")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

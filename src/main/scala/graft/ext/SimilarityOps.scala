@@ -67,11 +67,18 @@ object SimilarityOps {
     * aggregate reduces each scan partition to ≤ 5 rows per query before
     * the single narrow exchange (vs the previous window sort that
     * pushed every scored row through 10 tasks). */
-  def knnBrute(s: SparkSession, d: String): DataFrame = {
+  def knnBrute(s: SparkSession, d: String): DataFrame =
+    knnBruteWhere(s, d, "TRUE")
+
+  /** s60 with a candidate predicate (in terms of `c_id`) — "TRUE" is
+    * the full corpus; s98's post-delete truth filters the tombstoned
+    * cohort out of the candidate set inside the scan. */
+  private[graft] def knnBruteWhere(
+      s: SparkSession, d: String, candWhere: String): DataFrame = {
     val e = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 10).toDF("q_id", "qv")
-    val c = e.toDF("c_id", "cv")
+    val c = e.toDF("c_id", "cv").filter(expr(candWhere))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
@@ -82,12 +89,18 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  val knnBruteSql: String = {
+  val knnBruteSql: String = knnBruteSqlWhere("TRUE")
+
+  /** Oracle twin of [[knnBruteWhere]] — `candWhere` in terms of
+    * `c_id`, rewritten onto the candidate scan. */
+  private[graft] def knnBruteSqlWhere(candWhere: String): String = {
     val cosine = cosineSqlSnippet.replace("QV", "q.v").replace("CV", "c.v")
+    val cw = candWhere.replace("c_id", "c.vec_id")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |scored AS (
       |  SELECT q.vec_id q_id, c.vec_id c_id, round($cosine, 6) AS cosine
-      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |    AND ($cw)),
       |ranked AS (
       |  SELECT q_id, c_id, cosine, CAST(row_number() OVER (
       |    PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank

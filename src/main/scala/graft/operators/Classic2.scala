@@ -121,22 +121,32 @@ object Classic2 {
     * sides are engine results of already-oracle-checked queries, so
     * the evaluation itself hash-checks too. */
   private def recallAt3(s: SparkSession, d: String, approx: DataFrame)
-      : DataFrame = {
-    val truth = SimilarityOps.knnBrute(s, d).filter(col("rank") <= 3)
-      .select(col("q_id"), col("c_id"))
+      : DataFrame =
+    recallAt3From(
+      SimilarityOps.knnBrute(s, d).filter(col("rank") <= 3)
+        .select(col("q_id"), col("c_id")),
+      approx)
+
+  /** recall@3 of `approx` against an explicit (q_id, c_id) truth set —
+    * the truth varies: full-corpus brute for the serving paths,
+    * survivors-only brute for the post-delete eval (s98). */
+  private def recallAt3From(truth: DataFrame, approx: DataFrame)
+      : DataFrame =
     truth.join(approx.select(col("q_id"), col("c_id"))
         .withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
       .groupBy("q_id")
       .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
         .as("recall_at_3"))
       .orderBy("q_id")
-  }
 
   /** DuckDB twin of [[recallAt3]], composing the approximate query's
     * own oracle SQL against the brute-force oracle as CTEs. */
-  private def recallAt3Sql(approxSql: String): String = {
-    val truth = SimilarityOps.knnBruteSql
-      .replaceAll("ORDER BY q_id, rank$", "")
+  private def recallAt3Sql(approxSql: String): String =
+    recallAt3SqlFrom(SimilarityOps.knnBruteSql, approxSql)
+
+  private def recallAt3SqlFrom(truthSql: String, approxSql: String)
+      : String = {
+    val truth = truthSql.replaceAll("ORDER BY q_id, rank$", "")
     val approx = approxSql.replaceAll("ORDER BY q_id, rank$", "")
     s"""WITH truth AS (SELECT q_id, c_id FROM ($truth) WHERE rank <= 3),
       |approx AS (SELECT q_id, c_id FROM ($approx)),
@@ -195,6 +205,28 @@ object Classic2 {
 
   val ivfPqRecallSql: String = recallAt3Sql(SimilarityOps.ivfPqKnnSql)
 
+  /** s98: recall@3 of the TOMBSTONED serving (s94) against the exact
+    * top-3 over the SURVIVING corpus — the eval a deployment re-runs
+    * after a lifecycle mutation. Deletes change the candidate set, so
+    * quality must be re-measured against the truth that set implies:
+    * scoring against the pre-delete truth would charge the index for
+    * not returning vectors it was ordered to forget, and skipping the
+    * eval would let a delete that corrupts cell membership ship
+    * silently. The truth is s60's brute scan with the cohort filtered
+    * INSIDE the candidate scan (the s82 pre-filter discipline), so
+    * the eval itself still survives 100 TB. s96/s97's compacted
+    * servings are spec-pinned identical to their tombstoned sources,
+    * so this one eval covers the whole post-delete lifecycle. */
+  def tombstonedRecall(s: SparkSession, d: String): DataFrame =
+    recallAt3From(
+      SimilarityOps.knnBruteWhere(s, d, "c_id % 13 <> 5")
+        .filter(col("rank") <= 3).select(col("q_id"), col("c_id")),
+      SimilarityOps.ivfPqTombstoned(s, d))
+
+  val tombstonedRecallSql: String = recallAt3SqlFrom(
+    SimilarityOps.knnBruteSqlWhere("c_id % 13 <> 5"),
+    SimilarityOps.ivfPqTombstonedSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s68_kmeans_recall"    -> kmeansRecall _,
     "q02_top_supplier"     -> topSupplierPerNation _,
@@ -205,6 +237,7 @@ object Classic2 {
     "s72_lsh_recall"       -> lshRerankRecall _,
     "s74_sq_recall"        -> sqRecall _,
     "s76_ivfpq_recall"     -> ivfPqRecall _,
+    "s98_tombstoned_recall" -> tombstonedRecall _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -217,5 +250,6 @@ object Classic2 {
     "s72_lsh_recall"       -> lshRerankRecallSql,
     "s74_sq_recall"        -> sqRecallSql,
     "s76_ivfpq_recall"     -> ivfPqRecallSql,
+    "s98_tombstoned_recall" -> tombstonedRecallSql,
   )
 }
