@@ -156,6 +156,12 @@ object SparkEntry {
         "e117_stream_sem_decontam" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamSemanticDecontam(s, d)),
+        // streaming twin of d64: the ingest-time semantic-dedup gate
+        // on a live embedding feed (frozen artifact sidecars, stateless
+        // literal-fold cell assignment + τ-join) — shares d64's oracle
+        "e119_stream_sem_gate" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamSemanticGate(s, d)),
         // restart-recovery proof for e114's custom Markov-counter
         // state (the fourth restart state shape) — shares e113's
         // oracle
@@ -199,5 +205,6 @@ object SparkEntry {
         "e115_stream_contam_split" -> TextOps.contamSafeSplitSql,
         "e116_stream_mixture" -> TextOps.mixtureRealizeSql,
         "e117_stream_sem_decontam" -> DedupOps.semanticDecontamSql,
-        "e118_restart_transitions" -> EventOps.transitionMatrixSql)
+        "e118_restart_transitions" -> EventOps.transitionMatrixSql,
+        "e119_stream_sem_gate" -> DedupOps.incrementalSemanticDedupSql)
 }

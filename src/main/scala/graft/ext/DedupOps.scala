@@ -1282,12 +1282,7 @@ object DedupOps {
         cent)
       .select(col("vec_id"), col("cid"), col("v"))
       .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
-    val base = s.read.parquet(s"$idx/members")
-      .filter(col("vec_id") < b)
-      .join(SimilarityOps.quantizedForDedup(s, d).select("vec_id", "v"),
-        "vec_id")
-      .select(col("vec_id").as("b_id"), col("cid"), col("v").as("bv"))
-      .withColumn("bn", sqrt(dot_d(col("bv"), col("bv"))))
+    val base = gateBaseMembers(s, d)
     val dropped = qb.join(base, "cid")
       .withColumn("cosine",
         round(dot_d(col("v"), col("bv")) / (col("nrm") * col("bn")), 6))
@@ -1319,6 +1314,48 @@ object DedupOps {
       |FROM batch b2 LEFT JOIN dropped d ON d.vec_id = b2.vec_id
       |ORDER BY b2.vec_id""".stripMargin
   }
+
+  /** The frozen artifact's BASE cell members with vectors and norms —
+    * shared by d64's batch gate and e119's streaming gate (where it is
+    * the static side of the stream-static join). */
+  private[graft] def gateBaseMembers(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VecExprs.dot_d
+    val idx = SimilarityOps.incrIndexDirForDedup(s, d)
+    val b = SimilarityOps.incrBaseCut(s, d)
+    s.read.parquet(s"$idx/members")
+      .filter(col("vec_id") < b)
+      .join(SimilarityOps.quantizedForDedup(s, d).select("vec_id", "v"),
+        "vec_id")
+      .select(col("vec_id").as("b_id"), col("cid"), col("v").as("bv"))
+      .withColumn("bn", sqrt(dot_d(col("bv"), col("bv"))))
+  }
+
+  /** The STATELESS e119 scoring stage: each batch vector (already
+    * cell-assigned, with its norm) LEFT-OUTER joins its cell's base
+    * members with the τ test INSIDE the join condition — matched rows
+    * are its τ-neighbors, an unmatched vector keeps exactly one
+    * null-`b_id` row, so no batch vector can vanish from the gate's
+    * manifest (the e115 null-row rule) and the sink carries
+    * |τ-matches| + |clean batch| rows, never |batch| × |cell|.
+    * Row-local against cell-bounded static partners: append-legal,
+    * no stateful operator. */
+  private[graft] def gateScores(batch: DataFrame, base: DataFrame): DataFrame = {
+    import graft.functions.VecExprs.dot_d
+    batch.join(base,
+        base("cid") === batch("cid") &&
+          round(dot_d(batch("v"), base("bv")) / (batch("nrm") * base("bn")),
+            6) >= semTau,
+        "left_outer")
+      .select(batch("vec_id"), batch("cid"), base("b_id"))
+  }
+
+  /** The e119 read-time epilogue: keep ⇔ no τ-neighbor row landed —
+    * d64's verdict shape over the drained log. */
+  private[graft] def gateVerdict(log: DataFrame): DataFrame =
+    log.groupBy("vec_id", "cid")
+      .agg(count(col("b_id")).as("nd"))
+      .select(col("vec_id"), col("cid"), (col("nd") === 0).as("keep"))
+      .orderBy("vec_id")
 
   // --------------------------------- d63 semantic decontamination
 

@@ -296,7 +296,13 @@ object SimilarityOps {
     * drift with summation order. Quantization error (≤0.0005/dim ≈ 0.1%
     * of the value range) is far below cluster separation. */
   private def quantized(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
+    quantizeFrame(embeddings(s, d))
+
+  /** The same fixed-point projection over an arbitrary embeddings
+    * frame — shared with e119's streaming gate, where the batch
+    * arrives as a stream and there is no dir to read. */
+  private[graft] def quantizeFrame(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("qv",
         transform(col("v"), x => round(x * kmScale, 0).cast("long")))
@@ -315,6 +321,47 @@ object SimilarityOps {
       .groupBy("vec_id", "v", "qv")
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("v"), col("qv"), col("m.cid").as("cid"))
+
+  /** STATELESS nearest-centroid assignment: the argmin folded
+    * row-locally over a LITERAL centroid array instead of
+    * [[kmAssign]]'s groupBy — on a streaming frame the groupBy would
+    * be a stateful aggregation (illegal mid-pipeline in append mode),
+    * while a fold over a bounded literal is a pure projection that
+    * runs at source throughput with no state store (e119's gate).
+    * Centroid sets are bounded by construction (the artifact's own K),
+    * so the literal is a few KB of task binary. Same integer d2, same
+    * tie rule as kmAssign's `min(struct(d2, cid))`: `centSeq` must be
+    * cid-ascending and the strict `<` keeps the first (= smallest cid)
+    * on an exact-distance tie. */
+  private[graft] def kmAssignStateless(
+      e: DataFrame, centSeq: Seq[(Long, Seq[Long])]): DataFrame = {
+    require(centSeq.nonEmpty && centSeq == centSeq.sortBy(_._1),
+      "centSeq must be non-empty and cid-ascending (the tie rule)")
+    val centLit = array(centSeq.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"),
+        array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+    e.withColumn("m",
+        aggregate(centLit,
+          struct(lit(Long.MaxValue).as("d2"), lit(-1L).as("cid")),
+          (acc, c) => {
+            val d2 = dist2(col("qv"), c.getField("cv"))
+            when(d2 < acc.getField("d2"),
+              struct(d2.as("d2"), c.getField("cid").as("cid")))
+              .otherwise(acc)
+          }))
+      .select(col("vec_id"), col("v"), col("qv"), col("m.cid").as("cid"))
+  }
+
+  /** The frozen incremental artifact's coarse centroids, collected to
+    * a cid-ascending literal seq for [[kmAssignStateless]] (bounded:
+    * the quantizer's K rows). */
+  private[graft] def gateCentroids(
+      s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
+    s.read.parquet(s"${incrIndexDir(s, d)}/centroids")
+      .select("cid", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+      .sortBy(_._1).toSeq
 
   /** Integer centroid update: per-dim mean of members, rounded back to
     * the fixed-point grid via EXACT integer half-away-from-zero
@@ -995,13 +1042,13 @@ object SimilarityOps {
   // --- helpers exposed for d64 (registered in DedupOps): the
   // ingest-time semantic-dedup gate runs against the SAME frozen
   // artifact s81 maintains
-  private[ext] def incrIndexDirForDedup(s: SparkSession, d: String): String =
+  private[graft] def incrIndexDirForDedup(s: SparkSession, d: String): String =
     incrIndexDir(s, d)
-  private[ext] def incrBaseCut(s: SparkSession, d: String): Long =
+  private[graft] def incrBaseCut(s: SparkSession, d: String): Long =
     incrBase(s, d)
-  private[ext] def quantizedForDedup(s: SparkSession, d: String): DataFrame =
+  private[graft] def quantizedForDedup(s: SparkSession, d: String): DataFrame =
     quantized(s, d)
-  private[ext] def kmAssignForDedup(
+  private[graft] def kmAssignForDedup(
       e: DataFrame, cent: DataFrame): DataFrame = kmAssign(e, cent)
   private[ext] def kmSqlPrefixFromForDedup(trainWhere: String): String =
     kmSqlPrefixFrom(trainWhere)

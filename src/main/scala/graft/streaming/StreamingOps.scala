@@ -1273,6 +1273,48 @@ object StreamingOps {
     graft.ext.DedupOps.contamVerdict(log)
   }
 
+  /** e119: d64's STREAMING twin — the ingest-time semantic-dedup gate
+    * run continuously against a live embedding feed (the crawler's
+    * dense-tier absorb gate, closing the twin symmetry: d58→e109,
+    * m79→e112, t70→e115, t72→e116, d63→e117, and now d64→e119). The
+    * frozen s81 artifact is loaded batch-side: its coarse centroids
+    * collect to a bounded LITERAL (the quantizer's K rows) and its
+    * base cell members (vectors + norms) form the static join side.
+    * Each streamed batch vector is cell-assigned by the STATELESS
+    * literal-fold argmin ([[graft.ext.SimilarityOps.kmAssignStateless]]
+    * — kmAssign's groupBy argmin would be a stateful aggregation,
+    * illegal mid-pipeline in append mode; the fold is a pure
+    * projection with the identical integer d2 and tie rule), then
+    * LEFT-OUTER joins its cell's base members with the τ test inside
+    * the join condition — τ-matches and one null row per clean vector
+    * land in the exactly-once file sink; keep/drop is the read-time
+    * epilogue, so the drained log hash-checks against d64's oracle.
+    * At scale: per-batch work is |batch| × touched-cell sizes — never
+    * corpus×corpus — state is ZERO (no stateful operator), and
+    * re-freezing the artifact after an s81 absorb re-gates only
+    * future arrivals, exactly the batch gate's contract. */
+  def streamSemanticGate(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "embeddings.parquet")
+    val nIn = cachedCount(d, "emb_all") {
+      spark.read.parquet(s"$d/embeddings.parquet").count()
+    }
+    val cut = graft.ext.SimilarityOps.incrBaseCut(spark, d)
+    val centSeq = graft.ext.SimilarityOps.gateCentroids(spark, d)
+    val base = graft.ext.DedupOps.gateBaseMembers(spark, d)
+    val log = drainToFileSink(spark, "e119", nIn) {
+      graft.ext.DedupOps.gateScores(
+        graft.ext.SimilarityOps.kmAssignStateless(
+          graft.ext.SimilarityOps.quantizeFrame(
+            spark.readStream.schema(embeddingsSchema).parquet(stageDir))
+            .filter(col("vec_id") >= cut),
+          centSeq)
+          .withColumn("nrm",
+            sqrt(graft.functions.VecExprs.dot_d(col("v"), col("v")))),
+        base)
+    }
+    graft.ext.DedupOps.gateVerdict(log)
+  }
+
   case class TransEvent(user_id: Long, ts: Long, event_id: Long, tp: String)
   case class LastEvent(ts: Long, event_id: Long, tp: String)
   case class TransitionFact(from_type: String, to_type: String)

@@ -272,4 +272,29 @@ class Round15Spec extends AnyFunSuite with SparkSpec {
     assert(got(11L) == (1L, 707107L, "contaminated")) // tie → smallest
     assert(got(12L) == (1L, 0L, "clean"))
   }
+
+  test("e119 stateless cell assignment == kmAssign incl. exact-distance tie") {
+    import spark.implicits._
+    val e = SimilarityOps.quantizeFrame(Seq(
+      1L -> Seq(0.9f, 0.1f), 2L -> Seq(0.1f, 1.2f),
+      3L -> Seq(0f, 0f), // equidistant from both centroids → exact tie
+      4L -> Seq(-0.7f, 0.2f)).toDF("vec_id", "embedding"))
+    val centE = SimilarityOps.quantizeFrame(Seq(
+      10L -> Seq(1f, 0f), 11L -> Seq(0f, 1f)).toDF("vec_id", "embedding"))
+    val cent = centE.select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val centSeq = centE.select("vec_id", "qv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq
+    val viaAgg = SimilarityOps.kmAssignForDedup(e, cent)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFold = SimilarityOps.kmAssignStateless(e, centSeq)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaFold)
+    assert(viaFold(3L) == 10L) // both paths break the tie to smallest cid
+    // the literal fold's tie rule depends on cid-ascending order: enforced
+    intercept[IllegalArgumentException] {
+      SimilarityOps.kmAssignStateless(e, centSeq.reverse)
+    }
+  }
 }
