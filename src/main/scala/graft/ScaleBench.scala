@@ -131,7 +131,12 @@ object ScaleBench {
     "d64_incr_semantic_dedup" -> "emb",
     // s98 = survivors-only brute truth (one corpus scan vs 10
     // broadcast queries) + the s94 serving — expect the s60 shape
-    "s98_tombstoned_recall" -> "emb")
+    "s98_tombstoned_recall" -> "emb",
+    // s99 = one members scan joined to quantized vectors + the
+    // broadcast K-row centroids against the cached s81 artifact
+    // (built as cache_s81_incr_index) — the aggregate collapses
+    // map-side to ≤K rows, so expect the scan-bound shape
+    "s99_index_health" -> "emb")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

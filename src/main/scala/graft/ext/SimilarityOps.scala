@@ -363,6 +363,94 @@ object SimilarityOps {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
       .sortBy(_._1).toSeq
 
+  // ------------------------------- s99 IVF index health census
+
+  /** s99: the serving-side INDEX HEALTH census — the check a
+    * deployment runs between absorb (s81/d64) and serve (s80): one
+    * row per occupied cell of the incremental artifact with its
+    * occupancy split base vs absorbed batch, its corpus share in
+    * exact ppm, the mean quantization distance of its members to
+    * their FROZEN centroid (exact integer division over the integer
+    * d2 grid — a batch mean rising above the base mean signals
+    * quantizer drift: the frozen model no longer fits arriving
+    * data), and a hot-cell verdict at the 2×-mean-occupancy
+    * threshold evaluated as the integer cross-multiplication
+    * `n_total × K > 2 × N` (no division, engine-exact). A hot cell
+    * breaks the probe cost model (s61's serve scans one cell), so
+    * this table is the trigger for the d54/d61 sub-split guard or a
+    * K bump at the next rebuild. Plan shape: one members scan joined
+    * to the quantized vectors + the broadcast K-row centroid table;
+    * partial aggregation collapses each scan partition to ≤K rows
+    * before the exchange, so the shuffle carries cells, never
+    * members — O(corpus scan) at any scale. Oracle: the frozen-model
+    * Lloyd replay (kmSqlPrefixFrom with the base training predicate)
+    * recomputes assignment AND per-member d2 bit-for-bit. */
+  def indexHealth(s: SparkSession, d: String): DataFrame = {
+    val idx = incrIndexDir(s, d)
+    val b = incrBase(s, d)
+    val n = embeddings(s, d).count()
+    val scored = s.read.parquet(s"$idx/members")
+      .join(quantized(s, d).select("vec_id", "qv"), "vec_id")
+      .join(broadcast(s.read.parquet(s"$idx/centroids")), "cid")
+      .withColumn("d2", dist2(col("qv"), col("cv")))
+      .withColumn("is_base", col("vec_id") < b)
+    healthCensusOf(scored, n, kmK)
+  }
+
+  /** The s99 aggregate over a (cid, d2, is_base) scored frame —
+    * factored so the hot/mean mechanics are spec-testable without an
+    * artifact on disk. */
+  private[graft] def healthCensusOf(
+      scored: DataFrame, n: Long, k: Int): DataFrame =
+    scored.groupBy("cid")
+      .agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_base"), 0L).otherwise(1L)).as("n_batch"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("is_base"), col("d2")).otherwise(0L)).as("s2b"),
+        sum(when(!col("is_base"), col("d2")).otherwise(0L)).as("s2n"))
+      .select(col("cid"), col("n_base"), col("n_batch"), col("n_total"),
+        expr(s"n_total * 1000000 div ${n}L").as("share_ppm"),
+        expr("CASE WHEN n_base = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE s2b div n_base END").as("mean_d2_base"),
+        expr("CASE WHEN n_batch = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE s2n div n_batch END").as("mean_d2_batch"),
+        when(col("n_total") * lit(k.toLong) > lit(2L * n), "hot")
+          .otherwise("ok").as("verdict"))
+      .orderBy("cid")
+
+  // lazy: declared above kmDistSql/kmSqlPrefixFrom in init order
+  lazy val indexHealthSql: String = {
+    val dist = kmDistSql.replace("AQ", "f.qv").replace("CV", "c.cv")
+    s"""${kmSqlPrefixFrom(
+        "vec_id < (SELECT 4 * count(*) // 5 FROM embeddings)")},
+      |cut AS (SELECT 4 * count(*) // 5 AS b FROM embeddings),
+      |nn AS (SELECT count(*) AS n FROM embeddings),
+      |sc AS (
+      |  SELECT f.cid, f.vec_id, $dist AS d2,
+      |    (f.vec_id < cut.b) AS is_base
+      |  FROM aF f JOIN c$kmIters c ON c.cid = f.cid, cut)
+      |SELECT cid,
+      |  CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+      |  CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_batch,
+      |  CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(count(*) * 1000000 // (SELECT n FROM nn) AS BIGINT)
+      |    AS share_ppm,
+      |  CAST(CASE WHEN sum(CASE WHEN is_base THEN 1 ELSE 0 END) = 0
+      |    THEN NULL
+      |    ELSE sum(CASE WHEN is_base THEN d2 ELSE 0 END)
+      |      // sum(CASE WHEN is_base THEN 1 ELSE 0 END) END AS BIGINT)
+      |    AS mean_d2_base,
+      |  CAST(CASE WHEN sum(CASE WHEN is_base THEN 0 ELSE 1 END) = 0
+      |    THEN NULL
+      |    ELSE sum(CASE WHEN is_base THEN 0 ELSE d2 END)
+      |      // sum(CASE WHEN is_base THEN 0 ELSE 1 END) END AS BIGINT)
+      |    AS mean_d2_batch,
+      |  CASE WHEN count(*) * $kmK > 2 * (SELECT n FROM nn)
+      |    THEN 'hot' ELSE 'ok' END AS verdict
+      |FROM sc GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   /** Integer centroid update: per-dim mean of members, rounded back to
     * the fixed-point grid via EXACT integer half-away-from-zero
     * division — round(sum/count) double division can land on
@@ -2514,6 +2602,7 @@ object SimilarityOps {
     "s95_bm25_tombstones" -> bm25Tombstoned _,
     "s96_bm25_compacted"  -> bm25Compacted _,
     "s97_ivfpq_compacted" -> ivfPqCompacted _,
+    "s99_index_health"    -> indexHealth _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2550,5 +2639,6 @@ object SimilarityOps {
     "s95_bm25_tombstones" -> bm25TombstonedSql,
     "s96_bm25_compacted"  -> bm25TombstonedSql,
     "s97_ivfpq_compacted" -> ivfPqTombstonedSql,
+    "s99_index_health"    -> indexHealthSql,
   )
 }

@@ -297,4 +297,28 @@ class Round15Spec extends AnyFunSuite with SparkSpec {
       SimilarityOps.kmAssignStateless(e, centSeq.reverse)
     }
   }
+
+  test("s99 health census: hot threshold, empty-side null means, exact div") {
+    import spark.implicits._
+    // n = 12 vectors over k = 3 cells: cell 0 holds 9 (9×3 > 2×12 →
+    // hot), cell 1 is base-only, cell 2 batch-only
+    val scored = Seq(
+      (0L, 1L, 10L, true), (0L, 2L, 11L, true), (0L, 3L, 12L, true),
+      (0L, 4L, 13L, true), (0L, 5L, 14L, true), (0L, 6L, 15L, true),
+      (0L, 7L, 7L, false), (0L, 8L, 8L, false), (0L, 9L, 9L, false),
+      (1L, 10L, 5L, true), (1L, 11L, 6L, true),
+      (2L, 12L, 42L, false)
+    ).toDF("cid", "vec_id", "d2", "is_base")
+    val got = SimilarityOps.healthCensusOf(scored, 12L, 3).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // cell 0: base mean 75 div 6 = 12 (12.5 TRUNCATES — the exact
+    // integer rule), batch mean 24 div 3 = 8, share 9e6 div 12
+    assert(got(0).getString(7) == "hot")
+    assert(got(0).getLong(5) == 12L && got(0).getLong(6) == 8L)
+    assert(got(0).getLong(4) == 750000L)
+    // cell 1 has no batch members → NULL batch mean, 2×3 < 24 → ok
+    assert(got(1).isNullAt(6) && got(1).getString(7) == "ok")
+    // cell 2 has no base members → NULL base mean
+    assert(got(2).isNullAt(5) && got(2).getLong(6) == 42L)
+  }
 }
