@@ -136,7 +136,12 @@ object ScaleBench {
     // broadcast K-row centroids against the cached s81 artifact
     // (built as cache_s81_incr_index) — the aggregate collapses
     // map-side to ≤K rows, so expect the scan-bound shape
-    "s99_index_health" -> "emb")
+    "s99_index_health" -> "emb",
+    // s100 = one postings scan over the s88 artifact aggregated
+    // map-side to vocab rows + a 1-row broadcast totals frame —
+    // expect the postings-scan-bound shape (the artifact rides the
+    // same per-(session,dir) build as s88/s95)
+    "s100_bm25_health" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

@@ -2310,6 +2310,68 @@ object SimilarityOps {
     }
   }
 
+  // ------------------------------- s100 BM25 index health census
+
+  /** s100: the sparse tier's INDEX HEALTH census — s99's check on the
+    * s88 incremental artifact: one row per vocabulary term with its
+    * posting-list length (df — rows and distinct docs coincide
+    * because segments cover disjoint doc sets), total term
+    * occurrences, its share of all posting rows in exact ppm, mean
+    * tf per posting in exact integer micros, and a HOT-TERM verdict
+    * at the 2×-mean-list-length threshold evaluated as the integer
+    * cross-multiplication `df × n_terms > 2 × n_postings` (no
+    * division, engine-exact). A hot term is a stopword that escaped
+    * the analyzer: s87's pruned read scans whole posting lists, so
+    * one hot term dominates every query that touches it — this table
+    * is the trigger for a stopword cut or the d51 DF-cap discipline
+    * at the next compaction (s96). The census also proves a
+    * census-level invariant s88's ranking parity only samples: the
+    * oracle recomputes the census from the RAW CORPUS, so the
+    * segment-append discipline must have lost or duplicated nothing
+    * across the ENTIRE vocabulary for the hash to match. Plan shape:
+    * one postings scan aggregated map-side to vocab rows + a 1-row
+    * broadcast totals frame (the q22 grand-total pattern). */
+  def bm25Health(s: SparkSession, d: String): DataFrame =
+    bm25HealthOf(s.read.parquet(s"${bm25IncrDir(s, d)}/postings")
+      .select("term", "doc_id", "tf"))
+
+  /** The s100 aggregate over a (term, doc_id, tf) postings frame —
+    * factored so the hot/share mechanics are spec-testable without an
+    * artifact on disk. */
+  private[graft] def bm25HealthOf(p: DataFrame): DataFrame = {
+    val tot = p.agg(count(lit(1)).as("np"),
+      countDistinct(col("term")).as("nt"))
+    p.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("df"), col("total_tf"),
+        expr("df * 1000000 div np").as("share_ppm"),
+        expr("total_tf * 1000000 div df").as("mean_tf_u"),
+        when(col("df") * col("nt") > lit(2L) * col("np"), "hot")
+          .otherwise("ok").as("verdict"))
+      .orderBy("term")
+  }
+
+  lazy val bm25HealthSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |    x -> x <> '') AS toks FROM documents),
+      |dl AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+      |p AS (
+      |  SELECT term, doc_id, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS term FROM dl)
+      |  GROUP BY term, doc_id),
+      |tot AS (SELECT count(*) AS np, count(DISTINCT term) AS nt FROM p)
+      |SELECT term,
+      |  CAST(count(*) AS BIGINT) AS df,
+      |  CAST(sum(tf) AS BIGINT) AS total_tf,
+      |  CAST(count(*) * 1000000 // (SELECT np FROM tot) AS BIGINT)
+      |    AS share_ppm,
+      |  CAST(sum(tf) * 1000000 // count(*) AS BIGINT) AS mean_tf_u,
+      |  CASE WHEN count(*) * (SELECT nt FROM tot) > 2 * (SELECT np FROM tot)
+      |    THEN 'hot' ELSE 'ok' END AS verdict
+      |FROM p GROUP BY term ORDER BY term""".stripMargin
+
   // ------------------------- s95 tombstone deletes on the BM25 index
 
   /** The s95 delete step: write the delete cohort's segment sidecars
@@ -2603,6 +2665,7 @@ object SimilarityOps {
     "s96_bm25_compacted"  -> bm25Compacted _,
     "s97_ivfpq_compacted" -> ivfPqCompacted _,
     "s99_index_health"    -> indexHealth _,
+    "s100_bm25_health"    -> bm25Health _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2640,5 +2703,6 @@ object SimilarityOps {
     "s96_bm25_compacted"  -> bm25TombstonedSql,
     "s97_ivfpq_compacted" -> ivfPqTombstonedSql,
     "s99_index_health"    -> indexHealthSql,
+    "s100_bm25_health"    -> bm25HealthSql,
   )
 }

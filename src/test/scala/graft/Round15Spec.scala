@@ -321,4 +321,25 @@ class Round15Spec extends AnyFunSuite with SparkSpec {
     // cell 2 has no base members → NULL base mean
     assert(got(2).isNullAt(5) && got(2).getLong(6) == 42L)
   }
+
+  test("s100 bm25 health: hot stopword flagged, exact ppm and micro means") {
+    import spark.implicits._
+    // 4 terms over 10 posting rows; 'the' holds 6 lists → 6×4 > 2×10
+    val p = Seq(
+      ("the", 1L, 5L), ("the", 2L, 3L), ("the", 3L, 1L),
+      ("the", 4L, 2L), ("the", 5L, 1L), ("the", 6L, 3L),
+      ("spark", 1L, 2L), ("spark", 7L, 1L),
+      ("join", 2L, 1L), ("scan", 9L, 7L)
+    ).toDF("term", "doc_id", "tf")
+    val got = SimilarityOps.bm25HealthOf(p).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val t = got("the")
+    assert(t.getLong(1) == 6L && t.getLong(2) == 15L) // df, total_tf
+    assert(t.getLong(3) == 600000L)                   // share 6e6 div 10
+    assert(t.getLong(4) == 2500000L)                  // mean 15e6 div 6
+    assert(t.getString(5) == "hot")
+    assert(got("spark").getString(5) == "ok"
+      && got("spark").getLong(4) == 1500000L)
+    assert(got("scan").getLong(4) == 7000000L)
+  }
 }
