@@ -233,6 +233,12 @@ object Bench {
         () => { graft.graph.GraphOps.incrementalComponents(spark, sfDir)
           .count(); () },
         () => graft.graph.GraphOps.clearIncrCcBase()),
+      // g105's deployed base-rank table (its query line item then
+      // times the warm-start absorb alone)
+      ("cache_g105_base_pr",
+        () => { graft.graph.GraphOps.warmStartPagerank(spark, sfDir)
+          .count(); () },
+        () => graft.graph.GraphOps.clearIncrPrBase()),
       ("cache_media_sigs",
         () => { graft.ext.Multimodal.cachedSignatures(spark, sfDir)
           .count(); () },

@@ -51,7 +51,8 @@ object PlanAudit {
       "s97_ivfpq_compacted", "v77_split_leakage",
       "t73_tokenizer_fertility", "em74_store_retention",
       "g104_incremental_cc", "d64_incr_semantic_dedup",
-      "s98_tombstoned_recall", "s99_index_health", "s100_bm25_health")
+      "s98_tombstoned_recall", "s99_index_health", "s100_bm25_health",
+      "g105_warm_pagerank", "g106_warmstart_gain")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

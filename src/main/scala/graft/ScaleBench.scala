@@ -141,7 +141,14 @@ object ScaleBench {
     // map-side to vocab rows + a 1-row broadcast totals frame —
     // expect the postings-scan-bound shape (the artifact rides the
     // same per-(session,dir) build as s88/s95)
-    "s100_bm25_health" -> "docs")
+    "s100_bm25_health" -> "docs",
+    // g105's absorb is warmIters fixed-point steps over the full
+    // degree-joined edges from the cached base ranks (built as
+    // cache_g105_base_pr) — expect g94's iterative shape
+    "g105_warm_pagerank" -> "lineitem",
+    // g106 re-runs ref-15 + cold-4 + the warm absorb each timing run
+    // (a pre-deployment audit, not a serve path) — expect ~2.3× g94
+    "g106_warmstart_gain" -> "lineitem")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -253,6 +260,14 @@ object ScaleBench {
         () => {
           graft.graph.GraphOps.incrementalComponents(spark, dir)
             .count(); () }),
+      // the base-rank build (the 10-iteration fixed-point run over
+      // the base graph) — the build half whose warm-start absorb the
+      // g105 line item measures
+      ("cache_g105_base_pr",
+        () => graft.graph.GraphOps.clearIncrPrBase(),
+        () => {
+          graft.graph.GraphOps.warmStartPagerank(spark, dir)
+            .count(); () }),
       ("cache_media_sigs",
         () => graft.ext.Multimodal.clearCaches(),
         () => {
@@ -325,6 +340,7 @@ object ScaleBench {
         "cache_s97_compact" -> vol("emb"),
         "cache_semantic_cc" -> vol("emb"),
         "cache_g104_base_cc" -> vol("lineitem"),
+        "cache_g105_base_pr" -> vol("lineitem"),
         "cache_media_sigs" -> vol("docs"))
     val aMap = (cachesA ++ queriesA).toMap
     val items = (cachesB ++ queriesB).map { case (name, tB) =>

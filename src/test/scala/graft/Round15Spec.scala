@@ -342,4 +342,26 @@ class Round15Spec extends AnyFunSuite with SparkSpec {
       && got("spark").getLong(4) == 1500000L)
     assert(got("scan").getLong(4) == 7000000L)
   }
+
+  test("g105 prSteps: hand-computed fixed-point step and warm init carry") {
+    import spark.implicits._
+    import graft.graph.GraphOps
+    // 1 → 2 (deg 1), both at uniform 1e6: after one step,
+    // v1 = teleport only = 150000; v2 = 150000 + (1e6 div 1 * 85) div
+    // 100 = 1000000 — pins the integer teleport/damping arithmetic
+    // the four PR ops now share
+    val ed = Seq((1L, 2L, 1L)).toDF("src", "dst", "deg")
+    val r0 = Seq((1L, 1000000L), (2L, 1000000L)).toDF("id", "rank")
+    val one = GraphOps.prSteps(r0, ed, 1, _ => lit(150000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 150000L, 2L -> 1000000L))
+    // warm start from a non-uniform state: v2's carried rank feeds
+    // v1 nothing (edge is 1→2), so a second step from `one` keeps
+    // v1 at teleport and pays v2 only v1's damped contribution
+    val two = GraphOps.prSteps(
+        Seq((1L, 150000L), (2L, 1000000L)).toDF("id", "rank"),
+        ed, 1, _ => lit(150000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 150000L, 2L -> (150000L + 150000L * 85 / 100)))
+  }
 }
