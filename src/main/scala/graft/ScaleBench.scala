@@ -356,22 +356,31 @@ object ScaleBench {
     // prior items that were NOT re-measured, so a targeted new-operator
     // probe can never clobber the full rehearsal file
     val priorItems: Seq[String] = if (only.isEmpty) Seq.empty else {
-      try {
-        val p = java.nio.file.Paths.get("SCALE_DETAIL.json")
-        if (!java.nio.file.Files.exists(p)) Seq.empty
-        else {
-          val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          val root = om.readTree(java.nio.file.Files.readString(p))
-          val its = root.get("items")
-          if (its == null) Seq.empty
-          else {
-            import scala.jdk.CollectionConverters._
-            val measured = (cachesB ++ queriesB).map(_._1).toSet
-            its.fieldNames().asScala.filterNot(measured)
-              .map(n => s""""$n":${its.get(n).toString}""").toSeq
+      val p = java.nio.file.Paths.get("SCALE_DETAIL.json")
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        // Mirror ScaleDecade: a corrupt/unreadable prior record must ABORT
+        // the subset run, not silently clobber the full rehearsal with an
+        // empty prior set — that is the exact hazard merge mode prevents.
+        val root =
+          try {
+            val om = new com.fasterxml.jackson.databind.ObjectMapper()
+            om.readTree(java.nio.file.Files.readString(p))
+          } catch {
+            case e: Throwable =>
+              sys.error(s"[scale] subset merge: cannot read/parse prior " +
+                s"SCALE_DETAIL.json — aborting so the full record is not " +
+                s"clobbered: $e")
           }
-        }
-      } catch { case _: Throwable => Seq.empty }
+        val its = root.get("items")
+        if (its == null)
+          sys.error("[scale] subset merge: prior SCALE_DETAIL.json has no " +
+            "\"items\" field — aborting so the full record is not clobbered")
+        import scala.jdk.CollectionConverters._
+        val measured = (cachesB ++ queriesB).map(_._1).toSet
+        its.fieldNames().asScala.filterNot(measured)
+          .map(n => s""""$n":${its.get(n).toString}""").toSeq
+      }
     }
     val line = s"""{"scale":"ratio_rehearsal","dirA":"$dirA","dirB":"$dirB","volumes":$volJson,"items":{${(priorItems ++ items).mkString(",")}}}"""
     println(line)

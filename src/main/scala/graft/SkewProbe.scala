@@ -67,13 +67,20 @@ object SkewProbe {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def timeOne(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      f
+      // A failing sample records -1.0 instead of aborting the probe: the
+      // ratio code treats tA/tB <= 0 as missing, and all samples already
+      // collected stay in SKEW_DETAIL.json.
+      try { f } catch {
+        case e: Throwable =>
+          System.err.println(s"[skew] sample failed (recorded -1): $e")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
     /** Interleaved A/B sampling: (base run i, dirB run i) pairs ×3,
-      * reduced per side. */
+      * reduced per side; a side with any failed sample reduces to -1. */
     def interleaved(dirB: String, reduce: Seq[Double] => Double)(
         run: String => Unit): (Double, Double) = {
       val sa = scala.collection.mutable.ArrayBuffer[Double]()
@@ -84,7 +91,8 @@ object SkewProbe {
         sb += timeOne(run(dirB))
         i += 1
       }
-      (reduce(sa.toSeq), reduce(sb.toSeq))
+      def red(xs: Seq[Double]) = if (xs.exists(_ <= 0)) -1.0 else reduce(xs)
+      (red(sa.toSeq), red(sb.toSeq))
     }
 
     val items = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()

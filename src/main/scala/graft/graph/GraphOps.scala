@@ -411,7 +411,8 @@ object GraphOps {
   }
 
   /** g106: the warm-start EVAL — does the warm state actually buy
-    * convergence, or is 5-from-warm no better than 5-from-uniform?
+    * convergence, or is warmIters-from-warm no better than the same
+    * budget from uniform?
     * Both candidates run the IDENTICAL post-batch budget (warmIters
     * iterations over the full graph); each is scored by its exact
     * integer L1 distance to a deeper reference run (refIters = 15
@@ -467,7 +468,7 @@ object GraphOps {
       .stripMargin
 
   /** Shared oracle prefix: full + base graphs, the base-10 run, and
-    * the warm-5 run from the coalesced init. */
+    * the warmIters-iteration warm run from the coalesced init. */
   private lazy val warmSqlPrefix: String =
     s"""WITH edges AS ($copurchaseEdgesSql),
       |verts AS (SELECT p1 id FROM edges UNION SELECT p2 FROM edges),
