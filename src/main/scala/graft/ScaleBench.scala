@@ -148,13 +148,27 @@ object ScaleBench {
     "g105_warm_pagerank" -> "lineitem",
     // g106 re-runs ref-15 + cold-4 + the warm absorb each timing run
     // (a pre-deployment audit, not a serve path) — expect ~2.3× g94
-    "g106_warmstart_gain" -> "lineitem")
+    "g106_warmstart_gain" -> "lineitem",
+    // sketch tier (k8x): every sketch is a one-scan bounded aggregate
+    // (768 CM cells / ~54 hist buckets / 4096-bit Bloom / 64 HLL regs)
+    // so the SKETCH side is scan-bound — but k80/k81/k84 also carry
+    // their exact-answer EVAL pass (token groupBy / per-group sort /
+    // count_distinct), so the measured exponent documents sketch+eval;
+    // the scaladoc states only the sketch ships at 100 TB
+    "k80_countmin_heavy" -> "docs",
+    "k81_hist_quantiles" -> "orders",
+    "k82_bloom_semijoin" -> "lineitem",
+    "k84_hll_census" -> "orders",
+    // k83's serve reads the ~#sources-row artifact; its exact_vocab
+    // EVAL is the only corpus-scan component — expect scan-bound
+    "k83_incr_census" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
     graft.graph.GraphOps.clearCaches()
     graft.ext.Multimodal.clearCaches()
+    graft.operators.Sketches.clearCaches()
     graft.query.FixtureCorpus.clear()
   }
 
@@ -271,7 +285,15 @@ object ScaleBench {
       ("cache_media_sigs",
         () => graft.ext.Multimodal.clearCaches(),
         () => {
-          graft.ext.Multimodal.cachedSignatures(spark, dir).count(); () }))
+          graft.ext.Multimodal.cachedSignatures(spark, dir).count(); () }),
+      // k83's census artifact: base-4/5 sketch build + batch-1/5
+      // absorb (one corpus scan each, writes ~#sources rows) — the
+      // build-path exponent; the k83 line item times the serve + eval
+      ("cache_k83_census",
+        () => graft.operators.Sketches.clearCaches(),
+        () => {
+          graft.operators.Sketches.incrSketchCensus(spark, dir)
+            .count(); () }))
     val caches = cacheDefs
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, clear, build) => name -> minOf3(clear, build) }
@@ -301,6 +323,7 @@ object ScaleBench {
       "lineitem" -> rows(dirB, "lineitem").toDouble / rows(dirA, "lineitem"),
       "emb" -> rows(dirB, "embeddings").toDouble / rows(dirA, "embeddings"),
       "events" -> rows(dirB, "events").toDouble / rows(dirA, "events"),
+      "orders" -> rows(dirB, "orders").toDouble / rows(dirA, "orders"),
       // combined growth for mixed-input operators (s86 scans both)
       "docs_emb" ->
         (rows(dirB, "documents") + rows(dirB, "embeddings")).toDouble /
@@ -341,7 +364,8 @@ object ScaleBench {
         "cache_semantic_cc" -> vol("emb"),
         "cache_g104_base_cc" -> vol("lineitem"),
         "cache_g105_base_pr" -> vol("lineitem"),
-        "cache_media_sigs" -> vol("docs"))
+        "cache_media_sigs" -> vol("docs"),
+        "cache_k83_census" -> vol("docs"))
     val aMap = (cachesA ++ queriesA).toMap
     val items = (cachesB ++ queriesB).map { case (name, tB) =>
       val tA = aMap.getOrElse(name, -1.0)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Advanced, Classic, Classic2, Classic3, Relational}
+import graft.operators.{Advanced, Classic, Classic2, Classic3, Relational, Sketches}
 import graft.query.EmailOps
 import graft.ext.{DedupOps, EventOps, Multimodal, Ner, SimilarityOps, TextOps}
 import graft.ingest.Validation
@@ -25,6 +25,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ Classic.queries ++
+      Sketches.queries ++
       Classic2.queries ++ Classic3.queries ++
       EmailOps.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ EventOps.queries ++ GraphOps.queries ++
@@ -162,6 +163,13 @@ object SparkEntry {
         "e119_stream_sem_gate" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamSemanticGate(s, d)),
+        // streaming twin of k80's sketch state: the count-min counter
+        // table maintained over a document feed with bounded state
+        // (768 cells), complete-mode snapshot drain — the streamed
+        // sketch must equal the batch sketch bit-for-bit
+        "e120_stream_cm_cells" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamCmCells(s, d)),
         // restart-recovery proof for e114's custom Markov-counter
         // state (the fourth restart state shape) — shares e113's
         // oracle
@@ -173,6 +181,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Advanced.oracleSql ++ Classic.oracleSql ++
+      Sketches.oracleSql ++
       Classic2.oracleSql ++ Classic3.oracleSql ++
       EmailOps.oracleSql ++ TextOps.oracleSql ++
       DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ EventOps.oracleSql ++
@@ -206,5 +215,6 @@ object SparkEntry {
         "e116_stream_mixture" -> TextOps.mixtureRealizeSql,
         "e117_stream_sem_decontam" -> DedupOps.semanticDecontamSql,
         "e118_restart_transitions" -> EventOps.transitionMatrixSql,
-        "e119_stream_sem_gate" -> DedupOps.incrementalSemanticDedupSql)
+        "e119_stream_sem_gate" -> DedupOps.incrementalSemanticDedupSql,
+        "e120_stream_cm_cells" -> Sketches.cmCellsSql)
 }

