@@ -128,6 +128,13 @@ object ScaleDecade {
         items += "t69_source_calibration" -> Bench.median3(() => {
           SparkEntry.queries("t69_source_calibration")(spark, dir)
             .count(); () })
+      // k80's 0.89 first-decade exponent (token-scan + exact-top-10
+      // eval, documents-only) — near-linear, so curvature needs the
+      // second decade too
+      if (want("k80_countmin_heavy"))
+        items += "k80_countmin_heavy" -> Bench.median3(() => {
+          SparkEntry.queries("k80_countmin_heavy")(spark, dir)
+            .count(); () })
       graft.ext.DedupOps.clearCaches()
       items.toSeq
     }

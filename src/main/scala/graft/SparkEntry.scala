@@ -170,6 +170,13 @@ object SparkEntry {
         "e120_stream_cm_cells" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamCmCells(s, d)),
+        // restart-recovery proof for the additive-aggregate state
+        // shape (the fifth in the e104/e105/e106/e118 matrix): e120's
+        // CM table stopped mid-corpus and resumed — shares k80's cell
+        // oracle
+        "e121_restart_cm_cells" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamCmCellsRestart(s, d)),
         // restart-recovery proof for e114's custom Markov-counter
         // state (the fourth restart state shape) — shares e113's
         // oracle
@@ -216,5 +223,6 @@ object SparkEntry {
         "e117_stream_sem_decontam" -> DedupOps.semanticDecontamSql,
         "e118_restart_transitions" -> EventOps.transitionMatrixSql,
         "e119_stream_sem_gate" -> DedupOps.incrementalSemanticDedupSql,
-        "e120_stream_cm_cells" -> Sketches.cmCellsSql)
+        "e120_stream_cm_cells" -> Sketches.cmCellsSql,
+        "e121_restart_cm_cells" -> Sketches.cmCellsSql)
 }

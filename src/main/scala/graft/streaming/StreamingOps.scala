@@ -1005,6 +1005,77 @@ object StreamingOps {
     }.orderBy("j", "c")
   }
 
+  /** Document slices (doc_id parity split) for the sketch restart
+    * twin, cached per (session, dir) like [[sliceFiles]]. Parity, not
+    * event time: the CM aggregate is order-free, so the restart proof
+    * deliberately uses the harshest arrival split (interleaved ids,
+    * no watermark semantics to lean on). */
+  private val docSliceCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.nio.file.Path, java.nio.file.Path)]()
+  private def docSliceFiles(spark: SparkSession, d: String)
+      : (java.nio.file.Path, java.nio.file.Path) =
+    docSliceCache.computeIfAbsent(
+      org.apache.spark.sql.graft.Bridge.sessionUUID(spark) + "|" + d, { _ =>
+      val dir = scratchTempDir("graft-doc-slices")
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      (graft.Fs.writeSingleParquet(docs.filter(col("doc_id") % 2 === 0),
+        dir.resolve("s1.parquet")),
+        graft.Fs.writeSingleParquet(docs.filter(col("doc_id") % 2 === 1),
+          dir.resolve("s2.parquet")))
+    })
+
+  /** e121: e120's CM cell maintenance stopped mid-corpus and RESUMED
+    * from its checkpoint — the FIFTH restart state shape (after e104
+    * window partials + dedup keys, e105 custom keyed state, e106
+    * RocksDB ValueState, e118 Markov counters): a complete-mode
+    * ADDITIVE aggregation, whose phase-1 partial counts live only in
+    * the state store across the restart. Phase 2 resumes from the
+    * same checkpoint (the file-source log must not re-read slice 1)
+    * into a fresh complete-mode re-emission, so a lost or
+    * double-counted phase-1 cell is unmissable: the final table must
+    * equal the batch sketch bit-for-bit — shares k80's cell oracle.
+    * The memory sink supports recovery in complete mode exactly
+    * because each trigger re-emits the whole aggregate from restored
+    * state. */
+  def streamCmCellsRestart(spark: SparkSession, d: String): DataFrame = {
+    val (s1, s2) = docSliceFiles(spark, d)
+    val srcDir = scratchTempDir("graft-doc-restart")
+    Files.createSymbolicLink(srcDir.resolve("slice1.parquet"), s1)
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    def plan = graft.operators.Sketches.cmCellsOf(
+      spark.readStream
+        .schema(documentsSchema)
+        .parquet(srcDir.toString)
+        .select(explode(graft.ext.TextOps.tokens(col("text"))).as("tok")))
+    graft.operators.Salting.withVolumeShuffle(spark, nIn) {
+      val ckpt = scratchTempDir("graft-ckpt")
+      def drainOnce(): String = {
+        val sink = newSink()
+        val q = plan.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(sink)
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        sink
+      }
+      try {
+        spark.catalog.dropTempView(drainOnce()) // phase 1: slice 1 only
+        Files.createSymbolicLink(srcDir.resolve("slice2.parquet"), s2)
+        val sink2 = drainOnce() // phase 2: resumed from the checkpoint
+        val out = spark.table(sink2)
+        val rows = out.collect()
+        spark.catalog.dropTempView(sink2)
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .orderBy("j", "c")
+      } finally deleteRecursively(ckpt)
+    }
+  }
+
   /** e108: s85's BM25 retrieval with the SCORING stage run as a
     * STREAM against a FROZEN index — the serving split of a search
     * deployment: the term/df/corpus-stats sidecars are built batch-side
