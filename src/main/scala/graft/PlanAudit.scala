@@ -54,7 +54,8 @@ object PlanAudit {
       "s98_tombstoned_recall", "s99_index_health", "s100_bm25_health",
       "g105_warm_pagerank", "g106_warmstart_gain",
       "k80_countmin_heavy", "k81_hist_quantiles", "k82_bloom_semijoin",
-      "k83_incr_census", "k84_hll_census")
+      "k83_incr_census", "k84_hll_census",
+      "em75_hierarchy_census")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

@@ -161,7 +161,11 @@ object ScaleBench {
     "k84_hll_census" -> "orders",
     // k83's serve reads the ~#sources-row artifact; its exact_vocab
     // EVAL is the only corpus-scan component — expect scan-bound
-    "k83_incr_census" -> "docs")
+    "k83_incr_census" -> "docs",
+    // em75 rebuilds its merged store per call (the em70 discipline):
+    // parse + merge + one rollup exchange — expect em70's write-path
+    // flatness in store size, scan-bound in batch
+    "em75_hierarchy_census" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

@@ -563,6 +563,55 @@ object EmailOps {
       |  >= '2001-11'
       |ORDER BY dedupe_key""".stripMargin
 
+  // --------------------------------------- em75 hierarchy rollup census
+
+  /** em75: the MULTI-PARENT containment-hierarchy census — the query
+    * the repo's namesake hierarchy exists for. The reference's
+    * defining data-model quirk is that one message node hangs under
+    * MANY hierarchy positions (`$addToSet` mailboxes,
+    * ingest_enron.py:192): a per-level count of POSITIONS and a
+    * per-level count of DISTINCT MESSAGES genuinely differ, and a
+    * plain groupBy (em65) cannot see it. This rollup census runs over
+    * the store WITH the re-delivery batch merged (every 4th message
+    * also lands in user9/inbox), so the grand-total row carries
+    * n_positions = 1.25·N vs n_messages = N — the forest-vs-set
+    * distinction hash-checked. One explode + ONE shuffle for all
+    * three levels (rollup = grouping sets share the exchange,
+    * partial-aggregated map-side); `expr()` columns in the rollup per
+    * the Spark 4.1 DetectAmbiguousSelfJoin gotcha. Rebuilds its
+    * merged store per call like em70 (the honest build+census cost —
+    * no hidden cache). */
+  def hierarchyCensus(s: SparkSession, d: String): DataFrame = {
+    val st = graft.store.EmailStore.mergeBatch(
+      FixtureCorpus.parsedDocs(s, d).drop("doc_id")
+        .unionByName(FixtureCorpus.redeliveries(s, d).drop("doc_id")))
+    st.select(col("dedupe_key"), explode(col("mailboxes")).as("mb"))
+      .select(col("dedupe_key"), col("mb.user").as("u"),
+        col("mb.folder").as("f"))
+      .rollup(expr("u"), expr("f"))
+      .agg(count(lit(1)).as("n_positions"),
+        count_distinct(col("dedupe_key")).as("n_messages"))
+      .select(coalesce(col("u"), lit("(all)")).as("user"),
+        coalesce(col("f"), lit("(all)")).as("folder"),
+        col("n_positions"), col("n_messages"))
+      .orderBy("user", "folder")
+  }
+
+  val hierarchyCensusSql: String =
+    """WITH pos AS (
+      |  SELECT 'user' || (doc_id % 5) AS u,
+      |    CASE doc_id % 3 WHEN 0 THEN 'inbox' WHEN 1 THEN 'sent'
+      |         ELSE 'archive' END AS f,
+      |    doc_id
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'user9', 'inbox', doc_id FROM documents WHERE doc_id % 4 = 0)
+      |SELECT coalesce(u, '(all)') AS "user", coalesce(f, '(all)') AS folder,
+      |  count(*)::BIGINT AS n_positions,
+      |  count(DISTINCT doc_id)::BIGINT AS n_messages
+      |FROM pos GROUP BY ROLLUP (u, f)
+      |ORDER BY "user", folder""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "em60_by_mailbox"    -> byMailbox _,
     "em61_by_recipient"  -> byRecipient _,
@@ -578,6 +627,7 @@ object EmailOps {
     "em72_http_ingest"   -> httpIngest _,
     "em73_store_compaction" -> compactedStore _,
     "em74_store_retention" -> retainedStore _,
+    "em75_hierarchy_census" -> hierarchyCensus _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -595,5 +645,6 @@ object EmailOps {
     "em72_http_ingest"   -> httpIngestSql,
     "em73_store_compaction" -> compactedStoreSql,
     "em74_store_retention" -> retainedStoreSql,
+    "em75_hierarchy_census" -> hierarchyCensusSql,
   )
 }

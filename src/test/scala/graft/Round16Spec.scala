@@ -120,6 +120,24 @@ class Round16Spec extends AnyFunSuite with SparkSpec {
     assert(segNames == Set("base", "batch"))
   }
 
+  test("em75: multi-parent hierarchy — positions exceed distinct messages only above the leaf level") {
+    val rows = graft.query.EmailOps.hierarchyCensus(spark, sf).collect()
+    val byKey = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("n_positions"), r.getAs[Long]("n_messages"))).toMap
+    // leaf (user, folder) levels: one position per message there
+    rows.filter(r => r.getString(0) != "(all)" && r.getString(1) != "(all)")
+      .foreach { r =>
+        assert(r.getAs[Long]("n_positions") == r.getAs[Long]("n_messages"),
+          s"leaf level must be 1:1: ${r}")
+      }
+    // the grand total sees the multi-parent forest: every 4th message
+    // hangs under TWO positions
+    val (gp, gm) = byKey(("(all)", "(all)"))
+    assert(gp > gm, "grand total must count positions > distinct messages")
+    assert(gp == gm + byKey(("user9", "inbox"))._2,
+      "the position excess is exactly the re-delivered copies")
+  }
+
   test("k84: zero_regs exposes the small-range regime honestly") {
     val rows = Sketches.hllCensus(spark, sf).collect()
     rows.foreach { r =>
