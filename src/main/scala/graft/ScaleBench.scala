@@ -165,7 +165,10 @@ object ScaleBench {
     // em75 rebuilds its merged store per call (the em70 discipline):
     // parse + merge + one rollup exchange — expect em70's write-path
     // flatness in store size, scan-bound in batch
-    "em75_hierarchy_census" -> "docs")
+    "em75_hierarchy_census" -> "docs",
+    // v78's first aggregation collapses map-side to the QI-class grid
+    // (attribute-bounded, never corpus-bounded) — expect scan-bound
+    "v78_kanon_audit" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

@@ -467,6 +467,53 @@ object Validation {
       |  count(*) AS n_pairs, min(doc_a) AS min_doc_a
       |FROM j GROUP BY 1, 2, 3 ORDER BY split_a, split_b""".stripMargin
 
+  // --------------------------------------------- v78 k-anonymity audit
+
+  /** v78: k-ANONYMITY release audit — the privacy census a corpus
+    * release runs AFTER content scrubbing (em69's PII redaction):
+    * scrubbed text can still re-identify through quasi-identifier
+    * METADATA combinations, so every (source, lang, length-bucket)
+    * equivalence class is sized and classes below k = 5 are flagged —
+    * those documents need generalization (coarser buckets) or
+    * suppression before the corpus ships. Per source: doc count,
+    * class count, risky classes, docs inside risky classes, and the
+    * minimum class size (the census a release decision reads; the
+    * per-class CASE genuinely fires both ways on the fixture — group
+    * sizes straddle k).
+    *
+    * Scale shape: two-level aggregation — the first collapses
+    * map-side to the QI-class cardinality (bounded by the attribute
+    * grid, never the corpus), the second to #sources. No window, no
+    * collect; all-integer output. */
+  def kanonAudit(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val classes = graft.Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        expr("n_chars div 500").as("len_bucket"))
+      .groupBy("source", "lang", "len_bucket")
+      .agg(count(lit(1)).as("gsz"))
+    classes.groupBy("source").agg(
+        sum("gsz").as("n_docs"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("gsz") < k, 1L).otherwise(0L)).as("n_risky_classes"),
+        sum(when(col("gsz") < k, col("gsz")).otherwise(0L))
+          .as("n_risky_docs"),
+        min("gsz").as("min_class_size"))
+      .orderBy("source")
+  }
+
+  val kanonAuditSql: String =
+    """WITH g AS (
+      |  SELECT source, lang, n_chars // 500 AS len_bucket,
+      |    count(*)::BIGINT AS gsz
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT source, sum(gsz)::BIGINT AS n_docs,
+      |  count(*)::BIGINT AS n_classes,
+      |  sum(CASE WHEN gsz < 5 THEN 1 ELSE 0 END)::BIGINT AS n_risky_classes,
+      |  sum(CASE WHEN gsz < 5 THEN gsz ELSE 0 END)::BIGINT AS n_risky_docs,
+      |  min(gsz)::BIGINT AS min_class_size
+      |FROM g GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v70_validation" -> validationSummary _,
     "v71_ref_integrity" -> refIntegrity _,
@@ -476,6 +523,7 @@ object Validation {
     "v75_jsonl_ingest" -> jsonlIngest _,
     "v76_version_diff" -> versionDiff _,
     "v77_split_leakage" -> splitLeakage _,
+    "v78_kanon_audit" -> kanonAudit _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -487,5 +535,6 @@ object Validation {
     "v75_jsonl_ingest" -> jsonlIngestSql,
     "v76_version_diff" -> versionDiffSql,
     "v77_split_leakage" -> splitLeakageSql,
+    "v78_kanon_audit" -> kanonAuditSql,
   )
 }

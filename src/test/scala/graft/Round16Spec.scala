@@ -138,6 +138,25 @@ class Round16Spec extends AnyFunSuite with SparkSpec {
       "the position excess is exactly the re-delivered copies")
   }
 
+  test("v78: k-anonymity census invariants, and the risky branch genuinely fires both ways") {
+    val rows = graft.ingest.Validation.kanonAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, nc, nrc, nrd, mn) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_classes"), r.getAs[Long]("n_risky_classes"),
+        r.getAs[Long]("n_risky_docs"), r.getAs[Long]("min_class_size"))
+      assert(nrc <= nc && nrd <= nd && mn >= 1)
+      // a risky class holds < 5 docs by definition
+      assert(nrd < 5 * nrc + 1)
+      // min size below k implies at least one risky class, and vice versa
+      assert((mn < 5) == (nrc > 0))
+    }
+    // discrimination: the fixture has risky classes AND safe classes
+    assert(rows.exists(_.getAs[Long]("n_risky_classes") > 0))
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_classes") > r.getAs[Long]("n_risky_classes")))
+  }
+
   test("k84: zero_regs exposes the small-range regime honestly") {
     val rows = Sketches.hllCensus(spark, sf).collect()
     rows.foreach { r =>
