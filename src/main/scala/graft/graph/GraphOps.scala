@@ -568,6 +568,48 @@ object GraphOps {
       |    AS thread_id
       |FROM m ORDER BY dedupe_key""".stripMargin
 
+  /** g107: per-THREAD statistics — the reference's planned thread
+    * graph (`thread_id`, ingest_enron.py:138; relationship agent,
+    * README.md:88) consumed the way a mail-analytics user actually
+    * reads it: g90's GraphX reply-edge components joined back to the
+    * message table and aggregated per thread — size, distinct
+    * participants, exact time span in epoch seconds (UTC-pinned
+    * integer arithmetic), and the root message's subject via
+    * `min_by(subject, dedupe_key)` (the component label IS the min
+    * key, so the argmin is the thread root by construction).
+    *
+    * The graph→relational composition is the point: thread labels are
+    * one CC output joined on the store's unique key, then a single
+    * hash aggregation — at scale the join shuffles on dedupe_key once
+    * and the aggregate is map-side combined. Oracle: reply chains
+    * partition the fixture corpus exactly by doc_id decade (the g90
+    * contract), so every statistic is re-derived from the synthesis
+    * rules without running a graph engine. */
+  def threadStats(s: SparkSession, d: String): DataFrame = {
+    val st = graft.query.FixtureCorpus.store(s, d)
+    val threads = EmailGraph.assignThreadIds(s, st)
+      .select(col("dedupe_key"), col("thread_id"))
+    st.select(col("dedupe_key"), col("from"), col("subject"), col("date"))
+      .join(threads, Seq("dedupe_key"))
+      .groupBy("thread_id")
+      .agg(count(lit(1)).as("n_messages"),
+        count_distinct(col("from")).as("n_participants"),
+        (max(col("date").cast("long")) - min(col("date").cast("long")))
+          .as("span_secs"),
+        expr("min_by(subject, dedupe_key)").as("root_subject"))
+      .orderBy("thread_id")
+  }
+
+  val threadStatsSql: String =
+    s"""${graft.query.FixtureCorpus.sqlPrelude}
+      |SELECT '<d' || min(doc_id) || '@corp>' AS thread_id,
+      |  count(*)::BIGINT AS n_messages,
+      |  count(DISTINCT sender)::BIGINT AS n_participants,
+      |  (epoch(max(dt)) - epoch(min(dt)))::BIGINT AS span_secs,
+      |  min_by(subject, dedupe_key) AS root_subject
+      |FROM m GROUP BY doc_id // 10
+      |ORDER BY thread_id""".stripMargin
+
   /** g91: typed vertex/edge census of the email graph — counts per
     * vertex/edge kind, each SQL-derivable from the synthesis rules. */
   def emailGraphCensus(s: SparkSession, d: String): DataFrame = {
@@ -934,6 +976,7 @@ object GraphOps {
       |WHERE d.deg >= 2 ORDER BY part_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g107_thread_stats"   -> threadStats _,
     "g90_email_threads"   -> emailThreads _,
     "g91_email_graph"     -> emailGraphCensus _,
     "g92_copurchase_cc"   -> copurchaseComponents _,
@@ -1033,6 +1076,7 @@ object GraphOps {
       |ORDER BY element, kind""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "g107_thread_stats"  -> threadStatsSql,
     "g90_email_threads"  -> emailThreadsSql,
     "g91_email_graph"    -> emailGraphCensusSql,
     "g92_copurchase_cc"  -> copurchaseComponentsSql,
