@@ -43,6 +43,16 @@ object Sketches {
   private def cmPos(j: Int, key: Column, width: Long): Column =
     md5Long(concat(lit(s"$j:"), key)) % width
 
+  /** The CM counter table of a token frame (col `tok`) — the mergeable
+    * sketch state: merging two corpora = cell-wise sum of their tables
+    * (pinned by Round16Spec). */
+  private[graft] def cmCellsOf(toks: DataFrame): DataFrame = toks
+    .select(explode(array((0 until cmDepth).map(j =>
+      struct(lit(j).as("j"), cmPos(j, col("tok"), cmWidth).as("c"))): _*))
+      .as("s"))
+    .select(col("s.j").as("j"), col("s.c").as("c"))
+    .groupBy("j", "c").agg(count(lit(1)).as("v"))
+
   /** k80: count-min heavy hitters over the document token stream.
     *
     * The sketch: a depth×width (3×256) counter table built by ONE
@@ -55,16 +65,6 @@ object Sketches {
     * The exact pass exists to SCORE the sketch — the oracle checks the
     * estimates bit-for-bit, so collision behavior is pinned, not
     * averaged away. */
-  /** The CM counter table of a token frame (col `tok`) — the mergeable
-    * sketch state: merging two corpora = cell-wise sum of their tables
-    * (pinned by Round16Spec). */
-  private[graft] def cmCellsOf(toks: DataFrame): DataFrame = toks
-    .select(explode(array((0 until cmDepth).map(j =>
-      struct(lit(j).as("j"), cmPos(j, col("tok"), cmWidth).as("c"))): _*))
-      .as("s"))
-    .select(col("s.j").as("j"), col("s.c").as("c"))
-    .groupBy("j", "c").agg(count(lit(1)).as("v"))
-
   def countMinHeavy(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
@@ -181,12 +181,11 @@ object Sketches {
     * predicate already excludes.
     *
     * Build: the EUROPE suppliers (dim side of a classic reduction —
-    * small by construction) hash into a 4096-bit / 3-hash Bloom filter,
-    * carried as a sorted array of set bit positions in a broadcast
-    * 1-row frame (the broadcast-singleton pattern). Probe: every
-    * lineitem row computes its 3 positions and passes iff all are set
-    * (`forall` + `array_contains`) — no false negatives by
-    * construction, and the reported `false_pos` column measures the
+    * small by construction) hash into a 4096-bit / 3-hash Bloom
+    * filter, carried in a broadcast 1-row frame (the
+    * broadcast-singleton pattern). Probe: every lineitem row computes
+    * its 3 positions and passes iff all are set — no false negatives
+    * by construction, and the reported `false_pos` column measures the
     * price of the probabilistic filter against a broadcast exact
     * membership check (the eval). At scale the filter is built once on
     * the dim side and shipped to every scan task — the fact side never
@@ -279,6 +278,16 @@ object Sketches {
   private val hllBuckets = 64L  // m = 2^6; top 6 hash bits pick the bucket
   private val hllRemMod = 1L << 54
 
+  /** The HLL register table of a (status, h) frame — the mergeable
+    * sketch state: merging two corpora = register-wise max (pinned by
+    * Round16Spec). */
+  private[graft] def hllRegsOf(h: DataFrame): DataFrame = h
+    .select(col("status"), expr(s"h div $hllRemMod").as("bucket"),
+      expr(s"h % $hllRemMod").as("rem"))
+    .withColumn("rho", when(col("rem") === 0, lit(55))
+      .otherwise(lit(55) - length(bin(col("rem")))))
+    .groupBy("status", "bucket").agg(max("rho").as("mr"))
+
   /** k84: HyperLogLog cardinality census — distinct customers per order
     * status, on the SAME domain as q47's KMV sketch so the two
     * industry-standard distinct sketches are directly comparable on
@@ -296,16 +305,6 @@ object Sketches {
     * fp summation is involved. No small-range (linear-counting)
     * correction: `zero_regs` rides along so the regime is visible, and
     * the exact count is the eval column. */
-  /** The HLL register table of a (status, h) frame — the mergeable
-    * sketch state: merging two corpora = register-wise max (pinned by
-    * Round16Spec). */
-  private[graft] def hllRegsOf(h: DataFrame): DataFrame = h
-    .select(col("status"), expr(s"h div $hllRemMod").as("bucket"),
-      expr(s"h % $hllRemMod").as("rem"))
-    .withColumn("rho", when(col("rem") === 0, lit(55))
-      .otherwise(lit(55) - length(bin(col("rem")))))
-    .groupBy("status", "bucket").agg(max("rho").as("mr"))
-
   def hllCensus(s: SparkSession, d: String): DataFrame = {
     val h = Tables.orders(s, d).select(col("o_orderstatus").as("status"),
       md5Long(col("o_custkey").cast("string")).as("h"))
