@@ -69,9 +69,11 @@ object SkewProbe {
       val t0 = System.nanoTime()
       // A failing sample records -1.0 instead of aborting the probe: the
       // ratio code treats tA/tB <= 0 as missing, and all samples already
-      // collected stay in SKEW_DETAIL.json.
+      // collected stay in SKEW_DETAIL.json. NonFatal only — an OOM or
+      // other fatal error leaves the JVM corrupted, so later samples
+      // would be garbage; let it abort the probe instead.
       try { f } catch {
-        case e: Throwable =>
+        case e if scala.util.control.NonFatal(e) =>
           System.err.println(s"[skew] sample failed (recorded -1): $e")
           return -1.0
       }

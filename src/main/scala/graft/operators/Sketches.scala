@@ -173,7 +173,7 @@ object Sketches {
 
   // ------------------------------------------------ k82 Bloom semi-join
 
-  private val bloomBits = 4096L
+  private val bloomBitsPerKey = 16L
   private val bloomHashes = 3
 
   /** k82: Bloom-filter semi-join pruning — the runtime-filter pattern
@@ -181,18 +181,35 @@ object Sketches {
     * predicate already excludes.
     *
     * Build: the EUROPE suppliers (dim side of a classic reduction —
-    * small by construction) hash into a 4096-bit / 3-hash Bloom
-    * filter, carried in a broadcast 1-row frame (the
-    * broadcast-singleton pattern). Probe: every lineitem row computes
-    * its 3 positions and passes iff all are set — no false negatives
-    * by construction, and the reported `false_pos` column measures the
-    * price of the probabilistic filter against a broadcast exact
-    * membership check (the eval). At scale the filter is built once on
-    * the dim side and shipped to every scan task — the fact side never
-    * shuffles non-candidates.
+    * small by construction) hash into an m-bit / 3-hash Bloom filter,
+    * carried in a broadcast 1-row frame (the broadcast-singleton
+    * pattern). Probe: every lineitem row computes its 3 positions and
+    * passes iff all are set — no false negatives by construction, and
+    * the reported `false_pos` column measures the price of the
+    * probabilistic filter against a broadcast exact membership check
+    * (the eval). At scale the filter is built once on the dim side
+    * and shipped to every scan task — the fact side never shuffles
+    * non-candidates.
+    *
+    * SIZING IS DERIVED, not fixed: m = the smallest power of two ≥
+    * 16·ndv bits (ndv = dim-side distinct count, floor 64 bits = one
+    * word), computed declaratively from the dim aggregate — the
+    * operator is the production shape, its state O(dim), never a
+    * constant that silently saturates when the dim side grows. The
+    * sizing trade at k = 3 hashes (kept at 3 because the three
+    * md5Long evals dominate the per-row probe cost; the fill-optimal
+    * k = ln2·16 ≈ 11 would nearly quadruple hash work for a fpp the
+    * eval shows we don't need), with fill p = 1 − e^(−k/bits_per_key)
+    * and fpp = p³:
+    *   bits/key  8 → fpp ≈ 3.1e-2;  12 → 1.1e-2;  16 → 5.0e-3 (this
+    *   operator);  24 → 1.6e-3;  32 → 7.2e-4.
+    * The predicted-vs-measured rate is SURFACED as columns:
+    * `pred_fp_per_million` = (set_bits/m)³ from the actual filter
+    * fill (all-integer milli-probability cube, bit-stable), and
+    * `meas_fp_per_million` from the exact-membership eval.
     *
     * The filter is carried as a PACKED BITSET: a positional array of
-    * 64 longs (4096 bits), built on the dim side with `bit_or` over
+    * m/64 longs, built on the dim side with `bit_or` over
     * per-position single-bit words, probed per fact row with three
     * explicit O(1) word-index + mask conjuncts — no higher-order
     * function (HOFs don't participate in whole-stage codegen) and no
@@ -201,41 +218,53 @@ object Sketches {
     * NEUTRAL vs the sorted-array `forall`+`array_contains` it
     * replaced (1.00 s vs 0.89 s, within the ambient band) because the
     * three md5 hashes per row dominate either membership check at
-    * m = 4096; the bitset is kept because its per-row cost is
+    * small m; the bitset is kept because its per-row cost is
     * independent of m (a production filter sized for a million-key
     * dim side needs m in the millions, where the O(m) scan is fatal
     * and the packed probe is unchanged). */
   def bloomSemijoin(s: SparkSession, d: String): DataFrame = {
-    def posOf(j: Int, key: Column) =
-      md5Long(concat(lit(s"$j:"), key.cast("string"))) % bloomBits
+    def posOf(j: Int, key: Column, m: Column) =
+      md5Long(concat(lit(s"$j:"), key.cast("string"))) % m
     val dim = Tables.supplier(s, d)
       .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "EUROPE")
       .select("s_suppkey").distinct()
-    // pack set positions into 64 bit_or'd words, then materialize the
-    // FULL positional word array (absent words = 0) so the probe is a
-    // direct element_at — the sequence/transform runs once on the
-    // 1-row singleton, never per fact row
-    val bits = dim.select(explode(array((0 until bloomHashes).map(j =>
-        posOf(j, col("s_suppkey"))): _*)).as("p"))
-      .select(expr("CAST(p div 64 AS INT)").as("w"),
+    // m = 2^bitlen(16·ndv − 1): smallest power of two ≥ 16·ndv
+    // (bitlen via length(bin(x)) — the k84 cross-engine primitive),
+    // floored at one 64-bit word
+    val sized = dim.agg(count(lit(1)).as("ndv"))
+      .select(col("ndv"), greatest(
+        expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"length(bin($bloomBitsPerKey * ndv - 1)))"), lit(64L)).as("m"))
+    // pack set positions into m/64 bit_or'd words, then materialize
+    // the FULL positional word array (absent words = 0) so the probe
+    // is a direct element_at — the sequence/transform runs once on
+    // the 1-row singleton, never per fact row
+    val bits = dim.crossJoin(broadcast(sized))
+      .select(col("m"), explode(array((0 until bloomHashes).map(j =>
+        posOf(j, col("s_suppkey"), col("m"))): _*)).as("p"))
+      .select(col("m"), expr("CAST(p div 64 AS INT)").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
-      .groupBy("w").agg(expr("bit_or(b)").as("wb"))
-      .agg(expr("map_from_entries(collect_list(struct(w, wb)))").as("m"))
-      .select(transform(sequence(lit(0), lit(63)),
-        w => coalesce(element_at(col("m"), w), lit(0L))).as("bitset"))
+      .groupBy("m", "w").agg(expr("bit_or(b)").as("wb"))
+      .groupBy("m")
+      .agg(expr("map_from_entries(collect_list(struct(w, wb)))").as("wm"))
+      .select(col("m"), transform(
+        sequence(lit(0), (col("m") / 64).cast("int") - 1),
+        w => coalesce(element_at(col("wm"), w), lit(0L))).as("bitset"))
+      .withColumn("set_bits",
+        expr("aggregate(bitset, 0L, (a, x) -> a + CAST(bit_count(x) AS BIGINT))"))
     val keys = dim.agg(collect_set(col("s_suppkey")).as("dimkeys"))
     val fact0 = Tables.lineitem(s, d).select("l_returnflag", "l_suppkey")
+      .crossJoin(broadcast(bits)).crossJoin(broadcast(keys))
     val withPos = (0 until bloomHashes).foldLeft(fact0) { (df, j) =>
-      df.withColumn(s"p$j", posOf(j, col("l_suppkey")))
+      df.withColumn(s"p$j", posOf(j, col("l_suppkey"), col("m")))
     }
     val cand = (0 until bloomHashes).map { j =>
       expr(s"(element_at(bitset, CAST(p$j div 64 AS INT) + 1) & " +
         s"shiftleft(CAST(1 AS BIGINT), CAST(p$j % 64 AS INT))) != 0")
     }.reduce(_ && _)
     val fact = withPos
-      .crossJoin(broadcast(bits)).crossJoin(broadcast(keys))
       .withColumn("cand", cand)
       .withColumn("hit", array_contains(col("dimkeys"), col("l_suppkey")))
     fact.groupBy("l_returnflag")
@@ -243,7 +272,20 @@ object Sketches {
         sum(col("cand").cast("long")).as("cand_rows"),
         sum(col("hit").cast("long")).as("true_rows"),
         (sum(col("cand").cast("long")) - sum(col("hit").cast("long")))
-          .as("false_pos"))
+          .as("false_pos"),
+        min(col("m")).as("filter_bits"),
+        min(col("set_bits")).as("set_bits"))
+      // fill milli-probability p = (set_bits·1000) div m; predicted
+      // per-probe fp rate (set_bits/m)^3 ≈ p³ div 1000 per million —
+      // all-integer, so the prediction itself is oracle-checked
+      .withColumn("p_milli", expr("(set_bits * 1000) div filter_bits"))
+      .withColumn("pred_fp_per_million",
+        expr("(p_milli * p_milli * p_milli) div 1000"))
+      .drop("p_milli")
+      .withColumn("meas_fp_per_million",
+        when(col("fact_rows") === col("true_rows"), lit(0L))
+          .otherwise(expr(
+            "(false_pos * 1000000) div (fact_rows - true_rows)")))
       .orderBy("l_returnflag")
   }
 
@@ -252,25 +294,37 @@ object Sketches {
       |  JOIN nation ON s_nationkey = n_nationkey
       |  JOIN region ON n_regionkey = r_regionkey
       |  WHERE r_name = 'EUROPE'),
+      |sz AS (SELECT greatest(
+      |    (1::BIGINT << length(bin(16 * count(*) - 1))), 64)::BIGINT AS m
+      |  FROM dim),
       |js AS (SELECT unnest([0, 1, 2]) AS j),
       |bits AS (SELECT list_sort(list(DISTINCT
       |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
       |                        CAST(s_suppkey AS VARCHAR)), 1, 15))::BIGINT
-      |      % 4096)) AS bs
-      |  FROM dim, js),
+      |      % m)) AS bs
+      |  FROM dim, js, sz),
       |keys AS (SELECT list(s_suppkey) AS dk FROM dim),
       |f AS (SELECT l_returnflag,
       |        list_has_all(bs, list_transform([0, 1, 2], j ->
       |          ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
       |                              CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT
-      |            % 4096)) AS cand,
+      |            % m)) AS cand,
       |        list_contains(dk, l_suppkey) AS hit
-      |      FROM lineitem, bits, keys)
+      |      FROM lineitem, bits, keys, sz)
       |SELECT l_returnflag, count(*)::BIGINT AS fact_rows,
       |  sum(CAST(cand AS BIGINT))::BIGINT AS cand_rows,
       |  sum(CAST(hit AS BIGINT))::BIGINT AS true_rows,
       |  (sum(CAST(cand AS BIGINT)) - sum(CAST(hit AS BIGINT)))::BIGINT
-      |    AS false_pos
+      |    AS false_pos,
+      |  (SELECT m FROM sz)::BIGINT AS filter_bits,
+      |  (SELECT len(bs) FROM bits)::BIGINT AS set_bits,
+      |  (SELECT (p * p * p) // 1000 FROM
+      |     (SELECT (len(bs) * 1000) // m AS p FROM bits, sz)
+      |  )::BIGINT AS pred_fp_per_million,
+      |  CASE WHEN count(*) = sum(CAST(hit AS BIGINT)) THEN 0
+      |       ELSE ((sum(CAST(cand AS BIGINT)) - sum(CAST(hit AS BIGINT)))
+      |             * 1000000) // (count(*) - sum(CAST(hit AS BIGINT)))
+      |  END::BIGINT AS meas_fp_per_million
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------- k84 HyperLogLog
@@ -299,10 +353,14 @@ object Sketches {
     * All-integer register pipeline: bucket = h div 2^54 (top 6 bits),
     * rho = 55 − bitlen(h mod 2^54) (55 for a zero remainder), register
     * = max(rho). The estimate is the raw harmonic-mean formula
-    * α·m²·2^55 / Σ 2^(55−ρ) evaluated as ONE IEEE double division +
-    * floor (both factors exact: 2^67 is a power of two, the sum is an
-    * exact integer < 2^61) — bit-stable cross-engine because no
-    * fp summation is involved. No small-range (linear-counting)
+    * α·m²·2^55 / Σ 2^(55−ρ) evaluated as a FIXED two-op IEEE scalar
+    * chain — multiply, then divide (0.709 · (2^67 / sum)), then floor
+    * (both factors exact: 2^67 is a power of two, the sum is an exact
+    * integer < 2^61). Bit-stable cross-engine ONLY because both
+    * engines evaluate the identical op tree in the same grouping — no
+    * fp summation is involved, but regrouping the arithmetic (e.g.
+    * (0.709·2^67)/sum) would change the rounding and break the hash
+    * match. No small-range (linear-counting)
     * correction: `zero_regs` rides along so the regime is visible, and
     * the exact count is the eval column. */
   def hllCensus(s: SparkSession, d: String): DataFrame = {
@@ -356,9 +414,14 @@ object Sketches {
   private val censusK = 8
   private val censusDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val censusLock = new Object
 
-  private[graft] def clearCaches(): Unit = censusDirs.clear()
+  /** Deletes the cached census artifact dirs, not just the pointers —
+    * otherwise every Bench min-of-3 rebuild leaks a temp directory
+    * (the SimilarityOps.clearCaches discipline). */
+  private[graft] def clearCaches(): Unit = {
+    censusDirs.values.forEach(dir => graft.Fs.deleteTree(dir))
+    censusDirs.clear()
+  }
 
   /** Build-or-get the persisted census artifact: per-source sketch
     * rows — KMV bottom-8 token-hash registers + token/doc counts —
@@ -371,31 +434,34 @@ object Sketches {
     * the token stream; an all-whitespace doc contributes nothing). */
   private[graft] def censusDir(s: SparkSession, d: String): String = {
     val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|k83"
-    censusLock.synchronized {
-      Option(censusDirs.get(key)).getOrElse {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-census").toString
-        val bottomK = udaf(
-          new graft.functions.BoundedAggs.BottomKDistinct(censusK),
-          Encoders.scalaLong)
-        def segOf(df: DataFrame, seg: String): DataFrame = df
-          .select(col("source"), col("doc_id"),
-            explode(tokens(col("text"))).as("tok"))
-          .select(col("source"), col("doc_id"), md5Long(col("tok")).as("h"))
-          .groupBy("source")
-          .agg(bottomK(col("h")).as("kmv"),
-            count(lit(1)).as("token_cnt"),
-            count_distinct(col("doc_id")).as("doc_cnt"))
-          .withColumn("segment", lit(seg))
-        val docs = Tables.documents(s, d)
-        segOf(docs.filter(col("doc_id") % 5 =!= 4), "base")
-          .write.mode("overwrite").parquet(s"$dir/census")
-        segOf(docs.filter(col("doc_id") % 5 === 4), "batch")
-          .write.mode("append").parquet(s"$dir/census")
-        censusDirs.put(key, dir)
-        dir
-      }
-    }
+    // computeIfAbsent gives per-key build-once semantics (no global
+    // lock serializing unrelated (session, dir) builds). The build is a
+    // multi-second Spark job inside the map's compute — acceptable here
+    // because contention is per-bin, the key space is tiny, and a
+    // duplicate build would leak a temp dir (unlike SimilarityOps'
+    // lost-race-tolerant pattern, which would only waste work).
+    censusDirs.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-census").toString
+      val bottomK = udaf(
+        new graft.functions.BoundedAggs.BottomKDistinct(censusK),
+        Encoders.scalaLong)
+      def segOf(df: DataFrame, seg: String): DataFrame = df
+        .select(col("source"), col("doc_id"),
+          explode(tokens(col("text"))).as("tok"))
+        .select(col("source"), col("doc_id"), md5Long(col("tok")).as("h"))
+        .groupBy("source")
+        .agg(bottomK(col("h")).as("kmv"),
+          count(lit(1)).as("token_cnt"),
+          count_distinct(col("doc_id")).as("doc_cnt"))
+        .withColumn("segment", lit(seg))
+      val docs = Tables.documents(s, d)
+      segOf(docs.filter(col("doc_id") % 5 =!= 4), "base")
+        .write.mode("overwrite").parquet(s"$dir/census")
+      segOf(docs.filter(col("doc_id") % 5 === 4), "batch")
+        .write.mode("append").parquet(s"$dir/census")
+      dir
+    })
   }
 
   /** k83: the corpus census SERVED from the persisted sketch artifact
