@@ -55,7 +55,8 @@ object PlanAudit {
       "g105_warm_pagerank", "g106_warmstart_gain",
       "k80_countmin_heavy", "k81_hist_quantiles", "k82_bloom_semijoin",
       "k83_incr_census", "k84_hll_census",
-      "em75_hierarchy_census", "v78_kanon_audit", "g107_thread_stats")
+      "em75_hierarchy_census", "v78_kanon_audit", "g107_thread_stats",
+      "d65_substring_runs")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

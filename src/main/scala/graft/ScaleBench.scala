@@ -168,7 +168,13 @@ object ScaleBench {
     "em75_hierarchy_census" -> "docs",
     // v78's first aggregation collapses map-side to the QI-class grid
     // (attribute-bounded, never corpus-bounded) — expect scan-bound
-    "v78_kanon_audit" -> "docs")
+    "v78_kanon_audit" -> "docs",
+    // d65: window count is linear in corpus tokens (one hash per
+    // offset); the pair join is bounded by the shared-hash structure
+    // (measured 1,157 → 11,544 matched pairs sf0.01 → sf0.1, ≈×10)
+    // with the >16-docs DF cap bounding any hash's fan-out at cap² —
+    // expect near-linear, never the all-pairs n²
+    "d65_substring_runs" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

@@ -1444,6 +1444,124 @@ object DedupOps {
       |    AS verdict
       |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // ----------------------- d65 arbitrary-offset exact substring dedup
+
+  private[ext] val runWindow = 5   // tokens per window
+  private[ext] val runDocCap = 16  // max distinct docs per window hash
+
+  /** d65: cross-document repeated substrings at ARBITRARY alignment —
+    * the standard exact-substring pass an LLM corpus runs before
+    * training (cf. Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"), and the rung above the d-tier's
+    * whole-document (d50) and fixed-boundary passage (d59) dedup: a
+    * shared passage is found wherever it starts in either document.
+    * Reference anchor: `ingest_enron.py:113-120` deduplicates at
+    * whole-document dedupe_key granularity only.
+    *
+    * Pipeline (never all-pairs — d52's blocking discipline):
+    *  1. every-offset token windows (w=5) hashed by the codegen'd
+    *     [[graft.functions.RollingWindowHash64]] — O(doc bytes) per
+    *     doc via prefix-hash range extraction, not O(w·bytes);
+    *  2. inverted index (hash → doc_id, pos): the only wide exchange,
+    *     and it carries 24-byte rows, never window text;
+    *  3. hot-hash DF cap: window hashes present in > 16 distinct docs
+    *     (stop-phrase shingles at corpus scale) are dropped before
+    *     pairing, bounding any hash's pair fan-out at cap² — on this
+    *     fixture the max is 3 docs/hash so the cap drops nothing
+    *     (the guard is pinned by Round17Spec's planted hot window);
+    *  4. same-hash equi-join (doc_a < doc_b) → matching offset pairs;
+    *  5. maximal-run stitching: matches on one DIAGONAL
+    *     (pb − pa constant) at consecutive positions are one run —
+    *     gaps-and-islands per (pair, diagonal), all window math;
+    *     run_tokens = windows_in_run + w − 1.
+    *
+    * A run is MAXIMAL by construction (extending it by one token in
+    * either direction would require the adjacent window to match,
+    * which would have joined the island) — pinned by Round17Spec.
+    * Matching is by 64-bit polynomial hash: two distinct w-grams
+    * colliding would take ~2^32 distinct windows per diagonal cell to
+    * matter (birthday bound) and any collision reproduces identically
+    * in the oracle, which rebuilds every window hash from per-token
+    * folds through the composition law H(A⧺B) = H(A)·31^|B| + H(B).
+    * The fixture discriminates BOTH stitching axes: 26 multi-window
+    * runs on the zero diagonal (consecutive-position stitching) and
+    * 11 runs on nonzero diagonals (arbitrary-alignment matches). */
+  def substringRuns(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.RollingWindowHash64.rolling_window_hash64
+    val wins = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        posexplode(rolling_window_hash64(col("ts"), runWindow)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("hw"))
+    val hot = wins.groupBy("hw")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > runDocCap).select("hw")
+    val ok = wins.join(hot, Seq("hw"), "left_anti")
+    val a = ok.select(col("hw"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+    val b = ok.select(col("hw"), col("doc_id").as("doc_b"), col("pos").as("pb"))
+    val pairs = a.join(b, Seq("hw")).filter(col("doc_a") < col("doc_b"))
+    val isl = pairs
+      .withColumn("diag", col("pb") - col("pa"))
+      .withColumn("isl", col("pa") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
+    isl.groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+        (count(lit(1)) + (runWindow - 1)).as("run_tokens"))
+      .select("doc_a", "doc_b", "a_start", "b_start", "run_tokens")
+      .orderBy("doc_a", "doc_b", "a_start", "b_start")
+  }
+
+  /** The oracle rebuilds every window hash from per-token HUGEINT
+    * folds (t46's wraparound emulation) composed by
+    * H(A ⧺ ' ' ⧺ t) = H(A)·31^(len(t)+1) + H(' '⧺t) — checking the
+    * exact algebra the Spark side's prefix-hash extraction relies on,
+    * at every window of the fixture. Pure-ASCII fixture (verified at
+    * t46), so ord(char) == byte. */
+  val substringRunsSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                x -> x <> '') AS ts
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, len(ts) AS n,
+      |    list_transform(ts, t -> list_reduce(list_prepend(0::HUGEINT,
+      |        list_transform(range(1, length(t) + 1),
+      |          i -> ord(substring(t, CAST(i AS INT), 1))::HUGEINT)),
+      |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)) AS hts,
+      |    list_transform(ts, t -> list_reduce(list_prepend(32::HUGEINT,
+      |        list_transform(range(1, length(t) + 1),
+      |          i -> ord(substring(t, CAST(i AS INT), 1))::HUGEINT)),
+      |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)) AS hsts,
+      |    list_transform(ts, t -> list_reduce(
+      |        list_prepend(1::HUGEINT, range(1, length(t) + 2)),
+      |      (a, b) -> (a * 31) % 18446744073709551616::HUGEINT)) AS pwts
+      |  FROM tk),
+      |wins AS (
+      |  SELECT doc_id, i AS pos,
+      |    list_reduce(list_prepend(hts[i], range(i + 1, i + 5)),
+      |      (a, k) -> (a * pwts[CAST(k AS BIGINT)] + hsts[CAST(k AS BIGINT)])
+      |                % 18446744073709551616::HUGEINT) AS hw
+      |  FROM tok, unnest(range(1, n - 3)) AS t(i)),
+      |hot AS (
+      |  SELECT hw FROM (SELECT hw, count(DISTINCT doc_id) AS nd
+      |                  FROM wins GROUP BY 1) WHERE nd > 16),
+      |ok AS (SELECT * FROM wins WHERE hw NOT IN (SELECT hw FROM hot)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      |  FROM ok a JOIN ok b ON a.hw = b.hw AND a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT doc_a, doc_b, pb - pa AS diag, pa, pb,
+      |    pa - row_number() OVER (
+      |      PARTITION BY doc_a, doc_b, pb - pa ORDER BY pa) AS isl
+      |  FROM pairs)
+      |SELECT doc_a, doc_b, min(pa)::BIGINT AS a_start,
+      |  min(pb)::BIGINT AS b_start, (count(*) + 4)::BIGINT AS run_tokens
+      |FROM isl GROUP BY doc_a, doc_b, diag, isl
+      |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_exact_dedup"    -> exactDedup _,
     "d51_jaccard_pairs"  -> jaccardPairs _,
@@ -1461,6 +1579,7 @@ object DedupOps {
     "d62_semantic_reps"  -> semanticRepresentatives _,
     "d63_semantic_decontam" -> semanticDecontam _,
     "d64_incr_semantic_dedup" -> incrementalSemanticDedup _,
+    "d65_substring_runs" -> substringRuns _,
     "t49_decontamination" -> decontamination _,
     "t68_passage_decontam" -> passageDecontam _,
     "t57_corpus_funnel"  -> corpusFunnel _,
@@ -1483,6 +1602,7 @@ object DedupOps {
     "d62_semantic_reps"  -> semanticRepresentativesSql,
     "d63_semantic_decontam" -> semanticDecontamSql,
     "d64_incr_semantic_dedup" -> incrementalSemanticDedupSql,
+    "d65_substring_runs" -> substringRunsSql,
     "t49_decontamination" -> decontaminationSql,
     "t68_passage_decontam" -> passageDecontamSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,

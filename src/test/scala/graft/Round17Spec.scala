@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.DedupOps
+import graft.functions.{RollingHash64, RollingWindowHash64}
+
+/** Round-17: arbitrary-offset exact substring dedup (d65) and the
+  * windowed rolling-hash primitive it rides on. The oracle gate
+  * hash-checks the fixture's 37 runs cross-engine; these tests pin
+  * what the fixture can't express — the window-hash algebra (every
+  * window hash == the whole-string hash of that window, so the
+  * prefix-hash range extraction is exact), run MAXIMALITY at
+  * arbitrary alignment, the w-token resolution floor, diagonal
+  * independence, the hot-hash DF cap, and the cross-doc-only
+  * contract. */
+class Round17Spec extends AnyFunSuite with SparkSpec {
+
+  // ------------------------------------------ the hash primitive
+
+  test("rolling_window_hash64: every window hash equals the reference hash of that window string") {
+    val rnd = new scala.util.Random(17)
+    (1 to 60).foreach { _ =>
+      val n = rnd.nextInt(30)
+      val toks =
+        Seq.fill(n)(rnd.alphanumeric.take(1 + rnd.nextInt(9)).mkString)
+      val w = 1 + rnd.nextInt(6)
+      val got = RollingWindowHash64.windows(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+            .toArray[Any]), w)
+      val exp = (0 to n - w).map(i => RollingHash64.reference(
+        toks.slice(i, i + w).mkString(" ").getBytes("UTF-8")))
+      assert(got.toLongArray().toSeq == exp,
+        s"n=$n w=$w window extraction diverged from rehash")
+    }
+  }
+
+  test("rolling_window_hash64: codegen path through a DataFrame matches the reference; short docs yield no windows") {
+    import spark.implicits._
+    val df = Seq((1L, "aa bb cc dd ee ff"), (2L, "x y"), (3L, ""))
+      .toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+      RollingWindowHash64.rolling_window_hash64(
+        graft.ext.TextOps.tokens(col("text")), 5).as("ws"))
+      .orderBy("doc_id").collect()
+    val toks = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+    val exp = (0 to 1).map(i => RollingHash64.reference(
+      toks.slice(i, i + 5).mkString(" ").getBytes("UTF-8")))
+    assert(rows(0).getSeq[Long](1) == exp)
+    assert(rows(1).getSeq[Long](1).isEmpty, "n < w must yield no windows")
+    assert(rows(2).getSeq[Long](1).isEmpty, "empty doc must yield no windows")
+  }
+
+  // ------------------------------------------ d65 planted fixtures
+
+  /** Run d65 over a planted documents table; rows as
+    * (doc_a, doc_b, a_start, b_start, run_tokens). */
+  private def planted(
+      docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-d65-spec").toString
+    try {
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      DedupOps.substringRuns(spark, dir).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    } finally Fs.deleteTree(dir)
+  }
+
+  test("d65: a shared run at different offsets is reported once, maximal, with exact bounds") {
+    val shared = (1 to 9).map(i => s"s$i").mkString(" ")
+    val rows = planted(Seq(
+      1L -> s"p1 p2 $shared q1 q2 q3",   // run at tokens 3..11
+      2L -> s"r1 r2 r3 r4 r5 r6 $shared t1")) // run at tokens 7..15
+    assert(rows == Seq((1L, 2L, 3L, 7L, 9L)),
+      s"expected ONE maximal 9-token run at (3,7); got $rows")
+  }
+
+  test("d65: exactly w shared tokens form a single-window run; w-1 shared tokens are below the resolution floor") {
+    val w5 = "c1 c2 c3 c4 c5"
+    assert(planted(Seq(
+      1L -> s"a1 a2 $w5 a3", 2L -> s"$w5 b1 b2 b3 b4"))
+      == Seq((1L, 2L, 3L, 1L, 5L)))
+    val w4 = "c1 c2 c3 c4"
+    assert(planted(Seq(
+      1L -> s"a1 a2 $w4 a3", 2L -> s"$w4 b1 b2 b3 b4")).isEmpty,
+      "a 4-token overlap must be invisible at w=5 (the documented floor)")
+  }
+
+  test("d65: two shared runs on different diagonals stay two rows (diagonal independence)") {
+    val s = (1 to 5).map(i => s"s$i").mkString(" ")
+    val u = (1 to 5).map(i => s"u$i").mkString(" ")
+    val rows = planted(Seq(
+      1L -> s"$s x1 x2 x3 $u",  // s at 1..5, u at 9..13
+      2L -> s"$s y1 $u"))       // s at 1..5, u at 7..11
+    assert(rows == Seq((1L, 2L, 1L, 1L, 5L), (1L, 2L, 9L, 7L, 5L)),
+      s"runs on diagonals 0 and -2 must not merge; got $rows")
+  }
+
+  test("d65: window hashes present in more than runDocCap docs are dropped (hot-hash guard)") {
+    val hot = "h1 h2 h3 h4 h5"
+    def corpus(n: Int) =
+      (1 to n).map(i => i.toLong -> s"f${i}a f${i}b $hot f${i}c")
+    // 17 docs sharing the phrase: 17 > cap(16) -> the hash is dropped
+    assert(planted(corpus(17)).isEmpty,
+      "a window hash in >16 docs must be excluded before pairing")
+    // 3 docs sharing it: C(3,2) = 3 pair rows survive
+    assert(planted(corpus(3)).map(r => (r._1, r._2)).sorted
+      == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("d65: intra-document repeats are not reported (cross-doc contract, doc_a < doc_b)") {
+    val p = "z1 z2 z3 z4 z5"
+    assert(planted(Seq(1L -> s"$p m1 m2 $p")).isEmpty)
+  }
+}
