@@ -174,7 +174,12 @@ object ScaleBench {
     // (measured 1,157 → 11,544 matched pairs sf0.01 → sf0.1, ≈×10)
     // with the >16-docs DF cap bounding any hash's fan-out at cap² —
     // expect near-linear, never the all-pairs n²
-    "d65_substring_runs" -> "docs")
+    "d65_substring_runs" -> "docs",
+    // k85: the sketch build is two per-(status, segment) sorts (at
+    // scale: the BATCH only, local per segment) + the merged ≤64·segs
+    // weighted rows; the exact-rank/exact-value EVAL's per-status
+    // corpus sort is the measured cost — expect k81's shape
+    "k85_quantile_sketch" -> "orders")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

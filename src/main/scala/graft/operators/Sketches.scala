@@ -527,6 +527,158 @@ object Sketches {
       |FROM kmv JOIN cnts USING (source)
       |ORDER BY source""".stripMargin
 
+  // ----------------------------------- k85 deterministic rank sketch
+
+  private val rankCap = 64L // kept items per (group, segment)
+
+  /** Per-(status, seg) fixed-schedule rank sample of (cents, uid)
+    * rows: sort by (cents, uid), keep every step-th order statistic
+    * (step = ceil(n_seg/64)) with weight = step, plus the final
+    * partial block's last item with weight = n_seg mod step. The
+    * algebra that makes this a SKETCH and not a sample: each kept
+    * item's cumulative weight inside its segment equals its EXACT
+    * segment rank (pinned by Round17Spec), so a merged query's rank
+    * error is bounded by the sum of the segments' steps. */
+  private[graft] def rankSampleOf(seg: DataFrame): DataFrame = {
+    val bySeg = Window.partitionBy("status", "seg")
+    val ranked = seg
+      .withColumn("rn", row_number().over(bySeg.orderBy("cents", "uid")))
+      .withColumn("nseg", count(lit(1)).over(bySeg))
+      .withColumn("step", expr(s"(nseg + ${rankCap - 1}) div $rankCap"))
+    ranked
+      .filter(col("rn") % col("step") === 0 || col("rn") === col("nseg"))
+      .withColumn("weight",
+        when(col("rn") % col("step") === 0, col("step"))
+          .otherwise(col("nseg") % col("step")))
+      .select("status", "seg", "cents", "uid", "step", "weight")
+  }
+
+  /** The sketch pipeline over any (status, cents, uid, seg) frame —
+    * factored out so Round17Spec can drive planted segmentations
+    * through the identical machinery. */
+  private[graft] def quantileSketchOf(seg: DataFrame): DataFrame = {
+    val kept = rankSampleOf(seg)
+    val merged = kept.withColumn("cumw",
+      sum("weight").over(
+        Window.partitionBy("status").orderBy("cents", "uid")))
+    val targets = seg.groupBy("status").agg(count(lit(1)).as("n"))
+      .select(col("status"), col("n"),
+        explode(array(lit(25), lit(50), lit(75))).as("pnum"))
+      .withColumn("rk", expr("(n * pnum + 99) div 100"))
+    val answer = targets.join(merged, Seq("status"))
+      .filter(col("cumw") >= col("rk"))
+      .groupBy("status", "pnum", "rk")
+      .agg(min(struct(col("cumw"), col("cents"), col("uid"))).as("a"))
+      .select(col("status"), col("pnum"), col("rk").as("target_rk"),
+        col("a.cents").as("k85_est_cents"), col("a.uid").as("est_uid"))
+    val bounds = kept.select("status", "seg", "step").distinct()
+      .groupBy("status").agg(sum("step").as("err_bound"))
+    // EVAL columns: the answer item's exact corpus rank (strict
+    // (cents, uid) lexicographic — uid is unique, so the order is
+    // total) and the exact value at the target rank; both are the
+    // corpus-wide sort pass that ships only with the eval.
+    val estRank = answer.join(seg, Seq("status"))
+      .groupBy("status", "pnum")
+      .agg(sum(when(col("cents") < col("k85_est_cents") ||
+        (col("cents") === col("k85_est_cents") &&
+          col("uid") <= col("est_uid")), 1L).otherwise(0L)).as("est_rank"))
+    val exact = seg.withColumn("xrn", row_number().over(
+      Window.partitionBy("status").orderBy("cents", "uid")))
+      .select(col("status").as("xstatus"), col("cents").as("exact_cents"),
+        col("xrn"))
+    answer.join(estRank, Seq("status", "pnum")).join(bounds, Seq("status"))
+      .join(exact,
+        col("xrn") === col("target_rk") && col("xstatus") === col("status"))
+      .select(col("status"), col("pnum"), col("k85_est_cents"),
+        col("exact_cents"), col("target_rk"),
+        col("est_rank"), (col("est_rank") - col("target_rk")).as("rank_err"),
+        col("err_bound"))
+      .orderBy("status", "pnum")
+  }
+
+  /** k85: deterministic mergeable quantile sketch — the rank-error
+    * complement of k81's equi-width histogram on the SAME domain
+    * (order totals in cents per status), so the two quantile shapes
+    * are directly comparable: k81 guarantees |est − exact| < bucket
+    * width (absolute VALUE error — unbounded relative error on a
+    * heavy tail), k85 guarantees |rank(est) − target_rank| ≤
+    * step_base + step_batch ≤ n_base/64 + n_batch/64 (RANK error,
+    * tail-shape-independent, and the answer is always a real data
+    * value — an order statistic).
+    *
+    * Fixed-schedule compaction, not GK/KLL coins: per segment the
+    * kept set is "every step-th item of the (cents, uid) order" — no
+    * randomness and no processing-order sensitivity, which is what
+    * makes the sketch cross-engine reproducible and the whole output
+    * hash-checkable. Merge = union of the segments' weighted samples
+    * (re-sorted, cumulative weights re-read) — the mergeable-summary
+    * contract, spec-pinned under arbitrary planted segmentations.
+    * Segments here are the k83 absorb split (uid mod 5): absorbing a
+    * new batch sorts THE BATCH only (O(batch log batch), distributed
+    * and local to each segment — never a corpus rescan or a global
+    * sort), and the serve reads ≤ 64·segments weighted rows per
+    * group. The corpus-wide exact rank/value columns are the EVAL
+    * pass (the k81 discipline: the sketch ships at 100 TB, the eval
+    * doesn't). rank_err is genuinely nonzero on the fixture — the
+    * sketch approximates, the bound holds, both are visible. */
+  def quantileSketch(s: SparkSession, d: String): DataFrame =
+    quantileSketchOf(Tables.orders(s, d).select(
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+      col("o_orderkey").as("uid"))
+      .withColumn("seg",
+        when(col("uid") % 5 === 4, lit("batch")).otherwise(lit("base"))))
+
+  private val quantileSketchSql: String =
+    """WITH o AS (SELECT o_orderstatus AS status,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |    o_orderkey AS uid,
+      |    CASE WHEN o_orderkey % 5 = 4 THEN 'batch' ELSE 'base' END AS seg
+      |  FROM orders),
+      |ranked AS (SELECT status, seg, cents, uid,
+      |    row_number() OVER (PARTITION BY status, seg
+      |                       ORDER BY cents, uid) AS rn,
+      |    count(*) OVER (PARTITION BY status, seg) AS nseg
+      |  FROM o),
+      |kept AS (SELECT status, seg, cents, uid, (nseg + 63) // 64 AS step,
+      |    CASE WHEN rn % ((nseg + 63) // 64) = 0 THEN (nseg + 63) // 64
+      |         ELSE nseg % ((nseg + 63) // 64) END AS weight
+      |  FROM ranked
+      |  WHERE rn % ((nseg + 63) // 64) = 0 OR rn = nseg),
+      |merged AS (SELECT status, cents, uid,
+      |    sum(weight) OVER (PARTITION BY status
+      |                      ORDER BY cents, uid) AS cumw
+      |  FROM kept),
+      |targets AS (SELECT status, n, pnum, (n * pnum + 99) // 100 AS rk
+      |  FROM (SELECT status, count(*)::BIGINT AS n FROM o GROUP BY 1),
+      |       (SELECT unnest([25, 50, 75]) AS pnum)),
+      |answer AS (SELECT t.status, t.pnum, t.rk AS target_rk,
+      |    min(ROW(m.cumw, m.cents, m.uid)) AS a
+      |  FROM targets t JOIN merged m ON m.status = t.status
+      |  WHERE m.cumw >= t.rk
+      |  GROUP BY 1, 2, 3),
+      |ans AS (SELECT status, pnum, target_rk,
+      |    a[2] AS k85_est_cents, a[3] AS est_uid FROM answer),
+      |bounds AS (SELECT status, sum(step)::BIGINT AS err_bound
+      |  FROM (SELECT DISTINCT status, seg, step FROM kept) GROUP BY 1),
+      |er AS (SELECT a.status, a.pnum,
+      |    sum(CASE WHEN o.cents < a.k85_est_cents
+      |             OR (o.cents = a.k85_est_cents AND o.uid <= a.est_uid)
+      |        THEN 1 ELSE 0 END)::BIGINT AS est_rank
+      |  FROM ans a JOIN o ON o.status = a.status GROUP BY 1, 2),
+      |ex AS (SELECT status, cents,
+      |    row_number() OVER (PARTITION BY status ORDER BY cents, uid) AS xrn
+      |  FROM o)
+      |SELECT a.status, a.pnum, a.k85_est_cents::BIGINT AS k85_est_cents,
+      |  x.cents AS exact_cents, a.target_rk::BIGINT AS target_rk,
+      |  er.est_rank, (er.est_rank - a.target_rk)::BIGINT AS rank_err,
+      |  b.err_bound
+      |FROM ans a
+      |JOIN er ON er.status = a.status AND er.pnum = a.pnum
+      |JOIN bounds b ON b.status = a.status
+      |JOIN ex x ON x.status = a.status AND x.xrn = a.target_rk
+      |ORDER BY a.status, a.pnum""".stripMargin
+
   /** e120's shared oracle: the raw CM counter table (the mergeable
     * state itself — j, hashed column, count), which the streamed
     * sketch must reproduce bit-for-bit whatever the micro-batch
@@ -552,12 +704,14 @@ object Sketches {
     "k81_hist_quantiles"   -> histQuantiles _,
     "k82_bloom_semijoin"   -> bloomSemijoin _,
     "k83_incr_census"      -> incrSketchCensus _,
-    "k84_hll_census"       -> hllCensus _)
+    "k84_hll_census"       -> hllCensus _,
+    "k85_quantile_sketch"  -> quantileSketch _)
 
   val oracleSql: Map[String, String] = Map(
     "k80_countmin_heavy"   -> countMinHeavySql,
     "k81_hist_quantiles"   -> histQuantilesSql,
     "k82_bloom_semijoin"   -> bloomSemijoinSql,
     "k83_incr_census"      -> incrSketchCensusSql,
-    "k84_hll_census"       -> hllCensusSql)
+    "k84_hll_census"       -> hllCensusSql,
+    "k85_quantile_sketch"  -> quantileSketchSql)
 }

@@ -117,4 +117,70 @@ class Round17Spec extends AnyFunSuite with SparkSpec {
     val p = "z1 z2 z3 z4 z5"
     assert(planted(Seq(1L -> s"$p m1 m2 $p")).isEmpty)
   }
+
+  // ------------------------------------------ k85 rank sketch
+
+  private def segFrame(rows: Seq[(String, Long, Long)],
+      segOf: Long => String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.map { case (st, c, u) => (st, c, u, segOf(u)) }
+      .toDF("status", "cents", "uid", "seg")
+  }
+
+  test("k85: each kept item's cumulative weight inside its segment equals its exact segment rank") {
+    val rnd = new scala.util.Random(85)
+    val rows = (1L to 500L).map(u => ("A", rnd.nextInt(1000).toLong, u))
+    val segOf = (u: Long) => if (u % 3 == 0) "b" else "a"
+    val kept = graft.operators.Sketches.rankSampleOf(segFrame(rows, segOf))
+      .collect()
+    kept.groupBy(_.getAs[String]("seg")).foreach { case (sg, ks) =>
+      val segSorted = rows.filter(r => segOf(r._3) == sg)
+        .map(r => (r._2, r._3)).sorted
+      var cum = 0L
+      ks.sortBy(r => (r.getAs[Long]("cents"), r.getAs[Long]("uid")))
+        .foreach { k =>
+          cum += k.getAs[Long]("weight")
+          val rank = segSorted.indexOf(
+            (k.getAs[Long]("cents"), k.getAs[Long]("uid"))) + 1
+          assert(cum == rank,
+            s"cumulative weight $cum != exact segment rank $rank in $sg")
+        }
+      assert(cum == segSorted.size,
+        "the kept set's total weight must equal the segment size")
+    }
+  }
+
+  test("k85: merged-query rank error is non-negative and strictly under the summed-step bound, for arbitrary segmentations") {
+    val rnd = new scala.util.Random(170)
+    val segmentations: Seq[Long => String] = Seq(
+      u => if (u % 5 == 4) "batch" else "base",
+      u => if (u % 2 == 0) "even" else "odd",
+      _ => "all")
+    segmentations.foreach { segOf =>
+      val rows = (1L to 800L).map(u =>
+        ((if (u % 2 == 0) "A" else "B"), rnd.nextInt(100000).toLong, u))
+      val out = graft.operators.Sketches
+        .quantileSketchOf(segFrame(rows, segOf)).collect()
+      assert(out.length == 6)
+      out.foreach { r =>
+        val (err, bound) =
+          (r.getAs[Long]("rank_err"), r.getAs[Long]("err_bound"))
+        assert(err >= 0 && err < bound,
+          s"rank error must sit in [0, bound): $r")
+      }
+    }
+  }
+
+  test("k85: the fixture estimate genuinely approximates (nonzero rank_err) and never leaves the bound") {
+    val fx = graft.operators.Sketches
+      .quantileSketch(spark, "/root/testdata/sf0.001").collect()
+    assert(fx.length == 9)
+    fx.foreach { r =>
+      val (err, bound) =
+        (r.getAs[Long]("rank_err"), r.getAs[Long]("err_bound"))
+      assert(err >= 0 && err < bound, s"bound violated: $r")
+    }
+    assert(fx.exists(_.getAs[Long]("rank_err") != 0L),
+      "a sketch that is always exact is not discriminating on the fixture")
+  }
 }
