@@ -98,6 +98,8 @@ object SkewProbe {
     }
 
     val items = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    var cmHotUniform = -1L
+    var cmHotSkewed = -1L
 
     // ---- email tier (vs the skewed-documents corpus)
     locally {
@@ -127,6 +129,86 @@ object SkewProbe {
       items += ((q, qa, qb))
     }
 
+    // ---- CM-guarded hot-key split (the k80 sketch composed into the
+    // Salting guard). Target: per-sender adjacency-list assembly —
+    // collect_list partials are size-preserving, the one aggregation
+    // family map-side combine cannot shrink, so a hot sender's rows
+    // all reach its reducer. The guard detects heavy senders from the
+    // CM table (threshold 20% — above the uniform corpus's 1/7 per-
+    // sender share, so it stays DORMANT on uniform and fires exactly
+    // on the skewed u0 at 30%; the engaged/dormant key counts are
+    // recorded in the JSON) and splits only detected keys 16 ways.
+    locally {
+      import org.apache.spark.sql.functions.{col, collect_list, flatten, size, sum}
+      graft.query.FixtureCorpus.store(spark, base).count()
+      graft.query.FixtureCorpus.store(spark, skew).count()
+      // The CM cell table is a CACHED per-corpus artifact (at 100 TB
+      // it is maintained by the ingest scan — the k83 absorb story);
+      // its one-scan build is timed below as its own warm line item,
+      // and per-query detection probes the cached 768 cells.
+      val cmTables = scala.collection.mutable.Map[
+        String, org.apache.spark.sql.DataFrame]()
+      def cmTable(dir: String): org.apache.spark.sql.DataFrame =
+        cmTables.getOrElseUpdate(dir, {
+          val toks = graft.query.FixtureCorpus.store(spark, dir)
+            .select(col("from").cast("string").as("tok"))
+          val cells = graft.operators.Sketches.cmCellsOf(toks).cache()
+          cells.count()
+          cells
+        })
+      def clearCmTables(): Unit = {
+        cmTables.values.foreach(df => { df.unpersist(); () })
+        cmTables.clear()
+      }
+      val (cwa, cwb) = interleaved(skew, _.min) { dir =>
+        clearCmTables()
+        cmTable(dir); ()
+      }
+      items += (("cache_cm_table", cwa, cwb))
+      clearCmTables(); cmTable(base); cmTable(skew)
+      // detection: O(sample) probes against the cached 768 cells —
+      // runs once per ingest BATCH in production, so it is timed as
+      // its own line item and the detected set is what every
+      // aggregation over that batch reuses
+      def detect(dir: String): Seq[String] = {
+        val cand = graft.query.FixtureCorpus.store(spark, dir)
+          .select(col("from").cast("string").as("tok"))
+          .limit(4096).distinct()
+        graft.operators.Salting
+          .cmHotKeysFrom(cmTable(dir), cand, sharePpm = 200000L)
+          .collect().map(_.getString(0)).toSeq
+      }
+      val (da, db) = interleaved(skew, median) { dir => detect(dir); () }
+      items += (("cm_detect", da, db))
+      val hotSets = Map(base -> detect(base), skew -> detect(skew))
+      cmHotUniform = hotSets(base).size.toLong
+      cmHotSkewed = hotSets(skew).size.toLong
+      def adjacency(dir: String, guarded: Boolean): Unit = {
+        val st = graft.query.FixtureCorpus.store(spark, dir)
+          .select(col("from").as("sender"), col("dedupe_key"))
+        val out =
+          if (!guarded)
+            st.groupBy("sender")
+              .agg(collect_list("dedupe_key").as("msgs"))
+          else
+            graft.operators.Salting.hotSetGuardedAggregate(
+              st, "sender", hotSets(dir), numSalts = 16,
+              partials = Seq(collect_list(col("dedupe_key")).as("__pl")),
+              finals = Seq(flatten(collect_list(col("__pl"))).as("msgs")),
+              plain = Seq(collect_list(col("dedupe_key")).as("msgs")))
+        // force full list materialization (a bare count() could prune)
+        out.agg(sum(size(col("msgs")))).head()
+        ()
+      }
+      Seq(false, true).foreach { g =>
+        val nm = if (g) "comm_adjacency_cm_guarded" else "comm_adjacency_plain"
+        val (qa, qb) = interleaved(skew, median)(dir => adjacency(dir, g))
+        items += ((nm, qa, qb))
+      }
+      clearCmTables()
+      clearStores()
+    }
+
     // max key share, measured on both corpora so the report carries
     // the actual skew (not just the generator's intent)
     def hotShare(dir: String, key: String, table: String): Double = {
@@ -144,7 +226,7 @@ object SkewProbe {
       val ratio = if (tA > 0 && tB > 0) tB / tA else -1.0
       s""""$name":{"uniform":${fmt(tA)},"skewed":${fmt(tB)},"ratio":${fmt(ratio)}}"""
     }
-    val line = s"""{"scale":"skew_rehearsal","uniform":"$base","skewed":"$skew","hot_sender_share":{"uniform":${fmt(shareA)},"skewed":${fmt(shareB)}},"ev_skewed":"$evSkew","hot_user_share":{"uniform":${fmt(userShareA)},"skewed":${fmt(userShareB)}},"interleaved":true,"items":{${itemsJson.mkString(",")}}}"""
+    val line = s"""{"scale":"skew_rehearsal","uniform":"$base","skewed":"$skew","hot_sender_share":{"uniform":${fmt(shareA)},"skewed":${fmt(shareB)}},"ev_skewed":"$evSkew","hot_user_share":{"uniform":${fmt(userShareA)},"skewed":${fmt(userShareB)}},"cm_hot_keys":{"uniform":$cmHotUniform,"skewed":$cmHotSkewed},"interleaved":true,"items":{${itemsJson.mkString(",")}}}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("SKEW_DETAIL.json"),

@@ -71,4 +71,92 @@ object Salting {
       partials = Seq(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt")),
       finals = Seq(sum("__psum").as(s"sum_$valueCol"),
         sum("__pcnt").as("n_rows")))
+
+  /** Heavy-hitter DETECTION via k80's count-min sketch (the sketch
+    * tier composed into the skew guard): candidate keys come from a
+    * bounded prefix sample (a key owning share s of the corpus is
+    * absent from a 4096-row sample with probability (1−s)^4096 — nil
+    * for any share worth splitting), their counts are estimated by
+    * probing the 768-cell CM table (min over rows — never an exact
+    * per-key count of the full key space), and keys whose estimated
+    * share reaches `sharePpm` are returned. One corpus scan builds
+    * the table; at ingest the k83-persisted CM table serves instead
+    * and detection costs O(sample) only. CM overestimates under
+    * collision, so a collision can only make the guard split an
+    * extra key — never miss a hot one. */
+  def cmHotKeys(df: DataFrame, key: String, sharePpm: Long,
+      sampleN: Int = 4096): DataFrame = {
+    val toks = df.select(col(key).cast("string").as("tok"))
+    cmHotKeysFrom(Sketches.cmCellsOf(toks), toks.limit(sampleN).distinct(),
+      sharePpm)
+  }
+
+  /** Detection against a PREBUILT CM cell table — the production
+    * shape: at 100 TB the table is maintained by the ingest scan
+    * (k83's absorb discipline keeps it current per batch) and is
+    * cached/persisted, so per-query detection costs O(sample)
+    * probes against the 768 cells, never a corpus scan. `cand` is
+    * the candidate-key frame (col `tok`). */
+  def cmHotKeysFrom(cells: DataFrame, cand: DataFrame,
+      sharePpm: Long): DataFrame = {
+    // total row count read off the sketch itself: each CM row's cells
+    // partition the corpus, so summing row j=0 is the total — the
+    // detection never re-scans the input
+    val tot = cells.filter(col("j") === 0).agg(sum("v").as("total"))
+    cells.join(broadcast(Sketches.cmProbeOf(cand)), Seq("j", "c"))
+      .groupBy("tok").agg(min("v").as("cm_est"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cm_est") * 1000000L >= col("total") * sharePpm)
+      .select(col("tok").as("__hot_key"), col("cm_est"))
+  }
+
+  /** Salted aggregation where ONLY the detected hot keys split: rows
+    * whose key is in `hotKeys` (a tiny broadcast frame from
+    * [[cmHotKeys]]) get one of `numSalts` salts, every other key
+    * keeps salt 0 — so the guard engages exactly where the sketch
+    * detected heat and the uniform-corpus plan is byte-identical
+    * work plus one broadcast-join flag test per row. Same algebraic
+    * contract as [[saltedAggregate]] (partials then finals). */
+  def hotKeySaltedAggregate(df: DataFrame, key: String,
+      hotKeys: DataFrame, numSalts: Int,
+      partials: Seq[Column], finals: Seq[Column]): DataFrame = {
+    val flagged = df.join(
+      broadcast(hotKeys.select(col("__hot_key"), lit(true).as("__hot"))),
+      df(key).cast("string") === col("__hot_key"), "left")
+    val salted = flagged.withColumn("__salt",
+      when(col("__hot"),
+        pmod(spark_partition_id() + monotonically_increasing_id(),
+          lit(numSalts)).cast("int"))
+        .otherwise(lit(0)))
+    salted.groupBy(col(key), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col(key)).agg(finals.head, finals.tail: _*)
+  }
+
+  /** The composed guard with a KNOWN hot-key set (detection runs once
+    * per ingest batch against the maintained CM table — [[cmHotKeys]]
+    * / [[cmHotKeysFrom]] — and its small result is reused by every
+    * aggregation over that batch): when nothing is hot the DORMANT
+    * path is literally the plain single-phase plan (zero overhead,
+    * not merely cheap overhead); when keys are hot, only those split
+    * across `numSalts` partial groups via an `isin` literal test
+    * (no join, stays inside codegen). `plain` is the single-phase
+    * aggregate column list producing the same output schema as
+    * `finals`. */
+  def hotSetGuardedAggregate(df: DataFrame, key: String,
+      hotSet: Seq[String], numSalts: Int,
+      partials: Seq[Column], finals: Seq[Column],
+      plain: Seq[Column]): DataFrame =
+    if (hotSet.isEmpty)
+      df.groupBy(col(key)).agg(plain.head, plain.tail: _*)
+    else {
+      val salted = df.withColumn("__salt",
+        when(col(key).cast("string").isin(hotSet: _*),
+          pmod(spark_partition_id() + monotonically_increasing_id(),
+            lit(numSalts)).cast("int"))
+          .otherwise(lit(0)))
+      salted.groupBy(col(key), col("__salt"))
+        .agg(partials.head, partials.tail: _*)
+        .groupBy(col(key)).agg(finals.head, finals.tail: _*)
+    }
 }

@@ -53,6 +53,16 @@ object Sketches {
     .select(col("s.j").as("j"), col("s.c").as("c"))
     .groupBy("j", "c").agg(count(lit(1)).as("v"))
 
+  /** The (tok, j, c) probe cells of a candidate-key frame (col `tok`)
+    * — join against [[cmCellsOf]] and take min(v) per tok for the CM
+    * estimate. Shared by k80's exact-top-10 scoring and the
+    * Salting.cmHotKeys skew guard. */
+  private[graft] def cmProbeOf(cand: DataFrame): DataFrame = cand
+    .select(col("tok"), explode(array((0 until cmDepth).map(j =>
+      struct(lit(j).as("j"), cmPos(j, col("tok"), cmWidth).as("c"))): _*))
+      .as("s"))
+    .select(col("tok"), col("s.j").as("j"), col("s.c").as("c"))
+
   /** k80: count-min heavy hitters over the document token stream.
     *
     * The sketch: a depth×width (3×256) counter table built by ONE
