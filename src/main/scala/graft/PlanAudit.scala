@@ -56,7 +56,8 @@ object PlanAudit {
       "k80_countmin_heavy", "k81_hist_quantiles", "k82_bloom_semijoin",
       "k83_incr_census", "k84_hll_census",
       "em75_hierarchy_census", "v78_kanon_audit", "g107_thread_stats",
-      "d65_substring_runs", "k85_quantile_sketch")
+      "d65_substring_runs", "k85_quantile_sketch",
+      "d66_incr_substring_dedup")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

@@ -179,7 +179,11 @@ object ScaleBench {
     // scale: the BATCH only, local per segment) + the merged ≤64·segs
     // weighted rows; the exact-rank/exact-value EVAL's per-status
     // corpus sort is the measured cost — expect k81's shape
-    "k85_quantile_sketch" -> "orders")
+    "k85_quantile_sketch" -> "orders",
+    // d66: batch windows × index fan-out; the per-call index rebuild
+    // (the em70 honesty rule — in production it is the persisted
+    // artifact) is the scan-bound majority — expect d65's shape
+    "d66_incr_substring_dedup" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

@@ -177,6 +177,13 @@ object SparkEntry {
         "e121_restart_cm_cells" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamCmCellsRestart(s, d)),
+        // streaming twin of d66: the exact-substring dedup gate on a
+        // live doc feed (frozen corpus window index, stateless
+        // RollingWindowHash64 stage, verdict at read time) — shares
+        // d66's oracle
+        "e122_stream_substring_gate" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamSubstringGate(s, d)),
         // restart-recovery proof for e114's custom Markov-counter
         // state (the fourth restart state shape) — shares e113's
         // oracle
@@ -224,5 +231,6 @@ object SparkEntry {
         "e118_restart_transitions" -> EventOps.transitionMatrixSql,
         "e119_stream_sem_gate" -> DedupOps.incrementalSemanticDedupSql,
         "e120_stream_cm_cells" -> Sketches.cmCellsSql,
+        "e122_stream_substring_gate" -> DedupOps.incrSubstringDedupSql,
         "e121_restart_cm_cells" -> Sketches.cmCellsSql)
 }

@@ -1486,14 +1486,22 @@ object DedupOps {
     * The fixture discriminates BOTH stitching axes: 26 multi-window
     * runs on the zero diagonal (consecutive-position stitching) and
     * 11 runs on nonzero diagonals (arbitrary-alignment matches). */
-  def substringRuns(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, pos, hw): the every-offset window-hash frame of a
+    * documents frame — one RollingWindowHash64 array per doc,
+    * posexploded to 1-based positions. Stateless, so the same helper
+    * serves d65/d66 batch-side and e122's stream stage. */
+  private[graft] def windowFrame(docs: DataFrame): DataFrame = {
     import graft.functions.RollingWindowHash64.rolling_window_hash64
-    val wins = documents(s, d)
+    docs
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"),
         posexplode(rolling_window_hash64(col("ts"), runWindow)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("hw"))
+  }
+
+  def substringRuns(s: SparkSession, d: String): DataFrame = {
+    val wins = windowFrame(documents(s, d))
     val hot = wins.groupBy("hw")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") > runDocCap).select("hw")
@@ -1562,6 +1570,135 @@ object DedupOps {
       |FROM isl GROUP BY doc_a, doc_b, diag, isl
       |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
 
+  // ------------------- d66 incremental substring-dedup gate (absorb)
+
+  private[ext] val runDupThreshold = 12L
+
+  /** The corpus-side window INDEX: base-segment (doc_id % 5 != 4)
+    * window hashes with the >16-docs hot hashes dropped — the
+    * standing artifact a deployment persists (the s81/s88 absorb
+    * discipline; here rebuilt per call, the em70 honesty rule). */
+  private[graft] def baseWindowIndex(s: SparkSession, d: String): DataFrame = {
+    val baseW = windowFrame(documents(s, d).filter(col("doc_id") % 5 =!= 4))
+    val hot = baseW.groupBy("hw")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > runDocCap).select("hw")
+    baseW.join(hot, Seq("hw"), "left_anti")
+      .select(col("hw"), col("doc_id").as("base_id"), col("pos").as("pa"))
+  }
+
+  /** d66's read-time epilogue over the matched-window log (doc_id,
+    * base_id, pb, pa): maximal-run stitching per (batch doc, base
+    * doc, diagonal), then the per-batch-doc verdict — shared by the
+    * batch gate and its e122 streaming twin so both hash-check
+    * against the same oracle. */
+  private[graft] def incrSubstringFinish(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
+    val isl = pairs
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pb") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id", "base_id", "diag").orderBy("pb")))
+    val runs = isl.groupBy("doc_id", "base_id", "diag", "isl")
+      .agg((count(lit(1)) + (runWindow - 1)).as("rt"))
+    // zero-row union instead of a left join: every batch doc
+    // contributes one (0, 0) seed row, runs contribute (1, rt), and
+    // one doc_id aggregation produces the census — no join to
+    // plan (one exchange), and no unique-right-key left join the
+    // optimizer could eliminate under a count-only evaluation (which
+    // would let a bench timing measure a pruned plan)
+    val seeds = documents(s, d).filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), lit(0L).as("one"), lit(0L).as("rt"))
+    seeds.unionAll(runs.select(col("doc_id"), lit(1L).as("one"), col("rt")))
+      .groupBy("doc_id")
+      .agg(sum("one").as("n_runs"), max("rt").as("best_run_tokens"))
+      .withColumn("verdict",
+        when(col("best_run_tokens") >= runDupThreshold, lit("dup"))
+          .otherwise(lit("keep")))
+      .orderBy("doc_id")
+  }
+
+  /** d66: the exact-substring dedup gate at INGEST time — before a
+    * new crawl batch (doc_id % 5 == 4, the k83/d58 absorb split)
+    * enters the corpus, every batch document is checked for maximal
+    * repeated substrings AGAINST THE STANDING CORPUS INDEX (d65's
+    * machinery, asymmetric): batch windows equi-join the base
+    * segment's capped window index, runs stitch per (batch doc, base
+    * doc, diagonal), and the verdict drops a document whose longest
+    * matched run reaches 12 tokens (boilerplate/quotation below the
+    * threshold rides along as evidence — n_runs and best_run_tokens
+    * are output columns, and all three populations are non-trivial
+    * on the fixture: 4 dup / 6 matched-keep / 90 clean at sf0.01).
+    * Per-batch work = batch windows × index fan-out — the corpus is
+    * never re-paired against itself or rescanned (d58's absorb
+    * contract at substring granularity; intra-batch duplication is
+    * d65's symmetric pass). */
+  def incrSubstringDedup(s: SparkSession, d: String): DataFrame = {
+    val batchW = windowFrame(documents(s, d).filter(col("doc_id") % 5 === 4))
+      .select(col("hw"), col("doc_id"), col("pos").as("pb"))
+    val pairs = batchW.join(baseWindowIndex(s, d), Seq("hw"))
+      .select("doc_id", "base_id", "pb", "pa")
+    incrSubstringFinish(s, d, pairs)
+  }
+
+  /** Shares d65's window-hash oracle mechanics (per-token HUGEINT
+    * folds composed by H(A⧺B) = H(A)·31^|B| + H(B)), split
+    * asymmetrically into base index / batch probe. */
+  val incrSubstringDedupSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                x -> x <> '') AS ts
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, len(ts) AS n,
+      |    list_transform(ts, t -> list_reduce(list_prepend(0::HUGEINT,
+      |        list_transform(range(1, length(t) + 1),
+      |          i -> ord(substring(t, CAST(i AS INT), 1))::HUGEINT)),
+      |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)) AS hts,
+      |    list_transform(ts, t -> list_reduce(list_prepend(32::HUGEINT,
+      |        list_transform(range(1, length(t) + 1),
+      |          i -> ord(substring(t, CAST(i AS INT), 1))::HUGEINT)),
+      |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)) AS hsts,
+      |    list_transform(ts, t -> list_reduce(
+      |        list_prepend(1::HUGEINT, range(1, length(t) + 2)),
+      |      (a, b) -> (a * 31) % 18446744073709551616::HUGEINT)) AS pwts
+      |  FROM tk),
+      |wins AS (
+      |  SELECT doc_id, i AS pos,
+      |    list_reduce(list_prepend(hts[i], range(i + 1, i + 5)),
+      |      (a, k) -> (a * pwts[CAST(k AS BIGINT)] + hsts[CAST(k AS BIGINT)])
+      |                % 18446744073709551616::HUGEINT) AS hw
+      |  FROM tok, unnest(range(1, n - 3)) AS t(i)),
+      |basew AS (SELECT * FROM wins WHERE doc_id % 5 <> 4),
+      |hot AS (
+      |  SELECT hw FROM (SELECT hw, count(DISTINCT doc_id) AS nd
+      |                  FROM basew GROUP BY 1) WHERE nd > 16),
+      |idx AS (SELECT hw, doc_id AS base_id, pos AS pa FROM basew
+      |        WHERE hw NOT IN (SELECT hw FROM hot)),
+      |batchw AS (SELECT hw, doc_id, pos AS pb FROM wins
+      |           WHERE doc_id % 5 = 4),
+      |pairs AS (
+      |  SELECT b.doc_id, i.base_id, b.pb, i.pa
+      |  FROM batchw b JOIN idx i ON i.hw = b.hw),
+      |isl AS (
+      |  SELECT doc_id, base_id, pa - pb AS diag, pb,
+      |    pb - row_number() OVER (
+      |      PARTITION BY doc_id, base_id, pa - pb ORDER BY pb) AS isl
+      |  FROM pairs),
+      |runs AS (SELECT doc_id, base_id, diag, isl,
+      |           count(*) + 4 AS rt FROM isl GROUP BY 1, 2, 3, 4),
+      |per AS (SELECT doc_id, count(*)::BIGINT AS n_runs,
+      |          max(rt)::BIGINT AS best_run_tokens FROM runs GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(per.n_runs, 0)::BIGINT AS n_runs,
+      |  coalesce(per.best_run_tokens, 0)::BIGINT AS best_run_tokens,
+      |  CASE WHEN coalesce(per.best_run_tokens, 0) >= 12
+      |       THEN 'dup' ELSE 'keep' END AS verdict
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+      |LEFT JOIN per ON per.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_exact_dedup"    -> exactDedup _,
     "d51_jaccard_pairs"  -> jaccardPairs _,
@@ -1580,6 +1717,7 @@ object DedupOps {
     "d63_semantic_decontam" -> semanticDecontam _,
     "d64_incr_semantic_dedup" -> incrementalSemanticDedup _,
     "d65_substring_runs" -> substringRuns _,
+    "d66_incr_substring_dedup" -> incrSubstringDedup _,
     "t49_decontamination" -> decontamination _,
     "t68_passage_decontam" -> passageDecontam _,
     "t57_corpus_funnel"  -> corpusFunnel _,
@@ -1603,6 +1741,7 @@ object DedupOps {
     "d63_semantic_decontam" -> semanticDecontamSql,
     "d64_incr_semantic_dedup" -> incrementalSemanticDedupSql,
     "d65_substring_runs" -> substringRunsSql,
+    "d66_incr_substring_dedup" -> incrSubstringDedupSql,
     "t49_decontamination" -> decontaminationSql,
     "t68_passage_decontam" -> passageDecontamSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,

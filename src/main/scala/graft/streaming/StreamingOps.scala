@@ -1153,6 +1153,40 @@ object StreamingOps {
       matchLog.groupBy("n_id", "c_id").agg(count(lit(1)).as("inter")))
   }
 
+  /** e122: d66's STREAMING twin — the exact-substring dedup gate on a
+    * live document feed: the corpus's capped window INDEX (d66's
+    * base-segment artifact) is built batch-side as the static join
+    * side, the stream's new-crawl docs (doc_id % 5 == 4, filtered IN
+    * the stream) flow through the STATELESS window stage — one
+    * codegen'd RollingWindowHash64 array per doc, posexploded — into
+    * the stream-static equi-join on the window hash, and each matched
+    * (batch doc, base doc, positions) window lands as one row in the
+    * exactly-once file sink. Maximal-run stitching and the per-doc
+    * keep/drop verdict are d66's read-time epilogue, so the drained
+    * log hash-checks against d66's oracle. Zero streaming state; at
+    * scale each incoming document is gated against the persisted
+    * index at source throughput — per-batch work is the batch's
+    * window fan-out, never corpus size (d58→e109's contract at
+    * substring granularity). */
+  def streamSubstringGate(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val idx = graft.ext.DedupOps.baseWindowIndex(spark, d)
+    val pairLog = drainToFileSink(spark, "e122", nIn) {
+      graft.ext.DedupOps.windowFrame(
+        spark.readStream
+          .schema(documentsSchema)
+          .parquet(stageDir)
+          .filter(col("doc_id") % 5 === 4))
+        .select(col("hw"), col("doc_id"), col("pos").as("pb"))
+        .join(idx, Seq("hw"))
+        .select("doc_id", "base_id", "pb", "pa")
+    }
+    graft.ext.DedupOps.incrSubstringFinish(spark, d, pairLog)
+  }
+
   /** e110: v75's STREAMING twin — JSONL quarantine ingest on a live
     * feed (the Kafka-consumer shape of corpus intake): the staged
     * JSONL corpus (documents + 3 planted malformed lines) arrives as

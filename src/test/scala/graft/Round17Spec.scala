@@ -171,6 +171,46 @@ class Round17Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ------------------------------------------ d66 ingest gate
+
+  /** Run d66 over a planted documents table; rows as
+    * (doc_id, n_runs, best_run_tokens, verdict). doc_id % 5 == 4 is
+    * the batch segment, everything else the standing corpus. */
+  private def plantedGate(
+      docs: Seq[(Long, String)]): Seq[(Long, Long, Long, String)] = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-d66-spec").toString
+    try {
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      DedupOps.incrSubstringDedup(spark, dir).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    } finally Fs.deleteTree(dir)
+  }
+
+  test("d66: the 12-token threshold pins the verdict — a 12-token matched run drops, 11 keeps") {
+    val r12 = (1 to 12).map(i => s"r$i").mkString(" ")
+    assert(plantedGate(Seq(
+      1L -> s"b1 b2 $r12 b3", 4L -> s"x1 $r12 x2"))
+      == Seq((4L, 1L, 12L, "dup")))
+    val r11 = (1 to 11).map(i => s"r$i").mkString(" ")
+    assert(plantedGate(Seq(
+      1L -> s"b1 b2 $r11 b3", 4L -> s"x1 $r11 x2"))
+      == Seq((4L, 1L, 11L, "keep")))
+  }
+
+  test("d66: clean batch docs keep with zero runs, and batch-vs-batch repeats are not the gate's business") {
+    val s15 = (1 to 15).map(i => s"s$i").mkString(" ")
+    assert(plantedGate(Seq(
+      1L -> s"$s15 a1", 2L -> s"c1 $s15", 9L -> "q1 q2 q3 q4 q5 q6"))
+      == Seq((9L, 0L, 0L, "keep")),
+      "base-vs-base repeats must not leak into the batch verdict")
+    assert(plantedGate(Seq(4L -> s"$s15 y1", 9L -> s"z1 $s15"))
+      == Seq((4L, 0L, 0L, "keep"), (9L, 0L, 0L, "keep")),
+      "the gate is batch-vs-corpus; intra-batch dup is d65's symmetric pass")
+  }
+
   // ------------------------------------------ CM-guarded skew split
 
   test("skew guard: cmHotKeys detects exactly the planted hot key, stays dormant below threshold, and the guarded aggregate equals the plain one") {
