@@ -135,6 +135,20 @@ object ScaleDecade {
         items += "k80_countmin_heavy" -> Bench.median3(() => {
           SparkEntry.queries("k80_countmin_heavy")(spark, dir)
             .count(); () })
+      // d65/d66 (round 12, documents-only): the substring tier's
+      // first-decade exponents are 0.76/0.65 — the second decade
+      // watches the shared-hash pair volume for curvature (the
+      // regenerated corpus keeps the dup-pair rate, so matched pairs
+      // should stay ~linear in docs; a super-linear bend here would
+      // mean the DF cap needs to tighten with corpus size)
+      if (want("d65_substring_runs"))
+        items += "d65_substring_runs" -> Bench.median3(() => {
+          SparkEntry.queries("d65_substring_runs")(spark, dir)
+            .count(); () })
+      if (want("d66_incr_substring_dedup"))
+        items += "d66_incr_substring_dedup" -> Bench.median3(() => {
+          SparkEntry.queries("d66_incr_substring_dedup")(spark, dir)
+            .count(); () })
       graft.ext.DedupOps.clearCaches()
       items.toSeq
     }
