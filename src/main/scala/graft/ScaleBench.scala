@@ -183,7 +183,12 @@ object ScaleBench {
     // d66: batch windows × index fan-out; the per-call index rebuild
     // (the em70 honesty rule — in production it is the persisted
     // artifact) is the scan-bound majority — expect d65's shape
-    "d66_incr_substring_dedup" -> "docs")
+    "d66_incr_substring_dedup" -> "docs",
+    // d67: rides the cached d52 signature + d51 pair frames; its own
+    // work is the 4-setting bucket self-join whose volume is the
+    // banding-collision structure (the b8r1 row dominates) — expect
+    // pair-bounded serve-side time
+    "d67_lsh_banding_eval" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

@@ -1570,6 +1570,109 @@ object DedupOps {
       |FROM isl GROUP BY doc_a, doc_b, diag, isl
       |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
 
+  // --------------------------------- d67 LSH banding sensitivity eval
+
+  private val bandingSettings = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+
+  /** d67: the (bands, rows-per-band) knob of d52's banded LSH,
+    * MEASURED — the s63/s65/s72 recall-eval discipline applied to the
+    * dedup tier's one free parameter. Every (b, r) factorization of
+    * the SAME 8-component MinHash signature generates its own
+    * candidate set (band key = md5 of the band's r components — one
+    * 64-bit key whatever r, so all four bandings ride ONE
+    * (setting, band, key) self-join), scored against the exact ≥0.5
+    * near-dup truth (d51's scored pairs — candidate generation by
+    * shingle co-occurrence, independent of any banding, so no
+    * circularity). Detection probability is 1−(1−s^r)^b; the fixture
+    * table shows the whole trade: (1,8) misses true pairs (recall
+    * < 1), (8,1) pays ~30× the candidate budget for zero recall gain
+    * over the production (4,2), which sits at the knee. At 100 TB
+    * this table (rebuilt on a sample) is the evidence for moving the
+    * knob as the corpus's similarity distribution drifts; the
+    * candidate count column is the cost axis because candidates are
+    * exactly what the downstream verify stage pays for. */
+  def lshBandingEval(s: SparkSession, d: String): DataFrame = {
+    val (sigs, _, _) = lshPipeline(s, d,
+      shardDict = estShingles(s, d) > dictBroadcastCeiling)
+    val buckets = bandingSettings.map { case (b, r) =>
+      val rows = (1 to b).map { bnd =>
+        struct(lit(s"b${b}r$r").as("skey"), lit(bnd).as("band"),
+          md5Long(concat_ws(":",
+            ((bnd - 1) * r + 1 to bnd * r)
+              .map(j => col(s"h$j").cast("string")): _*)).as("k"))
+      }
+      sigs.select(col("doc_id"), explode(array(rows: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.skey").as("skey"),
+          col("bk.band").as("band"), col("bk.k").as("k"))
+    }.reduce(_ unionAll _)
+    val cands = buckets.toDF("i", "skey", "band", "k")
+      .join(buckets.toDF("j", "skey", "band", "k"), Seq("skey", "band", "k"))
+      .filter(col("i") < col("j"))
+      .select("skey", "i", "j").distinct()
+    val truth = nearDupPairs(s, d).toDF("i", "j")
+    val tn = truth.agg(count(lit(1)).as("truth_pairs"))
+    val settingsDf = s.range(1).select(explode(array(
+        bandingSettings.map { case (b, r) =>
+          struct(lit(s"b${b}r$r").as("skey"), lit(b).as("bands"),
+            lit(r).as("rows_per_band")) }: _*)).as("x"))
+      .select(col("x.skey").as("skey"), col("x.bands").as("bands"),
+        col("x.rows_per_band").as("rows_per_band"))
+    // zero-row seeds + union + one aggregate (the d66 lesson: a left
+    // join against a unique-key aggregate is count-prunable)
+    val tagged = settingsDf
+      .select(col("skey"), lit(0L).as("cnt"), lit(0L).as("fnd"))
+      .unionAll(cands.select(col("skey"),
+        lit(1L).as("cnt"), lit(0L).as("fnd")))
+      .unionAll(cands.join(truth, Seq("i", "j"))
+        .select(col("skey"), lit(0L).as("cnt"), lit(1L).as("fnd")))
+    tagged.groupBy("skey")
+      .agg(sum("cnt").as("n_candidates"), sum("fnd").as("found_pairs"))
+      .join(settingsDf, Seq("skey"))
+      .crossJoin(broadcast(tn))
+      .withColumn("recall_ppm",
+        expr("(found_pairs * 1000000) div truth_pairs"))
+      .select("skey", "bands", "rows_per_band", "n_candidates",
+        "truth_pairs", "found_pairs", "recall_ppm")
+      .orderBy("rows_per_band")
+  }
+
+  lazy val lshBandingEvalSql: String = {
+    val hashExprs = (1 to numHashes).map { j =>
+      s"min(('0x' || substr(md5('$j:' || shingle), 1, 15))::BIGINT) AS h$j"
+    }.mkString(", ")
+    val bucketSelects = bandingSettings.flatMap { case (b, r) =>
+      (1 to b).map { bnd =>
+        val comps = ((bnd - 1) * r + 1 to bnd * r)
+          .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || ':' || ")
+        s"SELECT doc_id, 'b${b}r$r' AS skey, $bnd AS band, " +
+          s"('0x' || substr(md5($comps), 1, 15))::BIGINT AS k FROM sigs"
+      }
+    }.mkString(" UNION ALL ")
+    val settingRows = bandingSettings
+      .map { case (b, r) => s"('b${b}r$r', $b, $r)" }.mkString(", ")
+    s"""WITH sh AS ($shingleRowsSql),
+      |sigs AS (SELECT doc_id, $hashExprs FROM sh GROUP BY doc_id),
+      |bkts AS ($bucketSelects),
+      |cand AS (SELECT DISTINCT a.skey, a.doc_id i, b.doc_id j
+      |  FROM bkts a JOIN bkts b ON a.skey = b.skey AND a.band = b.band
+      |    AND a.k = b.k AND a.doc_id < b.doc_id),
+      |truth AS (SELECT doc_a i, doc_b j FROM ($jaccardPairsSql)),
+      |tn AS (SELECT count(*)::BIGINT AS truth_pairs FROM truth),
+      |st(skey, bands, rows_per_band) AS (VALUES $settingRows)
+      |SELECT st.skey, st.bands, st.rows_per_band,
+      |  (SELECT count(*) FROM cand c WHERE c.skey = st.skey)::BIGINT
+      |    AS n_candidates,
+      |  (SELECT truth_pairs FROM tn) AS truth_pairs,
+      |  (SELECT count(*) FROM cand c JOIN truth t
+      |     ON t.i = c.i AND t.j = c.j
+      |   WHERE c.skey = st.skey)::BIGINT AS found_pairs,
+      |  ((SELECT count(*) FROM cand c JOIN truth t
+      |      ON t.i = c.i AND t.j = c.j
+      |    WHERE c.skey = st.skey) * 1000000
+      |   // (SELECT truth_pairs FROM tn))::BIGINT AS recall_ppm
+      |FROM st ORDER BY rows_per_band""".stripMargin
+  }
+
   // ------------------- d66 incremental substring-dedup gate (absorb)
 
   private[ext] val runDupThreshold = 12L
@@ -1718,6 +1821,7 @@ object DedupOps {
     "d64_incr_semantic_dedup" -> incrementalSemanticDedup _,
     "d65_substring_runs" -> substringRuns _,
     "d66_incr_substring_dedup" -> incrSubstringDedup _,
+    "d67_lsh_banding_eval" -> lshBandingEval _,
     "t49_decontamination" -> decontamination _,
     "t68_passage_decontam" -> passageDecontam _,
     "t57_corpus_funnel"  -> corpusFunnel _,
@@ -1742,6 +1846,7 @@ object DedupOps {
     "d64_incr_semantic_dedup" -> incrementalSemanticDedupSql,
     "d65_substring_runs" -> substringRunsSql,
     "d66_incr_substring_dedup" -> incrSubstringDedupSql,
+    "d67_lsh_banding_eval" -> lshBandingEvalSql,
     "t49_decontamination" -> decontaminationSql,
     "t68_passage_decontam" -> passageDecontamSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,

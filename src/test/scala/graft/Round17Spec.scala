@@ -171,6 +171,29 @@ class Round17Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ------------------------------------------ d67 banding eval
+
+  test("d67: candidates and recall are monotone in rows-per-band, and the production (4,2) holds full recall under the fixture") {
+    val rows = graft.ext.DedupOps
+      .lshBandingEval(spark, "/root/testdata/sf0.001").collect()
+      .sortBy(_.getAs[Int]("rows_per_band"))
+    assert(rows.length == 4)
+    val cands = rows.map(_.getAs[Long]("n_candidates")).toSeq
+    val recall = rows.map(_.getAs[Long]("recall_ppm")).toSeq
+    // looser banding (smaller r) can only ADD band-collision chances:
+    // candidate sets are supersets going up the table, recall likewise
+    assert(cands == cands.sorted.reverse,
+      s"candidates must be non-increasing in r: $cands")
+    assert(recall == recall.sorted.reverse,
+      s"recall must be non-increasing in r: $recall")
+    val prod = rows.find(r => r.getAs[Int]("bands") == 4).get
+    assert(prod.getAs[Long]("recall_ppm") == 1000000L,
+      "the production (4,2) banding must hold full recall on the fixture")
+    assert(prod.getAs[Long]("n_candidates")
+      < rows.find(_.getAs[Int]("bands") == 8).get.getAs[Long]("n_candidates"),
+      "(4,2) must be strictly cheaper than (8,1) for the eval to justify the knob")
+  }
+
   // ------------------------------------------ d66 ingest gate
 
   /** Run d66 over a planted documents table; rows as
