@@ -37,6 +37,29 @@ class Round17Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rolling_window_hash64: multibyte UTF-8 tokens hash byte-correctly (the prefix/power tables are byte-indexed, not char-indexed)") {
+    val toks = Seq("héllo", "wörld", "日本語", "ascii", "emoji😀x")
+    (1 to 4).foreach { w =>
+      val got = RollingWindowHash64.windows(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+            .toArray[Any]), w)
+      val exp = (0 to toks.size - w).map(i => RollingHash64.reference(
+        toks.slice(i, i + w).mkString(" ").getBytes("UTF-8")))
+      assert(got.toLongArray().toSeq == exp,
+        s"w=$w multibyte window extraction diverged from rehash")
+    }
+  }
+
+  test("rolling_window_hash64: a null token element hashes as the empty string (documented contract)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), null, UTF8String.fromString("b")))
+    val got = RollingWindowHash64.windows(arr, 3).toLongArray().toSeq
+    assert(got == Seq(RollingHash64.reference("a  b".getBytes("UTF-8"))),
+      "null element must behave as an empty token between two separators")
+  }
+
   test("rolling_window_hash64: codegen path through a DataFrame matches the reference; short docs yield no windows") {
     import spark.implicits._
     val df = Seq((1L, "aa bb cc dd ee ff"), (2L, "x y"), (3L, ""))
