@@ -292,8 +292,19 @@ object Bench {
     // store/models) and rebuilds from scratch in the same JVM; the JIT
     // pre-warm above has already compiled the heavy paths, so run 1
     // carries no first-build compilation bias vs runs 2-3.
+    // Per-entry start offsets (seconds since this point, monotonic):
+    // a driver rerun CLUSTER (round 12: q08–q11+q20, contiguous) could
+    // only be read as "one ambient window" by inference; with each
+    // entry's wall position recorded, a future cluster is attributable
+    // mechanically — rerun names sharing one narrow offset band = one
+    // ambient window, scattered offsets = something real.
+    val benchT0 = System.nanoTime()
+    val started = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def markStart(name: String): Unit =
+      started(name) = (System.nanoTime() - benchT0) / 1e9
     val cacheRuns: Seq[(String, (Double, Boolean))] = cacheDefs.map {
       case (name, warm, clear) =>
+        markStart(name)
         var best = Double.MaxValue
         var ok = true
         var i = 0
@@ -324,6 +335,7 @@ object Bench {
       cacheRuns.collect { case (k, (t, true)) => k -> t }
     val queryTimes: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        markStart(name)
         val run = () => { fn(spark, sfDir).count(); () }
         var t = median3(run)
         if (inflated(t, committed.getOrElse(name, -1.0))) {
@@ -399,8 +411,10 @@ object Bench {
     // and printed last.
     val qsAll = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val startedJson = started.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"detail":"per_query_seconds","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson$baselineJson,"failed":$failedJson,"rerun":$rerunJson,"queries":$qsAll,"sf":"$sfDir"}"""
+      s"""{"detail":"per_query_seconds","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson$baselineJson,"failed":$failedJson,"rerun":$rerunJson,"queries":$qsAll,"started":$startedJson,"sf":"$sfDir"}"""
     println(detail)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),

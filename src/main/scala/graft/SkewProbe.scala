@@ -100,6 +100,8 @@ object SkewProbe {
     val items = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
     var cmHotUniform = -1L
     var cmHotSkewed = -1L
+    var winHotVolumeMb = -1.0
+    var winGateEngaged = false
 
     // ---- email tier (vs the skewed-documents corpus)
     locally {
@@ -171,9 +173,9 @@ object SkewProbe {
       // its own line item and the detected set is what every
       // aggregation over that batch reuses
       def detect(dir: String): Seq[String] = {
-        val cand = graft.query.FixtureCorpus.store(spark, dir)
-          .select(col("from").cast("string").as("tok"))
-          .limit(4096).distinct()
+        val cand = graft.operators.Salting.candidateSample(
+          graft.query.FixtureCorpus.store(spark, dir)
+            .select(col("from").cast("string").as("tok")))
         graft.operators.Salting
           .cmHotKeysFrom(cmTable(dir), cand, sharePpm = 200000L)
           .collect().map(_.getString(0)).toSeq
@@ -205,7 +207,120 @@ object SkewProbe {
         val (qa, qb) = interleaved(skew, median)(dir => adjacency(dir, g))
         items += ((nm, qa, qb))
       }
+
+      // ---- the BENEFIT gate (round-12 verdict item 2): detection
+      // firing is necessary but not sufficient — the engaged split
+      // was measured SLOWER here at sf1 (small payloads: the extra
+      // exchange outweighs the straggler it relieves). Three rows pin
+      // the gate's three regimes:
+      //  1. gated-off-when-unprofitable: on THIS corpus (30% hot,
+      //     ~12-byte dedupe_key payload ≈ 2 MB hot volume) the gate
+      //     must return the literal plain plan — ratio ≈ plain's;
+      //  2. win regime: a 60%-share corpus with body-sized payloads
+      //     (hot volume ≈ 100+ MB) where the ENGAGED split must beat
+      //     the plain single-phase plan;
+      //  3. the gate on the win corpus picks the engaged plan (same
+      //     detection + volume inputs, opposite verdict to row 1).
+      def detectEst(dir: String): Seq[(String, Long)] = {
+        val cand = graft.operators.Salting.candidateSample(
+          graft.query.FixtureCorpus.store(spark, dir)
+            .select(col("from").cast("string").as("tok")))
+        graft.operators.Salting
+          .cmHotKeysFrom(cmTable(dir), cand, sharePpm = 200000L)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      }
+      def avgPayload(dir: String, c: String): Long = {
+        import org.apache.spark.sql.functions.{avg, length}
+        val v = graft.query.FixtureCorpus.store(spark, dir)
+          .agg(avg(length(col(c)))).head().getDouble(0)
+        math.max(1L, math.round(v))
+      }
+      // row 1: the gate on the loss regime — must pick the plain
+      // plan. Detection + payload-width inputs are precomputed (the
+      // cm_detect discipline: they amortize per ingest batch, never
+      // per aggregation), so the timed run is the gate verdict + the
+      // chosen plan alone.
+      val hotEsts = Map(base -> detectEst(base), skew -> detectEst(skew))
+      val keyBytes = Map(base -> avgPayload(base, "dedupe_key"),
+        skew -> avgPayload(skew, "dedupe_key"))
+      def adjacencyGated(dir: String): Unit = {
+        val st = graft.query.FixtureCorpus.store(spark, dir)
+          .select(col("from").as("sender"), col("dedupe_key").as("p"))
+        val out = graft.operators.Salting.gatedHotSetAggregate(
+          st, "sender", hotEsts(dir), keyBytes(dir),
+          sizePreserving = true, numSalts = 16,
+          partials = Seq(collect_list(col("p")).as("__pl")),
+          finals = Seq(flatten(collect_list(col("__pl"))).as("msgs")),
+          plain = Seq(collect_list(col("p")).as("msgs")))
+        out.agg(sum(size(col("msgs")))).head()
+        ()
+      }
+      locally {
+        val (qa, qb) = interleaved(skew, median)(adjacencyGated)
+        items += (("comm_adjacency_gated", qa, qb))
+      }
       clearCmTables()
+      clearStores()
+    }
+
+    // ---- win-regime rehearsal: 60%-share corpus, body payloads
+    locally {
+      import org.apache.spark.sql.functions.{avg, col, collect_list,
+        flatten, length, size, sum}
+      val skew6 = args.lift(3).getOrElse("/tmp/graft-sf1-skew6")
+      if (!new java.io.File(s"$skew6/documents.parquet").exists())
+        ScaleGen.generateSkewed(spark, base, skew6, share = 0.6)
+      graft.query.FixtureCorpus.store(spark, skew6).count()
+      val cells = graft.operators.Sketches.cmCellsOf(
+        graft.query.FixtureCorpus.store(spark, skew6)
+          .select(col("from").cast("string").as("tok"))).cache()
+      cells.count()
+      val cand = graft.operators.Salting.candidateSample(
+        graft.query.FixtureCorpus.store(spark, skew6)
+          .select(col("from").cast("string").as("tok")))
+      val hotEst = graft.operators.Salting
+        .cmHotKeysFrom(cells, cand, sharePpm = 200000L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val bodyBytes = {
+        val v = graft.query.FixtureCorpus.store(spark, skew6)
+          .agg(avg(length(col("body")))).head().getDouble(0)
+        math.max(1L, math.round(v))
+      }
+      def bodyAdjacency(engaged: Boolean): Unit = {
+        val st = graft.query.FixtureCorpus.store(spark, skew6)
+          .select(col("from").as("sender"), col("body"))
+        val out =
+          if (!engaged)
+            st.groupBy("sender").agg(collect_list("body").as("msgs"))
+          else
+            graft.operators.Salting.gatedHotSetAggregate(
+              st, "sender", hotEst, bodyBytes,
+              sizePreserving = true, numSalts = 16,
+              partials = Seq(collect_list(col("body")).as("__pl")),
+              finals = Seq(flatten(collect_list(col("__pl"))).as("msgs")),
+              plain = Seq(collect_list(col("body")).as("msgs")))
+        out.agg(sum(size(col("msgs")))).head()
+        ()
+      }
+      // interleaved plain/engaged pairs on the SAME corpus (the A/B
+      // here is the PLAN, not the data)
+      val sa = scala.collection.mutable.ArrayBuffer[Double]()
+      val sb = scala.collection.mutable.ArrayBuffer[Double]()
+      var i = 0
+      while (i < 3) {
+        sa += timeOne(bodyAdjacency(engaged = false))
+        sb += timeOne(bodyAdjacency(engaged = true))
+        i += 1
+      }
+      def red(xs: Seq[Double]) =
+        if (xs.exists(_ <= 0)) -1.0 else median(xs.toSeq)
+      items += (("adjacency_body_plain_vs_engaged", red(sa.toSeq),
+        red(sb.toSeq)))
+      val maxEst = if (hotEst.isEmpty) 0L else hotEst.map(_._2).max
+      winHotVolumeMb = maxEst.toDouble * bodyBytes / (1 << 20)
+      winGateEngaged = graft.operators.Salting
+        .splitPays(maxEst, bodyBytes, sizePreserving = true)
+      cells.unpersist()
       clearStores()
     }
 
@@ -226,7 +341,7 @@ object SkewProbe {
       val ratio = if (tA > 0 && tB > 0) tB / tA else -1.0
       s""""$name":{"uniform":${fmt(tA)},"skewed":${fmt(tB)},"ratio":${fmt(ratio)}}"""
     }
-    val line = s"""{"scale":"skew_rehearsal","uniform":"$base","skewed":"$skew","hot_sender_share":{"uniform":${fmt(shareA)},"skewed":${fmt(shareB)}},"ev_skewed":"$evSkew","hot_user_share":{"uniform":${fmt(userShareA)},"skewed":${fmt(userShareB)}},"cm_hot_keys":{"uniform":$cmHotUniform,"skewed":$cmHotSkewed},"interleaved":true,"items":{${itemsJson.mkString(",")}}}"""
+    val line = s"""{"scale":"skew_rehearsal","uniform":"$base","skewed":"$skew","hot_sender_share":{"uniform":${fmt(shareA)},"skewed":${fmt(shareB)}},"ev_skewed":"$evSkew","hot_user_share":{"uniform":${fmt(userShareA)},"skewed":${fmt(userShareB)}},"cm_hot_keys":{"uniform":$cmHotUniform,"skewed":$cmHotSkewed},"win_regime":{"hot_volume_mb":${fmt(winHotVolumeMb)},"gate_engaged":$winGateEngaged},"interleaved":true,"items":{${itemsJson.mkString(",")}}}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("SKEW_DETAIL.json"),

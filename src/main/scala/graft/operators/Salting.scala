@@ -72,11 +72,30 @@ object Salting {
       finals = Seq(sum("__psum").as(s"sum_$valueCol"),
         sum("__pcnt").as("n_rows")))
 
+  /** Candidate keys for hot-key detection: the first ~`sampleN` rows
+    * of the frame taken PER PARTITION (⌈sampleN / partitions⌉ each,
+    * floor 8), distinct'd. Never a bare `limit(sampleN)` — limit takes
+    * a partition-PREFIX, so on data clustered by the key (the typical
+    * layout after ingest partitioning) a global limit can read one
+    * partition's single key and silently miss every hot key. The
+    * per-partition take covers both layouts: key-clustered data gives
+    * a share-s key ≥ s of the partitions' prefixes (it fills whole
+    * partitions), and exchangeable data keeps the (1−s)^sampleN miss
+    * bound of a uniform sample. Cost stays O(sample): each task stops
+    * after its take. */
+  def candidateSample(toks: DataFrame, sampleN: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val per = math.max(8, sampleN / math.max(1, toks.rdd.getNumPartitions))
+    toks.select(col("tok")).as(Encoders.STRING)
+      .mapPartitions(_.take(per))(Encoders.STRING)
+      .toDF("tok").distinct()
+  }
+
   /** Heavy-hitter DETECTION via k80's count-min sketch (the sketch
     * tier composed into the skew guard): candidate keys come from a
-    * bounded prefix sample (a key owning share s of the corpus is
-    * absent from a 4096-row sample with probability (1−s)^4096 — nil
-    * for any share worth splitting), their counts are estimated by
+    * bounded per-partition sample ([[candidateSample]] — a key owning
+    * share s of the corpus cannot hide from it under any layout),
+    * their counts are estimated by
     * probing the 768-cell CM table (min over rows — never an exact
     * per-key count of the full key space), and keys whose estimated
     * share reaches `sharePpm` are returned. One corpus scan builds
@@ -87,7 +106,7 @@ object Salting {
   def cmHotKeys(df: DataFrame, key: String, sharePpm: Long,
       sampleN: Int = 4096): DataFrame = {
     val toks = df.select(col(key).cast("string").as("tok"))
-    cmHotKeysFrom(Sketches.cmCellsOf(toks), toks.limit(sampleN).distinct(),
+    cmHotKeysFrom(Sketches.cmCellsOf(toks), candidateSample(toks, sampleN),
       sharePpm)
   }
 
@@ -96,7 +115,9 @@ object Salting {
     * (k83's absorb discipline keeps it current per batch) and is
     * cached/persisted, so per-query detection costs O(sample)
     * probes against the 768 cells, never a corpus scan. `cand` is
-    * the candidate-key frame (col `tok`). */
+    * the candidate-key frame (col `tok`) and must be a REPRESENTATIVE
+    * sample — build it with [[candidateSample]], not `limit()` (a
+    * partition-prefix that misses hot keys on key-clustered data). */
   def cmHotKeysFrom(cells: DataFrame, cand: DataFrame,
       sharePpm: Long): DataFrame = {
     // total row count read off the sketch itself: each CM row's cells
@@ -159,4 +180,55 @@ object Salting {
         .agg(partials.head, partials.tail: _*)
         .groupBy(col(key)).agg(finals.head, finals.tail: _*)
     }
+
+  /** BENEFIT predicate for ENGAGING the hot-key split — detection
+    * saying "hot" is necessary but not sufficient (round-12 SKEW
+    * measurement: the engaged split was SLOWER than the plain plan on
+    * a 30%-hot corpus with ~20-byte payloads, 0.124 → 0.187 s at sf1,
+    * because the extra exchange's fixed cost outweighed the straggler
+    * it relieved). Splitting pays only when BOTH hold:
+    *
+    *  - the aggregate is SIZE-PRESERVING (collect_list / collect_set
+    *    shapes). For a shrinking (algebraic) aggregate — sum / count /
+    *    min / max / sketch merges — Spark's map-side partial
+    *    aggregation already collapses the hot key to ≤ one row per
+    *    map task before the exchange, so no reducer ever sees the hot
+    *    key's raw rows and a salt split only adds a stage (the SKEW
+    *    email tier measures exactly this: skew-neutral 0.85–1.14
+    *    ratios without any guard);
+    *  - the hot key's reducer-side volume — CM-estimated rows × the
+    *    average payload width — reaches `splitBytesThreshold`. Below
+    *    it, the single straggler task finishes inside the extra
+    *    exchange's fixed cost; above it, phase 1's per-row shuffle
+    *    processing (the dominant per-element cost) spreads over
+    *    `numSalts` tasks while phase 2 pays only a bulk array merge
+    *    of the same bytes. The default threshold (64 MB) sits above
+    *    the measured loss regime (~7 MB hot volume) and below a
+    *    single-task spill bound; SKEW_DETAIL carries the measured win
+    *    regime.
+    *
+    * The inputs are exactly what detection already holds: `cm_est`
+    * rides out of [[cmHotKeysFrom]], and the payload width is one
+    * `avg(length(col))` over the SAME bounded candidate sample. */
+  def splitPays(cmEstRows: Long, avgPayloadBytes: Long,
+      sizePreserving: Boolean,
+      splitBytesThreshold: Long = 64L << 20): Boolean =
+    sizePreserving && cmEstRows * avgPayloadBytes >= splitBytesThreshold
+
+  /** [[hotSetGuardedAggregate]] behind the [[splitPays]] gate: hot
+    * keys whose estimated reducer-side volume does not justify a
+    * split are dropped from the hot set BEFORE the plan is built —
+    * detection fires on share alone, engagement only where splitting
+    * pays, and with nothing left to split the dormant path returns
+    * the literal plain single-phase plan. `hotEst` is (key, cm_est)
+    * as returned by [[cmHotKeysFrom]]. */
+  def gatedHotSetAggregate(df: DataFrame, key: String,
+      hotEst: Seq[(String, Long)], avgPayloadBytes: Long,
+      sizePreserving: Boolean, numSalts: Int,
+      partials: Seq[Column], finals: Seq[Column], plain: Seq[Column],
+      splitBytesThreshold: Long = 64L << 20): DataFrame =
+    hotSetGuardedAggregate(df, key,
+      hotEst.collect { case (k, est) if splitPays(est, avgPayloadBytes,
+        sizePreserving, splitBytesThreshold) => k },
+      numSalts, partials, finals, plain)
 }

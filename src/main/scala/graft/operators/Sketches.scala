@@ -232,13 +232,22 @@ object Sketches {
     * independent of m (a production filter sized for a million-key
     * dim side needs m in the millions, where the O(m) scan is fatal
     * and the packed probe is unchanged). */
-  def bloomSemijoin(s: SparkSession, d: String): DataFrame = {
+  def bloomSemijoin(s: SparkSession, d: String): DataFrame =
+    bloomSemijoinFor(s, d, "EUROPE")
+
+  /** The region name is a parameter so Round18Spec can drive the
+    * EMPTY-dim edge (a region matching no supplier) through the
+    * identical plan: the seeded word map then yields an all-zero
+    * filter and every group returns with cand_rows = 0 — never an
+    * annihilated (empty) result. */
+  private[graft] def bloomSemijoinFor(s: SparkSession, d: String,
+      regionName: String): DataFrame = {
     def posOf(j: Int, key: Column, m: Column) =
       md5Long(concat(lit(s"$j:"), key.cast("string"))) % m
     val dim = Tables.supplier(s, d)
       .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
-      .filter(col("r_name") === "EUROPE")
+      .filter(col("r_name") === regionName)
       .select("s_suppkey").distinct()
     // m = 2^bitlen(16·ndv − 1): smallest power of two ≥ 16·ndv
     // (bitlen via length(bin(x)) — the k84 cross-engine primitive),
@@ -250,15 +259,20 @@ object Sketches {
     // pack set positions into m/64 bit_or'd words, then materialize
     // the FULL positional word array (absent words = 0) so the probe
     // is a direct element_at — the sequence/transform runs once on
-    // the 1-row singleton, never per fact row
-    val bits = dim.crossJoin(broadcast(sized))
+    // the 1-row singleton, never per fact row. The word map is a
+    // GLOBAL aggregate seeded by the always-one-row `sized` frame: an
+    // EMPTY dim side (a filter matching nothing) then yields an
+    // all-zero filter that rejects every probe — every group returns
+    // with cand_rows = 0 — rather than a zero-row bits frame whose
+    // crossJoin would annihilate the fact side entirely.
+    val wordMap = dim.crossJoin(broadcast(sized))
       .select(col("m"), explode(array((0 until bloomHashes).map(j =>
         posOf(j, col("s_suppkey"), col("m"))): _*)).as("p"))
-      .select(col("m"), expr("CAST(p div 64 AS INT)").as("w"),
+      .select(expr("CAST(p div 64 AS INT)").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
-      .groupBy("m", "w").agg(expr("bit_or(b)").as("wb"))
-      .groupBy("m")
+      .groupBy("w").agg(expr("bit_or(b)").as("wb"))
       .agg(expr("map_from_entries(collect_list(struct(w, wb)))").as("wm"))
+    val bits = broadcast(sized).crossJoin(broadcast(wordMap))
       .select(col("m"), transform(
         sequence(lit(0), (col("m") / 64).cast("int") - 1),
         w => coalesce(element_at(col("wm"), w), lit(0L))).as("bitset"))
@@ -308,12 +322,12 @@ object Sketches {
       |    (1::BIGINT << length(bin(16 * count(*) - 1))), 64)::BIGINT AS m
       |  FROM dim),
       |js AS (SELECT unnest([0, 1, 2]) AS j),
-      |bits AS (SELECT list_sort(list(DISTINCT
+      |bits AS (SELECT coalesce(list_sort(list(DISTINCT
       |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
       |                        CAST(s_suppkey AS VARCHAR)), 1, 15))::BIGINT
-      |      % m)) AS bs
+      |      % m)), []) AS bs
       |  FROM dim, js, sz),
-      |keys AS (SELECT list(s_suppkey) AS dk FROM dim),
+      |keys AS (SELECT coalesce(list(s_suppkey), []) AS dk FROM dim),
       |f AS (SELECT l_returnflag,
       |        list_has_all(bs, list_transform([0, 1, 2], j ->
       |          ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
@@ -422,15 +436,35 @@ object Sketches {
   // ---------------------------------------- k83 incremental census store
 
   private val censusK = 8
+
+  /** A build-once slot: `lazy val` runs the build on the FIRST `dir`
+    * access (callers racing on the same key share one build), so the
+    * ConcurrentHashMap mutation itself is cheap — the multi-second
+    * Spark job never runs inside a map bin lock, and an unrelated
+    * (session, dir) build is never serialized behind this one. */
+  private final class CensusSlot(build: () => String) {
+    lazy val dir: String = build()
+  }
   private val censusDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, CensusSlot]()
 
   /** Deletes the cached census artifact dirs, not just the pointers —
     * otherwise every Bench min-of-3 rebuild leaks a temp directory
-    * (the SimilarityOps.clearCaches discipline). */
+    * (the SimilarityOps.clearCaches discipline). In-flight builds are
+    * ADOPTED, not leaked: each entry is removed from the map first,
+    * then its `dir` access waits for any concurrent build to finish
+    * before deleting — so no rebuild can resurrect the pointer and no
+    * temp dir escapes. (A caller racing clearCaches may observe its
+    * just-built artifact deleted — the same contract as
+    * SimilarityOps.clearCaches; Bench and the probes are
+    * single-threaded, so the race is theoretical there.) */
   private[graft] def clearCaches(): Unit = {
-    censusDirs.values.forEach(dir => graft.Fs.deleteTree(dir))
-    censusDirs.clear()
+    val it = censusDirs.entrySet().iterator()
+    while (it.hasNext) {
+      val slot = it.next().getValue
+      it.remove()
+      graft.Fs.deleteTree(slot.dir)
+    }
   }
 
   /** Build-or-get the persisted census artifact: per-source sketch
@@ -444,13 +478,12 @@ object Sketches {
     * the token stream; an all-whitespace doc contributes nothing). */
   private[graft] def censusDir(s: SparkSession, d: String): String = {
     val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|k83"
-    // computeIfAbsent gives per-key build-once semantics (no global
-    // lock serializing unrelated (session, dir) builds). The build is a
-    // multi-second Spark job inside the map's compute — acceptable here
-    // because contention is per-bin, the key space is tiny, and a
-    // duplicate build would leak a temp dir (unlike SimilarityOps'
-    // lost-race-tolerant pattern, which would only waste work).
-    censusDirs.computeIfAbsent(key, _ => {
+    // putIfAbsent of an UNBUILT lazy slot: the map mutation is cheap
+    // (no Spark job ever runs under a bin lock), losers of the race
+    // adopt the winner's slot before anything builds (so a duplicate
+    // build cannot leak a temp dir), and the build itself runs under
+    // the slot's own lazy-val latch on first access.
+    val fresh = new CensusSlot(() => {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-census").toString
       val bottomK = udaf(
@@ -472,6 +505,8 @@ object Sketches {
         .write.mode("append").parquet(s"$dir/census")
       dir
     })
+    val prior = censusDirs.putIfAbsent(key, fresh)
+    (if (prior == null) fresh else prior).dir
   }
 
   /** k83: the corpus census SERVED from the persisted sketch artifact
@@ -611,10 +646,18 @@ object Sketches {
     * (order totals in cents per status), so the two quantile shapes
     * are directly comparable: k81 guarantees |est − exact| < bucket
     * width (absolute VALUE error — unbounded relative error on a
-    * heavy tail), k85 guarantees |rank(est) − target_rank| ≤
-    * step_base + step_batch ≤ n_base/64 + n_batch/64 (RANK error,
+    * heavy tail), k85 guarantees 0 ≤ rank(est) − target_rank ≤
+    * Σ_seg (step_seg − 1) < step_base + step_batch (RANK error,
     * tail-shape-independent, and the answer is always a real data
-    * value — an order statistic).
+    * value — an order statistic). The bound is STRICT, matching
+    * Round17Spec's `err < err_bound` assert. Proof: the answer x is
+    * the first kept item with cumw ≥ target. cumw(x) never exceeds
+    * x's true merged rank (each segment's covered weight equals the
+    * exact segment rank of its last kept item ≤ x), so err ≥ 0; and
+    * x's own segment is covered exactly at x while every OTHER
+    * segment's uncovered tail below x is at most step − 1 items, and
+    * minimality gives cumw(x) ≤ target − 1 + weight(x) ≤ target − 1
+    * + step, so err ≤ Σ steps − #segments < Σ steps.
     *
     * Fixed-schedule compaction, not GK/KLL coins: per segment the
     * kept set is "every step-th item of the (cents, uid) order" — no
