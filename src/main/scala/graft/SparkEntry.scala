@@ -184,6 +184,13 @@ object SparkEntry {
         "e122_stream_substring_gate" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamSubstringGate(s, d)),
+        // e122 stopped mid-feed and resumed from its checkpoint — the
+        // restart proof for the frozen-sidecar + stateless-stage
+        // family (recovery rides the source offset log + sink commit
+        // log alone); shares d66's oracle
+        "e123_restart_substring_gate" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamSubstringGateRestart(s, d)),
         // restart-recovery proof for e114's custom Markov-counter
         // state (the fourth restart state shape) — shares e113's
         // oracle
@@ -232,5 +239,6 @@ object SparkEntry {
         "e119_stream_sem_gate" -> DedupOps.incrementalSemanticDedupSql,
         "e120_stream_cm_cells" -> Sketches.cmCellsSql,
         "e122_stream_substring_gate" -> DedupOps.incrSubstringDedupSql,
+        "e123_restart_substring_gate" -> DedupOps.incrSubstringDedupSql,
         "e121_restart_cm_cells" -> Sketches.cmCellsSql)
 }

@@ -1490,18 +1490,28 @@ object DedupOps {
     * documents frame — one RollingWindowHash64 array per doc,
     * posexploded to 1-based positions. Stateless, so the same helper
     * serves d65/d66 batch-side and e122's stream stage. */
-  private[graft] def windowFrame(docs: DataFrame): DataFrame = {
+  private[graft] def windowFrame(docs: DataFrame): DataFrame =
+    windowFrameW(docs, runWindow)
+
+  /** [[windowFrame]] at an explicit window length — the d69
+    * sensitivity eval drives w ∈ {5, 8, 12} through the identical
+    * stage. */
+  private[graft] def windowFrameW(docs: DataFrame, w: Int): DataFrame = {
     import graft.functions.RollingWindowHash64.rolling_window_hash64
     docs
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"),
-        posexplode(rolling_window_hash64(col("ts"), runWindow)))
+        posexplode(rolling_window_hash64(col("ts"), w)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("hw"))
   }
 
-  def substringRuns(s: SparkSession, d: String): DataFrame = {
-    val wins = windowFrame(documents(s, d))
+  /** d65's pipeline at an explicit window length, unordered — the
+    * shared core of d65 (w = runWindow, ordered), d68 (consumes runs
+    * ≥ the gate threshold) and d69 (w ∈ {5, 8, 12} aggregate). */
+  private[graft] def substringRunsCore(s: SparkSession, d: String,
+      w: Int): DataFrame = {
+    val wins = windowFrameW(documents(s, d), w)
     val hot = wins.groupBy("hw")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") > runDocCap).select("hw")
@@ -1516,19 +1526,19 @@ object DedupOps {
           .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
     isl.groupBy("doc_a", "doc_b", "diag", "isl")
       .agg(min("pa").as("a_start"), min("pb").as("b_start"),
-        (count(lit(1)) + (runWindow - 1)).as("run_tokens"))
+        (count(lit(1)) + (w - 1)).as("run_tokens"))
       .select("doc_a", "doc_b", "a_start", "b_start", "run_tokens")
-      .orderBy("doc_a", "doc_b", "a_start", "b_start")
   }
 
-  /** The oracle rebuilds every window hash from per-token HUGEINT
-    * folds (t46's wraparound emulation) composed by
-    * H(A ⧺ ' ' ⧺ t) = H(A)·31^(len(t)+1) + H(' '⧺t) — checking the
-    * exact algebra the Spark side's prefix-hash extraction relies on,
-    * at every window of the fixture. Pure-ASCII fixture (verified at
-    * t46), so ord(char) == byte. */
-  val substringRunsSql: String =
-    """WITH tk AS (
+  def substringRuns(s: SparkSession, d: String): DataFrame =
+    substringRunsCore(s, d, runWindow)
+      .orderBy("doc_a", "doc_b", "a_start", "b_start")
+
+  /** The w-independent token CTEs of the substring-tier oracles:
+    * per-token HUGEINT hash folds (t46's wraparound emulation) plus
+    * the 31-power tables the window composition multiplies by. */
+  private val substringTokCtesSql: String =
+    """tk AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(lower(text), '\s+'),
       |                x -> x <> '') AS ts
@@ -1546,27 +1556,44 @@ object DedupOps {
       |    list_transform(ts, t -> list_reduce(
       |        list_prepend(1::HUGEINT, range(1, length(t) + 2)),
       |      (a, b) -> (a * 31) % 18446744073709551616::HUGEINT)) AS pwts
-      |  FROM tk),
-      |wins AS (
+      |  FROM tk)""".stripMargin
+
+  /** The wins→hot→ok→pairs→isl CTE chain at window length `w`, names
+    * suffixed `sfx` so d69 can stack three chains in one query (d65 /
+    * d68 use the unsuffixed w = 5 chain). */
+  private def substringWindowCtesSql(w: Int, sfx: String): String =
+    s"""wins$sfx AS (
       |  SELECT doc_id, i AS pos,
-      |    list_reduce(list_prepend(hts[i], range(i + 1, i + 5)),
+      |    list_reduce(list_prepend(hts[i], range(i + 1, i + $w)),
       |      (a, k) -> (a * pwts[CAST(k AS BIGINT)] + hsts[CAST(k AS BIGINT)])
       |                % 18446744073709551616::HUGEINT) AS hw
-      |  FROM tok, unnest(range(1, n - 3)) AS t(i)),
-      |hot AS (
+      |  FROM tok, unnest(range(1, n - ${w - 2})) AS t(i)),
+      |hot$sfx AS (
       |  SELECT hw FROM (SELECT hw, count(DISTINCT doc_id) AS nd
-      |                  FROM wins GROUP BY 1) WHERE nd > 16),
-      |ok AS (SELECT * FROM wins WHERE hw NOT IN (SELECT hw FROM hot)),
-      |pairs AS (
+      |                  FROM wins$sfx GROUP BY 1) WHERE nd > 16),
+      |ok$sfx AS (SELECT * FROM wins$sfx
+      |           WHERE hw NOT IN (SELECT hw FROM hot$sfx)),
+      |pairs$sfx AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-      |  FROM ok a JOIN ok b ON a.hw = b.hw AND a.doc_id < b.doc_id),
-      |isl AS (
+      |  FROM ok$sfx a JOIN ok$sfx b ON a.hw = b.hw AND a.doc_id < b.doc_id),
+      |isl$sfx AS (
       |  SELECT doc_a, doc_b, pb - pa AS diag, pa, pb,
       |    pa - row_number() OVER (
       |      PARTITION BY doc_a, doc_b, pb - pa ORDER BY pa) AS isl
-      |  FROM pairs)
+      |  FROM pairs$sfx)""".stripMargin
+
+  /** The oracle rebuilds every window hash from per-token HUGEINT
+    * folds (t46's wraparound emulation) composed by
+    * H(A ⧺ ' ' ⧺ t) = H(A)·31^(len(t)+1) + H(' '⧺t) — checking the
+    * exact algebra the Spark side's prefix-hash extraction relies on,
+    * at every window of the fixture. Pure-ASCII fixture (verified at
+    * t46), so ord(char) == byte. */
+  lazy val substringRunsSql: String =
+    s"""WITH $substringTokCtesSql,
+      |${substringWindowCtesSql(runWindow, "")}
       |SELECT doc_a, doc_b, min(pa)::BIGINT AS a_start,
-      |  min(pb)::BIGINT AS b_start, (count(*) + 4)::BIGINT AS run_tokens
+      |  min(pb)::BIGINT AS b_start,
+      |  (count(*) + ${runWindow - 1})::BIGINT AS run_tokens
       |FROM isl GROUP BY doc_a, doc_b, diag, isl
       |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
 
@@ -1802,6 +1829,175 @@ object DedupOps {
       |LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------- d68 substring-dedup APPLY (the cleaned corpus)
+
+  /** d68: the substring-dedup APPLY — the output artifact the whole
+    * substring tier exists to produce: the substring-CLEANED corpus.
+    * Closes the detect (d65) → gate (d66/e122) → apply ladder at
+    * substring granularity, the rung d57 covers only at document
+    * granularity. Reference anchor: `ingest_enron.py:113-120` — the
+    * reference's dedupe ladder ends by dropping whole documents on
+    * dedupe_key; the standard LLM-corpus exact-substring pass instead
+    * cuts the duplicated SPAN from later documents and keeps the rest
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better").
+    *
+    * Semantics (pinned by Round18Spec):
+    *  - KEEP-FIRST: for every maximal run (d65, doc_a < doc_b), the
+    *    earliest document keeps its span (the A2 first-writer
+    *    discipline ordered by doc_id); the later document cuts its
+    *    matched token range. A document keeps exactly the spans it
+    *    is the corpus-earliest holder of — a middle document both
+    *    cuts (vs an earlier doc) and donates (to a later one).
+    *  - GATE: only runs of ≥ `runDupThreshold` (12) tokens cut —
+    *    d66's drop rule; quotation-length matches below it survive.
+    *  - MERGE: overlapping or ADJACENT spans per document merge
+    *    before cutting (interval gaps-and-islands over a running max
+    *    of span ends), so tokens_removed never double-counts.
+    *  - TOKEN boundaries: the cut operates on the detection pass's
+    *    token normal form (lowercased, whitespace-collapsed — the
+    *    same `tokens()` the window hashes are built from), and
+    *    clean_text is that normal form rejoined by single spaces for
+    *    EVERY doc (cut or not), so the keep/cut algebra is exact;
+    *    mapping spans back to raw character offsets is a
+    *    presentation concern, not a dedup one.
+    *
+    * Scale shape: d65's bucketed detection plus one equi-join of the
+    * merged span sidecar (rows ∝ duplicated runs, never corpus size)
+    * back to documents on doc_id; the cut itself is per-row array
+    * work (O(tokens × spans/doc), spans disjoint after merge). No
+    * new wide exchange beyond d65's. */
+  def substringApply(s: SparkSession, d: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("st", "en")
+    val spans = substringRunsCore(s, d, runWindow)
+      .filter(col("run_tokens") >= runDupThreshold)
+      .select(col("doc_b").as("doc_id"), col("b_start").as("st"),
+        (col("b_start") + col("run_tokens") - 1).as("en"))
+      .distinct()
+    val merged = spans
+      .withColumn("pm", max("en").over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("g", sum(when(col("pm").isNull ||
+        col("st") > col("pm") + 1, 1L).otherwise(0L)).over(byDoc))
+      .groupBy("doc_id", "g")
+      .agg(min("st").as("st"), max("en").as("en"))
+    val perDoc = merged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans_cut"),
+      sum(col("en") - col("st") + 1).as("tokens_removed"),
+      collect_list(struct(col("st"), col("en"))).as("spans"))
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        array_join(when(col("spans").isNull, col("ts")).otherwise(
+          filter(col("ts"), (_, i) =>
+            !exists(col("spans"), sp => (i + 1 >= sp.getField("st")) &&
+              (i + 1 <= sp.getField("en"))))), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: rebuilds the runs via d65's window-hash CTEs, merges the
+    * ≥12-token doc_b spans by the same interval gaps-and-islands, and
+    * re-cuts every document's token list by 1-based position — the
+    * whole apply algebra is plain SQL on both engines. */
+  lazy val substringApplySql: String =
+    s"""WITH $substringTokCtesSql,
+      |${substringWindowCtesSql(runWindow, "")},
+      |runs AS (SELECT doc_b, min(pb) AS b_start,
+      |           count(*) + ${runWindow - 1} AS rt
+      |         FROM isl GROUP BY doc_a, doc_b, diag, isl),
+      |cut AS (SELECT DISTINCT doc_b AS doc_id, b_start AS st,
+      |          b_start + rt - 1 AS en
+      |        FROM runs WHERE rt >= 12),
+      |mrg AS (SELECT doc_id, st, en,
+      |    max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS pm
+      |  FROM cut),
+      |gisl AS (SELECT doc_id, st, en,
+      |    sum(CASE WHEN pm IS NULL OR st > pm + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY st, en) AS g
+      |  FROM mrg),
+      |sp AS (SELECT doc_id, min(st) AS st, max(en) AS en
+      |       FROM gisl GROUP BY doc_id, g),
+      |spc AS (SELECT doc_id, count(*)::BIGINT AS n_spans_cut,
+      |          sum(en - st + 1)::BIGINT AS tokens_removed
+      |        FROM sp GROUP BY doc_id),
+      |tokpos AS (SELECT doc_id, ts[CAST(i AS BIGINT)] AS tok,
+      |             CAST(i AS BIGINT) AS i
+      |           FROM tk, unnest(range(1, len(ts) + 1)) AS t(i)),
+      |kept AS (SELECT tp.doc_id, tp.tok, tp.i
+      |         FROM tokpos tp LEFT JOIN sp ON sp.doc_id = tp.doc_id
+      |           AND tp.i BETWEEN sp.st AND sp.en
+      |         WHERE sp.doc_id IS NULL),
+      |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(spc.n_spans_cut, 0)::BIGINT AS n_spans_cut,
+      |  coalesce(spc.tokens_removed, 0)::BIGINT AS tokens_removed,
+      |  coalesce(agg.clean_text, '') AS clean_text
+      |FROM (SELECT doc_id FROM documents) d
+      |LEFT JOIN spc ON spc.doc_id = d.doc_id
+      |LEFT JOIN agg ON agg.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // --------------- d69 substring window-length sensitivity eval
+
+  private[ext] val sensitivityWindows = Seq(5, 8, 12)
+
+  /** d69: d65's one free knob — the window length w (`runWindow` = 5)
+    * — MEASURED: the d67 banding discipline applied to the substring
+    * tier. The composition algebra (pinned by Round18Spec): a maximal
+    * repeated run of L tokens is detected at EVERY w ≤ L as the same
+    * (a_start, b_start, L) row — all L−w+1 of its windows match and
+    * stitch into one island, so run bounds are w-independent; what w
+    * sets is only the RESOLUTION FLOOR (runs shorter than w are
+    * invisible) and the index granularity (n−w+1 windows per doc —
+    * nearly flat in w). Hence the GATED columns (runs reaching d66's
+    * 12-token cut rule) must agree exactly across w ∈ {5, 8, 12} ≤
+    * 12 — an invariant visible in the result rows — while total
+    * n_runs falls as w rises past short-run lengths. The production
+    * choice w = 5 maximizes evidence below the gate (boilerplate
+    * candidates d66 surfaces as keep-with-evidence rows) at identical
+    * gated output. Caveat held fixed here: at corpus scale the
+    * >16-doc hot-hash cap interacts with w (shorter windows saturate
+    * it sooner), which shifts sub-gate evidence, never the gate. */
+  def windowSensitivityEval(s: SparkSession, d: String): DataFrame =
+    sensitivityWindows.map { w =>
+      substringRunsCore(s, d, w)
+        .agg(count(lit(1)).as("n_runs"),
+          coalesce(sum("run_tokens"), lit(0L)).as("run_token_mass"),
+          coalesce(sum(when(col("run_tokens") >= runDupThreshold, 1L)
+            .otherwise(0L)), lit(0L)).as("n_runs_gated"),
+          coalesce(sum(when(col("run_tokens") >= runDupThreshold,
+            col("run_tokens"))), lit(0L)).as("gated_token_mass"),
+          coalesce(max("run_tokens"), lit(0L)).as("max_run_tokens"))
+        .select(lit(w.toLong).as("w"), col("n_runs"),
+          col("run_token_mass"), col("n_runs_gated"),
+          col("gated_token_mass"), col("max_run_tokens"))
+    }.reduce(_ unionAll _).orderBy("w")
+
+  lazy val windowSensitivityEvalSql: String = {
+    val chains = sensitivityWindows
+      .map(w => substringWindowCtesSql(w, s"_$w")).mkString(",\n")
+    val branches = sensitivityWindows.map { w =>
+      s"""SELECT $w::BIGINT AS w,
+        |  count(*)::BIGINT AS n_runs,
+        |  coalesce(sum(rt), 0)::BIGINT AS run_token_mass,
+        |  coalesce(sum(CASE WHEN rt >= 12 THEN 1 ELSE 0 END), 0)::BIGINT
+        |    AS n_runs_gated,
+        |  coalesce(sum(CASE WHEN rt >= 12 THEN rt END), 0)::BIGINT
+        |    AS gated_token_mass,
+        |  coalesce(max(rt), 0)::BIGINT AS max_run_tokens
+        |FROM (SELECT count(*) + ${w - 1} AS rt
+        |      FROM isl_$w GROUP BY doc_a, doc_b, diag, isl)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $substringTokCtesSql,\n$chains\n$branches\nORDER BY w"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_exact_dedup"    -> exactDedup _,
     "d51_jaccard_pairs"  -> jaccardPairs _,
@@ -1822,6 +2018,8 @@ object DedupOps {
     "d65_substring_runs" -> substringRuns _,
     "d66_incr_substring_dedup" -> incrSubstringDedup _,
     "d67_lsh_banding_eval" -> lshBandingEval _,
+    "d68_substring_apply" -> substringApply _,
+    "d69_window_sensitivity" -> windowSensitivityEval _,
     "t49_decontamination" -> decontamination _,
     "t68_passage_decontam" -> passageDecontam _,
     "t57_corpus_funnel"  -> corpusFunnel _,
@@ -1847,6 +2045,8 @@ object DedupOps {
     "d65_substring_runs" -> substringRunsSql,
     "d66_incr_substring_dedup" -> incrSubstringDedupSql,
     "d67_lsh_banding_eval" -> lshBandingEvalSql,
+    "d68_substring_apply" -> substringApplySql,
+    "d69_window_sensitivity" -> windowSensitivityEvalSql,
     "t49_decontamination" -> decontaminationSql,
     "t68_passage_decontam" -> passageDecontamSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,

@@ -1187,6 +1187,47 @@ object StreamingOps {
     graft.ext.DedupOps.incrSubstringFinish(spark, d, pairLog)
   }
 
+  /** e123: e122's substring ingest gate stopped MID-FEED and resumed
+    * from its checkpoint — the restart proof for the frozen-sidecar +
+    * stateless-stage family itself (the five prior restart shapes —
+    * e104/e105/e106/e118/e121 — all carry state stores; here the
+    * recovery contract is the file-source offset log plus the sink's
+    * `_spark_metadata` commit log ALONE): phase 1 drains the even-doc
+    * slice through the window→index join into the exactly-once file
+    * sink, the query STOPS, the odd slice arrives, and a NEW query
+    * resumes from the same checkpoint. The parity split interleaves
+    * batch docs across the cut (the e121 harshest-arrival rationale —
+    * no watermark semantics to lean on). A re-read slice-1 file would
+    * duplicate matched-window rows and shift every stitched island's
+    * row_number (n_runs / best_run_tokens move); a dropped file loses
+    * runs — so sharing d66's oracle hash-checks exactly-once across
+    * the restart. */
+  def streamSubstringGateRestart(spark: SparkSession, d: String): DataFrame = {
+    val (s1, s2) = docSliceFiles(spark, d)
+    val srcDir = scratchTempDir("graft-doc-restart")
+    Files.createSymbolicLink(srcDir.resolve("slice1.parquet"), s1)
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val idx = graft.ext.DedupOps.baseWindowIndex(spark, d)
+    val addPhase2 = () => {
+      Files.createSymbolicLink(srcDir.resolve("slice2.parquet"), s2)
+      ()
+    }
+    val pairLog = drainFileSinkWithRestart(spark, s"$d|e123", nIn,
+        addPhase2) {
+      graft.ext.DedupOps.windowFrame(
+        spark.readStream
+          .schema(documentsSchema)
+          .parquet(srcDir.toString)
+          .filter(col("doc_id") % 5 === 4))
+        .select(col("hw"), col("doc_id"), col("pos").as("pb"))
+        .join(idx, Seq("hw"))
+        .select("doc_id", "base_id", "pb", "pa")
+    }
+    graft.ext.DedupOps.incrSubstringFinish(spark, d, pairLog)
+  }
+
   /** e110: v75's STREAMING twin — JSONL quarantine ingest on a live
     * feed (the Kafka-consumer shape of corpus intake): the staged
     * JSONL corpus (documents + 3 planted malformed lines) arrives as
