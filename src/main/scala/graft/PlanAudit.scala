@@ -57,7 +57,9 @@ object PlanAudit {
       "k83_incr_census", "k84_hll_census",
       "em75_hierarchy_census", "v78_kanon_audit", "g107_thread_stats",
       "d65_substring_runs", "k85_quantile_sketch",
-      "d66_incr_substring_dedup", "d67_lsh_banding_eval")
+      "d66_incr_substring_dedup", "d67_lsh_banding_eval",
+      "d68_substring_apply", "d69_window_sensitivity",
+      "e124_topk_per_key")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

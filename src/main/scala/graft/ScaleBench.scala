@@ -188,7 +188,19 @@ object ScaleBench {
     // work is the 4-setting bucket self-join whose volume is the
     // banding-collision structure (the b8r1 row dominates) — expect
     // pair-bounded serve-side time
-    "d67_lsh_banding_eval" -> "docs")
+    "d67_lsh_banding_eval" -> "docs",
+    // d68: d65's detection plus a span sidecar (rows ∝ duplicated
+    // runs) joined back on doc_id and a per-doc token re-cut — expect
+    // d65's near-linear shape plus a token-linear rejoin
+    "d68_substring_apply" -> "docs",
+    // d69: three d65 pipelines (w = 5/8/12) over the same token
+    // stream, each aggregated to one row — expect ~3× d65, same
+    // exponent
+    "d69_window_sensitivity" -> "docs",
+    // e124: native WindowGroupLimit plan — the map-side Partial
+    // group-limit bounds every task's contribution to k rows per
+    // key, so expect scan/sort-bound near-linear and skew-neutral
+    "e124_topk_per_key" -> "events")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

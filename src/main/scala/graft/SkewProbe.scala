@@ -100,7 +100,11 @@ object SkewProbe {
     val items = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
     var cmHotUniform = -1L
     var cmHotSkewed = -1L
-    var winHotVolumeMb = -1.0
+    var blobHotRows = -1L
+    var blobPayloadB = -1L
+    var blobGateEngaged = false
+    var winHotRows = -1L
+    var winPayloadB = -1L
     var winGateEngaged = false
 
     // ---- email tier (vs the skewed-documents corpus)
@@ -248,7 +252,7 @@ object SkewProbe {
           .select(col("from").as("sender"), col("dedupe_key").as("p"))
         val out = graft.operators.Salting.gatedHotSetAggregate(
           st, "sender", hotEsts(dir), keyBytes(dir),
-          sizePreserving = true, numSalts = 16,
+          mapSideCombinable = true, numSalts = 16,
           partials = Seq(collect_list(col("p")).as("__pl")),
           finals = Seq(flatten(collect_list(col("__pl"))).as("msgs")),
           plain = Seq(collect_list(col("p")).as("msgs")))
@@ -263,64 +267,177 @@ object SkewProbe {
       clearStores()
     }
 
-    // ---- win-regime rehearsal: 60%-share corpus, body payloads
+    // ---- the aggregate-split LOSS evidence and the window-sort WIN
+    // (the splitPays redesign's three measured facts):
+    //  A. LARGE elements (500k rows, ~278 B body payloads, 86 MB hot
+    //     volume): the FORCED split loses — phase 2 re-handles every
+    //     payload byte after an extra exchange.
+    //  B. MANY SMALL elements (5M rows, ~15 B key payloads, 60%
+    //     share → 3.2M hot rows): the forced split STILL loses —
+    //     partial_collect_list runs map-side, so the per-row work the
+    //     salt was supposed to parallelize was never on the reducer
+    //     to begin with. Together A+B falsify every aggregate win
+    //     regime; the gate (mapSideCombinable = true for all Spark
+    //     aggregates) must therefore return the plain plan on both.
+    //  C. per-key TOP-K on B's corpus: a window sort has NO partial
+    //     mode — the hot key's sort runs in one task — and
+    //     saltedTopK's per-salt local top-k must WIN.
+    // Each reading is interleaved plain/alternative on the SAME
+    // corpus (the A/B here is the PLAN, not the data).
     locally {
       import org.apache.spark.sql.functions.{avg, col, collect_list,
-        flatten, length, size, sum}
-      val skew6 = args.lift(3).getOrElse("/tmp/graft-sf1-skew6")
-      if (!new java.io.File(s"$skew6/documents.parquet").exists())
-        ScaleGen.generateSkewed(spark, base, skew6, share = 0.6)
-      graft.query.FixtureCorpus.store(spark, skew6).count()
-      val cells = graft.operators.Sketches.cmCellsOf(
-        graft.query.FixtureCorpus.store(spark, skew6)
-          .select(col("from").cast("string").as("tok"))).cache()
-      cells.count()
-      val cand = graft.operators.Salting.candidateSample(
-        graft.query.FixtureCorpus.store(spark, skew6)
-          .select(col("from").cast("string").as("tok")))
-      val hotEst = graft.operators.Salting
-        .cmHotKeysFrom(cells, cand, sharePpm = 200000L)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val bodyBytes = {
-        val v = graft.query.FixtureCorpus.store(spark, skew6)
-          .agg(avg(length(col("body")))).head().getDouble(0)
-        math.max(1L, math.round(v))
+        concat, explode, flatten, length, lit, sequence, size, sum}
+      def planAB(run: String => Unit, alt: String): (Double, Double) = {
+        val sa = scala.collection.mutable.ArrayBuffer[Double]()
+        val sb = scala.collection.mutable.ArrayBuffer[Double]()
+        var i = 0
+        while (i < 3) {
+          sa += timeOne(run("plain"))
+          sb += timeOne(run(alt))
+          i += 1
+        }
+        def red(xs: Seq[Double]) =
+          if (xs.exists(_ <= 0)) -1.0 else median(xs.toSeq)
+        (red(sa.toSeq), red(sb.toSeq))
       }
-      def bodyAdjacency(engaged: Boolean): Unit = {
-        val st = graft.query.FixtureCorpus.store(spark, skew6)
-          .select(col("from").as("sender"), col("body"))
-        val out =
-          if (!engaged)
-            st.groupBy("sender").agg(collect_list("body").as("msgs"))
-          else
+      def detectOn(df: org.apache.spark.sql.DataFrame)
+          : Seq[(String, Long)] = {
+        val toks = df.select(col("sender").cast("string").as("tok"))
+        val cells = graft.operators.Sketches.cmCellsOf(toks).cache()
+        cells.count()
+        val est = graft.operators.Salting
+          .cmHotKeysFrom(cells, graft.operators.Salting
+            .candidateSample(toks), sharePpm = 200000L)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        cells.unpersist()
+        est
+      }
+      def adjacency(df: org.apache.spark.sql.DataFrame,
+          hotEst: Seq[(String, Long)], payloadB: Long)(
+          mode: String): Unit = {
+        val out = mode match {
+          case "plain" =>
+            df.groupBy("sender").agg(collect_list("p").as("msgs"))
+          case m =>
             graft.operators.Salting.gatedHotSetAggregate(
-              st, "sender", hotEst, bodyBytes,
-              sizePreserving = true, numSalts = 16,
-              partials = Seq(collect_list(col("body")).as("__pl")),
+              df, "sender", hotEst, payloadB,
+              // collect_list IS map-side combinable — "forced" lies
+              // to the gate to expose the raw split trade the gate
+              // exists to prevent
+              mapSideCombinable = m != "forced", numSalts = 16,
+              partials = Seq(collect_list(col("p")).as("__pl")),
               finals = Seq(flatten(collect_list(col("__pl"))).as("msgs")),
-              plain = Seq(collect_list(col("body")).as("msgs")))
+              plain = Seq(collect_list(col("p")).as("msgs")),
+              minHotRows = if (m == "forced") 1L else 1000000L,
+              maxPayloadBytes =
+                if (m == "forced") Long.MaxValue else 64L)
+        }
         out.agg(sum(size(col("msgs")))).head()
         ()
       }
-      // interleaved plain/engaged pairs on the SAME corpus (the A/B
-      // here is the PLAN, not the data)
-      val sa = scala.collection.mutable.ArrayBuffer[Double]()
-      val sb = scala.collection.mutable.ArrayBuffer[Double]()
-      var i = 0
-      while (i < 3) {
-        sa += timeOne(bodyAdjacency(engaged = false))
-        sb += timeOne(bodyAdjacency(engaged = true))
-        i += 1
+      // regime A: body payloads on a ×10 replicated 60%-share corpus
+      val winBase = args.lift(3).getOrElse("/tmp/graft-win-base")
+      val winDir = args.lift(4).getOrElse("/tmp/graft-win")
+      if (!new java.io.File(s"$winDir/documents.parquet").exists()) {
+        val docs = spark.read.parquet(s"$base/documents.parquet")
+        val big = docs.withColumn("i", explode(sequence(lit(0), lit(9))))
+          .withColumn("doc_id", col("doc_id") * 10L + col("i")).drop("i")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(winBase))
+        graft.Fs.writeSingleParquet(big,
+          java.nio.file.Paths.get(winBase, "documents.parquet"))
+        ScaleGen.generateSkewed(spark, winBase, winDir, share = 0.6)
       }
-      def red(xs: Seq[Double]) =
-        if (xs.exists(_ <= 0)) -1.0 else median(xs.toSeq)
-      items += (("adjacency_body_plain_vs_engaged", red(sa.toSeq),
-        red(sb.toSeq)))
-      val maxEst = if (hotEst.isEmpty) 0L else hotEst.map(_._2).max
-      winHotVolumeMb = maxEst.toDouble * bodyBytes / (1 << 20)
-      winGateEngaged = graft.operators.Salting
-        .splitPays(maxEst, bodyBytes, sizePreserving = true)
-      cells.unpersist()
+      locally {
+        graft.query.FixtureCorpus.store(spark, winDir).count()
+        val st = graft.query.FixtureCorpus.store(spark, winDir)
+          .select(col("from").as("sender"), col("body").as("p"))
+        val hotEst = detectOn(st)
+        val bodyB = math.max(1L, math.round(
+          st.agg(avg(length(col("p")))).head().getDouble(0)))
+        val run = adjacency(st, hotEst, bodyB) _
+        locally { val (pa, pb) = planAB(run, "forced")
+          items += (("blob_body_plain_vs_forced_split", pa, pb)) }
+        locally { val (pa, pb) = planAB(run, "gated")
+          items += (("blob_body_plain_vs_gated", pa, pb)) }
+        val maxEst = if (hotEst.isEmpty) 0L else hotEst.map(_._2).max
+        blobHotRows = maxEst
+        blobPayloadB = bodyB
+        blobGateEngaged = graft.operators.Salting
+          .splitPays(maxEst, bodyB, mapSideCombinable = true)
+      }
+      clearStores()
+      // regime B: 5M rows of ~13-byte elements, 60% hot share —
+      // documents-derived directly (the store build isn't what's
+      // under test), sender u0 owning the remapped hot ids
+      val rowsDir = args.lift(5).getOrElse("/tmp/graft-win-rows")
+      if (!new java.io.File(s"$rowsDir/documents.parquet").exists()) {
+        val docs = spark.read.parquet(s"$base/documents.parquet")
+          .select("doc_id")
+        val big = docs.withColumn("i", explode(sequence(lit(0), lit(99))))
+          .select((col("doc_id") * 100L + col("i")).as("doc_id"),
+            lit("x").as("text"))
+        val tmpBase = rowsDir + "-base"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(tmpBase))
+        graft.Fs.writeSingleParquet(big,
+          java.nio.file.Paths.get(tmpBase, "documents.parquet"))
+        ScaleGen.generateSkewed(spark, tmpBase, rowsDir, share = 0.6)
+      }
+      locally {
+        val st = spark.read.parquet(s"$rowsDir/documents.parquet")
+          .select(
+            concat(lit("u"), (col("doc_id") % 7).cast("string"))
+              .as("sender"),
+            concat(lit("<d"), col("doc_id").cast("string"), lit("@corp>"))
+              .as("p"))
+        val hotEst = detectOn(st)
+        val keyB = math.max(1L, math.round(
+          st.agg(avg(length(col("p")))).head().getDouble(0)))
+        val run = adjacency(st, hotEst, keyB) _
+        locally { val (pa, pb) = planAB(run, "forced")
+          items += (("small_agg_plain_vs_forced_split", pa, pb)) }
+        locally { val (pa, pb) = planAB(run, "gated")
+          items += (("small_agg_plain_vs_gated", pa, pb)) }
+        val maxEst = if (hotEst.isEmpty) 0L else hotEst.map(_._2).max
+        winHotRows = maxEst
+        winPayloadB = keyB
+        winGateEngaged = graft.operators.Salting
+          .splitPays(maxEst, keyB, mapSideCombinable = true)
+        // regime C: per-key top-100 on the same 5M-row skewed corpus —
+        // the window-sort shape where salting genuinely pays. The
+        // ordering carries p (unique per row) as the total-order
+        // tiebreak; count() forces the full ranked output.
+        import org.apache.spark.sql.expressions.Window
+        def topk(mode: String): Unit = {
+          val ord = Seq(col("p").desc)
+          val out = mode match {
+            case "plain" => st
+              .withColumn("rank", org.apache.spark.sql.functions
+                .row_number().over(
+                  Window.partitionBy("sender").orderBy(ord: _*)))
+              .filter(col("rank") <= 100)
+            case _ => graft.operators.Salting
+              .saltedTopK(st, "sender", ord, k = 100, numSalts = 16)
+          }
+          out.agg(sum(length(col("p"))), sum(col("rank"))).head()
+          ()
+        }
+        locally {
+          val sa = scala.collection.mutable.ArrayBuffer[Double]()
+          val sb = scala.collection.mutable.ArrayBuffer[Double]()
+          var i = 0
+          while (i < 3) {
+            sa += timeOne(topk("plain"))
+            sb += timeOne(topk("salted"))
+            i += 1
+          }
+          def red(xs: Seq[Double]) =
+            if (xs.exists(_ <= 0)) -1.0 else median(xs.toSeq)
+          items += (("topk_window_plain_vs_salted", red(sa.toSeq),
+            red(sb.toSeq)))
+        }
+      }
       clearStores()
     }
 
@@ -341,7 +458,7 @@ object SkewProbe {
       val ratio = if (tA > 0 && tB > 0) tB / tA else -1.0
       s""""$name":{"uniform":${fmt(tA)},"skewed":${fmt(tB)},"ratio":${fmt(ratio)}}"""
     }
-    val line = s"""{"scale":"skew_rehearsal","uniform":"$base","skewed":"$skew","hot_sender_share":{"uniform":${fmt(shareA)},"skewed":${fmt(shareB)}},"ev_skewed":"$evSkew","hot_user_share":{"uniform":${fmt(userShareA)},"skewed":${fmt(userShareB)}},"cm_hot_keys":{"uniform":$cmHotUniform,"skewed":$cmHotSkewed},"win_regime":{"hot_volume_mb":${fmt(winHotVolumeMb)},"gate_engaged":$winGateEngaged},"interleaved":true,"items":{${itemsJson.mkString(",")}}}"""
+    val line = s"""{"scale":"skew_rehearsal","uniform":"$base","skewed":"$skew","hot_sender_share":{"uniform":${fmt(shareA)},"skewed":${fmt(shareB)}},"ev_skewed":"$evSkew","hot_user_share":{"uniform":${fmt(userShareA)},"skewed":${fmt(userShareB)}},"cm_hot_keys":{"uniform":$cmHotUniform,"skewed":$cmHotSkewed},"split_regimes":{"blob":{"hot_rows":$blobHotRows,"payload_bytes":$blobPayloadB,"gate_engaged":$blobGateEngaged},"small":{"hot_rows":$winHotRows,"payload_bytes":$winPayloadB,"gate_engaged":$winGateEngaged}},"interleaved":true,"items":{${itemsJson.mkString(",")}}}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("SKEW_DETAIL.json"),

@@ -181,54 +181,107 @@ object Salting {
         .groupBy(col(key)).agg(finals.head, finals.tail: _*)
     }
 
-  /** BENEFIT predicate for ENGAGING the hot-key split — detection
-    * saying "hot" is necessary but not sufficient (round-12 SKEW
-    * measurement: the engaged split was SLOWER than the plain plan on
-    * a 30%-hot corpus with ~20-byte payloads, 0.124 → 0.187 s at sf1,
-    * because the extra exchange's fixed cost outweighed the straggler
-    * it relieved). Splitting pays only when BOTH hold:
+  /** BENEFIT predicate for ENGAGING the hot-key AGGREGATE split —
+    * detection saying "hot" is necessary but NOT sufficient, and for
+    * Spark's own aggregate functions it is never sufficient. The
+    * round-13 rehearsal falsified every "favorable" aggregate regime
+    * by direct measurement (SKEW_DETAIL.json):
     *
-    *  - the aggregate is SIZE-PRESERVING (collect_list / collect_set
-    *    shapes). For a shrinking (algebraic) aggregate — sum / count /
-    *    min / max / sketch merges — Spark's map-side partial
-    *    aggregation already collapses the hot key to ≤ one row per
-    *    map task before the exchange, so no reducer ever sees the hot
-    *    key's raw rows and a salt split only adds a stage (the SKEW
-    *    email tier measures exactly this: skew-neutral 0.85–1.14
-    *    ratios without any guard);
-    *  - the hot key's reducer-side volume — CM-estimated rows × the
-    *    average payload width — reaches `splitBytesThreshold`. Below
-    *    it, the single straggler task finishes inside the extra
-    *    exchange's fixed cost; above it, phase 1's per-row shuffle
-    *    processing (the dominant per-element cost) spreads over
-    *    `numSalts` tasks while phase 2 pays only a bulk array merge
-    *    of the same bytes. The default threshold (64 MB) sits above
-    *    the measured loss regime (~7 MB hot volume) and below a
-    *    single-task spill bound; SKEW_DETAIL carries the measured win
-    *    regime.
+    *  - 500k rows × ~278 B body payloads, 86 MB hot volume: forced
+    *    split 1.25× SLOWER than plain;
+    *  - 5M rows × ~15 B key payloads, 3.2M hot rows: forced split
+    *    1.16× SLOWER than plain;
     *
-    * The inputs are exactly what detection already holds: `cm_est`
-    * rides out of [[cmHotKeysFrom]], and the payload width is one
-    * `avg(length(col))` over the SAME bounded candidate sample. */
+    * and the executed plan says why: EVERY Spark aggregate — collect
+    * shapes included — runs a PARTIAL mode map-side
+    * (`partial_collect_list` appears below the exchange), so the hot
+    * key's per-row work is already parallel across input partitions
+    * under any skew, the reducer's irreducible job is merging the hot
+    * key's BYTES, and a salt split re-lands those same bytes on one
+    * phase-2 task after paying an extra full exchange. There is no
+    * latency win regime; a hot-key aggregation in Spark is already
+    * skew-tolerant by construction (the SKEW email tier's neutral
+    * ratios, measured guard-free).
+    *
+    * Rank-filtered windows (per-key top-k) turned out to be natively
+    * protected too: Spark 4 plans `row_number ≤ k` with a map-side
+    * `WindowGroupLimit … Partial`, and the explicit salt
+    * decomposition ([[saltedTopK]]) measured 1.97× SLOWER than the
+    * native plan. What remains for `mapSideCombinable = false` is the
+    * narrow class Spark genuinely cannot partial-ize: custom
+    * order-sensitive per-key folds with a mergeable-by-segment
+    * algebra and no built-in pushdown. For those, the row floor
+    * (`minHotRows`, clearing the extra stage's fixed cost) and the
+    * element-width cap (`maxPayloadBytes`, keeping the re-exchange
+    * cheap relative to the relieved work) bound engagement. Inputs
+    * are what detection already holds: `cm_est` rides out of
+    * [[cmHotKeysFrom]]; payload width is one `avg(length(col))` over
+    * the bounded candidate sample or table-level ingest stats. The
+    * gate is deliberately conservative: a false OFF keeps the plain
+    * plan (never worse), a false ON is the measured regression this
+    * gate exists to stop. */
   def splitPays(cmEstRows: Long, avgPayloadBytes: Long,
-      sizePreserving: Boolean,
-      splitBytesThreshold: Long = 64L << 20): Boolean =
-    sizePreserving && cmEstRows * avgPayloadBytes >= splitBytesThreshold
+      mapSideCombinable: Boolean,
+      minHotRows: Long = 1000000L,
+      maxPayloadBytes: Long = 64L): Boolean =
+    !mapSideCombinable && cmEstRows >= minHotRows &&
+      avgPayloadBytes <= maxPayloadBytes
 
   /** [[hotSetGuardedAggregate]] behind the [[splitPays]] gate: hot
-    * keys whose estimated reducer-side volume does not justify a
-    * split are dropped from the hot set BEFORE the plan is built —
-    * detection fires on share alone, engagement only where splitting
-    * pays, and with nothing left to split the dormant path returns
-    * the literal plain single-phase plan. `hotEst` is (key, cm_est)
-    * as returned by [[cmHotKeysFrom]]. */
+    * keys whose estimated shape does not justify a split are dropped
+    * from the hot set BEFORE the plan is built — detection fires on
+    * share alone, engagement only where splitting pays, and with
+    * nothing left to split the dormant path returns the literal
+    * plain single-phase plan. `hotEst` is (key, cm_est) as returned
+    * by [[cmHotKeysFrom]]. For any built-in Spark aggregate pass
+    * `mapSideCombinable = true` — the gate then always returns the
+    * plain plan, which measurement shows is optimal (see
+    * [[splitPays]]). */
   def gatedHotSetAggregate(df: DataFrame, key: String,
       hotEst: Seq[(String, Long)], avgPayloadBytes: Long,
-      sizePreserving: Boolean, numSalts: Int,
+      mapSideCombinable: Boolean, numSalts: Int,
       partials: Seq[Column], finals: Seq[Column], plain: Seq[Column],
-      splitBytesThreshold: Long = 64L << 20): DataFrame =
+      minHotRows: Long = 1000000L,
+      maxPayloadBytes: Long = 64L): DataFrame =
     hotSetGuardedAggregate(df, key,
       hotEst.collect { case (k, est) if splitPays(est, avgPayloadBytes,
-        sizePreserving, splitBytesThreshold) => k },
+        mapSideCombinable, minHotRows, maxPayloadBytes) => k },
       numSalts, partials, finals, plain)
+
+  /** Per-key TOP-K as an explicit salt decomposition — a MEASURED
+    * REJECTED alternative, kept as the probe's A/B side and for
+    * engines without group-limit pushdown. The hypothesis was that a
+    * per-key window sort is the one shape with no partial mode, so
+    * the hot key's O(n log n) sort runs in one task and a per-salt
+    * local top-k (top-k is mergeable: a row outside its salt's top-k
+    * is outside the global top-k) would relieve it. The executed plan
+    * falsified it: Spark 4 plans `row_number ≤ k` with
+    * `WindowGroupLimit … Partial` BELOW the exchange — every map task
+    * already forwards at most k rows per key, the same skew immunity
+    * partial aggregation gives aggregates — and this two-stage
+    * decomposition was measured 1.97× SLOWER than the native plan at
+    * 5M rows / 60%-hot key / k=100 (SKEW_DETAIL
+    * topk_window_plain_vs_salted). Use the plain window + filter
+    * (e124's shape); reach for this only where that pushdown does
+    * not exist. `ordering` must be a TOTAL order (include a unique
+    * tiebreaker column) — with ties left ambiguous the two plans
+    * could legitimately pick different row sets. Output = the rows
+    * of the global top-k plus their 1-based `rank`. */
+  def saltedTopK(df: DataFrame, key: String, ordering: Seq[Column],
+      k: Int, numSalts: Int = 16): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(numSalts)).cast("int"))
+    val local = salted
+      .withColumn("__rn", row_number().over(
+        W.partitionBy(col(key), col("__salt")).orderBy(ordering: _*)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+    local
+      .withColumn("rank", row_number().over(
+        W.partitionBy(col(key)).orderBy(ordering: _*)))
+      .filter(col("rank") <= k)
+      .drop("__salt")
+  }
 }

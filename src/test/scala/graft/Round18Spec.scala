@@ -70,14 +70,43 @@ class Round18Spec extends AnyFunSuite with SparkSpec {
 
   // ------------------------------- the skew-guard benefit gate
 
-  test("splitPays: shrinking aggregates never split; size-preserving ones split only past the volume threshold") {
-    // shrinking: map-side combine already bounds the hot key
-    assert(!Salting.splitPays(1L << 40, 1L << 20, sizePreserving = false))
-    // size-preserving below / above the byte threshold
-    assert(!Salting.splitPays(100000L, 20L, sizePreserving = true),
-      "the measured round-12 loss regime (~2 MB hot volume) must gate OFF")
-    assert(Salting.splitPays(400000L, 300L, sizePreserving = true),
-      "a 120 MB hot volume must engage")
+  test("splitPays: map-side-combinable aggregates never split; non-combinable per-key work needs the row floor AND the payload cap") {
+    // every Spark aggregate partial-combines map-side (the measured
+    // A+B loss regimes) — the gate must never engage for them
+    assert(!Salting.splitPays(1L << 40, 8L, mapSideCombinable = true),
+      "a combinable aggregate must never split, whatever the skew")
+    // non-combinable (window-sort shape) below the row floor
+    assert(!Salting.splitPays(100000L, 20L, mapSideCombinable = false),
+      "too few hot rows must gate OFF (extra stage never amortizes)")
+    // non-combinable above the payload cap
+    assert(!Salting.splitPays(3000000L, 300L, mapSideCombinable = false),
+      "large elements must gate OFF — the re-exchange re-handles bytes")
+    // the win shape: many rows of small elements, no partial mode
+    assert(Salting.splitPays(3000000L, 13L, mapSideCombinable = false),
+      "millions of small-element rows in a non-combinable op engage")
+  }
+
+  test("saltedTopK: identical row set and ranks to the plain window top-k, on a skewed frame") {
+    import spark.implicits._
+    val df = ((0 until 5000).map(i => ("hot", f"p$i%05d")) ++
+      (0 until 300).map(i => (s"c${i % 7}", f"q$i%05d")))
+      .toDF("k", "p")
+      .repartition(8)
+    val ord = Seq(col("p").desc)
+    val plain = df.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy(ord: _*)))
+      .filter(col("rank") <= 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    val salted = Salting.saltedTopK(df, "k", ord, k = 10, numSalts = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(salted === plain,
+      "salted per-key top-k must equal the single-sort window plan")
+    // groups smaller than k keep all their rows, ranked
+    assert(salted.count(_._1 == "c0") ===
+      plain.count(_._1 == "c0"))
   }
 
   test("gatedHotSetAggregate: an unprofitable hot set degrades to the literal plain plan; a profitable one splits and matches it") {
@@ -86,18 +115,18 @@ class Round18Spec extends AnyFunSuite with SparkSpec {
       (if (i % 2 == 0) "hot" else s"c${i % 7}", s"p$i")).toDF("k", "v")
     val plainOut = df.groupBy(col("k"))
       .agg(sort_array(collect_list(col("v"))).as("vs"))
-    def viaGate(threshold: Long) = Salting.gatedHotSetAggregate(
+    def viaGate(minRows: Long) = Salting.gatedHotSetAggregate(
       df, "k", hotEst = Seq(("hot", 1000L)), avgPayloadBytes = 4L,
-      sizePreserving = true, numSalts = 4,
+      mapSideCombinable = false, numSalts = 4,
       partials = Seq(collect_list(col("v")).as("__pl")),
       finals = Seq(sort_array(flatten(collect_list(col("__pl")))).as("vs")),
       plain = Seq(sort_array(collect_list(col("v"))).as("vs")),
-      splitBytesThreshold = threshold)
-    // unprofitable (4000 bytes < 1 MB): the returned plan IS the plain one
-    assert(viaGate(1L << 20).queryExecution.optimizedPlan.canonicalized ===
+      minHotRows = minRows)
+    // unprofitable (1000 est rows < the 1M floor): the plain plan
+    assert(viaGate(1000000L).queryExecution.optimizedPlan.canonicalized ===
       plainOut.queryExecution.optimizedPlan.canonicalized,
       "gated-off must return the literal single-phase plan")
-    // profitable (threshold 1 byte): split engages, same result set
+    // profitable (floor 1 row): split engages, same result set
     val split = viaGate(1L).collect()
       .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     val plain = plainOut.collect()
