@@ -340,7 +340,7 @@ object ScaleBench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, _) =>
         name -> Bench.median3(
-          () => { SparkEntry.queries(name)(spark, dir).count(); () })
+          () => Bench.runQuery(name, SparkEntry.queries(name)(spark, dir)))
       }
     (caches, queries)
   }
