@@ -149,6 +149,14 @@ object ScaleDecade {
         items += "d66_incr_substring_dedup" -> Bench.median3(() => {
           SparkEntry.queries("d66_incr_substring_dedup")(spark, dir)
             .count(); () })
+      // d68 (round 13, documents-only): the APPLY rung — d65's
+      // detection plus the span-sidecar rejoin and per-doc re-cut;
+      // MUST go through Bench.runQuery (a bare count() join-eliminates
+      // the row-preserving plan — the honest-timing rule)
+      if (want("d68_substring_apply"))
+        items += "d68_substring_apply" -> Bench.median3(() =>
+          Bench.runQuery("d68_substring_apply",
+            SparkEntry.queries("d68_substring_apply")(spark, dir)))
       graft.ext.DedupOps.clearCaches()
       items.toSeq
     }

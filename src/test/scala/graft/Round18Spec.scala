@@ -217,6 +217,20 @@ class Round18Spec extends AnyFunSuite with SparkSpec {
     assert(out(1L) === ((0L, 0L, "mixed case tokens")))
   }
 
+  test("d68: a corpus with no gated runs returns every document unchanged") {
+    val out = applied(Seq(1L -> "a b c d e f", 2L -> "g h i j k l"))
+    assert(out(1L) === ((0L, 0L, "a b c d e f")))
+    assert(out(2L) === ((0L, 0L, "g h i j k l")))
+  }
+
+  test("d68: a document that is entirely one duplicated run cleans to the empty string") {
+    val run = toks(12, "s")
+    val out = applied(Seq(1L -> s"a0 $run a1", 2L -> run))
+    assert(out(2L) === ((1L, 12L, "")),
+      "whole-doc duplicate must cut to empty, not drop the row")
+    assert(out(1L)._1 === 0L)
+  }
+
   // ------------------- d69 window-length composition algebra
 
   test("d69: runs at or above the gate are IDENTICAL across w ∈ {5, 8, 12}; sub-gate runs drop as w rises") {
