@@ -264,4 +264,36 @@ class Round18Spec extends AnyFunSuite with SparkSpec {
         s"the eval's gated columns must agree across w: $eval")
     } finally Fs.deleteTree(dir)
   }
+
+  test("d69 caveat: the >16-doc hot-hash cap interacts with w — a hot SHORT phrase is dropped at small w while a long run in few docs gates at every w") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-d69cap-spec").toString
+    try {
+      // 17 docs share a 5-token phrase (hot at w=5: its windows sit in
+      // 17 > 16 docs); two of those docs ALSO share a 13-token run.
+      val hot = toks(5, "h")
+      val long = toks(13, "L")
+      val docs = (1 to 17).map { i =>
+        val extra = if (i <= 2) s" $long" else ""
+        i.toLong -> s"f${i}a $hot f${i}b$extra"
+      }
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def gatedAt(w: Int) = graft.ext.DedupOps
+        .substringRunsCore(spark, dir, w)
+        .filter(col("run_tokens") >= 12L).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).sorted
+      // the hot phrase never pairs (capped at w=5, below the floor at
+      // w=8/12); the 13-token run gates identically at every w
+      (Seq(5, 8, 12)).foreach { w =>
+        assert(gatedAt(w) === Seq((1L, 2L, 13L)),
+          s"w=$w: only the 13-token run may gate")
+      }
+      val at5 = graft.ext.DedupOps.substringRunsCore(spark, dir, 5)
+        .collect()
+      assert(!at5.exists(_.getLong(4) === 5L),
+        "the 17-doc hot phrase must be dropped by the cap at w=5")
+    } finally Fs.deleteTree(dir)
+  }
 }
