@@ -172,21 +172,22 @@ object SkewProbe {
       }
       items += (("cache_cm_table", cwa, cwb))
       clearCmTables(); cmTable(base); cmTable(skew)
-      // detection: O(sample) probes against the cached 768 cells —
-      // runs once per ingest BATCH in production, so it is timed as
-      // its own line item and the detected set is what every
-      // aggregation over that batch reuses
-      def detect(dir: String): Seq[String] = {
+      // detection: sample-bounded probes against the cached 768
+      // cells — runs once per ingest BATCH in production, so it is
+      // timed as its own line item and the detected (key, cm_est)
+      // set is what every aggregation over that batch reuses
+      def detectEst(dir: String): Seq[(String, Long)] = {
         val cand = graft.operators.Salting.candidateSample(
           graft.query.FixtureCorpus.store(spark, dir)
             .select(col("from").cast("string").as("tok")))
         graft.operators.Salting
           .cmHotKeysFrom(cmTable(dir), cand, sharePpm = 200000L)
-          .collect().map(_.getString(0)).toSeq
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       }
-      val (da, db) = interleaved(skew, median) { dir => detect(dir); () }
+      val (da, db) = interleaved(skew, median) { dir => detectEst(dir); () }
       items += (("cm_detect", da, db))
-      val hotSets = Map(base -> detect(base), skew -> detect(skew))
+      val hotEsts = Map(base -> detectEst(base), skew -> detectEst(skew))
+      val hotSets = hotEsts.map { case (k, v) => k -> v.map(_._1) }
       cmHotUniform = hotSets(base).size.toLong
       cmHotSkewed = hotSets(skew).size.toLong
       def adjacency(dir: String, guarded: Boolean): Unit = {
@@ -212,39 +213,24 @@ object SkewProbe {
         items += ((nm, qa, qb))
       }
 
-      // ---- the BENEFIT gate (round-12 verdict item 2): detection
-      // firing is necessary but not sufficient — the engaged split
-      // was measured SLOWER here at sf1 (small payloads: the extra
-      // exchange outweighs the straggler it relieves). Three rows pin
-      // the gate's three regimes:
-      //  1. gated-off-when-unprofitable: on THIS corpus (30% hot,
-      //     ~12-byte dedupe_key payload ≈ 2 MB hot volume) the gate
-      //     must return the literal plain plan — ratio ≈ plain's;
-      //  2. win regime: a 60%-share corpus with body-sized payloads
-      //     (hot volume ≈ 100+ MB) where the ENGAGED split must beat
-      //     the plain single-phase plan;
-      //  3. the gate on the win corpus picks the engaged plan (same
-      //     detection + volume inputs, opposite verdict to row 1).
-      def detectEst(dir: String): Seq[(String, Long)] = {
-        val cand = graft.operators.Salting.candidateSample(
-          graft.query.FixtureCorpus.store(spark, dir)
-            .select(col("from").cast("string").as("tok")))
-        graft.operators.Salting
-          .cmHotKeysFrom(cmTable(dir), cand, sharePpm = 200000L)
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      }
+      // ---- the BENEFIT gate (round-12 verdict item 2, resolved by
+      // falsification — see the next block): detection firing is
+      // necessary but not sufficient, and for map-side-combinable
+      // aggregates never sufficient. This row pins the gate's one
+      // job on the round-12 regression corpus: with collect_list
+      // declared combinable, the gate must return the literal plain
+      // plan (ratio ≈ comm_adjacency_plain's), where the ungated
+      // guard above reads 1.6–1.8.
       def avgPayload(dir: String, c: String): Long = {
         import org.apache.spark.sql.functions.{avg, length}
         val v = graft.query.FixtureCorpus.store(spark, dir)
           .agg(avg(length(col(c)))).head().getDouble(0)
         math.max(1L, math.round(v))
       }
-      // row 1: the gate on the loss regime — must pick the plain
-      // plan. Detection + payload-width inputs are precomputed (the
-      // cm_detect discipline: they amortize per ingest batch, never
-      // per aggregation), so the timed run is the gate verdict + the
-      // chosen plan alone.
-      val hotEsts = Map(base -> detectEst(base), skew -> detectEst(skew))
+      // Detection + payload-width inputs reuse the hotEsts computed
+      // above (the cm_detect discipline: they amortize per ingest
+      // batch, never per aggregation), so the timed run is the gate
+      // verdict + the chosen plan alone.
       val keyBytes = Map(base -> avgPayload(base, "dedupe_key"),
         skew -> avgPayload(skew, "dedupe_key"))
       def adjacencyGated(dir: String): Unit = {
@@ -424,18 +410,8 @@ object SkewProbe {
           ()
         }
         locally {
-          val sa = scala.collection.mutable.ArrayBuffer[Double]()
-          val sb = scala.collection.mutable.ArrayBuffer[Double]()
-          var i = 0
-          while (i < 3) {
-            sa += timeOne(topk("plain"))
-            sb += timeOne(topk("salted"))
-            i += 1
-          }
-          def red(xs: Seq[Double]) =
-            if (xs.exists(_ <= 0)) -1.0 else median(xs.toSeq)
-          items += (("topk_window_plain_vs_salted", red(sa.toSeq),
-            red(sb.toSeq)))
+          val (pa, pb) = planAB(topk, "salted")
+          items += (("topk_window_plain_vs_salted", pa, pb))
         }
       }
       clearStores()

@@ -72,22 +72,30 @@ object Salting {
       finals = Seq(sum("__psum").as(s"sum_$valueCol"),
         sum("__pcnt").as("n_rows")))
 
-  /** Candidate keys for hot-key detection: the first ~`sampleN` rows
-    * of the frame taken PER PARTITION (⌈sampleN / partitions⌉ each,
-    * floor 8), distinct'd. Never a bare `limit(sampleN)` — limit takes
-    * a partition-PREFIX, so on data clustered by the key (the typical
+  /** Candidate keys for hot-key detection: per partition, the first
+    * ~⌈sampleN / partitions⌉ rows PLUS every `stride`-th row of the
+    * rest, distinct'd. Never a bare `limit(sampleN)` — limit takes a
+    * partition-PREFIX, so on data clustered by the key (the typical
     * layout after ingest partitioning) a global limit can read one
     * partition's single key and silently miss every hot key. The
-    * per-partition take covers both layouts: key-clustered data gives
-    * a share-s key ≥ s of the partitions' prefixes (it fills whole
-    * partitions), and exchangeable data keeps the (1−s)^sampleN miss
-    * bound of a uniform sample. Cost stays O(sample): each task stops
-    * after its take. */
-  def candidateSample(toks: DataFrame, sampleN: Int = 4096): DataFrame = {
+    * prefix alone has the same residual trap one level down (a
+    * SINGLE-partition frame sorted by key hides a tail-clustered hot
+    * key from any prefix); the stride closes it layout-independently:
+    * a key owning share s of a partition's rows collects ~s·rows/512
+    * stride hits — ≥ 1 for any share ≥ 512/rows, i.e. every key worth
+    * splitting, wherever it sits. Cost: one projection-local pass
+    * over the candidate column (no shuffle; the emitted sample is
+    * ≤ prefix + rows/512 per partition, bounded like the CM probe
+    * that consumes it). */
+  def candidateSample(toks: DataFrame, sampleN: Int = 4096,
+      stride: Int = 512): DataFrame = {
     import org.apache.spark.sql.Encoders
     val per = math.max(8, sampleN / math.max(1, toks.rdd.getNumPartitions))
     toks.select(col("tok")).as(Encoders.STRING)
-      .mapPartitions(_.take(per))(Encoders.STRING)
+      .mapPartitions { it =>
+        var i = -1L
+        it.filter { _ => i += 1; i < per || i % stride == 0 }
+      }(Encoders.STRING)
       .toDF("tok").distinct()
   }
 

@@ -437,13 +437,25 @@ object Sketches {
 
   private val censusK = 8
 
-  /** A build-once slot: `lazy val` runs the build on the FIRST `dir`
-    * access (callers racing on the same key share one build), so the
-    * ConcurrentHashMap mutation itself is cheap — the multi-second
-    * Spark job never runs inside a map bin lock, and an unrelated
-    * (session, dir) build is never serialized behind this one. */
+  /** A build-once slot: the build runs on the FIRST `dir` access
+    * under the slot's own latch (callers racing on the same key share
+    * one build), so the ConcurrentHashMap mutation itself is cheap —
+    * the multi-second Spark job never runs inside a map bin lock, and
+    * an unrelated (session, dir) build is never serialized behind
+    * this one. A FAILED build leaves the slot unbuilt (the next `dir`
+    * access retries, like a lazy val) but, unlike a lazy val, the
+    * clear path can observe "unbuilt" without triggering — or
+    * re-running — the build. */
   private final class CensusSlot(build: () => String) {
-    lazy val dir: String = build()
+    private var built: String = null
+    def dir: String = synchronized {
+      if (built == null) built = build()
+      built
+    }
+    /** The artifact dir if the build ever COMPLETED — waits for an
+      * in-flight build (the adopt contract) but never starts one and
+      * never re-runs a failed one. */
+    def adoptBuilt(): Option[String] = synchronized(Option(built))
   }
   private val censusDirs =
     new java.util.concurrent.ConcurrentHashMap[String, CensusSlot]()
@@ -452,10 +464,14 @@ object Sketches {
     * otherwise every Bench min-of-3 rebuild leaks a temp directory
     * (the SimilarityOps.clearCaches discipline). In-flight builds are
     * ADOPTED, not leaked: each entry is removed from the map first,
-    * then its `dir` access waits for any concurrent build to finish
+    * then `adoptBuilt()` waits for any concurrent build to finish
     * before deleting — so no rebuild can resurrect the pointer and no
-    * temp dir escapes. (A caller racing clearCaches may observe its
-    * just-built artifact deleted — the same contract as
+    * temp dir escapes. A slot whose build FAILED (the putIfAbsent
+    * publish survives a throwing build) reports unbuilt and is simply
+    * dropped — the clear path never launches a Spark job and never
+    * re-throws a warm's failure (that would abort the whole bench
+    * run from inside an epilogue). (A caller racing clearCaches may
+    * observe its just-built artifact deleted — the same contract as
     * SimilarityOps.clearCaches; Bench and the probes are
     * single-threaded, so the race is theoretical there.) */
   private[graft] def clearCaches(): Unit = {
@@ -463,7 +479,7 @@ object Sketches {
     while (it.hasNext) {
       val slot = it.next().getValue
       it.remove()
-      graft.Fs.deleteTree(slot.dir)
+      slot.adoptBuilt().foreach(graft.Fs.deleteTree)
     }
   }
 

@@ -61,6 +61,17 @@ class Round18Spec extends AnyFunSuite with SparkSpec {
       "fixture must actually exhibit the partition-prefix trap")
   }
 
+  test("candidateSample: a SINGLE-partition frame with the hot key clustered at the tail is still covered (the stride closes the prefix trap one level down)") {
+    import spark.implicits._
+    val rows = (0 until 30000).map(i => f"cold_${i % 10000}%05d") ++
+      Seq.fill(10000)("zzz_hot")
+    val toks = rows.toDF("tok").coalesce(1)
+    val sampled = Salting.candidateSample(toks, 4096)
+      .collect().map(_.getString(0)).toSet
+    assert(sampled.contains("zzz_hot"),
+      "a tail-clustered hot key in one partition must be stride-sampled")
+  }
+
   test("cmHotKeys: detects the clustered 25%-share key end-to-end at a 20% threshold") {
     val hot = Salting.cmHotKeys(clusteredToks(), "tok", sharePpm = 200000L)
       .collect().map(_.getString(0)).toSet

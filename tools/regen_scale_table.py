@@ -28,11 +28,19 @@ for i, ln in enumerate(lines):
         in_main = False
     if in_main and ln.startswith("|") and not ln.startswith("|---"):
         cells = ln.split("|")
-        name = cells[1].strip()
-        if name in items:
+        name = cells[1].strip() if len(cells) > 1 else ""
+        if name in items and len(cells) >= 7:
             v = items[name]
             m = re.match(r"\s*(-?\d+\.\d+)(.*)$", cells[6], re.S)
-            annot = m.group(2) if m else cells[6]
+            if m is None:
+                # non-numeric exponent cell (e.g. "n/a (rerun pending)"):
+                # leave the row alone rather than prepending a number
+                # next to stale text
+                print(f"skipping non-numeric exponent row: {name}",
+                      file=sys.stderr)
+                out.append(ln)
+                continue
+            annot = m.group(2)
             cells[2] = f" {v['a']:.2f} s "
             cells[3] = f" {v['b']:.2f} s "
             cells[4] = f" {v['ratio']:.2f} "
