@@ -302,7 +302,15 @@ object Bench {
       ("cache_k83_census",
         () => { graft.operators.Sketches.incrSketchCensus(spark, sfDir)
           .count(); () },
-        () => graft.operators.Sketches.clearCaches()))
+        () => graft.operators.Sketches.clearCaches()),
+      // d70's persisted corpus window index (d66's base artifact
+      // written once); the d70 query line item then times the pure
+      // per-batch probe. Targeted clear — the shared dedup frames
+      // stay. (Listed after cache_dedup_frames, whose clearCaches
+      // also drops window indexes.)
+      ("cache_d70_window_index",
+        () => { graft.ext.DedupOps.windowIndexDir(spark, sfDir); () },
+        () => graft.ext.DedupOps.clearWindowIndexes()))
     val rerun = scala.collection.mutable.ArrayBuffer[String]()
     // MIN-of-3 for every warm (round-9 lesson: cache_dedup_frames
     // recorded 6.07 s and 11.85 s across two runs both self-reporting

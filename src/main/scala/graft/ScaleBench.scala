@@ -200,7 +200,11 @@ object ScaleBench {
     // e124: native WindowGroupLimit plan — the map-side Partial
     // group-limit bounds every task's contribution to k rows per
     // key, so expect scan/sort-bound near-linear and skew-neutral
-    "e124_topk_per_key" -> "events")
+    "e124_topk_per_key" -> "events",
+    // d70: the substring gate SERVED from the persisted index — the
+    // per-batch probe alone (batch windows × index fan-out); expect
+    // well below d66's rebuild-inclusive exponent and absolute time
+    "d70_served_substring_gate" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -332,7 +336,12 @@ object ScaleBench {
         () => graft.operators.Sketches.clearCaches(),
         () => {
           graft.operators.Sketches.incrSketchCensus(spark, dir)
-            .count(); () }))
+            .count(); () }),
+      // d70's persisted window index — the substring tier's
+      // build-once half (the serve is the d70 Heavy entry)
+      ("cache_d70_window_index",
+        () => graft.ext.DedupOps.clearWindowIndexes(),
+        () => { graft.ext.DedupOps.windowIndexDir(spark, dir); () }))
     val caches = cacheDefs
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, clear, build) => name -> minOf3(clear, build) }
@@ -404,7 +413,8 @@ object ScaleBench {
         "cache_g104_base_cc" -> vol("lineitem"),
         "cache_g105_base_pr" -> vol("lineitem"),
         "cache_media_sigs" -> vol("docs"),
-        "cache_k83_census" -> vol("docs"))
+        "cache_k83_census" -> vol("docs"),
+        "cache_d70_window_index" -> vol("docs"))
     val aMap = (cachesA ++ queriesA).toMap
     val items = (cachesB ++ queriesB).map { case (name, tB) =>
       val tA = aMap.getOrElse(name, -1.0)

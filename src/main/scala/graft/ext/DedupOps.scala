@@ -54,9 +54,49 @@ object DedupOps {
   // for the session lifetime (round-1 ADVICE).
   private val frames = new graft.FrameRegistry
 
-  /** Unpersist every frame this object materialized (call from the
-    * driver harness after results are written). */
-  def clearCaches(): Unit = frames.clear()
+  /** Unpersist every frame this object materialized and delete the
+    * persisted window-index artifacts (call from the driver harness
+    * after results are written). */
+  def clearCaches(): Unit = {
+    frames.clear()
+    clearWindowIndexes()
+  }
+
+  // ------------- persisted window-index artifact (d70's serve side)
+
+  private val savedWindowIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val windowIndexLock = new Object
+
+  /** Build-or-get the PERSISTED corpus window index — d66's
+    * base-segment artifact written once to parquet (the s87/k83
+    * artifact discipline): (hw, base_id, pa) rows of the base 4/5,
+    * hot hashes already dropped. At 100 TB this is the standing
+    * table the ingest maintains; here it is built once per
+    * (session, dir) and d70 serves from it. */
+  private[graft] def windowIndexDir(s: SparkSession, d: String): String = {
+    val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|windex"
+    windowIndexLock.synchronized {
+      Option(savedWindowIndexes.get(key)).getOrElse {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-windex").toString
+        baseWindowIndex(s, d).write.mode("overwrite")
+          .parquet(s"$dir/windex")
+        savedWindowIndexes.put(key, dir)
+        dir
+      }
+    }
+  }
+
+  /** Delete the persisted window-index artifacts (targeted bench
+    * clear — the shared shingle/signature frames stay). */
+  private[graft] def clearWindowIndexes(): Unit = {
+    val it = savedWindowIndexes.entrySet().iterator()
+    while (it.hasNext) {
+      graft.Fs.deleteTree(it.next().getValue)
+      it.remove()
+    }
+  }
 
   // the cached-frame builders are shared between the query sites and
   // warm(): warm re-stating the build expressions under the same keys
@@ -1998,6 +2038,29 @@ object DedupOps {
     s"WITH $substringTokCtesSql,\n$chains\n$branches\nORDER BY w"
   }
 
+  // ---------- d70 SERVED incremental substring gate (the artifact)
+
+  /** d70: d66's PRODUCTION shape, measured — the ingest gate served
+    * from the PERSISTED corpus window index instead of a per-call
+    * rebuild. d66 deliberately rebuilds its base index every call
+    * (the em70 honesty rule: its line item charges the full cost
+    * somewhere); this entry is the other half of that honesty — the
+    * per-batch serving cost a deployment actually pays once the
+    * artifact exists (the s87/s88/k83 build-once/serve-many split,
+    * closed for the substring tier): batch windows (the 1/5 crawl)
+    * equi-join the parquet-persisted (hw, base_id, pa) index, runs
+    * stitch, verdicts emit. Per-batch work = batch windows × index
+    * fan-out, with the index build amortized to the warm line item
+    * (`cache_d70_window_index`). Shares d66's oracle — serve-from-
+    * artifact ≡ rebuild-from-corpus, hash-checked. */
+  def servedSubstringGate(s: SparkSession, d: String): DataFrame = {
+    val idx = s.read.parquet(s"${windowIndexDir(s, d)}/windex")
+    val batchW = windowFrame(documents(s, d).filter(col("doc_id") % 5 === 4))
+      .select(col("hw"), col("doc_id"), col("pos").as("pb"))
+    incrSubstringFinish(s, d,
+      batchW.join(idx, Seq("hw")).select("doc_id", "base_id", "pb", "pa"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_exact_dedup"    -> exactDedup _,
     "d51_jaccard_pairs"  -> jaccardPairs _,
@@ -2020,6 +2083,7 @@ object DedupOps {
     "d67_lsh_banding_eval" -> lshBandingEval _,
     "d68_substring_apply" -> substringApply _,
     "d69_window_sensitivity" -> windowSensitivityEval _,
+    "d70_served_substring_gate" -> servedSubstringGate _,
     "t49_decontamination" -> decontamination _,
     "t68_passage_decontam" -> passageDecontam _,
     "t57_corpus_funnel"  -> corpusFunnel _,
@@ -2047,6 +2111,7 @@ object DedupOps {
     "d67_lsh_banding_eval" -> lshBandingEvalSql,
     "d68_substring_apply" -> substringApplySql,
     "d69_window_sensitivity" -> windowSensitivityEvalSql,
+    "d70_served_substring_gate" -> incrSubstringDedupSql,
     "t49_decontamination" -> decontaminationSql,
     "t68_passage_decontam" -> passageDecontamSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,

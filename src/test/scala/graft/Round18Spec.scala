@@ -242,6 +242,38 @@ class Round18Spec extends AnyFunSuite with SparkSpec {
     assert(out(1L)._1 === 0L)
   }
 
+  // -------------- d70 served substring gate (artifact round trip)
+
+  test("d70: serving from the persisted window index is row-identical to d66's rebuild; the artifact builds once and clears clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-d70-spec").toString
+    try {
+      val run = toks(12, "s")
+      Seq(1L -> s"a0 $run",                 // base: donates the run
+          2L -> "b0 b1 b2 b3 b4 b5",        // base: clean
+          4L -> s"c0 $run c1",              // batch: must read dup
+          9L -> "d0 d1 d2 d3 d4 d5")        // batch: must read keep
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val served = graft.ext.DedupOps.servedSubstringGate(spark, dir)
+        .collect().map(_.toString).toSeq
+      val rebuilt = graft.ext.DedupOps.incrSubstringDedup(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(served === rebuilt,
+        "serve-from-artifact must equal rebuild-from-corpus row for row")
+      assert(served.exists(_.contains("dup")) &&
+        served.exists(_.contains("keep")),
+        "fixture must exercise both verdicts")
+      val d1 = graft.ext.DedupOps.windowIndexDir(spark, dir)
+      val d2 = graft.ext.DedupOps.windowIndexDir(spark, dir)
+      assert(d1 === d2, "the artifact must be reused, not rebuilt")
+      graft.ext.DedupOps.clearWindowIndexes()
+      assert(!new java.io.File(d1).exists(),
+        "clearWindowIndexes must delete the artifact dir")
+    } finally Fs.deleteTree(dir)
+  }
+
   // ------------------- d69 window-length composition algebra
 
   test("d69: runs at or above the gate are IDENTICAL across w ∈ {5, 8, 12}; sub-gate runs drop as w rises") {
