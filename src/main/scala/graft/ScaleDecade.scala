@@ -157,6 +157,17 @@ object ScaleDecade {
         items += "d68_substring_apply" -> Bench.median3(() =>
           Bench.runQuery("d68_substring_apply",
             SparkEntry.queries("d68_substring_apply")(spark, dir)))
+      // d70 (round 13): the SERVED gate's per-batch probe against the
+      // persisted window index — the artifact is built once (untimed
+      // here; its build is the cache_d70 warm) and the median-of-3
+      // times the serve alone, the production per-batch cost
+      if (want("d70_served_substring_gate")) {
+        graft.ext.DedupOps.windowIndexDir(spark, dir)
+        items += "d70_served_substring_gate" -> Bench.median3(() => {
+          SparkEntry.queries("d70_served_substring_gate")(spark, dir)
+            .count(); () })
+        graft.ext.DedupOps.clearWindowIndexes()
+      }
       graft.ext.DedupOps.clearCaches()
       items.toSeq
     }
