@@ -213,7 +213,9 @@ object Bench {
     val cacheDefs: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("cache_dedup_frames",
         () => graft.ext.DedupOps.warm(spark, sfDir),
-        () => graft.ext.DedupOps.clearCaches()),
+        // frames-only targeted clear: clearCaches() would also evict
+        // the d70 window index and make list ORDER load-bearing
+        () => graft.ext.DedupOps.clearFrames()),
       ("cache_kmeans_model",
         () => graft.ext.SimilarityOps.warm(spark, sfDir),
         () => graft.ext.SimilarityOps.clearCaches()),

@@ -246,7 +246,9 @@ object ScaleBench {
     // unselected builds entirely, not just their reporting
     val cacheDefs: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("cache_dedup_frames",
-        () => graft.ext.DedupOps.clearCaches(),
+        // frames-only targeted clear: clearCaches() would also evict
+        // the d70 window index and make list ORDER load-bearing
+        () => graft.ext.DedupOps.clearFrames(),
         () => graft.ext.DedupOps.warm(spark, dir)),
       ("cache_kmeans_model",
         () => graft.ext.SimilarityOps.clearCaches(),

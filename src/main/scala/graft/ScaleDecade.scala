@@ -166,8 +166,8 @@ object ScaleDecade {
         items += "d70_served_substring_gate" -> Bench.median3(() => {
           SparkEntry.queries("d70_served_substring_gate")(spark, dir)
             .count(); () })
-        graft.ext.DedupOps.clearWindowIndexes()
       }
+      // clearCaches also drops the window-index artifacts
       graft.ext.DedupOps.clearCaches()
       items.toSeq
     }

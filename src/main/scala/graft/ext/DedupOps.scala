@@ -55,18 +55,22 @@ object DedupOps {
   private val frames = new graft.FrameRegistry
 
   /** Unpersist every frame this object materialized and delete the
-    * persisted window-index artifacts (call from the driver harness
-    * after results are written). */
+    * persisted window-index artifacts — the clear-EVERYTHING call for
+    * harness epilogues. Bench cache line items must use the TARGETED
+    * clears instead ([[clearFrames]] / [[clearWindowIndexes]]) so one
+    * warm's re-cycle cannot evict another's already-measured cache. */
   def clearCaches(): Unit = {
-    frames.clear()
+    clearFrames()
     clearWindowIndexes()
   }
 
+  /** Targeted clear: only the shared cached frames (the
+    * cache_dedup_frames line item's own state). */
+  private[graft] def clearFrames(): Unit = frames.clear()
+
   // ------------- persisted window-index artifact (d70's serve side)
 
-  private val savedWindowIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val windowIndexLock = new Object
+  private val windowIndexes = new graft.ArtifactRegistry("graft-windex")
 
   /** Build-or-get the PERSISTED corpus window index — d66's
     * base-segment artifact written once to parquet (the s87/k83
@@ -74,29 +78,17 @@ object DedupOps {
     * hot hashes already dropped. At 100 TB this is the standing
     * table the ingest maintains; here it is built once per
     * (session, dir) and d70 serves from it. */
-  private[graft] def windowIndexDir(s: SparkSession, d: String): String = {
-    val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|windex"
-    windowIndexLock.synchronized {
-      Option(savedWindowIndexes.get(key)).getOrElse {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-windex").toString
+  private[graft] def windowIndexDir(s: SparkSession, d: String): String =
+    windowIndexes.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|windex") {
+      dir =>
         baseWindowIndex(s, d).write.mode("overwrite")
           .parquet(s"$dir/windex")
-        savedWindowIndexes.put(key, dir)
-        dir
-      }
     }
-  }
 
-  /** Delete the persisted window-index artifacts (targeted bench
-    * clear — the shared shingle/signature frames stay). */
-  private[graft] def clearWindowIndexes(): Unit = {
-    val it = savedWindowIndexes.entrySet().iterator()
-    while (it.hasNext) {
-      graft.Fs.deleteTree(it.next().getValue)
-      it.remove()
-    }
-  }
+  /** Targeted clear: only the persisted window-index artifacts (the
+    * cache_d70_window_index line item's own state). */
+  private[graft] def clearWindowIndexes(): Unit = windowIndexes.clear()
 
   // the cached-frame builders are shared between the query sites and
   // warm(): warm re-stating the build expressions under the same keys

@@ -271,7 +271,11 @@ class Round18Spec extends AnyFunSuite with SparkSpec {
       graft.ext.DedupOps.clearWindowIndexes()
       assert(!new java.io.File(d1).exists(),
         "clearWindowIndexes must delete the artifact dir")
-    } finally Fs.deleteTree(dir)
+    } finally {
+      // in the finally so a failed assertion cannot leak the artifact
+      graft.ext.DedupOps.clearWindowIndexes()
+      Fs.deleteTree(dir)
+    }
   }
 
   // ------------------- d69 window-length composition algebra
