@@ -310,8 +310,13 @@ object Bench {
       // per-batch probe. Targeted clear — the shared dedup frames
       // stay. (Listed after cache_dedup_frames, whose clearCaches
       // also drops window indexes.)
+      // extended (not a new line item — the round-12 verdict's
+      // warm-growth rule) with d71's tombstone manifest and d72's
+      // compaction fold: both are O(index) rewrites riding the same
+      // registry, so the d71/d72 query line items time pure serves
       ("cache_d70_window_index",
-        () => { graft.ext.DedupOps.windowIndexDir(spark, sfDir); () },
+        () => { graft.ext.DedupOps.windowIndexDir(spark, sfDir)
+          graft.ext.DedupOps.compactedWindexDir(spark, sfDir); () },
         () => graft.ext.DedupOps.clearWindowIndexes()))
     val rerun = scala.collection.mutable.ArrayBuffer[String]()
     // MIN-of-3 for every warm (round-9 lesson: cache_dedup_frames

@@ -59,7 +59,9 @@ object PlanAudit {
       "d65_substring_runs", "k85_quantile_sketch",
       "d66_incr_substring_dedup", "d67_lsh_banding_eval",
       "d68_substring_apply", "d69_window_sensitivity",
-      "e124_topk_per_key", "d70_served_substring_gate")
+      "e124_topk_per_key", "d70_served_substring_gate",
+      "t74_dsir_weights", "em76_pseudo_release",
+      "d71_windex_tombstones", "d72_windex_compacted")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

@@ -204,7 +204,26 @@ object ScaleBench {
     // d70: the substring gate SERVED from the persisted index — the
     // per-batch probe alone (batch windows × index fan-out); expect
     // well below d66's rebuild-inclusive exponent and absolute time
-    "d70_served_substring_gate" -> "docs")
+    "d70_served_substring_gate" -> "docs",
+    // t74: two bigram-stream passes (model build + scoring), both
+    // map-side-combined; the ≤257-row model re-joins as a broadcast —
+    // expect the t61 scan-bound shape
+    "t74_dsir_weights" -> "docs",
+    // em76: a pure row-local projection over the store (regex scrub +
+    // md5 pseudonyms) — the store rebuild per call is the em70/em75
+    // honesty rule; expect em75's scan-bound shape
+    "em76_pseudo_release" -> "docs",
+    // e125: the frozen-model stream scorer — model estimation is one
+    // batch aggregate; the stream stage is a stateless dense-array
+    // fold, so expect scan-bound plus the fixed stream-start overhead
+    // that flatters nothing (the e88/e100 caveat)
+    "e125_stream_dsir_score" -> "docs",
+    // d71: the tombstoned serve — d70's probe plus one broadcast
+    // anti-join of the O(cohort) sidecar; expect d70's serve shape
+    "d71_windex_tombstones" -> "docs",
+    // d72: the compacted serve — d70's probe against the smaller
+    // folded artifact (one join fewer than d71); expect ≤ d71
+    "d72_windex_compacted" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -340,10 +359,14 @@ object ScaleBench {
           graft.operators.Sketches.incrSketchCensus(spark, dir)
             .count(); () }),
       // d70's persisted window index — the substring tier's
-      // build-once half (the serve is the d70 Heavy entry)
+      // build-once half (the serve is the d70 Heavy entry); extended
+      // with d71's tombstone manifest + d72's compaction fold (same
+      // registry, O(index) rewrites — the d71/d72 Heavy entries then
+      // time pure serves)
       ("cache_d70_window_index",
         () => graft.ext.DedupOps.clearWindowIndexes(),
-        () => { graft.ext.DedupOps.windowIndexDir(spark, dir); () }))
+        () => { graft.ext.DedupOps.windowIndexDir(spark, dir)
+          graft.ext.DedupOps.compactedWindexDir(spark, dir); () }))
     val caches = cacheDefs
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, clear, build) => name -> minOf3(clear, build) }

@@ -191,6 +191,12 @@ object SparkEntry {
         "e123_restart_substring_gate" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamSubstringGateRestart(s, d)),
+        // streaming twin of t74: DSIR importance scoring of a live doc
+        // feed against the frozen hashed-bigram model (row-local
+        // literal-map fold, no state) — shares t74's oracle
+        "e125_stream_dsir_score" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamDsirScore(s, d)),
         // restart-recovery proof for e114's custom Markov-counter
         // state (the fourth restart state shape) — shares e113's
         // oracle
@@ -240,5 +246,6 @@ object SparkEntry {
         "e120_stream_cm_cells" -> Sketches.cmCellsSql,
         "e122_stream_substring_gate" -> DedupOps.incrSubstringDedupSql,
         "e123_restart_substring_gate" -> DedupOps.incrSubstringDedupSql,
+        "e125_stream_dsir_score" -> TextOps.dsirWeightsSql,
         "e121_restart_cm_cells" -> Sketches.cmCellsSql)
 }

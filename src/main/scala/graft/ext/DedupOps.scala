@@ -2053,6 +2053,92 @@ object DedupOps {
       batchW.join(idx, Seq("hw")).select("doc_id", "base_id", "pb", "pa"))
   }
 
+  // ------- d71/d72 window-index lifecycle (tombstones + compaction)
+
+  /** The d71 delete step: idempotent tombstone manifest on d70's
+    * persisted window index — the s94 discipline applied to the
+    * substring tier (delete cohort: base docs with doc_id % 10 == 3,
+    * disjoint from the % 5 == 4 batch). The sidecar holds base_ids,
+    * never windows: a delete is O(cohort) rows whatever the corpus —
+    * erasing a document from the standing index without touching the
+    * index itself. Returns the artifact dir. */
+  private[graft] def windexTombstones(s: SparkSession, d: String): String = {
+    val dir = windowIndexDir(s, d)
+    documents(s, d).select(col("doc_id").as("base_id"))
+      .filter(col("base_id") % 10 === 3)
+      .write.mode("overwrite").parquet(s"$dir/tombstones")
+    dir
+  }
+
+  /** d71: the substring ingest gate served from the TOMBSTONED window
+    * index — deletion without rebuild, the lifecycle step the d70
+    * artifact needs to honor an erasure request (the fourth artifact
+    * tier to close it, after s94's ANN members, s95's BM25 postings
+    * and em74's store partitions): the tiny base_id sidecar
+    * broadcast-ANTI-joins the index scan, so an erased document can
+    * never witness a run against a new batch. FROZEN-CAP semantics:
+    * the >16-doc hot-hash cap was applied when the index was BUILT
+    * and tombstoning only removes rows — a hash the cap dropped stays
+    * absent even if enough of its documents are later erased to bring
+    * it under the cap (recomputing hot sets would mean re-scanning
+    * the corpus, exactly what the artifact exists to avoid; the
+    * oracle reproduces this by filtering the index AFTER the full-
+    * base hot CTE, and Round19Spec pins d71 ≡ d72). */
+  def windexTombstoneGate(s: SparkSession, d: String): DataFrame = {
+    val dir = windexTombstones(s, d)
+    val idx = s.read.parquet(s"$dir/windex")
+      .join(s.read.parquet(s"$dir/tombstones").distinct(),
+        Seq("base_id"), "left_anti")
+    val batchW = windowFrame(documents(s, d).filter(col("doc_id") % 5 === 4))
+      .select(col("hw"), col("doc_id"), col("pos").as("pb"))
+    incrSubstringFinish(s, d,
+      batchW.join(idx, Seq("hw")).select("doc_id", "base_id", "pb", "pa"))
+  }
+
+  /** The d72 fold: retire the tombstone sidecar by rewriting the
+    * window index minus its tombstoned rows into a FRESH artifact
+    * (the s97 compaction contract — the source artifact is never
+    * touched, so concurrent d70/d71 readers are safe and the swap is
+    * atomic). No recompute of windows or hot hashes — a pure
+    * anti-join rewrite of the standing rows, O(index), never
+    * O(corpus). */
+  private[graft] def compactedWindexDir(s: SparkSession, d: String): String =
+    windowIndexes.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|windex-compact") {
+      dir =>
+        val src = windexTombstones(s, d)
+        s.read.parquet(s"$src/windex")
+          .join(s.read.parquet(s"$src/tombstones").distinct(),
+            Seq("base_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$dir/windex")
+    }
+
+  /** d72: the gate served from the COMPACTED window index — the
+    * read path after the fold retires the sidecar (one equi-join
+    * fewer per batch). Shares d71's oracle: compaction must preserve
+    * the tombstoned gate's verdicts bit-for-bit, including the
+    * frozen-cap semantics (a capped hash must NOT resurrect just
+    * because the fold ran — the d71 scaladoc's contract). */
+  def windexCompactedGate(s: SparkSession, d: String): DataFrame = {
+    val idx = s.read.parquet(s"${compactedWindexDir(s, d)}/windex")
+    val batchW = windowFrame(documents(s, d).filter(col("doc_id") % 5 === 4))
+      .select(col("hw"), col("doc_id"), col("pos").as("pb"))
+    incrSubstringFinish(s, d,
+      batchW.join(idx, Seq("hw")).select("doc_id", "base_id", "pb", "pa"))
+  }
+
+  /** d71/d72 shared oracle: d66's window-hash rebuild with the
+    * tombstone cohort filtered out of the index AFTER the full-base
+    * hot CTE — the frozen-cap order of operations. */
+  val windexTombstoneGateSql: String = incrSubstringDedupSql.replace(
+    "idx AS (SELECT hw, doc_id AS base_id, pos AS pa FROM basew\n" +
+      "        WHERE hw NOT IN (SELECT hw FROM hot)),",
+    "idx AS (SELECT hw, doc_id AS base_id, pos AS pa FROM basew\n" +
+      "        WHERE hw NOT IN (SELECT hw FROM hot)\n" +
+      "          AND doc_id % 10 <> 3),")
+  require(windexTombstoneGateSql != incrSubstringDedupSql,
+    "d71 oracle patch must rewrite d66's idx CTE (anchor drifted)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_exact_dedup"    -> exactDedup _,
     "d51_jaccard_pairs"  -> jaccardPairs _,
@@ -2076,6 +2162,8 @@ object DedupOps {
     "d68_substring_apply" -> substringApply _,
     "d69_window_sensitivity" -> windowSensitivityEval _,
     "d70_served_substring_gate" -> servedSubstringGate _,
+    "d71_windex_tombstones" -> windexTombstoneGate _,
+    "d72_windex_compacted" -> windexCompactedGate _,
     "t49_decontamination" -> decontamination _,
     "t68_passage_decontam" -> passageDecontam _,
     "t57_corpus_funnel"  -> corpusFunnel _,
@@ -2104,6 +2192,8 @@ object DedupOps {
     "d68_substring_apply" -> substringApplySql,
     "d69_window_sensitivity" -> windowSensitivityEvalSql,
     "d70_served_substring_gate" -> incrSubstringDedupSql,
+    "d71_windex_tombstones" -> windexTombstoneGateSql,
+    "d72_windex_compacted" -> windexTombstoneGateSql,
     "t49_decontamination" -> decontaminationSql,
     "t68_passage_decontam" -> passageDecontamSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,

@@ -40,13 +40,13 @@ object Ner {
     * dropped every "… LLC" mention on BOTH engines, so the oracle
     * could never see the miss). RE2-compatible (no lookaround), so the
     * oracle runs the IDENTICAL pattern in DuckDB. */
-  private val titleSeqPattern = "[A-Z][A-Za-z]+(?: [A-Z][A-Za-z]+)+"
+  private[graft] val titleSeqPattern = "[A-Z][A-Za-z]+(?: [A-Z][A-Za-z]+)+"
 
   /** Org suffixes for the context rule. RE2 has no lookahead, so
     * PERSON-vs-ORG is decided by a post-extraction context test on the
     * sequence's LAST token — expressible as the same list filter on
     * both engines. */
-  private val orgSuffixes = Seq("Inc", "Corp", "Ltd", "LLC")
+  private[graft] val orgSuffixes = Seq("Inc", "Corp", "Ltd", "LLC")
 
   private def endsInOrgSuffix(t: Column): Column =
     element_at(split(t, " "), -1).isin(orgSuffixes.map(lit): _*)

@@ -1468,6 +1468,163 @@ object TextOps {
   val bpeTokenCountSql: String = bpeTokenCountSqlBy("source")
   val tokenizerFertilitySql: String = bpeTokenCountSqlBy("lang")
 
+  // --------------------- t74 DSIR hashed-bigram importance weights
+
+  /** Feature-bucket count for the t74/e125 importance-weight tier.
+    * Hashed n-gram features deliberately COLLIDE words into a fixed
+    * bucket space so the importance model's size is a constant (m
+    * buckets), independent of vocabulary — the published
+    * data-selection-with-importance-resampling recipe. 256 keeps every
+    * bucket populated at fixture scale; the algebra is
+    * bucket-count-free (m only enters the add-one smoothing
+    * denominators). */
+  private[graft] val dsirBuckets = 256
+
+  /** Per-doc hashed-bigram feature buckets: md5Long of the joined
+    * bigram (salt `dsir:`), folded into [[dsirBuckets]]. Shared by the
+    * batch estimator (t74, exploded) and the stream scorer (e125,
+    * row-local array). Short docs (<2 tokens) get the empty array. */
+  private[graft] def dsirBucketArr(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => md5Long(concat(lit("dsir:"), element_at(toks, i), lit(" "),
+          element_at(toks, i + 1))) % dsirBuckets))
+      .otherwise(array().cast("array<long>"))
+
+  /** Exploded (doc_id, lang, bucket) feature stream over `documents`. */
+  private def dsirFeatures(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(dsirBucketArr(tokens(col("text")))).as("bucket"))
+
+  /** The per-bucket smoothed log-ratio table — the DSIR importance
+    * MODEL: lrm(b) = round(1e6 · ln( ((t_b+1)(R+m)) / ((r_b+1)(T+m)) ))
+    * where t_b/r_b are the bucket's target/raw occurrence counts,
+    * T/R their totals and m the bucket count (add-one smoothing on
+    * both distributions). Target = the `lang = 'en'` slice; raw = the
+    * whole corpus. Micro-nat snap per BUCKET (not per occurrence), so
+    * per-doc sums are exact BIGINT arithmetic on both engines — the
+    * t61 fixed-point discipline; ln()'s ≤1-ulp libm residual is the
+    * same measure-zero caveat t61 documents. The table is one
+    * map-side-combined aggregation over the bigram stream plus a
+    * broadcast-singleton totals join; it has at most m rows (plus the
+    * bucket = −1 sentinel scoring an UNSEEN bucket — tcnt = rcnt = 0 —
+    * which real buckets, all ≥ 0, never collide with; e125's scorer
+    * reads its lrm as the unseen-feature default). */
+  private[graft] def dsirLr(s: SparkSession, d: String): DataFrame = {
+    val cnt0 = dsirFeatures(s, d).groupBy("bucket")
+      .agg(count(lit(1)).as("rcnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
+    val cnt = cnt0.unionByName(cnt0.sparkSession.range(1).select(
+      lit(-1L).as("bucket"), lit(0L).as("rcnt"), lit(0L).as("tcnt")))
+    val tot = cnt0.agg(sum("rcnt").as("rtot"), sum("tcnt").as("ttot"))
+    cnt.crossJoin(broadcast(tot))
+      // 1.0D / explicit DOUBLE casts: Spark parses a bare `1.0` as
+      // DECIMAL(2,1) and would run the whole ratio through decimal
+      // arithmetic (limited scale → off-by-one micro-nats vs the
+      // oracle); DuckDB promotes the same expression to DOUBLE
+      .withColumn("lrm", expr(
+        s"""CAST(round(ln(
+           |  ((CAST(tcnt AS DOUBLE) + 1.0D) *
+           |    CAST(rtot + $dsirBuckets AS DOUBLE)) /
+           |  ((CAST(rcnt AS DOUBLE) + 1.0D) *
+           |    CAST(ttot + $dsirBuckets AS DOUBLE))) * 1000000) AS BIGINT)"""
+          .stripMargin))
+      .select("bucket", "lrm")
+  }
+
+  /** Collect the [[dsirLr]] model for the row-local scorer (e125) as
+    * a DENSE [[dsirBuckets]]-cell array (bucket = index), unseen
+    * buckets pre-filled with the sentinel default. BOUNDED by
+    * construction whatever the corpus size — the k=8-centroid /
+    * 768-CM-cell class of collect, not a corpus drain. Dense, not a
+    * map: higher-order-function lambdas run INTERPRETED, and
+    * `element_at` on a map literal is a linear scan per feature — the
+    * first e125 bench read 15.6 s against 0.2 s for batch t74; the
+    * O(1) array index reads 1.4 s (the stream twins' fixed floor). */
+  private[graft] def dsirModel(s: SparkSession, d: String): Array[Long] = {
+    val rows = dsirLr(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dflt = rows(-1L)
+    Array.tabulate(dsirBuckets)(b => rows.getOrElse(b.toLong, dflt))
+  }
+
+  /** Row-local DSIR scorer over a FROZEN model: per-doc weight folded
+    * from the bucket array against the dense literal model — one O(1)
+    * array index per feature, no join, no shuffle, no state, so it
+    * composes onto an unbounded stream with constant memory (e125's
+    * serving shape). Same output schema and selection rule as
+    * [[dsirWeights]] — the two plans share one oracle. */
+  private[graft] def dsirScoreOf(docs: DataFrame, lr: Array[Long])
+      : DataFrame = {
+    val lrLit = typedLit(lr.toSeq)
+    val bk = col("__bk")
+    docs.withColumn("__bk", dsirBucketArr(tokens(col("text"))))
+      .select(col("doc_id"), col("lang"),
+        size(bk).cast("long").as("n_feats"),
+        aggregate(bk, lit(0L), (acc, b) =>
+          acc + element_at(lrLit, (b + 1).cast("int"))).as("w_micro"))
+      .withColumn("selected", col("w_micro") > 0)
+  }
+
+  /** t74: DSIR-style data selection — importance weights from hashed
+    * bigram features. Every document is scored by the sum of its
+    * features' smoothed target/raw log-ratios ([[dsirLr]]); a positive
+    * weight means the doc looks more like the target (`lang = 'en'`)
+    * than like the raw corpus, which is the row-local selection rule
+    * (`selected`). This is the estimator+scorer of the
+    * importance-resampling pipeline (the resample itself is t53's
+    * stratified-sample shape applied to `w_micro`).
+    *
+    * Scale shape: two passes over the bigram stream, both with
+    * map-side partials — one builds the m-row model, one scores (the
+    * model re-joins as a BROADCAST of at most m rows; the per-doc sum
+    * is the only exchange, keyed on doc_id). The corpus itself never
+    * shuffles; selection is a row-local threshold, not a global top-k
+    * (a budgeted top-k would take its cutoff from the k85 quantile
+    * sketch rather than a global sort). */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val w = dsirFeatures(s, d)
+      .join(broadcast(dsirLr(s, d)), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lrm").as("w_micro"))
+    documents(s, d).select("doc_id", "lang")
+      .join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("w_micro"), lit(0L)).as("w_micro"))
+      .withColumn("selected", col("w_micro") > 0)
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, list_filter(
+      |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+      |    i -> ('0x' || substr(md5('dsir:' || toks[i] || ' ' || toks[i+1]),
+      |            1, 15))::BIGINT % $dsirBuckets)) AS bucket
+      |  FROM t WHERE len(toks) >= 2),
+      |cnt AS (SELECT bucket, count(*) AS rcnt,
+      |          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tcnt
+      |        FROM bg GROUP BY 1),
+      |tot AS (SELECT sum(rcnt) AS rtot, sum(tcnt) AS ttot FROM cnt),
+      |lr AS (SELECT bucket,
+      |         CAST(round(ln(((tcnt + 1.0) * (rtot + $dsirBuckets)) /
+      |           ((rcnt + 1.0) * (ttot + $dsirBuckets))) * 1000000) AS BIGINT)
+      |           AS lrm
+      |       FROM cnt CROSS JOIN tot),
+      |w AS (SELECT doc_id, count(*) AS n_feats, sum(lrm) AS w_micro
+      |      FROM bg JOIN lr USING (bucket) GROUP BY 1)
+      |SELECT d.doc_id, d.lang,
+      |  CAST(COALESCE(w.n_feats, 0) AS BIGINT) AS n_feats,
+      |  CAST(COALESCE(w.w_micro, 0) AS BIGINT) AS w_micro,
+      |  COALESCE(w.w_micro, 0) > 0 AS selected
+      |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -1495,6 +1652,7 @@ object TextOps {
     "t71_bpe_token_count"   -> bpeTokenCount _,
     "t72_mixture_realize"   -> mixtureRealize _,
     "t73_tokenizer_fertility" -> tokenizerFertility _,
+    "t74_dsir_weights"      -> dsirWeights _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1524,5 +1682,6 @@ object TextOps {
     "t71_bpe_token_count"   -> bpeTokenCountSql,
     "t72_mixture_realize"   -> mixtureRealizeSql,
     "t73_tokenizer_fertility" -> tokenizerFertilitySql,
+    "t74_dsir_weights"      -> dsirWeightsSql,
   )
 }

@@ -3,8 +3,10 @@ package graft.query
 import java.sql.Timestamp
 import java.time.Instant
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.ext.Ner
 
 /** Driver-contract entries for the reference's own indexed query
   * surface (SURVEY.md §2.5 Q1–Q6, indexes ingest_enron.py:144-152) —
@@ -612,6 +614,74 @@ object EmailOps {
       |FROM pos GROUP BY ROLLUP (u, f)
       |ORDER BY "user", folder""".stripMargin
 
+  // ------------------- em76 linkable pseudonymized release (NER apply)
+
+  /** em76: the privacy-preserving RELEASE transform — the second scrub
+    * the training-data playbook needs next to em69's destructive
+    * masking: (a) address columns become STABLE PSEUDONYMS (first 8
+    * md5 hex chars under a release salt), so the released rows still
+    * join/group into the same communication graph without exposing an
+    * address — linkable pseudonymization, what em69's `<EMAIL>` token
+    * destroys; (b) free-text subjects are scrubbed with the SAME
+    * deterministic context rules the entity tier extracts with
+    * ([[graft.ext.Ner.titleSeqPattern]] + the org-suffix context rule,
+    * X1), re-expressed as two sequential `regexp_replace`es in the
+    * Java∩RE2 subset — the APPLY rung of the NER ladder (X1 detects,
+    * em76 scrubs), the d57/d68 detect→apply discipline on the entity
+    * tier. The ORG pass must run FIRST: once suffix-terminated
+    * sequences are collapsed to `<ORG>`, the person pass can safely
+    * take every remaining multi-word title-case run.
+    *
+    * The oracle reconstructs pseudonyms and scrubbed subjects
+    * INDEPENDENTLY from the fixture's modular synthesis rules (not by
+    * running the same regex), so a drifting pattern, a changed salt,
+    * or a broken pass order fails the hash. Scale shape: pure
+    * row-local projection — no shuffle, no state; the only exchange is
+    * the presentation sort.
+    * Ref anchor: the entities index `ingest_enron.py:152` plans
+    * detection only; the reference never ships a scrub rung. */
+  def pseudoRelease(s: SparkSession, d: String): DataFrame =
+    pseudoReleaseOf(store(s, d)).orderBy("dedupe_key")
+
+  /** The release projection over any store-shaped frame (dedupe_key,
+    * from, to, subject) — split out so the pass-order and linkability
+    * contracts are spec-testable on crafted rows. */
+  private[graft] def pseudoReleaseOf(st: DataFrame): DataFrame = {
+    val orgPat =
+      s"[A-Z][A-Za-z]+(?: [A-Z][A-Za-z]+)* (?:${Ner.orgSuffixes.mkString("|")})\\b"
+    def pseudo(c: Column): Column =
+      concat(lit("p"), substring(md5(concat(lit("pii:"), c)), 1, 8))
+    val ents = Ner.titleCaseEntities(col("subject"))
+    st.select(
+      col("dedupe_key"),
+      pseudo(col("from")).as("pseudo_from"),
+      when(size(col("to")) >= 2, pseudo(element_at(col("to"), 2)))
+        .as("pseudo_rcpt"),
+      regexp_replace(
+        regexp_replace(col("subject"), orgPat, "<ORG>"),
+        Ner.titleSeqPattern, "<PERSON>").as("red_subject"),
+      size(filter(ents, e => e.getField("type") === "PERSON"))
+        .cast("long").as("n_person"),
+      size(filter(ents, e => e.getField("type") === "ORG"))
+        .cast("long").as("n_org"))
+  }
+
+  val pseudoReleaseSql: String =
+    s"""$sqlPrelude
+      |SELECT dedupe_key,
+      |  'p' || substr(md5('pii:' || sender), 1, 8) AS pseudo_from,
+      |  CASE WHEN has_second_to
+      |    THEN 'p' || substr(md5('pii:' || second_to), 1, 8) END
+      |    AS pseudo_rcpt,
+      |  CASE WHEN doc_id % 11 = 0
+      |    THEN 'msg ' || doc_id || ' <PERSON> of <ORG>'
+      |    ELSE 'msg ' || doc_id END AS red_subject,
+      |  CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_person,
+      |  CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_org
+      |FROM m ORDER BY dedupe_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "em60_by_mailbox"    -> byMailbox _,
     "em61_by_recipient"  -> byRecipient _,
@@ -628,6 +698,7 @@ object EmailOps {
     "em73_store_compaction" -> compactedStore _,
     "em74_store_retention" -> retainedStore _,
     "em75_hierarchy_census" -> hierarchyCensus _,
+    "em76_pseudo_release" -> pseudoRelease _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -646,5 +717,6 @@ object EmailOps {
     "em73_store_compaction" -> compactedStoreSql,
     "em74_store_retention" -> retainedStoreSql,
     "em75_hierarchy_census" -> hierarchyCensusSql,
+    "em76_pseudo_release" -> pseudoReleaseSql,
   )
 }

@@ -1228,6 +1228,33 @@ object StreamingOps {
     graft.ext.DedupOps.incrSubstringFinish(spark, d, pairLog)
   }
 
+  /** e125: t74's DSIR scorer run as a STREAM against the FROZEN
+    * importance model — the production data-selection shape: the
+    * estimator (one batch aggregation over the standing corpus,
+    * [[graft.ext.TextOps.dsirLr]]) runs ahead of time; the arriving
+    * feed is scored ROW-LOCALLY against the dense 256-cell literal
+    * model (one O(1) array index per feature — no join, no shuffle,
+    * no state, constant memory at any feed volume), the d70
+    * serve-from-artifact discipline applied to data selection. Shares
+    * t74's oracle: the streamed literal-array fold and the batch
+    * broadcast-join + doc_id-exchange plan are two different physical
+    * strategies that must produce one hash — model collection is
+    * bounded by the bucket count, never the corpus. */
+  def streamDsirScore(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val model = graft.ext.TextOps.dsirModel(spark, d)
+    drainToFileSink(spark, "e125", nIn) {
+      graft.ext.TextOps.dsirScoreOf(
+        spark.readStream
+          .schema(documentsSchema)
+          .parquet(stageDir),
+        model)
+    }.orderBy("doc_id")
+  }
+
   /** e110: v75's STREAMING twin — JSONL quarantine ingest on a live
     * feed (the Kafka-consumer shape of corpus intake): the staged
     * JSONL corpus (documents + 3 planted malformed lines) arrives as

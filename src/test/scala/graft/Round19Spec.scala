@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.TextOps
+import graft.query.EmailOps
+
+/** Round-19: the data-selection tier (t74 DSIR importance weights +
+  * e125's frozen-model row-local scorer) and the linkable
+  * pseudonymized release (em76). Pins (1) the DSIR selection rule and
+  * feature accounting, (2) batch-estimator vs literal-map-scorer plan
+  * equality plus the unseen-bucket default path the shared oracle can
+  * never reach (the stream feeds the same corpus the model was
+  * estimated on), and (3) em76's ORG-before-PERSON pass order, the
+  * no-leak guarantee, and pseudonym linkability (same address ⇒ same
+  * pseudonym; released rows still join into the same graph). */
+class Round19Spec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // --------------------------------- t74 selection rule + accounting
+
+  test("t74: selected ⇔ w_micro > 0, and n_feats = max(0, n_tokens − 1) per doc") {
+    val out = TextOps.dsirWeights(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("selected") === (r.getAs[Long]("w_micro") > 0L),
+        s"selection must be the row-local sign rule: $r")
+    }
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        greatest(size(TextOps.tokens(col("text"))).cast("long") - 1L, lit(0L))
+          .as("exp_feats"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_feats") === expected(r.getAs[Long]("doc_id")),
+        "every bigram occurrence is exactly one hashed feature")
+    }
+  }
+
+  test("t74: the estimator discriminates — the target slice (en) outscores the rest on average") {
+    val rows = TextOps.dsirWeights(spark, sf)
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("w_micro")).as("w")).collect()
+      .map(r => r.getBoolean(0) -> r.getAs[Double]("w")).toMap
+    assert(rows(true) > 0, "target docs must average a positive log-ratio")
+    assert(rows(false) < rows(true),
+      "non-target docs must average strictly lower")
+  }
+
+  // ----------------- e125 scorer core: plan equality + default path
+
+  test("dsirScoreOf: the row-local literal-array fold reproduces the batch broadcast-join plan exactly") {
+    val model = TextOps.dsirModel(spark, sf)
+    assert(model.length === TextOps.dsirBuckets,
+      "the dense model is exactly the bucket count, never the corpus")
+    val batch = TextOps.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val local = TextOps.dsirScoreOf(
+      spark.read.parquet(s"$sf/documents.parquet"), model)
+      .select("doc_id", "lang", "n_feats", "w_micro", "selected").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(local === batch)
+  }
+
+  test("dsirScoreOf: a bigram the frozen model never saw scores the unseen-bucket default") {
+    import spark.implicits._
+    // the dense model pre-fills unobserved buckets with the sentinel
+    // default, so an all-default model must score exactly
+    // n_feats × default whatever the input hashes to
+    val dflt = -123456L
+    val docs = Seq((1L, "qqq www eee", "xx"), (2L, "one", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.dsirScoreOf(docs, Array.fill(TextOps.dsirBuckets)(dflt))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("w_micro"))).toMap
+    assert(out(1L) === ((2L, 2L * dflt)))
+    assert(out(2L) === ((0L, 0L)), "a <2-token doc scores 0, not null")
+  }
+
+  // ------------------- d71/d72 window-index lifecycle (erasure path)
+
+  test("d71/d72: compaction preserves the tombstoned gate bit-for-bit and retires every erased row") {
+    import graft.ext.DedupOps
+    val gate = DedupOps.queries("d71_windex_tombstones")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val compacted = DedupOps.queries("d72_windex_compacted")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(gate === compacted,
+      "serving the sidecar and serving the fold must agree bit-for-bit")
+    val resid = spark.read
+      .parquet(s"${DedupOps.compactedWindexDir(spark, sf)}/windex")
+      .filter(col("base_id") % 10 === 3).count()
+    assert(resid === 0L, "the compacted artifact may hold no erased rows")
+  }
+
+  test("d71: the tombstones are load-bearing — erasing the cohort changes the gate's census") {
+    import graft.ext.DedupOps
+    val sf01 = "/root/testdata/sf0.01"
+    val gate = DedupOps.queries("d71_windex_tombstones")(spark, sf01)
+      .collect().map(_.toSeq).toSeq
+    val plain = DedupOps.queries("d66_incr_substring_dedup")(spark, sf01)
+      .collect().map(_.toSeq).toSeq
+    assert(gate !== plain,
+      "at sf0.01 some matched run's base doc falls in the erased cohort")
+  }
+
+  // ------------------------------- em76 pass order / leak / linkability
+
+  private def releaseOf(rows: Seq[(String, String, Seq[String], String)]) = {
+    import spark.implicits._
+    EmailOps.pseudoReleaseOf(
+      rows.toDF("dedupe_key", "from", "to", "subject"))
+      .collect().map(r => r.getAs[String]("dedupe_key") -> r).toMap
+  }
+
+  test("em76: ORG pass runs first — a suffix-terminated run becomes <ORG>, never <PERSON>") {
+    val out = releaseOf(Seq(
+      ("k1", "a@x.com", Seq("t@x.com"), "Acme Inc"),
+      ("k2", "a@x.com", Seq("t@x.com"), "Alice Johnson of Acme Inc"),
+      ("k3", "a@x.com", Seq("t@x.com"), "Alice Johnson"),
+      ("k4", "a@x.com", Seq("t@x.com"), "msg 7 all lower case")))
+    assert(out("k1").getAs[String]("red_subject") === "<ORG>")
+    assert(out("k2").getAs[String]("red_subject") === "<PERSON> of <ORG>")
+    assert(out("k3").getAs[String]("red_subject") === "<PERSON>")
+    assert(out("k4").getAs[String]("red_subject") === "msg 7 all lower case")
+    assert(out("k2").getAs[Long]("n_person") === 1L)
+    assert(out("k2").getAs[Long]("n_org") === 1L)
+  }
+
+  test("em76: released subjects leak no title-case mention; counts agree with the scrub") {
+    val rel = EmailOps.queries("em76_pseudo_release")(spark, sf).collect()
+    assert(rel.nonEmpty)
+    val titleSeq = graft.ext.Ner.titleSeqPattern.r
+    rel.foreach { r =>
+      val red = r.getAs[String]("red_subject")
+      val residual = titleSeq.findAllIn(red).toList
+      assert(residual.isEmpty, s"leaked mention(s) $residual in '$red'")
+      assert((r.getAs[Long]("n_person") > 0) === red.contains("<PERSON>"))
+      assert((r.getAs[Long]("n_org") > 0) === red.contains("<ORG>"))
+    }
+    assert(rel.exists(_.getAs[Long]("n_person") > 0),
+      "fixture must exercise the scrub (every 11th subject)")
+  }
+
+  test("em76: pseudonyms are linkable (same address ⇒ same token) and non-trivial") {
+    val out = releaseOf(Seq(
+      ("k1", "alice@corp.com", Seq("t@x.com", "bob@corp.com"), "s1"),
+      ("k2", "alice@corp.com", Seq("t@x.com"), "s2"),
+      ("k3", "bob@corp.com", Seq("t@x.com", "alice@corp.com"), "s3")))
+    val a1 = out("k1").getAs[String]("pseudo_from")
+    assert(a1 === out("k2").getAs[String]("pseudo_from"),
+      "one sender must release as one pseudonym (graph preserved)")
+    assert(a1 === out("k3").getAs[String]("pseudo_rcpt"),
+      "the SAME address pseudonymizes identically across columns")
+    assert(a1 !== out("k3").getAs[String]("pseudo_from"),
+      "distinct addresses must not collide")
+    assert(!a1.contains("alice"), "the pseudonym must not embed the address")
+    assert(out("k2").isNullAt(out("k2").fieldIndex("pseudo_rcpt")),
+      "a single-recipient row releases a null pseudo_rcpt")
+  }
+}
