@@ -62,7 +62,13 @@ object Bench {
     * only: switching every query would silently change the
     * committed envelope's meaning. */
   private[graft] val fullMaterialize: Set[String] = Set(
-    "d68_substring_apply")
+    "d68_substring_apply",
+    // t74 ends in documents LEFT JOIN a unique-doc_id weight frame
+    // (row-preserving by contract) — count() join-eliminates the whole
+    // estimator+scorer and times a bare scan; em76 is a pure
+    // row-preserving projection (regex scrub + pseudonyms) that
+    // count() prunes to nothing
+    "t74_dsir_weights", "em76_pseudo_release")
 
   /** The timing action for a query entry: count(), or the
     * full-materialization path for [[fullMaterialize]] members. */

@@ -1491,11 +1491,29 @@ object TextOps {
           element_at(toks, i + 1))) % dsirBuckets))
       .otherwise(array().cast("array<long>"))
 
-  /** Exploded (doc_id, lang, bucket) feature stream over `documents`. */
+  /** Exploded (doc_id, lang, bucket) feature stream over `documents`.
+    * The token array is MATERIALIZED in its own projection before the
+    * bucket lambda touches it: a lambda referencing the raw `split`
+    * expression re-tokenizes the document PER ELEMENT (no CSE inside
+    * HOF lambdas — measured 6.8 s vs 0.4 s at sf0.1), while a bound
+    * column is one row-field read; the multi-reference, non-cheap
+    * `__toks` keeps CollapseProject from re-inlining it. */
   private def dsirFeatures(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      // bigrams explode as cheap structs; the md5 runs AFTER the
+      // explode as a row-level codegen'd projection — inside the
+      // lambda it would run interpreted per element (measured 3.2 s
+      // vs 0.9 s for the model build at sf0.1)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(__toks) - 1),
+          |  i -> struct(element_at(__toks, i) AS w1,
+          |              element_at(__toks, i + 1) AS w2))""".stripMargin))
+        .as("b"))
       .select(col("doc_id"), col("lang"),
-        explode(dsirBucketArr(tokens(col("text")))).as("bucket"))
+        (md5Long(concat(lit("dsir:"), col("b.w1"), lit(" "), col("b.w2")))
+          % dsirBuckets).as("bucket"))
 
   /** The per-bucket smoothed log-ratio table — the DSIR importance
     * MODEL: lrm(b) = round(1e6 · ln( ((t_b+1)(R+m)) / ((r_b+1)(T+m)) ))
@@ -1517,8 +1535,17 @@ object TextOps {
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
     val cnt = cnt0.unionByName(cnt0.sparkSession.range(1).select(
       lit(-1L).as("bucket"), lit(0L).as("rcnt"), lit(0L).as("tcnt")))
-    val tot = cnt0.agg(sum("rcnt").as("rtot"), sum("tcnt").as("ttot"))
-    cnt.crossJoin(broadcast(tot))
+    // totals via a GLOBAL window over the ≤ m+1-row bucket frame (the
+    // single unpartitioned window is bucket-bounded, never corpus-
+    // bounded): a separate `cnt.agg` totals frame would re-run the
+    // whole feature scan per reference — the un-cached lineage cost
+    // three corpus scans where one suffices (measured 3.2 s → 1.1 s
+    // model build at sf0.1); the sentinel contributes 0 to both sums
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    cnt
+      .withColumn("rtot", sum("rcnt").over(tw))
+      .withColumn("ttot", sum("tcnt").over(tw))
       // 1.0D / explicit DOUBLE casts: Spark parses a bare `1.0` as
       // DECIMAL(2,1) and would run the whole ratio through decimal
       // arithmetic (limited scale → off-by-one micro-nats vs the
@@ -1538,10 +1565,12 @@ object TextOps {
     * buckets pre-filled with the sentinel default. BOUNDED by
     * construction whatever the corpus size — the k=8-centroid /
     * 768-CM-cell class of collect, not a corpus drain. Dense, not a
-    * map: higher-order-function lambdas run INTERPRETED, and
-    * `element_at` on a map literal is a linear scan per feature — the
-    * first e125 bench read 15.6 s against 0.2 s for batch t74; the
-    * O(1) array index reads 1.4 s (the stream twins' fixed floor). */
+    * map: HOF lambdas run interpreted, so the O(1) array index beats
+    * a map literal's linear scan per feature — though the measured
+    * 15.6 s first e125 bench was NOT this lookup but the lambda
+    * re-tokenization trap [[dsirScoreOf]] now guards against (the fix
+    * was falsified by measurement: swapping map→array alone left
+    * 19.8 s; the projection barrier dropped it to the stream floor). */
   private[graft] def dsirModel(s: SparkSession, d: String): Array[Long] = {
     val rows = dsirLr(s, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1559,7 +1588,12 @@ object TextOps {
       : DataFrame = {
     val lrLit = typedLit(lr.toSeq)
     val bk = col("__bk")
-    docs.withColumn("__bk", dsirBucketArr(tokens(col("text"))))
+    // token array materialized BEFORE the bucket lambda (the
+    // dsirFeatures no-CSE-in-lambda rule), bucket array materialized
+    // before the fold reuses it twice
+    docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("lang"),
+        dsirBucketArr(col("__toks")).as("__bk"))
       .select(col("doc_id"), col("lang"),
         size(bk).cast("long").as("n_feats"),
         aggregate(bk, lit(0L), (acc, b) =>
