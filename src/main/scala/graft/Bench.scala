@@ -322,7 +322,8 @@ object Bench {
       // registry, so the d71/d72 query line items time pure serves
       ("cache_d70_window_index",
         () => { graft.ext.DedupOps.windowIndexDir(spark, sfDir)
-          graft.ext.DedupOps.compactedWindexDir(spark, sfDir); () },
+          graft.ext.DedupOps.compactedWindexDir(spark, sfDir)
+          graft.ext.DedupOps.windexDeltaDir(spark, sfDir); () },
         () => graft.ext.DedupOps.clearWindowIndexes()))
     val rerun = scala.collection.mutable.ArrayBuffer[String]()
     // MIN-of-3 for every warm (round-9 lesson: cache_dedup_frames

@@ -61,7 +61,8 @@ object PlanAudit {
       "d68_substring_apply", "d69_window_sensitivity",
       "e124_topk_per_key", "d70_served_substring_gate",
       "t74_dsir_weights", "em76_pseudo_release",
-      "d71_windex_tombstones", "d72_windex_compacted")
+      "d71_windex_tombstones", "d72_windex_compacted",
+      "d73_windex_absorb")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

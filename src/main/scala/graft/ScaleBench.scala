@@ -223,7 +223,11 @@ object ScaleBench {
     "d71_windex_tombstones" -> "docs",
     // d72: the compacted serve — d70's probe against the smaller
     // folded artifact (one join fewer than d71); expect ≤ d71
-    "d72_windex_compacted" -> "docs")
+    "d72_windex_compacted" -> "docs",
+    // d73: the absorbed serve — base ∪ delta probe plus one
+    // index-hash-bounded census group-by for the hot re-derivation;
+    // expect d70's serve shape plus the census constant
+    "d73_windex_absorb" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -366,7 +370,8 @@ object ScaleBench {
       ("cache_d70_window_index",
         () => graft.ext.DedupOps.clearWindowIndexes(),
         () => { graft.ext.DedupOps.windowIndexDir(spark, dir)
-          graft.ext.DedupOps.compactedWindexDir(spark, dir); () }))
+          graft.ext.DedupOps.compactedWindexDir(spark, dir)
+          graft.ext.DedupOps.windexDeltaDir(spark, dir); () }))
     val caches = cacheDefs
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, clear, build) => name -> minOf3(clear, build) }

@@ -84,6 +84,14 @@ object DedupOps {
       dir =>
         baseWindowIndex(s, d).write.mode("overwrite")
           .parquet(s"$dir/windex")
+        // the PRE-cap per-hash doc-count census — the mergeable state
+        // d73's absorb maintains (hot-cap re-derivation over segment
+        // sums); the index rows alone cannot serve this: capped hashes
+        // have no rows left but their counts must keep accumulating
+        windowFrame(documents(s, d).filter(col("doc_id") % 5 =!= 4))
+          .groupBy("hw")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .write.mode("overwrite").parquet(s"$dir/census")
     }
 
   /** Targeted clear: only the persisted window-index artifacts (the
@@ -1755,7 +1763,9 @@ object DedupOps {
     * batch gate and its e122 streaming twin so both hash-check
     * against the same oracle. */
   private[graft] def incrSubstringFinish(s: SparkSession, d: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame,
+      seedPred: org.apache.spark.sql.Column = col("doc_id") % 5 === 4)
+      : DataFrame = {
     val isl = pairs
       .withColumn("diag", col("pa") - col("pb"))
       .withColumn("isl", col("pb") - row_number().over(
@@ -1769,7 +1779,7 @@ object DedupOps {
     // plan (one exchange), and no unique-right-key left join the
     // optimizer could eliminate under a count-only evaluation (which
     // would let a bench timing measure a pruned plan)
-    val seeds = documents(s, d).filter(col("doc_id") % 5 === 4)
+    val seeds = documents(s, d).filter(seedPred)
       .select(col("doc_id"), lit(0L).as("one"), lit(0L).as("rt"))
     seeds.unionAll(runs.select(col("doc_id"), lit(1L).as("one"), col("rt")))
       .groupBy("doc_id")
@@ -2127,6 +2137,90 @@ object DedupOps {
       batchW.join(idx, Seq("hw")).select("doc_id", "base_id", "pb", "pa"))
   }
 
+  // ----------------- d73 window-index absorb (the LSM delta segment)
+
+  /** The d73 absorb step: the first half-batch (doc_id % 10 == 4)
+    * enters the standing index as a DELTA SEGMENT — its raw window
+    * rows plus its own per-hash doc-count census written next to the
+    * base artifact, the base never rewritten. The absorb write is
+    * O(batch): no base scan, no merge — the LSM discipline (s88's
+    * postings absorb, here with the census as the mergeable state).
+    * Raw rows, deliberately un-capped: the hot decision is GLOBAL and
+    * belongs to serve time, where the merged census is authoritative. */
+  private[graft] def windexDeltaDir(s: SparkSession, d: String): String =
+    windowIndexes.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|windex-delta") {
+      dir =>
+        val batchW = windowFrame(
+          documents(s, d).filter(col("doc_id") % 10 === 4))
+        batchW.select(col("hw"), col("doc_id").as("base_id"),
+          col("pos").as("pa"))
+          .write.mode("overwrite").parquet(s"$dir/windex")
+        batchW.groupBy("hw")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .write.mode("overwrite").parquet(s"$dir/census")
+    }
+
+  /** d73: the substring gate served from the ABSORBED index — the
+    * missing lifecycle rung (build d70 / delete d71 / compact d72 /
+    * ABSORB d73): the first half-batch was folded into the standing
+    * index as a delta segment, and the second half-batch
+    * (doc_id % 10 == 9) now gates against the GROWN corpus. The
+    * hot-hash cap re-derives at serve time from the summed segment
+    * censuses — exact, because each document is absorbed exactly once
+    * so per-segment distinct counts are disjoint and additive (the
+    * mergeability contract; deletes by contrast deliberately do NOT
+    * decrement the census — d71's frozen-cap scaladoc). Monotonicity
+    * makes segment-union + new-hot anti-join ≡ full rebuild: a hash
+    * capped at base build has no base rows, and since counts only
+    * grow it is hot in the merged census too, so the rebuild would
+    * drop the same rows — which is exactly what the shared-with-
+    * rebuild oracle hash-checks (absorb ≡ rebuild, the k83/s88
+    * contract at substring granularity). Serve-side work: one
+    * census group-by (index-hash-bounded, never corpus-text-bounded)
+    * + the d70 probe over base ∪ delta. Fixture note: the sf0.01
+    * oracle pins the absorb ≡ rebuild algebra, but no planted pair
+    * spans the two half-batches until sf0.1 — the delta's LIVE
+    * contribution (probe runs only an absorbed doc can witness) is
+    * pinned by the Round19Spec sf0.1 discrimination test. */
+  def windexAbsorbGate(s: SparkSession, d: String): DataFrame = {
+    val base = windowIndexDir(s, d)
+    val delta = windexDeltaDir(s, d)
+    val census = s.read.parquet(s"$base/census")
+      .unionByName(s.read.parquet(s"$delta/census"))
+      .groupBy("hw").agg(sum("nd").as("nd"))
+    val hot = census.filter(col("nd") > runDocCap).select("hw")
+    val idx = s.read.parquet(s"$base/windex")
+      .unionByName(s.read.parquet(s"$delta/windex"))
+      .join(hot, Seq("hw"), "left_anti")
+    val batchW = windowFrame(documents(s, d).filter(col("doc_id") % 10 === 9))
+      .select(col("hw"), col("doc_id"), col("pos").as("pb"))
+    incrSubstringFinish(s, d,
+      batchW.join(idx, Seq("hw")).select("doc_id", "base_id", "pb", "pa"),
+      seedPred = col("doc_id") % 10 === 9)
+  }
+
+  /** d73 oracle: d66's full rebuild with the absorbed half-batch moved
+    * INTO the base and the gate probing the remaining half — absorb ≡
+    * rebuild, including the hot set re-derived over the grown base. */
+  val windexAbsorbGateSql: String = {
+    val patched = incrSubstringDedupSql
+      .replace("basew AS (SELECT * FROM wins WHERE doc_id % 5 <> 4),",
+        "basew AS (SELECT * FROM wins\n" +
+          "          WHERE doc_id % 5 <> 4 OR doc_id % 10 = 4),")
+      .replace("batchw AS (SELECT hw, doc_id, pos AS pb FROM wins\n" +
+          "           WHERE doc_id % 5 = 4),",
+        "batchw AS (SELECT hw, doc_id, pos AS pb FROM wins\n" +
+          "           WHERE doc_id % 10 = 9),")
+      .replace("FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d",
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d")
+    require(patched.contains("doc_id % 10 = 4") &&
+      patched.contains("doc_id % 10 = 9") &&
+      !patched.contains("WHERE doc_id % 5 = 4"),
+      "d73 oracle patch must rewrite all three d66 CTE anchors")
+    patched
+  }
+
   /** d71/d72 shared oracle: d66's window-hash rebuild with the
     * tombstone cohort filtered out of the index AFTER the full-base
     * hot CTE — the frozen-cap order of operations. */
@@ -2164,6 +2258,7 @@ object DedupOps {
     "d70_served_substring_gate" -> servedSubstringGate _,
     "d71_windex_tombstones" -> windexTombstoneGate _,
     "d72_windex_compacted" -> windexCompactedGate _,
+    "d73_windex_absorb" -> windexAbsorbGate _,
     "t49_decontamination" -> decontamination _,
     "t68_passage_decontam" -> passageDecontam _,
     "t57_corpus_funnel"  -> corpusFunnel _,
@@ -2194,6 +2289,7 @@ object DedupOps {
     "d70_served_substring_gate" -> incrSubstringDedupSql,
     "d71_windex_tombstones" -> windexTombstoneGateSql,
     "d72_windex_compacted" -> windexTombstoneGateSql,
+    "d73_windex_absorb" -> windexAbsorbGateSql,
     "t49_decontamination" -> decontaminationSql,
     "t68_passage_decontam" -> passageDecontamSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,

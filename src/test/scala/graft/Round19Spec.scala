@@ -109,6 +109,47 @@ class Round19Spec extends AnyFunSuite with SparkSpec {
       "at sf0.01 some matched run's base doc falls in the erased cohort")
   }
 
+  // -------------------- d73 window-index absorb (the delta segment)
+
+  test("d73: the absorb write is O(batch) — the delta segment holds exactly the half-batch's raw windows, none of the base") {
+    import graft.ext.DedupOps
+    val delta = DedupOps.windexDeltaDir(spark, sf)
+    val rows = spark.read.parquet(s"$delta/windex")
+    assert(rows.filter(col("base_id") % 10 =!= 4).count() === 0L,
+      "only absorbed-batch documents may appear in the delta")
+    val expected = DedupOps.windowFrame(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("doc_id") % 10 === 4)).count()
+    assert(rows.count() === expected,
+      "raw un-capped batch windows — the hot decision belongs to serve")
+  }
+
+  test("d73: the absorbed delta is load-bearing — the second half-batch sees runs the base alone cannot witness") {
+    import graft.ext.DedupOps
+    // sf0.1, not the usual sf0.001/sf0.01: the planted duplicate pairs
+    // are ~0.16% of docs, and the first fixture size where some pair
+    // spans the absorbed (%10=4) and probed (%10=9) halves is sf0.1
+    // (verified: 19↔2994, 134↔1459, … — none at sf0.01)
+    val sf01 = "/root/testdata/sf0.1"
+    val absorbed = DedupOps.queries("d73_windex_absorb")(spark, sf01)
+      .collect().map(_.toSeq).toSeq
+    // the same probe against the BASE index only (no delta): d70's
+    // serve path with d73's batch and seeds
+    val baseIdx = spark.read
+      .parquet(s"${DedupOps.windowIndexDir(spark, sf01)}/windex")
+    val batchW = DedupOps.windowFrame(
+      spark.read.parquet(s"$sf01/documents.parquet")
+        .filter(col("doc_id") % 10 === 9))
+      .select(col("hw"), col("doc_id"), col("pos").as("pb"))
+    val baseOnly = DedupOps.incrSubstringFinish(spark, sf01,
+      batchW.join(baseIdx, Seq("hw"))
+        .select("doc_id", "base_id", "pb", "pa"),
+      seedPred = col("doc_id") % 10 === 9)
+      .collect().map(_.toSeq).toSeq
+    assert(absorbed !== baseOnly,
+      "at sf0.01 some probe doc matches a run only in the absorbed half")
+  }
+
   // ------------------------------- em76 pass order / leak / linkability
 
   private def releaseOf(rows: Seq[(String, String, Seq[String], String)]) = {
