@@ -167,6 +167,25 @@ object ScaleDecade {
           SparkEntry.queries("d70_served_substring_gate")(spark, dir)
             .count(); () })
       }
+      // t74 (round 13, documents-only): the DSIR estimator+scorer —
+      // token-linear floor (first decade 0.85); full-materialize
+      // timing (a bare count() join-eliminates the row-preserving
+      // final join — the d68 honest-timing rule)
+      if (want("t74_dsir_weights"))
+        items += "t74_dsir_weights" -> Bench.median3(() =>
+          Bench.runQuery("t74_dsir_weights",
+            SparkEntry.queries("t74_dsir_weights")(spark, dir)))
+      // d73 (round 13): the ABSORBED gate's serve — base + delta
+      // segments pre-built untimed (the d70 discipline; their builds
+      // are the cache_d70 warm), median-of-3 over the grown-index
+      // probe + serve-time census hot re-derivation
+      if (want("d73_windex_absorb")) {
+        graft.ext.DedupOps.windowIndexDir(spark, dir)
+        graft.ext.DedupOps.windexDeltaDir(spark, dir)
+        items += "d73_windex_absorb" -> Bench.median3(() => {
+          SparkEntry.queries("d73_windex_absorb")(spark, dir)
+            .count(); () })
+      }
       // clearCaches also drops the window-index artifacts
       graft.ext.DedupOps.clearCaches()
       items.toSeq

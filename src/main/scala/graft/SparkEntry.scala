@@ -197,6 +197,12 @@ object SparkEntry {
         "e125_stream_dsir_score" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamDsirScore(s, d)),
+        // streaming twin of d73: the substring gate one absorb
+        // generation later — served from base + delta segments with
+        // serve-time hot re-derivation — shares d73's oracle
+        "e126_stream_absorbed_gate" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamAbsorbedGate(s, d)),
         // restart-recovery proof for e114's custom Markov-counter
         // state (the fourth restart state shape) — shares e113's
         // oracle
@@ -247,5 +253,6 @@ object SparkEntry {
         "e122_stream_substring_gate" -> DedupOps.incrSubstringDedupSql,
         "e123_restart_substring_gate" -> DedupOps.incrSubstringDedupSql,
         "e125_stream_dsir_score" -> TextOps.dsirWeightsSql,
+        "e126_stream_absorbed_gate" -> DedupOps.windexAbsorbGateSql,
         "e121_restart_cm_cells" -> Sketches.cmCellsSql)
 }

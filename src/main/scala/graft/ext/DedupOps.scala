@@ -2183,20 +2183,29 @@ object DedupOps {
     * spans the two half-batches until sf0.1 — the delta's LIVE
     * contribution (probe runs only an absorbed doc can witness) is
     * pinned by the Round19Spec sf0.1 discrimination test. */
-  def windexAbsorbGate(s: SparkSession, d: String): DataFrame = {
+  /** The absorbed serving index: base ∪ delta segments anti-joined by
+    * the hot set re-derived from their summed censuses. Shared by the
+    * d73 batch gate and its e126 streaming twin (there it is the
+    * static join side). */
+  private[graft] def absorbedWindexIdx(s: SparkSession, d: String)
+      : DataFrame = {
     val base = windowIndexDir(s, d)
     val delta = windexDeltaDir(s, d)
     val census = s.read.parquet(s"$base/census")
       .unionByName(s.read.parquet(s"$delta/census"))
       .groupBy("hw").agg(sum("nd").as("nd"))
     val hot = census.filter(col("nd") > runDocCap).select("hw")
-    val idx = s.read.parquet(s"$base/windex")
+    s.read.parquet(s"$base/windex")
       .unionByName(s.read.parquet(s"$delta/windex"))
       .join(hot, Seq("hw"), "left_anti")
+  }
+
+  def windexAbsorbGate(s: SparkSession, d: String): DataFrame = {
     val batchW = windowFrame(documents(s, d).filter(col("doc_id") % 10 === 9))
       .select(col("hw"), col("doc_id"), col("pos").as("pb"))
     incrSubstringFinish(s, d,
-      batchW.join(idx, Seq("hw")).select("doc_id", "base_id", "pb", "pa"),
+      batchW.join(absorbedWindexIdx(s, d), Seq("hw"))
+        .select("doc_id", "base_id", "pb", "pa"),
       seedPred = col("doc_id") % 10 === 9)
   }
 

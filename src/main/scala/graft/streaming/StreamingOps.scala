@@ -1228,6 +1228,40 @@ object StreamingOps {
     graft.ext.DedupOps.incrSubstringFinish(spark, d, pairLog)
   }
 
+  /** e126: d73's STREAMING twin — the substring ingest gate on a live
+    * feed served from the ABSORBED index (base + delta SEGMENTS with
+    * the hot cap re-derived from their summed censuses): the grown
+    * serving index is assembled batch-side as the static join side,
+    * the stream's probe docs (doc_id % 10 == 9, filtered IN the
+    * stream) flow through the stateless RollingWindowHash64 stage into
+    * the stream-static equi-join, matched windows land in the
+    * exactly-once file sink, and run stitching + verdicts are d73's
+    * read-time epilogue — sharing d73's rebuild-form oracle. The
+    * crawler loop this closes: e122 gates against the base artifact,
+    * d73's absorb folds an accepted batch in as an O(batch) segment,
+    * and e126 is the SAME gate one generation later, now witnessing
+    * runs against the just-absorbed half — zero streaming state
+    * throughout. */
+  def streamAbsorbedGate(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val idx = graft.ext.DedupOps.absorbedWindexIdx(spark, d)
+    val pairLog = drainToFileSink(spark, "e126", nIn) {
+      graft.ext.DedupOps.windowFrame(
+        spark.readStream
+          .schema(documentsSchema)
+          .parquet(stageDir)
+          .filter(col("doc_id") % 10 === 9))
+        .select(col("hw"), col("doc_id"), col("pos").as("pb"))
+        .join(idx, Seq("hw"))
+        .select("doc_id", "base_id", "pb", "pa")
+    }
+    graft.ext.DedupOps.incrSubstringFinish(spark, d, pairLog,
+      seedPred = col("doc_id") % 10 === 9)
+  }
+
   /** e125: t74's DSIR scorer run as a STREAM against the FROZEN
     * importance model — the production data-selection shape: the
     * estimator (one batch aggregation over the standing corpus,
