@@ -67,8 +67,9 @@ object Bench {
     // (row-preserving by contract) — count() join-eliminates the whole
     // estimator+scorer and times a bare scan; em76 is a pure
     // row-preserving projection (regex scrub + pseudonyms) that
-    // count() prunes to nothing
-    "t74_dsir_weights", "em76_pseudo_release")
+    // count() prunes to nothing; t75 shares t74's row-preserving
+    // final-join shape
+    "t74_dsir_weights", "em76_pseudo_release", "t75_ppl_filter")
 
   /** The timing action for a query entry: count(), or the
     * full-materialization path for [[fullMaterialize]] members. */

@@ -227,7 +227,11 @@ object ScaleBench {
     // d73: the absorbed serve — base ∪ delta probe plus one
     // index-hash-bounded census group-by for the hot re-derivation;
     // expect d70's serve shape plus the census constant
-    "d73_windex_absorb" -> "docs")
+    "d73_windex_absorb" -> "docs",
+    // t75: reference-LM build (en-slice bigram counts) + one scoring
+    // pass with vocabulary-bounded broadcast joins — expect the
+    // t61/t74 token-linear shape
+    "t75_ppl_filter" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

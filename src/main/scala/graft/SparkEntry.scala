@@ -203,6 +203,12 @@ object SparkEntry {
         "e126_stream_absorbed_gate" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamAbsorbedGate(s, d)),
+        // streaming twin of t75: perplexity filtering of a live doc
+        // feed against the frozen reference LM (contribution log into
+        // the file sink, verdict at read time) — shares t75's oracle
+        "e127_stream_ppl_filter" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamPplFilter(s, d)),
         // restart-recovery proof for e114's custom Markov-counter
         // state (the fourth restart state shape) — shares e113's
         // oracle
@@ -254,5 +260,6 @@ object SparkEntry {
         "e123_restart_substring_gate" -> DedupOps.incrSubstringDedupSql,
         "e125_stream_dsir_score" -> TextOps.dsirWeightsSql,
         "e126_stream_absorbed_gate" -> DedupOps.windexAbsorbGateSql,
+        "e127_stream_ppl_filter" -> TextOps.pplFilterSql,
         "e121_restart_cm_cells" -> Sketches.cmCellsSql)
 }

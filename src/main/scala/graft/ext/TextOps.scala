@@ -1659,6 +1659,149 @@ object TextOps {
       |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------- t75 perplexity filter vs the FROZEN reference LM
+
+  /** Keep threshold for t75/e127, integer micro-nats of per-bigram
+    * negative log-prob. Calibrated on the fixture: the reference
+    * (en) slice averages 3.365M, the other languages 3.43–3.44M, so
+    * 3.4M keeps the reference-like majority and drops the
+    * out-of-domain tail — both populations non-trivial at sf0.01
+    * (fixed constant by design: a production pass re-calibrates per
+    * corpus the t69 way, but the FILTER semantics under test are
+    * threshold-independent). */
+  private[graft] val pplKeepTauMicro = 3400000L
+
+  /** Bigram rows (doc_id, lang, w1, w2) — the materialized-token +
+    * explode-then-project discipline (see [[dsirFeatures]]). Shared
+    * by t75's reference build and scoring sides. */
+  private[graft] def bigramRows(s: SparkSession, d: String): DataFrame =
+    bigramRowsOf(documents(s, d))
+
+  /** [[bigramRows]] over any documents-shaped frame — the stream twin
+    * (e127) feeds its file stream through the same stage. */
+  private[graft] def bigramRowsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(__toks) - 1),
+          |  i -> struct(element_at(__toks, i) AS w1,
+          |              element_at(__toks, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** The frozen reference LM's tables: (c2 bigram counts, c1 left-
+    * context counts, V vocab size) from the `lang = 'en'` slice —
+    * add-one smoothed bigram MLE, the CCNet-style clean-reference
+    * model. Both count frames are vocabulary-bounded (≤ V² / V rows),
+    * far smaller than the corpus. */
+  private[graft] def pplRefLm(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ref = bigramRows(s, d).filter(col("lang") === "en")
+      .select("w1", "w2")
+    val c2 = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = ref.agg(count_distinct(col("w2")).as("v"))
+    (c2, c1, v)
+  }
+
+  /** The t75/e127 scoring stage over bigram rows: smoothed reference
+    * log-prob per OCCURRENCE, micro-nat snapped (the t61 fixed-point
+    * discipline; explicit DOUBLE casts — the t74 decimal-literal
+    * lesson). LEFT joins: an out-of-reference bigram scores
+    * ln((0+1)/(c1+V)), an unseen left context ln(1/V) — the add-one
+    * floor, never a null. */
+  private[graft] def pplScoreRows(bg: DataFrame, c2: DataFrame,
+      c1: DataFrame, v: DataFrame,
+      dict: DataFrame => DataFrame): DataFrame =
+    bg.join(dict(c2), Seq("w1", "w2"), "left")
+      .join(dict(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lpm", expr(
+        """CAST(round(ln(
+          |  (CAST(COALESCE(c2, 0) AS DOUBLE) + 1.0D) /
+          |  CAST(COALESCE(c1, 0) + v AS DOUBLE)) * 1000000) AS BIGINT)"""
+          .stripMargin))
+
+  /** t75: PERPLEXITY FILTERING against the frozen reference LM — the
+    * corpus-cleaning stage t61 only half-fills: t61 scores every doc
+    * under the corpus's OWN bigram MLE (a self-referential quality
+    * signal), t75 scores it under a CLEAN REFERENCE slice's model
+    * (the en documents), which is the production recipe — docs whose
+    * per-bigram negative log-prob under the reference exceeds τ are
+    * out-of-domain and dropped. avg_nlp_micro = −(Σlp div n) is
+    * exact BIGINT arithmetic; docs with no bigram evidence (<2
+    * tokens) carry a null average and are dropped by rule (no
+    * evidence ≠ reference-like).
+    *
+    * Scale shape: the model tables are vocabulary-bounded and join
+    * back by the t61 dictionary rule (broadcast below the d52
+    * ceiling, shuffle_hash sharding above); the scoring stream never
+    * shuffles except the per-doc sum keyed on doc_id. The model
+    * build is charged per call here (the em70 honesty rule) — in
+    * production it is a persisted artifact, which is exactly e127's
+    * serving split. */
+  def pplFilter(s: SparkSession, d: String): DataFrame = {
+    val (c2, c1, v) = pplRefLm(s, d)
+    val bcast = DedupOps.estShingles(s, d) <= DedupOps.dictBroadcastCeiling
+    def dict(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df.hint("shuffle_hash")
+    pplFinish(s, d,
+      pplScoreRows(bigramRows(s, d), c2, c1, v, dict)
+        .select("doc_id", "lpm"))
+  }
+
+  /** The t75/e127 read-time epilogue over scored (doc_id, lpm) rows:
+    * per-doc sum, exact-integer average, τ verdict, and the corpus
+    * re-attach that keeps zero-bigram docs in the census. */
+  private[graft] def pplFinish(s: SparkSession, d: String,
+      scored: DataFrame): DataFrame = {
+    val per = scored
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lpm").as("s"))
+      .withColumn("avg_nlp_micro", expr("-(s div n_bigrams)"))
+    documents(s, d).select("doc_id", "lang")
+      .join(per.select("doc_id", "n_bigrams", "avg_nlp_micro"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nlp_micro"),
+        (col("avg_nlp_micro").isNotNull &&
+          col("avg_nlp_micro") <= pplKeepTauMicro).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val pplFilterSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, list_filter(
+      |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+      |  FROM t WHERE len(toks) >= 2),
+      |bg2 AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bg),
+      |ref AS (SELECT w1, w2 FROM bg2 WHERE lang = 'en'),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM ref GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM ref GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT w2) AS v FROM ref),
+      |lp AS (
+      |  SELECT g.doc_id,
+      |    CAST(round(ln((COALESCE(c2.c2, 0) + 1.0) /
+      |      (COALESCE(c1.c1, 0) + vv.v)) * 1000000) AS BIGINT) AS lpm
+      |  FROM bg2 g LEFT JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+      |             LEFT JOIN c1 ON g.w1 = c1.w1
+      |             CROSS JOIN vv),
+      |per AS (SELECT doc_id, count(*) AS n, sum(lpm) AS s
+      |        FROM lp GROUP BY 1)
+      |SELECT d.doc_id, d.lang,
+      |  CAST(COALESCE(per.n, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(-(per.s // per.n) AS BIGINT) AS avg_nlp_micro,
+      |  COALESCE(-(per.s // per.n) <= $pplKeepTauMicro, FALSE) AS keep
+      |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -1687,6 +1830,7 @@ object TextOps {
     "t72_mixture_realize"   -> mixtureRealize _,
     "t73_tokenizer_fertility" -> tokenizerFertility _,
     "t74_dsir_weights"      -> dsirWeights _,
+    "t75_ppl_filter"        -> pplFilter _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1717,5 +1861,6 @@ object TextOps {
     "t72_mixture_realize"   -> mixtureRealizeSql,
     "t73_tokenizer_fertility" -> tokenizerFertilitySql,
     "t74_dsir_weights"      -> dsirWeightsSql,
+    "t75_ppl_filter"        -> pplFilterSql,
   )
 }

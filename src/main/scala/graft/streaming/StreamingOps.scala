@@ -1262,6 +1262,36 @@ object StreamingOps {
       seedPred = col("doc_id") % 10 === 9)
   }
 
+  /** e127: t75's STREAMING twin — perplexity filtering of a live doc
+    * feed against the FROZEN reference LM: the reference tables
+    * (vocabulary-bounded c2/c1/V, the en-slice add-one bigram MLE)
+    * are built batch-side as static join sides, the stream's docs
+    * flow through the stateless bigram explode + reference joins +
+    * micro-nat scoring stage, and each bigram's contribution lands as
+    * one row in the exactly-once file sink (the e108 contribution-log
+    * discipline: a per-doc aggregate in the stream would be stateful;
+    * the per-doc average + τ verdict are t75's read-time epilogue).
+    * Shares t75's oracle. At scale this is the crawl-time
+    * quality gate: each incoming document scored against a published
+    * reference model at source throughput, zero streaming state. */
+  def streamPplFilter(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val (c2, c1, v) = graft.ext.TextOps.pplRefLm(spark, d)
+    val lpLog = drainToFileSink(spark, "e127", nIn) {
+      graft.ext.TextOps.pplScoreRows(
+        graft.ext.TextOps.bigramRowsOf(
+          spark.readStream
+            .schema(documentsSchema)
+            .parquet(stageDir)),
+        c2, c1, v, df => broadcast(df))
+        .select("doc_id", "lpm")
+    }
+    graft.ext.TextOps.pplFinish(spark, d, lpLog)
+  }
+
   /** e125: t74's DSIR scorer run as a STREAM against the FROZEN
     * importance model — the production data-selection shape: the
     * estimator (one batch aggregation over the standing corpus,

@@ -82,6 +82,45 @@ class Round19Spec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === ((0L, 0L)), "a <2-token doc scores 0, not null")
   }
 
+  // ------------------ t75 perplexity filter vs the frozen reference
+
+  test("t75: keep ⇔ bigram evidence exists AND avg_nlp ≤ τ; zero-bigram docs carry a null average and are dropped") {
+    val out = TextOps.queries("t75_ppl_filter")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val avgIdx = r.fieldIndex("avg_nlp_micro")
+      if (n == 0L) {
+        assert(r.isNullAt(avgIdx), "no evidence → no average")
+        assert(!r.getAs[Boolean]("keep"), "no evidence ≠ reference-like")
+      } else {
+        assert(r.getAs[Boolean]("keep") ===
+          (r.getLong(avgIdx) <= TextOps.pplKeepTauMicro))
+      }
+    }
+  }
+
+  test("t75: the reference slice filters itself in — en keeps at a higher rate than the out-of-domain languages") {
+    val rates = TextOps.queries("t75_ppl_filter")(spark, sf)
+      .groupBy(col("lang") === "en")
+      .agg(avg(when(col("keep"), 1.0).otherwise(0.0)).as("rate"))
+      .collect().map(r => r.getBoolean(0) -> r.getAs[Double]("rate")).toMap
+    assert(rates(true) > rates(false),
+      s"reference-like docs must survive the reference LM filter: $rates")
+  }
+
+  test("t75: an out-of-reference bigram scores the add-one floor, never a null") {
+    import spark.implicits._
+    val bg = Seq((1L, "xx", "qq", "zz")).toDF("doc_id", "lang", "w1", "w2")
+    val c2 = Seq(("a", "b", 3L)).toDF("w1", "w2", "c2")
+    val c1 = Seq(("a", 3L)).toDF("w1", "c1")
+    val v = Seq(Tuple1(10L)).toDF("v")
+    val lpm = TextOps.pplScoreRows(bg, c2, c1, v, identity)
+      .select("lpm").head().getLong(0)
+    // unseen left context: ln((0+1)/(0+10)) = -ln 10
+    assert(lpm === math.round(math.log(0.1) * 1e6))
+  }
+
   // ------------------- d71/d72 window-index lifecycle (erasure path)
 
   test("d71/d72: compaction preserves the tombstoned gate bit-for-bit and retires every erased row") {
