@@ -1275,11 +1275,21 @@ object StreamingOps {
     * quality gate: each incoming document scored against a published
     * reference model at source throughput, zero streaming state. */
   def streamPplFilter(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
     val stageDir = stageFile(spark, d, "documents.parquet")
     val nIn = cachedCount(d, "doc_all") {
       spark.read.parquet(s"$d/documents.parquet").count()
     }
-    val (c2, c1, v) = graft.ext.TextOps.pplRefLm(spark, d)
+    val (c2r, c1r, vr) = graft.ext.TextOps.pplRefLm(spark, d)
+    // pin the model as literal frames so micro-batches don't re-derive
+    // it from corpus scans (the e108 sidecar discipline; bounded:
+    // |ref vocab|² / |ref vocab| / 1 rows on this fixture — a
+    // web-scale LM dictionary would instead stay a persisted parquet
+    // artifact joined stream-static, the d70 shape)
+    val c2 = c2r.as[(String, String, Long)].collect().toSeq
+      .toDF("w1", "w2", "c2")
+    val c1 = c1r.as[(String, Long)].collect().toSeq.toDF("w1", "c1")
+    val v = vr.as[Long].collect().toSeq.toDF("v")
     val lpLog = drainToFileSink(spark, "e127", nIn) {
       graft.ext.TextOps.pplScoreRows(
         graft.ext.TextOps.bigramRowsOf(
