@@ -68,8 +68,11 @@ object Bench {
     // estimator+scorer and times a bare scan; em76 is a pure
     // row-preserving projection (regex scrub + pseudonyms) that
     // count() prunes to nothing; t75 shares t74's row-preserving
-    // final-join shape
-    "t74_dsir_weights", "em76_pseudo_release", "t75_ppl_filter")
+    // final-join shape; t74 (restated) and t76 are row-preserving
+    // projections whose scoring/coin/cutoff columns count() would
+    // prune away entirely
+    "t74_dsir_weights", "em76_pseudo_release", "t75_ppl_filter",
+    "t76_dsir_resample")
 
   /** The timing action for a query entry: count(), or the
     * full-materialization path for [[fullMaterialize]] members. */
@@ -77,6 +80,23 @@ object Bench {
       df: org.apache.spark.sql.DataFrame): Unit =
     if (fullMaterialize(name)) { df.queryExecution.toRdd.count(); () }
     else { df.count(); () }
+
+  /** Per-build sub-times inside a composite cache warm (the
+    * cache_d70 warm carries five artifact builds): MIN across the
+    * warm's clear-and-rebuild cycles, same estimator as the warm
+    * itself. Emitted as the detail JSON's "warm_builds" field so the
+    * warm's composition growth stays attributable build-by-build. */
+  private val warmBuilds =
+    scala.collection.mutable.LinkedHashMap[String, Double]()
+
+  private def timeBuild[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    val dt = (System.nanoTime() - t0) / 1e9
+    warmBuilds(name) =
+      math.min(warmBuilds.getOrElse(name, Double.MaxValue), dt)
+    r
+  }
 
   /** (elapsed, succeeded) — a throwing cache warm must surface in the
     * JSON (its cost re-smears onto whichever query rebuilds the cache),
@@ -321,10 +341,26 @@ object Bench {
       // warm-growth rule) with d71's tombstone manifest and d72's
       // compaction fold: both are O(index) rewrites riding the same
       // registry, so the d71/d72 query line items time pure serves
+      // the warm now carries five builds (base index+census, tombstone
+      // manifest — the round-13 advice fix: the sidecar write is no
+      // longer inside d71's timed serve — compaction fold, delta
+      // segment, and d74's full LSM fold); per-build sub-times are
+      // recorded under "warm_builds" so composition growth stays
+      // distinguishable from drift (the round-13 verdict's
+      // started-offset discipline one level down)
       ("cache_d70_window_index",
-        () => { graft.ext.DedupOps.windowIndexDir(spark, sfDir)
-          graft.ext.DedupOps.compactedWindexDir(spark, sfDir)
-          graft.ext.DedupOps.windexDeltaDir(spark, sfDir); () },
+        () => {
+          timeBuild("windex_base") {
+            graft.ext.DedupOps.windowIndexDir(spark, sfDir) }
+          timeBuild("windex_tombstones") {
+            graft.ext.DedupOps.windexTombstonesDir(spark, sfDir) }
+          timeBuild("windex_compacted") {
+            graft.ext.DedupOps.compactedWindexDir(spark, sfDir) }
+          timeBuild("windex_delta") {
+            graft.ext.DedupOps.windexDeltaDir(spark, sfDir) }
+          timeBuild("windex_folded") {
+            graft.ext.DedupOps.foldedWindexDir(spark, sfDir) }
+          () },
         () => graft.ext.DedupOps.clearWindowIndexes()))
     val rerun = scala.collection.mutable.ArrayBuffer[String]()
     // MIN-of-3 for every warm (round-9 lesson: cache_dedup_frames
@@ -458,8 +494,11 @@ object Bench {
       .mkString("{", ",", "}")
     val startedJson = started.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val warmBuildsJson = warmBuilds
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"detail":"per_query_seconds","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson$baselineJson,"failed":$failedJson,"rerun":$rerunJson,"queries":$qsAll,"started":$startedJson,"sf":"$sfDir"}"""
+      s"""{"detail":"per_query_seconds","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson$baselineJson,"failed":$failedJson,"rerun":$rerunJson,"warm_builds":$warmBuildsJson,"queries":$qsAll,"started":$startedJson,"sf":"$sfDir"}"""
     println(detail)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),

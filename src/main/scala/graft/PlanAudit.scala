@@ -62,7 +62,9 @@ object PlanAudit {
       "e124_topk_per_key", "d70_served_substring_gate",
       "t74_dsir_weights", "em76_pseudo_release",
       "d71_windex_tombstones", "d72_windex_compacted",
-      "d73_windex_absorb", "t75_ppl_filter")
+      "d73_windex_absorb", "t75_ppl_filter",
+      "t76_dsir_resample", "t77_ppl_tau_calibration",
+      "d74_windex_folded", "em77_pseudo_link_census")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

@@ -231,7 +231,24 @@ object ScaleBench {
     // t75: reference-LM build (en-slice bigram counts) + one scoring
     // pass with vocabulary-bounded broadcast joins — expect the
     // t61/t74 token-linear shape
-    "t75_ppl_filter" -> "docs")
+    "t75_ppl_filter" -> "docs",
+    // t76: t74's row-local scoring plus the coin projection and the
+    // per-segment rank window over the (doc-count-sized) weight frame
+    // feeding the ≤64·segments-row sketch — expect t74's shape plus
+    // the segment-partitioned window sort
+    "t76_dsir_resample" -> "docs",
+    // t77: t75's scoring pass plus a per-language rank window — expect
+    // t75's shape (the window adds one lang-keyed exchange)
+    "t77_ppl_tau_calibration" -> "docs",
+    // d74: the FOLDED serve — d70's plain one-scan probe against the
+    // single-segment post-fold artifact (no census merge, no
+    // tombstone anti-join, no segment union at serve); expect d70's
+    // ~0.53 where d73's census-merging serve read 0.84
+    "d74_windex_folded" -> "docs",
+    // em77: em76's release frame exploded into the em64 census —
+    // scan-bound like em64 (the store rebuild per call is the
+    // em70/em75 honesty rule)
+    "em77_pseudo_link_census" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -374,8 +391,10 @@ object ScaleBench {
       ("cache_d70_window_index",
         () => graft.ext.DedupOps.clearWindowIndexes(),
         () => { graft.ext.DedupOps.windowIndexDir(spark, dir)
+          graft.ext.DedupOps.windexTombstonesDir(spark, dir)
           graft.ext.DedupOps.compactedWindexDir(spark, dir)
-          graft.ext.DedupOps.windexDeltaDir(spark, dir); () }))
+          graft.ext.DedupOps.windexDeltaDir(spark, dir)
+          graft.ext.DedupOps.foldedWindexDir(spark, dir); () }))
     val caches = cacheDefs
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, clear, build) => name -> minOf3(clear, build) }

@@ -186,6 +186,17 @@ object ScaleDecade {
           SparkEntry.queries("d73_windex_absorb")(spark, dir)
             .count(); () })
       }
+      // d74 (round 14): the FOLDED gate's serve — the post-fold
+      // single-segment artifact pre-built untimed (the d70
+      // discipline); the probe is d70's plain one-scan shape again
+      // where d73's serve pays the per-call census merge — the fold's
+      // whole point is this entry reading ~d70's exponent
+      if (want("d74_windex_folded")) {
+        graft.ext.DedupOps.foldedWindexDir(spark, dir)
+        items += "d74_windex_folded" -> Bench.median3(() => {
+          SparkEntry.queries("d74_windex_folded")(spark, dir)
+            .count(); () })
+      }
       // clearCaches also drops the window-index artifacts
       graft.ext.DedupOps.clearCaches()
       items.toSeq

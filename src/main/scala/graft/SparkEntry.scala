@@ -209,6 +209,13 @@ object SparkEntry {
         "e127_stream_ppl_filter" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamPplFilter(s, d)),
+        // e127 stopped mid-feed and resumed from its checkpoint — the
+        // restart proof for the frozen-model scorer family (recovery
+        // rides the source offset log + sink commit log alone, at
+        // per-bigram contribution granularity); shares t75's oracle
+        "e128_restart_ppl_filter" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamPplFilterRestart(s, d)),
         // restart-recovery proof for e114's custom Markov-counter
         // state (the fourth restart state shape) — shares e113's
         // oracle
@@ -261,5 +268,6 @@ object SparkEntry {
         "e125_stream_dsir_score" -> TextOps.dsirWeightsSql,
         "e126_stream_absorbed_gate" -> DedupOps.windexAbsorbGateSql,
         "e127_stream_ppl_filter" -> TextOps.pplFilterSql,
+        "e128_restart_ppl_filter" -> TextOps.pplFilterSql,
         "e121_restart_cm_cells" -> Sketches.cmCellsSql)
 }

@@ -2071,14 +2071,20 @@ object DedupOps {
     * disjoint from the % 5 == 4 batch). The sidecar holds base_ids,
     * never windows: a delete is O(cohort) rows whatever the corpus —
     * erasing a document from the standing index without touching the
-    * index itself. Returns the artifact dir. */
-  private[graft] def windexTombstones(s: SparkSession, d: String): String = {
-    val dir = windowIndexDir(s, d)
-    documents(s, d).select(col("doc_id").as("base_id"))
-      .filter(col("base_id") % 10 === 3)
-      .write.mode("overwrite").parquet(s"$dir/tombstones")
-    dir
-  }
+    * index itself. Its OWN build-once artifact (round-13 advice: the
+    * earlier shape re-scanned documents and re-wrote the sidecar
+    * inside every timed d71 serve, so the envelope number carried an
+    * O(corpus-scan)+write rebuild the scaladoc called a pure serve);
+    * the cache_d70 warm now charges this build like its siblings and
+    * [[windexTombstoneGate]] only reads. Returns the artifact dir. */
+  private[graft] def windexTombstonesDir(s: SparkSession, d: String): String =
+    windowIndexes.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|windex-tomb") {
+      dir =>
+        documents(s, d).select(col("doc_id").as("base_id"))
+          .filter(col("base_id") % 10 === 3)
+          .write.mode("overwrite").parquet(s"$dir/tombstones")
+    }
 
   /** d71: the substring ingest gate served from the TOMBSTONED window
     * index — deletion without rebuild, the lifecycle step the d70
@@ -2095,9 +2101,9 @@ object DedupOps {
     * oracle reproduces this by filtering the index AFTER the full-
     * base hot CTE, and Round19Spec pins d71 ≡ d72). */
   def windexTombstoneGate(s: SparkSession, d: String): DataFrame = {
-    val dir = windexTombstones(s, d)
-    val idx = s.read.parquet(s"$dir/windex")
-      .join(s.read.parquet(s"$dir/tombstones").distinct(),
+    val idx = s.read.parquet(s"${windowIndexDir(s, d)}/windex")
+      .join(s.read
+        .parquet(s"${windexTombstonesDir(s, d)}/tombstones").distinct(),
         Seq("base_id"), "left_anti")
     val batchW = windowFrame(documents(s, d).filter(col("doc_id") % 5 === 4))
       .select(col("hw"), col("doc_id"), col("pos").as("pb"))
@@ -2116,9 +2122,9 @@ object DedupOps {
     windowIndexes.getOrBuild(
       s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|windex-compact") {
       dir =>
-        val src = windexTombstones(s, d)
-        s.read.parquet(s"$src/windex")
-          .join(s.read.parquet(s"$src/tombstones").distinct(),
+        s.read.parquet(s"${windowIndexDir(s, d)}/windex")
+          .join(s.read
+            .parquet(s"${windexTombstonesDir(s, d)}/tombstones").distinct(),
             Seq("base_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$dir/windex")
     }
@@ -2209,6 +2215,72 @@ object DedupOps {
       seedPred = col("doc_id") % 10 === 9)
   }
 
+  // ------------- d74 the windex full LSM fold (base+delta−tombstones)
+
+  /** The d74 fold: merge the BASE segment, d73's DELTA segment, and
+    * d71's tombstone manifest into a FRESH single-segment artifact —
+    * the s96/em73 compaction contract on the fourth artifact tier
+    * (source artifacts untouched, concurrent readers safe, swap
+    * atomic). This is the rung d72 (base−tombstones) and d73 (per-
+    * serve census merge) leave open: without it delta segments
+    * accumulate and every serve pays a census group-by that grows
+    * with segment count (d73's own exponent drift 0.53→0.84 is that
+    * cost at fixture scale). The fold runs the d73 serve-time algebra
+    * ONCE at write time — summed censuses re-derive the global hot
+    * set (exact: segments are doc-disjoint so distinct counts are
+    * additive), the segment union drops hot rows and tombstoned
+    * base_ids — and writes the result as a new base: one windex, one
+    * census, zero sidecars, so the serve is d70's plain one-scan
+    * probe again and the NEXT absorb can start a fresh delta against
+    * it (the LSM generation turning over). Costs: O(index) rows
+    * read/written, never O(corpus text); no window recompute, no
+    * document rescan. FROZEN-CAP semantics both ways (the d71
+    * contract): the merged census never decrements on delete, and the
+    * folded census keeps tombstoned docs' counts — a capped hash
+    * stays capped, and the oracle reproduces this by filtering the
+    * index AFTER the full hot CTE. */
+  private[graft] def foldedWindexDir(s: SparkSession, d: String): String =
+    windowIndexes.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|windex-fold") {
+      dir =>
+        val base = windowIndexDir(s, d)
+        val delta = windexDeltaDir(s, d)
+        val tomb = s.read
+          .parquet(s"${windexTombstonesDir(s, d)}/tombstones").distinct()
+        val census = s.read.parquet(s"$base/census")
+          .unionByName(s.read.parquet(s"$delta/census"))
+          .groupBy("hw").agg(sum("nd").as("nd"))
+        // one write each; the census is written FIRST so a reader that
+        // races the registry's publish never sees an index without its
+        // mergeable state
+        census.write.mode("overwrite").parquet(s"$dir/census")
+        val hot = census.filter(col("nd") > runDocCap).select("hw")
+        s.read.parquet(s"$base/windex")
+          .unionByName(s.read.parquet(s"$delta/windex"))
+          .join(hot, Seq("hw"), "left_anti")
+          .join(tomb, Seq("base_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$dir/windex")
+    }
+
+  /** d74: the substring gate served from the FOLDED artifact — d70's
+    * plain one-scan probe shape against the post-fold generation (no
+    * per-serve census merge, no tombstone anti-join, no segment
+    * union: the fold already retired all three). Probes the same
+    * second half-batch as d73 so the two line items are directly
+    * comparable: d73's serve pays the census merge per call, d74's
+    * fold paid it once at build. Oracle = fold ≡ rebuild: d73's
+    * grown-base rebuild with the tombstone cohort filtered out of the
+    * index after the full hot CTE (frozen-cap order, the d71/d72
+    * patch applied to the d73 oracle). */
+  def windexFoldedGate(s: SparkSession, d: String): DataFrame = {
+    val idx = s.read.parquet(s"${foldedWindexDir(s, d)}/windex")
+    val batchW = windowFrame(documents(s, d).filter(col("doc_id") % 10 === 9))
+      .select(col("hw"), col("doc_id"), col("pos").as("pb"))
+    incrSubstringFinish(s, d,
+      batchW.join(idx, Seq("hw")).select("doc_id", "base_id", "pb", "pa"),
+      seedPred = col("doc_id") % 10 === 9)
+  }
+
   /** d73 oracle: d66's full rebuild with the absorbed half-batch moved
     * INTO the base and the gate probing the remaining half — absorb ≡
     * rebuild, including the hot set re-derived over the grown base. */
@@ -2229,6 +2301,19 @@ object DedupOps {
       "d73 oracle patch must rewrite all three d66 CTE anchors")
     patched
   }
+
+  /** d74 oracle: d73's grown-base rebuild (base ∪ delta, hot over the
+    * whole) with the tombstone cohort filtered out of the index AFTER
+    * the full hot CTE — the d71/d72 frozen-cap patch applied on top of
+    * the d73 patch, which is exactly what the fold claims to equal. */
+  val windexFoldedGateSql: String = windexAbsorbGateSql.replace(
+    "idx AS (SELECT hw, doc_id AS base_id, pos AS pa FROM basew\n" +
+      "        WHERE hw NOT IN (SELECT hw FROM hot)),",
+    "idx AS (SELECT hw, doc_id AS base_id, pos AS pa FROM basew\n" +
+      "        WHERE hw NOT IN (SELECT hw FROM hot)\n" +
+      "          AND doc_id % 10 <> 3),")
+  require(windexFoldedGateSql != windexAbsorbGateSql,
+    "d74 oracle patch must rewrite the d73 oracle's idx CTE (anchor drifted)")
 
   /** d71/d72 shared oracle: d66's window-hash rebuild with the
     * tombstone cohort filtered out of the index AFTER the full-base
@@ -2268,6 +2353,7 @@ object DedupOps {
     "d71_windex_tombstones" -> windexTombstoneGate _,
     "d72_windex_compacted" -> windexCompactedGate _,
     "d73_windex_absorb" -> windexAbsorbGate _,
+    "d74_windex_folded" -> windexFoldedGate _,
     "t49_decontamination" -> decontamination _,
     "t68_passage_decontam" -> passageDecontam _,
     "t57_corpus_funnel"  -> corpusFunnel _,
@@ -2299,6 +2385,7 @@ object DedupOps {
     "d71_windex_tombstones" -> windexTombstoneGateSql,
     "d72_windex_compacted" -> windexTombstoneGateSql,
     "d73_windex_absorb" -> windexAbsorbGateSql,
+    "d74_windex_folded" -> windexFoldedGateSql,
     "t49_decontamination" -> decontaminationSql,
     "t68_passage_decontam" -> passageDecontamSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,

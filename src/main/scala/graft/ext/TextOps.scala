@@ -1607,29 +1607,27 @@ object TextOps {
     * weight means the doc looks more like the target (`lang = 'en'`)
     * than like the raw corpus, which is the row-local selection rule
     * (`selected`). This is the estimator+scorer of the
-    * importance-resampling pipeline (the resample itself is t53's
-    * stratified-sample shape applied to `w_micro`).
+    * importance-resampling pipeline (the resample itself is t76,
+    * which realizes the manifest from these weights).
     *
-    * Scale shape: two passes over the bigram stream, both with
-    * map-side partials — one builds the m-row model, one scores (the
-    * model re-joins as a BROADCAST of at most m rows; the per-doc sum
-    * is the only exchange, keyed on doc_id). The corpus itself never
-    * shuffles; selection is a row-local threshold, not a global top-k
-    * (a budgeted top-k would take its cutoff from the k85 quantile
-    * sketch rather than a global sort). */
-  def dsirWeights(s: SparkSession, d: String): DataFrame = {
-    val w = dsirFeatures(s, d)
-      .join(broadcast(dsirLr(s, d)), Seq("bucket"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum("lrm").as("w_micro"))
-    documents(s, d).select("doc_id", "lang")
-      .join(w, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("w_micro"), lit(0L)).as("w_micro"))
-      .withColumn("selected", col("w_micro") > 0)
-      .orderBy("doc_id")
-  }
+    * Scale shape (restated row-locally, round 14): the ESTIMATOR is
+    * unchanged — one exploded, map-side-combined pass over the bigram
+    * stream builds the m-row model ([[dsirLr]]) — but the SCORING
+    * pass is now [[dsirScoreOf]], the same row-local dense-literal
+    * fold e125 streams: one projection per document, no model join,
+    * no per-doc exchange, no corpus shuffle at all beyond the
+    * presentation sort. The earlier shape scored by re-exploding
+    * bigrams, broadcast-joining the model, aggregating on doc_id and
+    * LEFT-joining documents back — that final weights↔documents
+    * sort-merge join was doc-count-sized on both sides and read
+    * second-decade exponent 1.04 (SCALE.md round 13, the one
+    * serving-path entry at linear-with-sort); batch and stream now
+    * share one plan family and one oracle, hash-unchanged. Selection
+    * stays a row-local threshold, not a global top-k (t76's budgeted
+    * variant takes its cutoff from the k85 quantile sketch rather
+    * than a global sort). */
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirScoreOf(documents(s, d), dsirModel(s, d)).orderBy("doc_id")
 
   val dsirWeightsSql: String =
     s"""WITH t AS (
@@ -1659,6 +1657,144 @@ object TextOps {
       |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------- t76 DSIR importance RESAMPLE (the selection manifest)
+
+  /** Budget denominator for t76's budgeted variant: keep the top
+    * n div 4 documents by weight. */
+  private[graft] val dsirBudgetDen = 4L
+
+  /** t76: the DSIR importance RESAMPLE — the output artifact the
+    * data-selection tier exists to produce, closing the estimator
+    * (dsirLr) → scorer (t74/e125) → RESAMPLE ladder the way d68
+    * closed the substring tier's detect→gate→apply. Two selection
+    * modes in one manifest, both deterministic:
+    *
+    *  - `sampled` — md5-coin acceptance with probability ∝ the
+    *    normalized importance weight: p = exp((w_micro − w_max)/1e6)
+    *    ∈ (0, 1], snapped to integer ppm, accepted iff the doc's
+    *    deterministic coin (`md5("dsirs:"+doc_id) % 1e6`) lands under
+    *    it — the published importance-resampling acceptance rule
+    *    under the t72 reproducible-sampling discipline (no RNG state:
+    *    the realization is a pure function of doc_id, resumable
+    *    mid-corpus, and a corpus refresh flips docs in coin order —
+    *    the minimal delta, never a reshuffle). The exp() micro-snap
+    *    carries the same measure-zero libm caveat as t74's ln().
+    *  - `budget_kept` — the budgeted variant: keep the top
+    *    n div [[dsirBudgetDen]] docs by (w_micro, doc_id). The cutoff
+    *    comes from the k85 FIXED-SCHEDULE RANK SKETCH over w_micro
+    *    (4 doc_id-residue segments through
+    *    [[graft.operators.Sketches.rankSampleOf]]), NEVER a global
+    *    sort: the kept set is `(w_micro, doc_id) ≥ (cut_w, cut_uid)`
+    *    where the cut is the sketch's answer item at target rank
+    *    n − B + 1, so the realized count is ≤ B and under by less
+    *    than Σ segment steps (k85's proven strict bound) — the
+    *    always-a-real-data-value, cross-engine-reproducible cutoff.
+    *
+    * Scale shape: the scoring pass is t74's row-local fold (no model
+    * join); the coin and acceptance are row-local; the sketch reads
+    * ≤ 64·segments weighted rows after a per-segment window over the
+    * weight frame (the one exchange beyond the presentation sort —
+    * partitioned by segment, never global); both cut and w_max attach
+    * as broadcast singletons. The oracle recomputes the weights, the
+    * coin, AND the full fixed-schedule sketch in SQL — the budget
+    * cutoff itself is hash-checked, not just the membership column. */
+  def dsirResample(s: SparkSession, d: String): DataFrame = {
+    val w = dsirScoreOf(documents(s, d), dsirModel(s, d))
+      .select("doc_id", "lang", "w_micro")
+    val wmax = w.agg(max("w_micro").as("wmax"))
+    val scored = w.crossJoin(broadcast(wmax))
+      .withColumn("accept_ppm", expr(
+        """CAST(round(exp(CAST(w_micro - wmax AS DOUBLE) / 1000000.0D)
+          |  * 1000000) AS BIGINT)""".stripMargin))
+      .withColumn("coin",
+        md5Long(concat(lit("dsirs:"), col("doc_id").cast("string")))
+          % 1000000)
+      .withColumn("sampled", col("coin") < col("accept_ppm"))
+    val seg = w.select(lit("all").as("status"),
+      (col("doc_id") % 4).cast("string").as("seg"),
+      col("w_micro").as("cents"), col("doc_id").as("uid"))
+    val merged = graft.operators.Sketches.rankSampleOf(seg)
+      .withColumn("cumw", sum("weight").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("status").orderBy("cents", "uid")))
+    val target = seg.groupBy("status").agg(count(lit(1)).as("n"))
+      .withColumn("rk", expr(s"n - n div $dsirBudgetDen + 1"))
+    val cut = target.join(merged, Seq("status"))
+      .filter(col("cumw") >= col("rk"))
+      .groupBy("status")
+      .agg(min(struct(col("cumw"), col("cents"), col("uid"))).as("a"))
+      .select(col("a.cents").as("cut_w"), col("a.uid").as("cut_uid"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("lang"), col("w_micro"),
+        col("accept_ppm"), col("coin"), col("sampled"),
+        (col("w_micro") > col("cut_w") ||
+          (col("w_micro") === col("cut_w") &&
+            col("doc_id") >= col("cut_uid"))).as("budget_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: re-derives the weights (t74's CTEs), the max-normalized
+    * acceptance ppm, the md5 coin, and the ENTIRE fixed-schedule rank
+    * sketch (segments, kept schedule, merged cumulative weights,
+    * answer item at rank n − B + 1) in DuckDB SQL. */
+  val dsirResampleSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, list_filter(
+      |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+      |    i -> ('0x' || substr(md5('dsir:' || toks[i] || ' ' || toks[i+1]),
+      |            1, 15))::BIGINT % $dsirBuckets)) AS bucket
+      |  FROM t WHERE len(toks) >= 2),
+      |cnt AS (SELECT bucket, count(*) AS rcnt,
+      |          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tcnt
+      |        FROM bg GROUP BY 1),
+      |tot AS (SELECT sum(rcnt) AS rtot, sum(tcnt) AS ttot FROM cnt),
+      |lr AS (SELECT bucket,
+      |         CAST(round(ln(((tcnt + 1.0) * (rtot + $dsirBuckets)) /
+      |           ((rcnt + 1.0) * (ttot + $dsirBuckets))) * 1000000) AS BIGINT)
+      |           AS lrm
+      |       FROM cnt CROSS JOIN tot),
+      |w0 AS (SELECT doc_id, sum(lrm) AS w_micro
+      |       FROM bg JOIN lr USING (bucket) GROUP BY 1),
+      |w AS (SELECT d.doc_id, d.lang,
+      |        CAST(COALESCE(w0.w_micro, 0) AS BIGINT) AS w_micro
+      |      FROM documents d LEFT JOIN w0 ON w0.doc_id = d.doc_id),
+      |mx AS (SELECT max(w_micro) AS wmax FROM w),
+      |sc AS (SELECT doc_id, lang, w_micro,
+      |    CAST(round(exp((w_micro - wmax) / 1000000.0) * 1000000) AS BIGINT)
+      |      AS accept_ppm,
+      |    ('0x' || substr(md5('dsirs:' || doc_id), 1, 15))::BIGINT % 1000000
+      |      AS coin
+      |  FROM w CROSS JOIN mx),
+      |seg AS (SELECT CAST(doc_id % 4 AS VARCHAR) AS sg,
+      |          w_micro AS cents, doc_id AS uid FROM w),
+      |ranked AS (SELECT sg, cents, uid,
+      |    row_number() OVER (PARTITION BY sg ORDER BY cents, uid) AS rn,
+      |    count(*) OVER (PARTITION BY sg) AS nseg
+      |  FROM seg),
+      |kept AS (SELECT cents, uid,
+      |    CASE WHEN rn % ((nseg + 63) // 64) = 0 THEN (nseg + 63) // 64
+      |         ELSE nseg % ((nseg + 63) // 64) END AS weight
+      |  FROM ranked
+      |  WHERE rn % ((nseg + 63) // 64) = 0 OR rn = nseg),
+      |merged AS (SELECT cents, uid,
+      |    sum(weight) OVER (ORDER BY cents, uid) AS cumw
+      |  FROM kept),
+      |tgt AS (SELECT count(*) - count(*) // $dsirBudgetDen + 1 AS rk
+      |        FROM seg),
+      |cut AS (SELECT m.cents AS cut_w, m.uid AS cut_uid
+      |        FROM merged m, tgt WHERE m.cumw >= tgt.rk
+      |        ORDER BY m.cumw, m.cents, m.uid LIMIT 1)
+      |SELECT sc.doc_id, sc.lang, sc.w_micro, sc.accept_ppm, sc.coin,
+      |  sc.coin < sc.accept_ppm AS sampled,
+      |  (sc.w_micro > cut.cut_w
+      |    OR (sc.w_micro = cut.cut_w AND sc.doc_id >= cut.cut_uid))
+      |    AS budget_kept
+      |FROM sc CROSS JOIN cut
+      |ORDER BY sc.doc_id""".stripMargin
+
   // ------------- t75 perplexity filter vs the FROZEN reference LM
 
   /** Keep threshold for t75/e127, integer micro-nats of per-bigram
@@ -1668,7 +1804,9 @@ object TextOps {
     * out-of-domain tail — both populations non-trivial at sf0.01
     * (fixed constant by design: a production pass re-calibrates per
     * corpus the t69 way, but the FILTER semantics under test are
-    * threshold-independent). */
+    * threshold-independent). The derivation itself is now a measured
+    * entry: t77 ([[pplTauCalibration]]) re-derives τ as the reference
+    * slice's exact p95 score and records it next to this constant. */
   private[graft] val pplKeepTauMicro = 3400000L
 
   /** Bigram rows (doc_id, lang, w1, w2) — the materialized-token +
@@ -1772,10 +1910,13 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val pplFilterSql: String =
-    s"""WITH t AS (
+  /** The t75 scoring CTE chain (reference LM build + per-occurrence
+    * log-probs + per-doc sums) — shared by the t75 oracle and t77's
+    * calibration oracle. */
+  private val pplScoreCtesSql: String =
+    """t AS (
       |  SELECT doc_id, lang, list_filter(
-      |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
       |  FROM documents),
       |bg AS (
       |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
@@ -1794,13 +1935,88 @@ object TextOps {
       |             LEFT JOIN c1 ON g.w1 = c1.w1
       |             CROSS JOIN vv),
       |per AS (SELECT doc_id, count(*) AS n, sum(lpm) AS s
-      |        FROM lp GROUP BY 1)
+      |        FROM lp GROUP BY 1)""".stripMargin
+
+  val pplFilterSql: String =
+    s"""WITH $pplScoreCtesSql
       |SELECT d.doc_id, d.lang,
       |  CAST(COALESCE(per.n, 0) AS BIGINT) AS n_bigrams,
       |  CAST(-(per.s // per.n) AS BIGINT) AS avg_nlp_micro,
       |  COALESCE(-(per.s // per.n) <= $pplKeepTauMicro, FALSE) AS keep
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  // --------------- t77 τ calibration from the reference-slice scores
+
+  /** t77: the τ-CALIBRATION eval — t75's one argued-not-measured knob
+    * ([[pplKeepTauMicro]], a fixture-calibrated constant) demoted to a
+    * recorded, re-derivable choice: the d67/d69/t69 discipline applied
+    * to the perplexity tier. The derived threshold is the REFERENCE
+    * slice's own p95 score under the frozen LM (the en documents'
+    * exact 95th-percentile avg_nlp_micro — t69's exact order-statistic
+    * rule: rank ⌈0.95·n⌉ in (score, doc_id) order), i.e. "keep
+    * anything that scores no worse than 95% of known-clean text" —
+    * re-derivable per corpus with no hand constant. The eval emits the
+    * per-language score distribution (exact p50/p95 micro-nats), the
+    * derived τ next to the current constant, and the keep census each
+    * language would see under the derived τ — the calibration row a
+    * production re-run would be signed off on. t75/e127 are unchanged
+    * (the filter semantics under test there are
+    * threshold-independent; this entry records where the threshold
+    * COMES from).
+    *
+    * Scale shape: t75's scoring pass plus one per-language window
+    * rank (exchange keyed on lang — bounded partitions per language
+    * at any corpus size only if languages are few, which is the tier
+    * contract; a per-source calibration would key the same window on
+    * source) and a broadcast-singleton τ attach. */
+  def pplTauCalibration(s: SparkSession, d: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("avg_nlp_micro", "doc_id")
+    val ranked = pplFilter(s, d)
+      .filter(col("avg_nlp_micro").isNotNull)
+      .select("doc_id", "lang", "avg_nlp_micro")
+      .withColumn("rn", row_number().over(byLang))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+    val tau = ranked.filter(col("lang") === "en" &&
+        col("rn") === expr("(n * 95 + 99) div 100"))
+      .select(col("avg_nlp_micro").as("tau_derived"))
+    ranked.crossJoin(broadcast(tau))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("rn") === expr("(n + 1) div 2"),
+          col("avg_nlp_micro"))).as("p50_micro"),
+        max(when(col("rn") === expr("(n * 95 + 99) div 100"),
+          col("avg_nlp_micro"))).as("p95_micro"),
+        sum(when(col("avg_nlp_micro") <= col("tau_derived"), 1L)
+          .otherwise(0L)).as("n_keep_at_derived"),
+        max("tau_derived").as("tau_derived"))
+      .withColumn("tau_current_micro", lit(pplKeepTauMicro))
+      .orderBy("lang")
+  }
+
+  val pplTauCalibrationSql: String =
+    s"""WITH $pplScoreCtesSql,
+      |sc AS (SELECT p.doc_id, d.lang, -(p.s // p.n) AS anm
+      |       FROM per p JOIN documents d ON d.doc_id = p.doc_id),
+      |rk AS (SELECT doc_id, lang, anm,
+      |    row_number() OVER (PARTITION BY lang ORDER BY anm, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM sc),
+      |tau AS (SELECT anm AS tau_derived FROM rk
+      |        WHERE lang = 'en' AND rn = (n * 95 + 99) // 100)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN anm END) AS BIGINT)
+      |    AS p50_micro,
+      |  CAST(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN anm END) AS BIGINT)
+      |    AS p95_micro,
+      |  CAST(sum(CASE WHEN anm <= tau.tau_derived THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_keep_at_derived,
+      |  CAST(max(tau.tau_derived) AS BIGINT) AS tau_derived,
+      |  CAST($pplKeepTauMicro AS BIGINT) AS tau_current_micro
+      |FROM rk CROSS JOIN tau
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
@@ -1831,6 +2047,8 @@ object TextOps {
     "t73_tokenizer_fertility" -> tokenizerFertility _,
     "t74_dsir_weights"      -> dsirWeights _,
     "t75_ppl_filter"        -> pplFilter _,
+    "t76_dsir_resample"     -> dsirResample _,
+    "t77_ppl_tau_calibration" -> pplTauCalibration _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1862,5 +2080,7 @@ object TextOps {
     "t73_tokenizer_fertility" -> tokenizerFertilitySql,
     "t74_dsir_weights"      -> dsirWeightsSql,
     "t75_ppl_filter"        -> pplFilterSql,
+    "t76_dsir_resample"     -> dsirResampleSql,
+    "t77_ppl_tau_calibration" -> pplTauCalibrationSql,
   )
 }

@@ -638,15 +638,32 @@ object EmailOps {
     * or a broken pass order fails the hash. Scale shape: pure
     * row-local projection — no shuffle, no state; the only exchange is
     * the presentation sort.
+    *
+    * SALT CAVEAT (round-13 advice): the fixed public salt (`pii:`) and
+    * 8-hex (32-bit) truncation are the ORACLE-REPRODUCIBLE fixture
+    * instance only — a holder of released rows could reverse them by
+    * dictionary enumeration, and 32 bits invites collisions at corpus
+    * scale. A production release keys the same projection with a
+    * SECRET, rotatable salt (HMAC over the address) and a full-width
+    * digest; nothing else in the transform changes.
     * Ref anchor: the entities index `ingest_enron.py:152` plans
     * detection only; the reference never ships a scrub rung. */
   def pseudoRelease(s: SparkSession, d: String): DataFrame =
     pseudoReleaseOf(store(s, d)).orderBy("dedupe_key")
 
-  /** The release projection over any store-shaped frame (dedupe_key,
-    * from, to, subject) — split out so the pass-order and linkability
-    * contracts are spec-testable on crafted rows. */
-  private[graft] def pseudoReleaseOf(st: DataFrame): DataFrame = {
+  /** The release frame over any store-shaped frame (dedupe_key, from,
+    * to, cc, bcc, subject) with the recipient PSEUDONYM ARRAYS intact
+    * — every address column mapped element-wise through the pseudonym
+    * (`transform`), so the released rows carry the COMPLETE
+    * communication structure under pseudonyms (round-13 verdict: the
+    * earlier shape released only a single-recipient probe,
+    * `element_at(to, 2)`, and dropped the rest of the lists — nothing
+    * leaked, but the release could not reconstruct the graph its own
+    * scaladoc promised; em77 now proves the reconstruction by
+    * hash-matching the pseudonym-mapped em64 census). Shared by the
+    * em76 entry (arrays joined to strings for the oracle) and em77
+    * (arrays exploded into the edge census). */
+  private[graft] def pseudoFrameOf(st: DataFrame): DataFrame = {
     val orgPat =
       s"[A-Z][A-Za-z]+(?: [A-Z][A-Za-z]+)* (?:${Ner.orgSuffixes.mkString("|")})\\b"
     def pseudo(c: Column): Column =
@@ -655,8 +672,9 @@ object EmailOps {
     st.select(
       col("dedupe_key"),
       pseudo(col("from")).as("pseudo_from"),
-      when(size(col("to")) >= 2, pseudo(element_at(col("to"), 2)))
-        .as("pseudo_rcpt"),
+      transform(col("to"), pseudo(_)).as("pseudo_to"),
+      transform(col("cc"), pseudo(_)).as("pseudo_cc"),
+      transform(col("bcc"), pseudo(_)).as("pseudo_bcc"),
       regexp_replace(
         regexp_replace(col("subject"), orgPat, "<ORG>"),
         Ner.titleSeqPattern, "<PERSON>").as("red_subject"),
@@ -666,13 +684,29 @@ object EmailOps {
         .cast("long").as("n_org"))
   }
 
+  /** The em76 release projection: [[pseudoFrameOf]] with the pseudonym
+    * arrays joined to comma-strings (header order preserved) — the
+    * repo's array_join oracle convention. */
+  private[graft] def pseudoReleaseOf(st: DataFrame): DataFrame =
+    pseudoFrameOf(st).select(
+      col("dedupe_key"), col("pseudo_from"),
+      array_join(col("pseudo_to"), ",").as("pseudo_to"),
+      array_join(col("pseudo_cc"), ",").as("pseudo_cc"),
+      array_join(col("pseudo_bcc"), ",").as("pseudo_bcc"),
+      col("red_subject"), col("n_person"), col("n_org"))
+
   val pseudoReleaseSql: String =
     s"""$sqlPrelude
       |SELECT dedupe_key,
       |  'p' || substr(md5('pii:' || sender), 1, 8) AS pseudo_from,
-      |  CASE WHEN has_second_to
-      |    THEN 'p' || substr(md5('pii:' || second_to), 1, 8) END
-      |    AS pseudo_rcpt,
+      |  'p' || substr(md5('pii:team@corp.com'), 1, 8) ||
+      |    CASE WHEN has_second_to
+      |      THEN ',p' || substr(md5('pii:' || second_to), 1, 8)
+      |      ELSE '' END AS pseudo_to,
+      |  CASE WHEN has_cc
+      |    THEN 'p' || substr(md5('pii:' || cc_addr), 1, 8)
+      |    ELSE '' END AS pseudo_cc,
+      |  '' AS pseudo_bcc,
       |  CASE WHEN doc_id % 11 = 0
       |    THEN 'msg ' || doc_id || ' <PERSON> of <ORG>'
       |    ELSE 'msg ' || doc_id END AS red_subject,
@@ -681,6 +715,42 @@ object EmailOps {
       |  CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
       |    AS n_org
       |FROM m ORDER BY dedupe_key""".stripMargin
+
+  // ---------------- em77 release linkability census (the graph proof)
+
+  /** em77: the LINKABILITY PROOF for em76's release — rebuild the em64
+    * communication-graph census FROM THE RELEASED ROWS ONLY (sender
+    * pseudonym × exploded recipient-pseudonym arrays), and let the
+    * oracle compute the same census from the ORIGINAL addresses mapped
+    * through the pseudonym formula. Hash equality means the release
+    * preserves the complete communication graph under pseudonyms —
+    * every edge, every multiplicity — which is exactly the property
+    * that distinguishes linkable pseudonymization (em76) from
+    * destructive masking (em69). Same dedup/explode shape as em64
+    * (array_union across to/cc/bcc, one exchange for the census). */
+  def pseudoLinkCensus(s: SparkSession, d: String): DataFrame =
+    pseudoFrameOf(store(s, d))
+      .select(col("pseudo_from").as("src"),
+        explode(array_union(array_union(col("pseudo_to"), col("pseudo_cc")),
+          col("pseudo_bcc"))).as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("n_messages"))
+      .orderBy("src", "dst")
+
+  val pseudoLinkCensusSql: String =
+    s"""$sqlPrelude
+      |SELECT src, dst, count(*) AS n_messages FROM (
+      |  SELECT 'p' || substr(md5('pii:' || sender), 1, 8) AS src,
+      |         'p' || substr(md5('pii:team@corp.com'), 1, 8) AS dst FROM m
+      |  UNION ALL
+      |  SELECT 'p' || substr(md5('pii:' || sender), 1, 8),
+      |         'p' || substr(md5('pii:' || second_to), 1, 8)
+      |  FROM m WHERE has_second_to
+      |  UNION ALL
+      |  SELECT 'p' || substr(md5('pii:' || sender), 1, 8),
+      |         'p' || substr(md5('pii:' || cc_addr), 1, 8)
+      |  FROM m WHERE has_cc)
+      |GROUP BY src, dst ORDER BY src, dst""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "em60_by_mailbox"    -> byMailbox _,
@@ -699,6 +769,7 @@ object EmailOps {
     "em74_store_retention" -> retainedStore _,
     "em75_hierarchy_census" -> hierarchyCensus _,
     "em76_pseudo_release" -> pseudoRelease _,
+    "em77_pseudo_link_census" -> pseudoLinkCensus _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -718,5 +789,6 @@ object EmailOps {
     "em74_store_retention" -> retainedStoreSql,
     "em75_hierarchy_census" -> hierarchyCensusSql,
     "em76_pseudo_release" -> pseudoReleaseSql,
+    "em77_pseudo_link_census" -> pseudoLinkCensusSql,
   )
 }

@@ -1302,6 +1302,51 @@ object StreamingOps {
     graft.ext.TextOps.pplFinish(spark, d, lpLog)
   }
 
+  /** e128: e127 stopped MID-FEED and resumed from its checkpoint — the
+    * restart proof for the FROZEN-MODEL SCORER family (e125/e127),
+    * the last streaming-recovery shape uncovered after e123 proved
+    * the frozen-sidecar GATE: like e123 the recovery contract is the
+    * file-source offset log plus the file sink's `_spark_metadata`
+    * commit log alone (zero state stores — the model is a literal
+    * broadcast), but the logged rows here are per-BIGRAM score
+    * contributions, so a re-read slice-1 file would double-count
+    * every affected doc's Σlpm and n (shifting avg_nlp_micro and
+    * flipping τ verdicts) while a dropped file loses evidence —
+    * sharing t75's oracle hash-checks exactly-once across the
+    * restart at contribution granularity. The parity split
+    * interleaves docs across the cut (the e121 harshest-arrival
+    * rationale). */
+  def streamPplFilterRestart(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (s1, s2) = docSliceFiles(spark, d)
+    val srcDir = scratchTempDir("graft-ppl-restart")
+    Files.createSymbolicLink(srcDir.resolve("slice1.parquet"), s1)
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val (c2r, c1r, vr) = graft.ext.TextOps.pplRefLm(spark, d)
+    // the e127 literal-frame pin (vocabulary-bounded, never corpus)
+    val c2 = c2r.as[(String, String, Long)].collect().toSeq
+      .toDF("w1", "w2", "c2")
+    val c1 = c1r.as[(String, Long)].collect().toSeq.toDF("w1", "c1")
+    val v = vr.as[Long].collect().toSeq.toDF("v")
+    val addPhase2 = () => {
+      Files.createSymbolicLink(srcDir.resolve("slice2.parquet"), s2)
+      ()
+    }
+    val lpLog = drainFileSinkWithRestart(spark, s"$d|e128", nIn,
+        addPhase2) {
+      graft.ext.TextOps.pplScoreRows(
+        graft.ext.TextOps.bigramRowsOf(
+          spark.readStream
+            .schema(documentsSchema)
+            .parquet(srcDir.toString)),
+        c2, c1, v, df => broadcast(df))
+        .select("doc_id", "lpm")
+    }
+    graft.ext.TextOps.pplFinish(spark, d, lpLog)
+  }
+
   /** e125: t74's DSIR scorer run as a STREAM against the FROZEN
     * importance model — the production data-selection shape: the
     * estimator (one batch aggregation over the standing corpus,
