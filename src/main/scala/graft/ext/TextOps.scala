@@ -1663,6 +1663,15 @@ object TextOps {
     * n div 4 documents by weight. */
   private[graft] val dsirBudgetDen = 4L
 
+  /** Segment count for t76's rank sketch: the per-segment rank window
+    * partitions the doc-count-sized weight frame, so segments = the
+    * parallelism of the one corpus-sized sort. The k85 bound is
+    * nearly segment-count-INVARIANT — Σ_seg ceil(n_seg/64) ≈ n/64 + S
+    * — so more segments buy parallel sort tasks without loosening the
+    * budget guarantee (at 100 TB this would be the shuffle partition
+    * count; 32 matches the local harness). */
+  private[graft] val dsirSketchSegs = 32L
+
   /** t76: the DSIR importance RESAMPLE — the output artifact the
     * data-selection tier exists to produce, closing the estimator
     * (dsirLr) → scorer (t74/e125) → RESAMPLE ladder the way d68
@@ -1682,7 +1691,7 @@ object TextOps {
     *  - `budget_kept` — the budgeted variant: keep the top
     *    n div [[dsirBudgetDen]] docs by (w_micro, doc_id). The cutoff
     *    comes from the k85 FIXED-SCHEDULE RANK SKETCH over w_micro
-    *    (4 doc_id-residue segments through
+    *    ([[dsirSketchSegs]] doc_id-residue segments through
     *    [[graft.operators.Sketches.rankSampleOf]]), NEVER a global
     *    sort: the kept set is `(w_micro, doc_id) ≥ (cut_w, cut_uid)`
     *    where the cut is the sketch's answer item at target rank
@@ -1711,7 +1720,7 @@ object TextOps {
           % 1000000)
       .withColumn("sampled", col("coin") < col("accept_ppm"))
     val seg = w.select(lit("all").as("status"),
-      (col("doc_id") % 4).cast("string").as("seg"),
+      (col("doc_id") % dsirSketchSegs).cast("string").as("seg"),
       col("w_micro").as("cents"), col("doc_id").as("uid"))
     val merged = graft.operators.Sketches.rankSampleOf(seg)
       .withColumn("cumw", sum("weight").over(
@@ -1768,7 +1777,7 @@ object TextOps {
       |    ('0x' || substr(md5('dsirs:' || doc_id), 1, 15))::BIGINT % 1000000
       |      AS coin
       |  FROM w CROSS JOIN mx),
-      |seg AS (SELECT CAST(doc_id % 4 AS VARCHAR) AS sg,
+      |seg AS (SELECT CAST(doc_id % $dsirSketchSegs AS VARCHAR) AS sg,
       |          w_micro AS cents, doc_id AS uid FROM w),
       |ranked AS (SELECT sg, cents, uid,
       |    row_number() OVER (PARTITION BY sg ORDER BY cents, uid) AS rn,

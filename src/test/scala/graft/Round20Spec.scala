@@ -50,7 +50,7 @@ class Round20Spec extends AnyFunSuite with SparkSpec {
     assert(kept.length <= budget, "the cutoff can never exceed budget")
     // strict bound: Σ over segments of step = ceil(nseg/64) (k85's
     // proven err < Σ steps, so the under-fill is < the same sum)
-    val bound = out.groupBy(_.getAs[Long]("doc_id") % 4)
+    val bound = out.groupBy(_.getAs[Long]("doc_id") % TextOps.dsirSketchSegs)
       .map { case (_, docs) => (docs.length + 63) / 64 }.sum
     assert(budget - kept.length < bound,
       s"under-budget by ${budget - kept.length}, sketch bound $bound")
