@@ -248,7 +248,12 @@ object ScaleBench {
     // em77: em76's release frame exploded into the em64 census —
     // scan-bound like em64 (the store rebuild per call is the
     // em70/em75 honesty rule)
-    "em77_pseudo_link_census" -> "docs")
+    "em77_pseudo_link_census" -> "docs",
+    // e129: the crawl-time resample gate — frozen three-literal
+    // sidecar + the stateless row-local stage; expect e125's shape
+    // (the batch threshold derivation is charged per call, the em70
+    // honesty rule)
+    "e129_stream_dsir_resample" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

@@ -216,6 +216,13 @@ object SparkEntry {
         "e128_restart_ppl_filter" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamPplFilterRestart(s, d)),
+        // streaming twin of t76: the crawl-time resample gate — frozen
+        // model + frozen normalization max + frozen k85 budget cutoff
+        // (a three-literal sidecar), stateless row-local verdicts —
+        // shares t76's oracle
+        "e129_stream_dsir_resample" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamDsirResample(s, d)),
         // restart-recovery proof for e114's custom Markov-counter
         // state (the fourth restart state shape) — shares e113's
         // oracle
@@ -269,5 +276,6 @@ object SparkEntry {
         "e126_stream_absorbed_gate" -> DedupOps.windexAbsorbGateSql,
         "e127_stream_ppl_filter" -> TextOps.pplFilterSql,
         "e128_restart_ppl_filter" -> TextOps.pplFilterSql,
+        "e129_stream_dsir_resample" -> TextOps.dsirResampleSql,
         "e121_restart_cm_cells" -> Sketches.cmCellsSql)
 }

@@ -1707,18 +1707,11 @@ object TextOps {
     * as broadcast singletons. The oracle recomputes the weights, the
     * coin, AND the full fixed-schedule sketch in SQL — the budget
     * cutoff itself is hash-checked, not just the membership column. */
-  def dsirResample(s: SparkSession, d: String): DataFrame = {
-    val w = dsirScoreOf(documents(s, d), dsirModel(s, d))
-      .select("doc_id", "lang", "w_micro")
-    val wmax = w.agg(max("w_micro").as("wmax"))
-    val scored = w.crossJoin(broadcast(wmax))
-      .withColumn("accept_ppm", expr(
-        """CAST(round(exp(CAST(w_micro - wmax AS DOUBLE) / 1000000.0D)
-          |  * 1000000) AS BIGINT)""".stripMargin))
-      .withColumn("coin",
-        md5Long(concat(lit("dsirs:"), col("doc_id").cast("string")))
-          % 1000000)
-      .withColumn("sampled", col("coin") < col("accept_ppm"))
+  /** The (cut_w, cut_uid) 1-row budget-cutoff frame from the
+    * fixed-schedule rank sketch over a (doc_id, w_micro) weight frame
+    * — shared by batch t76 (broadcast crossJoin) and the e129 stream
+    * twin (collected as the frozen scalar sidecar). */
+  private[graft] def dsirCutFrame(w: DataFrame): DataFrame = {
     val seg = w.select(lit("all").as("status"),
       (col("doc_id") % dsirSketchSegs).cast("string").as("seg"),
       col("w_micro").as("cents"), col("doc_id").as("uid"))
@@ -1728,17 +1721,41 @@ object TextOps {
           .partitionBy("status").orderBy("cents", "uid")))
     val target = seg.groupBy("status").agg(count(lit(1)).as("n"))
       .withColumn("rk", expr(s"n - n div $dsirBudgetDen + 1"))
-    val cut = target.join(merged, Seq("status"))
+    target.join(merged, Seq("status"))
       .filter(col("cumw") >= col("rk"))
       .groupBy("status")
       .agg(min(struct(col("cumw"), col("cents"), col("uid"))).as("a"))
       .select(col("a.cents").as("cut_w"), col("a.uid").as("cut_uid"))
-    scored.crossJoin(broadcast(cut))
+  }
+
+  /** The row-local manifest stage over a scored weight frame given the
+    * two thresholds as COLUMNS (batch: broadcast-crossJoined
+    * singletons; stream: literals from the frozen sidecar) — coin,
+    * normalized acceptance, and both verdicts are per-row arithmetic,
+    * no state. */
+  private[graft] def dsirManifestStage(w: DataFrame, wmaxC: Column,
+      cutW: Column, cutUid: Column): DataFrame =
+    w.withColumn("accept_ppm",
+        round(exp((col("w_micro") - wmaxC).cast("double") / 1000000.0d)
+          * 1000000.0d, 0).cast("long"))
+      .withColumn("coin",
+        md5Long(concat(lit("dsirs:"), col("doc_id").cast("string")))
+          % 1000000)
+      .withColumn("sampled", col("coin") < col("accept_ppm"))
       .select(col("doc_id"), col("lang"), col("w_micro"),
         col("accept_ppm"), col("coin"), col("sampled"),
-        (col("w_micro") > col("cut_w") ||
-          (col("w_micro") === col("cut_w") &&
-            col("doc_id") >= col("cut_uid"))).as("budget_kept"))
+        (col("w_micro") > cutW ||
+          (col("w_micro") === cutW &&
+            col("doc_id") >= cutUid)).as("budget_kept"))
+
+  def dsirResample(s: SparkSession, d: String): DataFrame = {
+    val w = dsirScoreOf(documents(s, d), dsirModel(s, d))
+      .select("doc_id", "lang", "w_micro")
+    val wmax = w.agg(max("w_micro").as("__wmax"))
+    val cut = dsirCutFrame(w)
+    dsirManifestStage(
+      w.crossJoin(broadcast(wmax)).crossJoin(broadcast(cut)),
+      col("__wmax"), col("cut_w"), col("cut_uid"))
       .orderBy("doc_id")
   }
 

@@ -1374,6 +1374,45 @@ object StreamingOps {
     }.orderBy("doc_id")
   }
 
+  /** e129: t76's STREAMING twin — the DSIR resample gate at crawl
+    * time: the importance model (dense 256-cell array), the
+    * normalization max, and the k85-sketch budget cutoff are all
+    * FROZEN batch-side from the standing corpus (the cutoff is two
+    * scalars — the sketch's answer item — so the sidecar here is the
+    * smallest possible: three literals), and the arriving docs flow
+    * through the stateless row-local stage: dense-array score fold →
+    * md5 coin → acceptance verdict → budget verdict. Zero joins, zero
+    * state, constant memory at any feed volume — the complete
+    * data-selection DECISION (both t76 modes) made per document at
+    * source throughput, which is the production crawl shape: the
+    * estimator and cutoff re-derive on a cadence (batch), the gate
+    * runs on the feed (stream). Shares t76's oracle: the streamed
+    * literal-threshold stage and the batch broadcast-crossJoin plan
+    * must produce one hash. */
+  def streamDsirResample(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val model = graft.ext.TextOps.dsirModel(spark, d)
+    val w = graft.ext.TextOps.dsirScoreOf(
+        graft.Tables.documents(spark, d), model)
+      .select("doc_id", "lang", "w_micro")
+    val wmaxV = w.agg(max("w_micro")).collect()(0).getLong(0)
+    val cutRow = graft.ext.TextOps.dsirCutFrame(w).collect()(0)
+    val (cutW, cutUid) = (cutRow.getLong(0), cutRow.getLong(1))
+    drainToFileSink(spark, "e129", nIn) {
+      graft.ext.TextOps.dsirManifestStage(
+        graft.ext.TextOps.dsirScoreOf(
+          spark.readStream
+            .schema(documentsSchema)
+            .parquet(stageDir),
+          model)
+          .select("doc_id", "lang", "w_micro"),
+        lit(wmaxV), lit(cutW), lit(cutUid))
+    }.orderBy("doc_id")
+  }
+
   /** e110: v75's STREAMING twin — JSONL quarantine ingest on a live
     * feed (the Kafka-consumer shape of corpus intake): the staged
     * JSONL corpus (documents + 3 planted malformed lines) arrives as
