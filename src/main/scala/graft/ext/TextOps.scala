@@ -1480,16 +1480,11 @@ object TextOps {
     * denominators). */
   private[graft] val dsirBuckets = 256
 
-  /** Per-doc hashed-bigram feature buckets: md5Long of the joined
-    * bigram (salt `dsir:`), folded into [[dsirBuckets]]. Shared by the
-    * batch estimator (t74, exploded) and the stream scorer (e125,
-    * row-local array). Short docs (<2 tokens) get the empty array. */
-  private[graft] def dsirBucketArr(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => md5Long(concat(lit("dsir:"), element_at(toks, i), lit(" "),
-          element_at(toks, i + 1))) % dsirBuckets))
-      .otherwise(array().cast("array<long>"))
+  // (the round-13 HOF spelling of the per-doc bucket array — a
+  // `transform` lambda computing md5Long per element — was removed in
+  // round 14: lambdas evaluate interpreted, and the whole row-local
+  // fold now lives in the codegen'd
+  // [[graft.functions.DsirScore64]] expression)
 
   /** Exploded (doc_id, lang, bucket) feature stream over `documents`.
     * The token array is MATERIALIZED in its own projection before the
@@ -1564,13 +1559,14 @@ object TextOps {
     * a DENSE [[dsirBuckets]]-cell array (bucket = index), unseen
     * buckets pre-filled with the sentinel default. BOUNDED by
     * construction whatever the corpus size — the k=8-centroid /
-    * 768-CM-cell class of collect, not a corpus drain. Dense, not a
-    * map: HOF lambdas run interpreted, so the O(1) array index beats
-    * a map literal's linear scan per feature — though the measured
-    * 15.6 s first e125 bench was NOT this lookup but the lambda
-    * re-tokenization trap [[dsirScoreOf]] now guards against (the fix
-    * was falsified by measurement: swapping map→array alone left
-    * 19.8 s; the projection barrier dropped it to the stream floor). */
+    * 768-CM-cell class of collect, not a corpus drain. Dense long[]
+    * because it rides [[graft.functions.DsirScore64]] as a codegen
+    * reference object: one O(1) primitive array index per feature
+    * inside the generated loop (the round-13 HOF-lambda spelling it
+    * replaces carried two measured traps in turn: the lambda
+    * re-tokenization the projection barrier fixed — 15.6 s → 1.8 s —
+    * and the interpreted per-element evaluation the expression
+    * retired — second-decade 1.18 vs the codegen path). */
   private[graft] def dsirModel(s: SparkSession, d: String): Array[Long] = {
     val rows = dsirLr(s, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1578,28 +1574,32 @@ object TextOps {
     Array.tabulate(dsirBuckets)(b => rows.getOrElse(b.toLong, dflt))
   }
 
-  /** Row-local DSIR scorer over a FROZEN model: per-doc weight folded
-    * from the bucket array against the dense literal model — one O(1)
-    * array index per feature, no join, no shuffle, no state, so it
-    * composes onto an unbounded stream with constant memory (e125's
-    * serving shape). Same output schema and selection rule as
-    * [[dsirWeights]] — the two plans share one oracle. */
+  /** Row-local DSIR scorer over a FROZEN model: the per-doc weight
+    * fold runs as ONE codegen'd expression
+    * ([[graft.functions.DsirScore64]] — md5 bucket + dense-array
+    * lookup per bigram, inside whole-stage codegen) — no join, no
+    * shuffle, no state, so it composes onto an unbounded stream with
+    * constant memory (e125's serving shape) AND is the batch scoring
+    * pass (t74): the expression resolved the round-13/14 measurement
+    * stalemate where the exploded+re-aggregated plan paid a doc-keyed
+    * exchange (exponent 1.04–1.06) and the HOF-lambda fold evaluated
+    * interpreted (1.18) — see the expression's scaladoc for the
+    * numbers. Same output schema and selection rule everywhere — all
+    * plans share one oracle. */
   private[graft] def dsirScoreOf(docs: DataFrame, lr: Array[Long])
-      : DataFrame = {
-    val lrLit = typedLit(lr.toSeq)
-    val bk = col("__bk")
-    // token array materialized BEFORE the bucket lambda (the
-    // dsirFeatures no-CSE-in-lambda rule), bucket array materialized
-    // before the fold reuses it twice
+      : DataFrame =
+    // the [n_feats, w_micro] pair is materialized in its own
+    // projection (multi-reference non-cheap — the __toks
+    // CollapseProject rule) so the fold runs once per row, not once
+    // per referencing column
     docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks"))
       .select(col("doc_id"), col("lang"),
-        dsirBucketArr(col("__toks")).as("__bk"))
+        graft.functions.DsirScore64.dsir_score64(col("__toks"), lr)
+          .as("__s"))
       .select(col("doc_id"), col("lang"),
-        size(bk).cast("long").as("n_feats"),
-        aggregate(bk, lit(0L), (acc, b) =>
-          acc + element_at(lrLit, (b + 1).cast("int"))).as("w_micro"))
+        element_at(col("__s"), 1).as("n_feats"),
+        element_at(col("__s"), 2).as("w_micro"))
       .withColumn("selected", col("w_micro") > 0)
-  }
 
   /** t74: DSIR-style data selection — importance weights from hashed
     * bigram features. Every document is scored by the sum of its
@@ -1610,24 +1610,36 @@ object TextOps {
     * importance-resampling pipeline (the resample itself is t76,
     * which realizes the manifest from these weights).
     *
-    * Scale shape (restated row-locally, round 14): the ESTIMATOR is
-    * unchanged — one exploded, map-side-combined pass over the bigram
-    * stream builds the m-row model ([[dsirLr]]) — but the SCORING
-    * pass is now [[dsirScoreOf]], the same row-local dense-literal
-    * fold e125 streams: one projection per document, no model join,
-    * no per-doc exchange, no corpus shuffle at all beyond the
-    * presentation sort. The earlier shape scored by re-exploding
-    * bigrams, broadcast-joining the model, aggregating on doc_id and
-    * LEFT-joining documents back — that final weights↔documents
-    * sort-merge join was doc-count-sized on both sides and read
-    * second-decade exponent 1.04 (SCALE.md round 13, the one
-    * serving-path entry at linear-with-sort); batch and stream now
-    * share one plan family and one oracle, hash-unchanged. Selection
-    * stays a row-local threshold, not a global top-k (t76's budgeted
-    * variant takes its cutoff from the k85 quantile sketch rather
-    * than a global sort). */
+    * Scale shape (settled round 14, by three measurements): the
+    * estimator is unchanged — one exploded, map-side-combined pass
+    * over the bigram stream builds the m-row model ([[dsirLr]],
+    * bucket-keyed so partials collapse to m cells per task) — and the
+    * scoring pass is [[dsirScoreOf]]'s codegen'd row-local fold
+    * ([[graft.functions.DsirScore64]]): one projection per document,
+    * no model join, no doc-keyed exchange, no corpus shuffle beyond
+    * the presentation sort. Three scoring plans were measured across
+    * the second decade (sf1→sf10, SCALE_DECADE) before landing here:
+    * (1) round 13's exploded + broadcast-model + per-doc re-aggregate
+    * + documents SMJ read exponent 1.04 (151 s at sf10); (2) removing
+    * the SMJ structurally (lang through the aggregation key, <2-token
+    * docs unioned back) read 1.06 (168 s) — proving the SMJ was NOT
+    * the super-linear term, the doc-keyed aggregate over the bigram
+    * stream was (millions of groups defeat partial aggregation);
+    * (3) the HOF-lambda row-local fold read 1.18 (228 s) — no
+    * exchange, but lambdas evaluate interpreted per element. The
+    * custom expression keeps (3)'s dataflow with (1)'s codegen.
+    * Selection stays a row-local threshold, not a global top-k
+    * (t76's budgeted variant takes its cutoff from the k85 quantile
+    * sketch rather than a global sort). */
   def dsirWeights(s: SparkSession, d: String): DataFrame =
-    dsirScoreOf(documents(s, d), dsirModel(s, d)).orderBy("doc_id")
+    dsirWeightFrame(s, d).orderBy("doc_id")
+
+  /** The unordered per-doc weight frame — shared by t74 (presentation
+    * sort), t76 (checkpointed three-consumer input) and e129's
+    * frozen-threshold derivation. */
+  private[graft] def dsirWeightFrame(s: SparkSession, d: String)
+      : DataFrame =
+    dsirScoreOf(documents(s, d), dsirModel(s, d))
 
   val dsirWeightsSql: String =
     s"""WITH t AS (
@@ -1749,8 +1761,13 @@ object TextOps {
             col("doc_id") >= cutUid)).as("budget_kept"))
 
   def dsirResample(s: SparkSession, d: String): DataFrame = {
-    val w = dsirScoreOf(documents(s, d), dsirModel(s, d))
-      .select("doc_id", "lang", "w_micro")
+    // checkpoint: the weight frame feeds THREE consumers (the manifest
+    // rows, the normalization max, and the sketch's segment pass), and
+    // the references prune to different columns so ReuseExchange does
+    // not unify them — without this the corpus tokenizes three times
+    // per call (the t54 counts lesson; measured 3.3 s → ~2 s at sf0.1)
+    val w = dsirWeightFrame(s, d)
+      .select("doc_id", "lang", "w_micro").localCheckpoint()
     val wmax = w.agg(max("w_micro").as("__wmax"))
     val cut = dsirCutFrame(w)
     dsirManifestStage(
@@ -1999,12 +2016,16 @@ object TextOps {
   def pplTauCalibration(s: SparkSession, d: String): DataFrame = {
     val byLang = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("avg_nlp_micro", "doc_id")
+    // checkpoint: the ranked frame feeds BOTH the τ extraction and the
+    // final census — without it the whole t75 scoring pass (reference
+    // LM build included) runs twice per call
     val ranked = pplFilter(s, d)
       .filter(col("avg_nlp_micro").isNotNull)
       .select("doc_id", "lang", "avg_nlp_micro")
       .withColumn("rn", row_number().over(byLang))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .localCheckpoint()
     val tau = ranked.filter(col("lang") === "en" &&
         col("rn") === expr("(n * 95 + 99) div 100"))
       .select(col("avg_nlp_micro").as("tau_derived"))

@@ -1395,9 +1395,10 @@ object StreamingOps {
       spark.read.parquet(s"$d/documents.parquet").count()
     }
     val model = graft.ext.TextOps.dsirModel(spark, d)
-    val w = graft.ext.TextOps.dsirScoreOf(
-        graft.Tables.documents(spark, d), model)
-      .select("doc_id", "lang", "w_micro")
+    // checkpoint: the batch weight frame feeds both frozen thresholds
+    // (the t76 three-consumer lesson — one tokenization pass, not two)
+    val w = graft.ext.TextOps.dsirWeightFrame(spark, d)
+      .select("doc_id", "lang", "w_micro").localCheckpoint()
     val wmaxV = w.agg(max("w_micro")).collect()(0).getLong(0)
     val cutRow = graft.ext.TextOps.dsirCutFrame(w).collect()(0)
     val (cutW, cutUid) = (cutRow.getLong(0), cutRow.getLong(1))

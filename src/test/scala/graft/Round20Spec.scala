@@ -135,6 +135,57 @@ class Round20Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ------------------- DsirScore64: the codegen'd scorer's hash contract
+
+  test("DsirScore64: the 60-bit md5 truncation matches Spark's own md5/conv on a known bigram") {
+    import spark.implicits._
+    val expected = spark.range(1)
+      .select(conv(substring(md5(lit("dsir:hello world")), 1, 15), 16, 10)
+        .cast("long")).head().getLong(0)
+    // model[b] = b, so a single-bigram doc's w_micro IS its bucket
+    val model = Array.tabulate(256)(_.toLong)
+    val out = Seq("hello  World").toDF("text") // tokens() lowercases+splits
+      .select(graft.functions.DsirScore64
+        .dsir_score64(TextOps.tokens(col("text")), model).as("s"))
+      .head().getSeq[Long](0)
+    assert(out(0) === 1L, "one bigram")
+    assert(out(1) === expected % 256,
+      "the byte-level truncation must equal conv(substr(md5, 1, 15))")
+  }
+
+  test("DsirScore64: the fold equals the exploded md5Long formula across the fixture corpus") {
+    val model = TextOps.dsirModel(spark, sf)
+    val lrLit = typedLit(model.toSeq)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val viaExpr = TextOps.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // the round-13 exploded spelling, reconstructed: bigram explode →
+    // md5Long % m → model lookup → per-doc sum
+    val t = TextOps.tokens(col("text"))
+    val exploded = docs
+      .select(col("doc_id"), t.as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(__toks) - 1),
+          |  i -> struct(element_at(__toks, i) AS w1,
+          |              element_at(__toks, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("dsir:"), col("b.w1"), lit(" "),
+          col("b.w2"))), 1, 15), 16, 10).cast("long") % 256).as("bucket"))
+      .select(col("doc_id"),
+        element_at(lrLit, (col("bucket") + 1).cast("int")).as("lrm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum("lrm").as("w"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exploded.foreach { case (id, nw) =>
+      assert(viaExpr(id) === nw, s"doc $id diverges from the formula")
+    }
+    viaExpr.filterNot(kv => exploded.contains(kv._1)).foreach { case (id, nw) =>
+      assert(nw === ((0L, 0L)), s"short doc $id must score (0, 0)")
+    }
+  }
+
   // --------------------- t74 restatement: the SMJ is gone from the plan
 
   test("t74: the restated scoring pass carries no doc-sized sort-merge join") {
