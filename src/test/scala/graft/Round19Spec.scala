@@ -51,7 +51,12 @@ class Round19Spec extends AnyFunSuite with SparkSpec {
 
   // ----------------- e125 scorer core: plan equality + default path
 
-  test("dsirScoreOf: the row-local literal-array fold reproduces the batch broadcast-join plan exactly") {
+  // (round 14: t74 itself now scores through dsirScoreOf's codegen
+  // expression, so this is no longer a cross-plan check — it stays as
+  // the bounded-model + raw-parquet-input contract; the cross-plan
+  // pins live in Round20Spec's DsirScore64 tests and the shared
+  // oracle)
+  test("dsirScoreOf: the dense model is bucket-bounded and scores raw documents identically to the t74 entry") {
     val model = TextOps.dsirModel(spark, sf)
     assert(model.length === TextOps.dsirBuckets,
       "the dense model is exactly the bucket count, never the corpus")
