@@ -2247,14 +2247,18 @@ object DedupOps {
         val delta = windexDeltaDir(s, d)
         val tomb = s.read
           .parquet(s"${windexTombstonesDir(s, d)}/tombstones").distinct()
-        val census = s.read.parquet(s"$base/census")
+        // the census is written FIRST so a reader that races the
+        // registry's publish never sees an index without its mergeable
+        // state — and the hot set is derived by READING IT BACK, so it
+        // comes from exactly the published artifact (and the summing
+        // group-by runs once, not re-evaluated through lazy lineage
+        // for each downstream reference)
+        s.read.parquet(s"$base/census")
           .unionByName(s.read.parquet(s"$delta/census"))
           .groupBy("hw").agg(sum("nd").as("nd"))
-        // one write each; the census is written FIRST so a reader that
-        // races the registry's publish never sees an index without its
-        // mergeable state
-        census.write.mode("overwrite").parquet(s"$dir/census")
-        val hot = census.filter(col("nd") > runDocCap).select("hw")
+          .write.mode("overwrite").parquet(s"$dir/census")
+        val hot = s.read.parquet(s"$dir/census")
+          .filter(col("nd") > runDocCap).select("hw")
         s.read.parquet(s"$base/windex")
           .unionByName(s.read.parquet(s"$delta/windex"))
           .join(hot, Seq("hw"), "left_anti")

@@ -1594,8 +1594,11 @@ object TextOps {
     // per referencing column
     docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks"))
       .select(col("doc_id"), col("lang"),
-        graft.functions.DsirScore64.dsir_score64(col("__toks"), lr)
-          .as("__s"))
+        // null text → null tokens → null fold; the tier contract
+        // (and the LEFT JOIN + COALESCE oracles) score such docs
+        // (0, 0, false), never null
+        coalesce(graft.functions.DsirScore64.dsir_score64(col("__toks"), lr),
+          typedLit(Seq(0L, 0L))).as("__s"))
       .select(col("doc_id"), col("lang"),
         element_at(col("__s"), 1).as("n_feats"),
         element_at(col("__s"), 2).as("w_micro"))
@@ -1733,11 +1736,18 @@ object TextOps {
           .partitionBy("status").orderBy("cents", "uid")))
     val target = seg.groupBy("status").agg(count(lit(1)).as("n"))
       .withColumn("rk", expr(s"n - n div $dsirBudgetDen + 1"))
+    // GLOBAL aggregate (not groupBy) so the cut frame is always
+    // exactly one row: when the budget rounds to zero (n < den) no
+    // item reaches the target rank and the min is null — the coalesce
+    // sentinel (Long.MaxValue) then keeps budget_kept=false for every
+    // doc instead of annihilating the whole manifest through the
+    // crossJoin (and e129's scalar collect cannot throw)
     target.join(merged, Seq("status"))
-      .filter(col("cumw") >= col("rk"))
-      .groupBy("status")
-      .agg(min(struct(col("cumw"), col("cents"), col("uid"))).as("a"))
-      .select(col("a.cents").as("cut_w"), col("a.uid").as("cut_uid"))
+      .agg(min(when(col("cumw") >= col("rk"),
+        struct(col("cumw"), col("cents"), col("uid")))).as("a"))
+      .select(
+        coalesce(col("a.cents"), lit(Long.MaxValue)).as("cut_w"),
+        coalesce(col("a.uid"), lit(Long.MaxValue)).as("cut_uid"))
   }
 
   /** The row-local manifest stage over a scored weight frame given the
@@ -1827,9 +1837,14 @@ object TextOps {
       |  FROM kept),
       |tgt AS (SELECT count(*) - count(*) // $dsirBudgetDen + 1 AS rk
       |        FROM seg),
-      |cut AS (SELECT m.cents AS cut_w, m.uid AS cut_uid
-      |        FROM merged m, tgt WHERE m.cumw >= tgt.rk
-      |        ORDER BY m.cumw, m.cents, m.uid LIMIT 1)
+      |cut AS (SELECT
+      |          coalesce(min(CASE WHEN m.cumw >= tgt.rk
+      |            THEN ROW(m.cumw, m.cents, m.uid) END)[2],
+      |            9223372036854775807) AS cut_w,
+      |          coalesce(min(CASE WHEN m.cumw >= tgt.rk
+      |            THEN ROW(m.cumw, m.cents, m.uid) END)[3],
+      |            9223372036854775807) AS cut_uid
+      |        FROM merged m, tgt)
       |SELECT sc.doc_id, sc.lang, sc.w_micro, sc.accept_ppm, sc.coin,
       |  sc.coin < sc.accept_ppm AS sampled,
       |  (sc.w_micro > cut.cut_w

@@ -671,10 +671,13 @@ object EmailOps {
     val ents = Ner.titleCaseEntities(col("subject"))
     st.select(
       col("dedupe_key"),
-      pseudo(col("from")).as("pseudo_from"),
-      transform(col("to"), pseudo(_)).as("pseudo_to"),
-      transform(col("cc"), pseudo(_)).as("pseudo_cc"),
-      transform(col("bcc"), pseudo(_)).as("pseudo_bcc"),
+      // a blank address (unparseable From / empty list slot) gets NO
+      // pseudonym — em64's src/dst ≠ '' guard restated release-side,
+      // so em77's census can never mint a phantom pseudo('') edge
+      when(col("from") =!= "", pseudo(col("from"))).as("pseudo_from"),
+      transform(array_remove(col("to"), ""), pseudo(_)).as("pseudo_to"),
+      transform(array_remove(col("cc"), ""), pseudo(_)).as("pseudo_cc"),
+      transform(array_remove(col("bcc"), ""), pseudo(_)).as("pseudo_bcc"),
       regexp_replace(
         regexp_replace(col("subject"), orgPat, "<ORG>"),
         Ner.titleSeqPattern, "<PERSON>").as("red_subject"),
@@ -733,6 +736,7 @@ object EmailOps {
       .select(col("pseudo_from").as("src"),
         explode(array_union(array_union(col("pseudo_to"), col("pseudo_cc")),
           col("pseudo_bcc"))).as("dst"))
+      .filter(col("src").isNotNull) // blank-From rows release no edge
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("n_messages"))
       .orderBy("src", "dst")

@@ -1274,22 +1274,29 @@ object StreamingOps {
     * Shares t75's oracle. At scale this is the crawl-time
     * quality gate: each incoming document scored against a published
     * reference model at source throughput, zero streaming state. */
-  def streamPplFilter(spark: SparkSession, d: String): DataFrame = {
+  /** The frozen reference LM pinned as LITERAL frames so micro-batches
+    * don't re-derive it from corpus scans (the e108 sidecar
+    * discipline; bounded: |ref vocab|² / |ref vocab| / 1 rows on this
+    * fixture — a web-scale LM dictionary would instead stay a
+    * persisted parquet artifact joined stream-static, the d70 shape).
+    * Shared by e127 and its e128 restart proof, which must score
+    * against the identical sidecar. */
+  private def pplRefLmPinned(spark: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
+    val (c2r, c1r, vr) = graft.ext.TextOps.pplRefLm(spark, d)
+    (c2r.as[(String, String, Long)].collect().toSeq.toDF("w1", "w2", "c2"),
+      c1r.as[(String, Long)].collect().toSeq.toDF("w1", "c1"),
+      vr.as[Long].collect().toSeq.toDF("v"))
+  }
+
+  def streamPplFilter(spark: SparkSession, d: String): DataFrame = {
     val stageDir = stageFile(spark, d, "documents.parquet")
     val nIn = cachedCount(d, "doc_all") {
       spark.read.parquet(s"$d/documents.parquet").count()
     }
-    val (c2r, c1r, vr) = graft.ext.TextOps.pplRefLm(spark, d)
-    // pin the model as literal frames so micro-batches don't re-derive
-    // it from corpus scans (the e108 sidecar discipline; bounded:
-    // |ref vocab|² / |ref vocab| / 1 rows on this fixture — a
-    // web-scale LM dictionary would instead stay a persisted parquet
-    // artifact joined stream-static, the d70 shape)
-    val c2 = c2r.as[(String, String, Long)].collect().toSeq
-      .toDF("w1", "w2", "c2")
-    val c1 = c1r.as[(String, Long)].collect().toSeq.toDF("w1", "c1")
-    val v = vr.as[Long].collect().toSeq.toDF("v")
+    val (c2, c1, v) = pplRefLmPinned(spark, d)
     val lpLog = drainToFileSink(spark, "e127", nIn) {
       graft.ext.TextOps.pplScoreRows(
         graft.ext.TextOps.bigramRowsOf(
@@ -1317,19 +1324,13 @@ object StreamingOps {
     * interleaves docs across the cut (the e121 harshest-arrival
     * rationale). */
   def streamPplFilterRestart(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
     val (s1, s2) = docSliceFiles(spark, d)
     val srcDir = scratchTempDir("graft-ppl-restart")
     Files.createSymbolicLink(srcDir.resolve("slice1.parquet"), s1)
     val nIn = cachedCount(d, "doc_all") {
       spark.read.parquet(s"$d/documents.parquet").count()
     }
-    val (c2r, c1r, vr) = graft.ext.TextOps.pplRefLm(spark, d)
-    // the e127 literal-frame pin (vocabulary-bounded, never corpus)
-    val c2 = c2r.as[(String, String, Long)].collect().toSeq
-      .toDF("w1", "w2", "c2")
-    val c1 = c1r.as[(String, Long)].collect().toSeq.toDF("w1", "c1")
-    val v = vr.as[Long].collect().toSeq.toDF("v")
+    val (c2, c1, v) = pplRefLmPinned(spark, d)
     val addPhase2 = () => {
       Files.createSymbolicLink(srcDir.resolve("slice2.parquet"), s2)
       ()
@@ -1396,8 +1397,11 @@ object StreamingOps {
     }
     val model = graft.ext.TextOps.dsirModel(spark, d)
     // checkpoint: the batch weight frame feeds both frozen thresholds
-    // (the t76 three-consumer lesson — one tokenization pass, not two)
-    val w = graft.ext.TextOps.dsirWeightFrame(spark, d)
+    // (the t76 three-consumer lesson — one tokenization pass, not
+    // two); scored with the ALREADY-collected model, not via
+    // dsirWeightFrame, which would re-run the whole estimator
+    val w = graft.ext.TextOps.dsirScoreOf(
+        graft.Tables.documents(spark, d), model)
       .select("doc_id", "lang", "w_micro").localCheckpoint()
     val wmaxV = w.agg(max("w_micro")).collect()(0).getLong(0)
     val cutRow = graft.ext.TextOps.dsirCutFrame(w).collect()(0)

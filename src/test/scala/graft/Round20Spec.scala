@@ -66,6 +66,27 @@ class Round20Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("t76: a corpus smaller than the budget denominator yields a full manifest with budget_kept all false") {
+    import spark.implicits._
+    // n = 2 < dsirBudgetDen: budget = 0, no item reaches the target
+    // rank — the cut must degrade to the MaxValue sentinel, never to
+    // an empty frame that would annihilate the manifest (or crash
+    // e129's scalar collect)
+    val w = Seq((1L, "en", 100L), (2L, "de", -50L))
+      .toDF("doc_id", "lang", "w_micro")
+    val cut = TextOps.dsirCutFrame(w).collect()
+    assert(cut.length === 1, "the cut frame is always exactly one row")
+    assert(cut(0).getAs[Long]("cut_w") === Long.MaxValue)
+    val wmax = w.agg(max("w_micro").as("__wmax"))
+    val out = TextOps.dsirManifestStage(
+      w.crossJoin(broadcast(wmax)).crossJoin(broadcast(TextOps.dsirCutFrame(w))),
+      col("__wmax"), col("cut_w"), col("cut_uid")).collect()
+    assert(out.length === 2, "sampled verdicts survive a zero budget")
+    assert(out.forall(!_.getAs[Boolean]("budget_kept")))
+    assert(out.exists(_.getAs[Boolean]("sampled")),
+      "the max-weight doc still samples with p = 1")
+  }
+
   // --------------------------------------- d74 fold artifact hygiene
 
   test("d74: the folded artifact retires tombstones and freezes the census (no decrement on delete)") {
