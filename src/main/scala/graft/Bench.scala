@@ -72,7 +72,7 @@ object Bench {
     // projections whose scoring/coin/cutoff columns count() would
     // prune away entirely
     "t74_dsir_weights", "em76_pseudo_release", "t75_ppl_filter",
-    "t76_dsir_resample")
+    "t76_dsir_resample", "t78_ppl_filter_calibrated")
 
   /** The timing action for a query entry: count(), or the
     * full-materialization path for [[fullMaterialize]] members. */

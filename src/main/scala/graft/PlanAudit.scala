@@ -64,7 +64,8 @@ object PlanAudit {
       "d71_windex_tombstones", "d72_windex_compacted",
       "d73_windex_absorb", "t75_ppl_filter",
       "t76_dsir_resample", "t77_ppl_tau_calibration",
-      "d74_windex_folded", "em77_pseudo_link_census")
+      "d74_windex_folded", "em77_pseudo_link_census",
+      "t78_ppl_filter_calibrated")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

@@ -253,7 +253,10 @@ object ScaleBench {
     // sidecar + the stateless row-local stage; expect e125's shape
     // (the batch threshold derivation is charged per call, the em70
     // honesty rule)
-    "e129_stream_dsir_resample" -> "docs")
+    "e129_stream_dsir_resample" -> "docs",
+    // t78: t75's checkpointed scoring pass + the in-query τ
+    // derivation — expect t77's shape
+    "t78_ppl_filter_calibrated" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

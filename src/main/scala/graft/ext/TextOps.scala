@@ -2080,6 +2080,64 @@ object TextOps {
       |FROM rk CROSS JOIN tau
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------- t78 the CALIBRATED perplexity filter (derive→apply)
+
+  /** t78: the perplexity filter RUN WITH the derived threshold — the
+    * apply half of t77's derive, closing the calibration loop the way
+    * d68 closed detect→apply and t76 closed estimate→score→resample:
+    * τ is the reference slice's exact p95 under the frozen LM (t77's
+    * rule, re-derived in-query — no hand constant anywhere in this
+    * entry), and every document's keep verdict is taken against THAT
+    * τ. This is the production recipe end-to-end: a corpus refresh
+    * re-derives τ from its own reference slice and filters with it in
+    * one pass, no re-calibration ticket. Differs from t75 only in
+    * where τ comes from (t75 pins the recorded constant so its
+    * oracle is calibration-independent; both ship).
+    *
+    * Scale shape: t75's scoring pass once (checkpointed — it feeds
+    * the τ derivation and the verdicts), one per-language rank window
+    * over the reference slice for the order statistic, and a
+    * broadcast-singleton τ attach. */
+  def pplFilterCalibrated(s: SparkSession, d: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("avg_nlp_micro", "doc_id")
+    val scored = pplFilter(s, d)
+      .select("doc_id", "lang", "n_bigrams", "avg_nlp_micro")
+      .localCheckpoint()
+    val tau = scored
+      .filter(col("lang") === "en" && col("avg_nlp_micro").isNotNull)
+      .withColumn("rn", row_number().over(byLang))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .filter(col("rn") === expr("(n * 95 + 99) div 100"))
+      .select(col("avg_nlp_micro").as("tau_derived"))
+    scored.crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("avg_nlp_micro"), col("tau_derived"),
+        (col("avg_nlp_micro").isNotNull &&
+          col("avg_nlp_micro") <= col("tau_derived")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val pplFilterCalibratedSql: String =
+    s"""WITH $pplScoreCtesSql,
+      |sc AS (SELECT d.doc_id, d.lang,
+      |         CAST(COALESCE(per.n, 0) AS BIGINT) AS n_bigrams,
+      |         CAST(-(per.s // per.n) AS BIGINT) AS avg_nlp_micro
+      |       FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id),
+      |rk AS (SELECT doc_id, lang, avg_nlp_micro,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY avg_nlp_micro, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM sc WHERE lang = 'en' AND avg_nlp_micro IS NOT NULL),
+      |tau AS (SELECT avg_nlp_micro AS tau_derived FROM rk
+      |        WHERE rn = (n * 95 + 99) // 100)
+      |SELECT sc.doc_id, sc.lang, sc.n_bigrams, sc.avg_nlp_micro,
+      |  tau.tau_derived,
+      |  COALESCE(sc.avg_nlp_micro <= tau.tau_derived, FALSE) AS keep
+      |FROM sc CROSS JOIN tau
+      |ORDER BY sc.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_token_stats"     -> tokenStats _,
     "t41_word_freq"       -> wordFreq _,
@@ -2111,6 +2169,7 @@ object TextOps {
     "t75_ppl_filter"        -> pplFilter _,
     "t76_dsir_resample"     -> dsirResample _,
     "t77_ppl_tau_calibration" -> pplTauCalibration _,
+    "t78_ppl_filter_calibrated" -> pplFilterCalibrated _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2144,5 +2203,6 @@ object TextOps {
     "t75_ppl_filter"        -> pplFilterSql,
     "t76_dsir_resample"     -> dsirResampleSql,
     "t77_ppl_tau_calibration" -> pplTauCalibrationSql,
+    "t78_ppl_filter_calibrated" -> pplFilterCalibratedSql,
   )
 }

@@ -156,6 +156,26 @@ class Round20Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("t78: the calibrated filter's verdicts are exactly t75's semantics under t77's derived τ") {
+    val tau = TextOps.pplTauCalibration(spark, sf).collect()
+      .head.getAs[Long]("tau_derived")
+    val out = TextOps.pplFilterCalibrated(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("tau_derived") === tau,
+        "the in-query derivation must equal t77's eval row")
+      val avgIdx = r.fieldIndex("avg_nlp_micro")
+      val expect = !r.isNullAt(avgIdx) && r.getLong(avgIdx) <= tau
+      assert(r.getAs[Boolean]("keep") === expect,
+        s"keep must be the t75 rule against the derived τ: $r")
+    }
+    val enRows = out.filter(r => r.getAs[String]("lang") == "en" &&
+      !r.isNullAt(r.fieldIndex("avg_nlp_micro")))
+    val enKeep = enRows.count(_.getAs[Boolean]("keep"))
+    assert(enKeep * 100 >= enRows.length * 95,
+      "p95 calibration keeps ≥95% of the reference slice by construction")
+  }
+
   // ------------------- DsirScore64: the codegen'd scorer's hash contract
 
   test("DsirScore64: the 60-bit md5 truncation matches Spark's own md5/conv on a known bigram") {
