@@ -1524,10 +1524,24 @@ object TextOps {
     * bucket = −1 sentinel scoring an UNSEEN bucket — tcnt = rcnt = 0 —
     * which real buckets, all ≥ 0, never collide with; e125's scorer
     * reads its lrm as the unseen-feature default). */
-  private[graft] def dsirLr(s: SparkSession, d: String): DataFrame = {
-    val cnt0 = dsirFeatures(s, d).groupBy("bucket")
+  private[graft] def dsirLr(s: SparkSession, d: String): DataFrame =
+    dsirLrFromCounts(dsirCountsOf(dsirFeatures(s, d)))
+
+  /** The per-bucket (rcnt, tcnt) count table over a feature stream —
+    * the MERGEABLE state of the DSIR estimator (integer counts keyed
+    * by bucket, so per-segment tables sum exactly: each document's
+    * features land in exactly one segment). Factored out of [[dsirLr]]
+    * so t79's delta-segment absorb shares the identical aggregation. */
+  private[graft] def dsirCountsOf(feats: DataFrame): DataFrame =
+    feats.groupBy("bucket")
       .agg(count(lit(1)).as("rcnt"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
+
+  /** The smoothed log-ratio tail over any (bucket, rcnt, tcnt) count
+    * table — shared by the per-call rebuild ([[dsirLr]]) and the
+    * summed-segments serve (t79), which must produce bit-identical
+    * models from identical totals. */
+  private[graft] def dsirLrFromCounts(cnt0: DataFrame): DataFrame = {
     val cnt = cnt0.unionByName(cnt0.sparkSession.range(1).select(
       lit(-1L).as("bucket"), lit(0L).as("rcnt"), lit(0L).as("tcnt")))
     // totals via a GLOBAL window over the ≤ m+1-row bucket frame (the
@@ -1938,12 +1952,25 @@ object TextOps {
     * build is charged per call here (the em70 honesty rule) — in
     * production it is a persisted artifact, which is exactly e127's
     * serving split. */
-  def pplFilter(s: SparkSession, d: String): DataFrame = {
+  def pplFilter(s: SparkSession, d: String): DataFrame =
+    pplScoreFrame(s, d)
+      .withColumn("keep", col("avg_nlp_micro").isNotNull &&
+        col("avg_nlp_micro") <= pplKeepTauMicro)
+      .orderBy("doc_id")
+
+  /** The UNORDERED per-doc scored frame (doc_id, lang, n_bigrams,
+    * avg_nlp_micro) — t75's whole scoring pass without the
+    * presentation sort or the constant-τ verdict, shared by t75 (adds
+    * both) and the calibration tier t77/t78 (derives its own τ): the
+    * dsirWeights/dsirWeightFrame split (round-14 advice — feeding
+    * pplFilter's orderBy into a localCheckpoint materialized a
+    * corpus-wide sort the per-lang work then destroyed). */
+  private[graft] def pplScoreFrame(s: SparkSession, d: String): DataFrame = {
     val (c2, c1, v) = pplRefLm(s, d)
     val bcast = DedupOps.estShingles(s, d) <= DedupOps.dictBroadcastCeiling
     def dict(df: DataFrame): DataFrame =
       if (bcast) broadcast(df) else df.hint("shuffle_hash")
-    pplFinish(s, d,
+    pplScoredDocs(s, d,
       pplScoreRows(bigramRows(s, d), c2, c1, v, dict)
         .select("doc_id", "lpm"))
   }
@@ -1952,6 +1979,18 @@ object TextOps {
     * per-doc sum, exact-integer average, τ verdict, and the corpus
     * re-attach that keeps zero-bigram docs in the census. */
   private[graft] def pplFinish(s: SparkSession, d: String,
+      scored: DataFrame): DataFrame =
+    pplScoredDocs(s, d, scored)
+      .withColumn("keep", col("avg_nlp_micro").isNotNull &&
+        col("avg_nlp_micro") <= pplKeepTauMicro)
+      .orderBy("doc_id")
+
+  /** The shared epilogue core: per-doc sum over (doc_id, lpm)
+    * contribution rows, exact-integer average, and the corpus
+    * re-attach that keeps zero-bigram docs in the census — UNORDERED
+    * and verdict-free (τ attaches differently per consumer: t75/e127
+    * pin the recorded constant, t78/e130 the derived scalar). */
+  private[graft] def pplScoredDocs(s: SparkSession, d: String,
       scored: DataFrame): DataFrame = {
     val per = scored
       .groupBy("doc_id")
@@ -1962,10 +2001,7 @@ object TextOps {
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("avg_nlp_micro"),
-        (col("avg_nlp_micro").isNotNull &&
-          col("avg_nlp_micro") <= pplKeepTauMicro).as("keep"))
-      .orderBy("doc_id")
+        col("avg_nlp_micro"))
   }
 
   /** The t75 scoring CTE chain (reference LM build + per-occurrence
@@ -2023,38 +2059,53 @@ object TextOps {
     * threshold-independent; this entry records where the threshold
     * COMES from).
     *
-    * Scale shape: t75's scoring pass plus one per-language window
-    * rank (exchange keyed on lang — bounded partitions per language
-    * at any corpus size only if languages are few, which is the tier
-    * contract; a per-source calibration would key the same window on
-    * source) and a broadcast-singleton τ attach. */
+    * Scale shape (restated round 15 — the round-14 weak mark): the
+    * exact per-language p50/p95 order statistics come from
+    * [[graft.operators.Sketches.exactRankStat]]'s segmented two-pass
+    * bracket (per-(lang, doc_id-residue) rank windows — parallel by
+    * segment — k85-bracketed into a ~n/32 candidate band, exact
+    * count-rebased, re-bracketed, then a band-local aggregate), NEVER
+    * a `Window.partitionBy(lang)` row_number: that window puts every
+    * document of a language into ONE partition sorted by ONE task,
+    * and the dominant-language slice of a web corpus is most of the
+    * corpus. The statistic is exact either way, so the oracle (which
+    * keeps the plain rank-window spelling — DuckDB sorts locally) is
+    * unchanged. Remaining exchanges: t75's scoring pass once
+    * (checkpointed), the segmented machinery's bounded windows, one
+    * tiny per-lang count, and a broadcast-singleton τ attach. */
   def pplTauCalibration(s: SparkSession, d: String): DataFrame = {
-    val byLang = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("avg_nlp_micro", "doc_id")
-    // checkpoint: the ranked frame feeds BOTH the τ extraction and the
-    // final census — without it the whole t75 scoring pass (reference
-    // LM build included) runs twice per call
-    val ranked = pplFilter(s, d)
+    // checkpoint: the scored frame feeds the per-lang counts, the rank
+    // machinery, and the final census — without it the whole t75
+    // scoring pass (reference LM build included) runs once per consumer
+    val scored = pplScoreFrame(s, d)
       .filter(col("avg_nlp_micro").isNotNull)
       .select("doc_id", "lang", "avg_nlp_micro")
-      .withColumn("rn", row_number().over(byLang))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
       .localCheckpoint()
-    val tau = ranked.filter(col("lang") === "en" &&
-        col("rn") === expr("(n * 95 + 99) div 100"))
-      .select(col("avg_nlp_micro").as("tau_derived"))
-    ranked.crossJoin(broadcast(tau))
+    val targets = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+      .select(col("lang").as("status"), explode(array(
+        struct(lit("p50").as("qid"), expr("(n + 1) div 2").as("rk")),
+        struct(lit("p95").as("qid"),
+          expr("(n * 95 + 99) div 100").as("rk")))).as("t"))
+      .select(col("status"), col("t.qid").as("qid"), col("t.rk").as("rk"))
+    val quant = graft.operators.Sketches.exactRankStat(
+        scored.select(col("lang").as("status"),
+          col("avg_nlp_micro").as("cents"), col("doc_id").as("uid")),
+        targets)
+      .groupBy("status")
+      .agg(max(when(col("qid") === "p50", col("cents"))).as("p50_micro"),
+        max(when(col("qid") === "p95", col("cents"))).as("p95_micro"))
+    val tau = quant.filter(col("status") === "en")
+      .select(col("p95_micro").as("tau_derived"))
+    scored.crossJoin(broadcast(tau))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        max(when(col("rn") === expr("(n + 1) div 2"),
-          col("avg_nlp_micro"))).as("p50_micro"),
-        max(when(col("rn") === expr("(n * 95 + 99) div 100"),
-          col("avg_nlp_micro"))).as("p95_micro"),
         sum(when(col("avg_nlp_micro") <= col("tau_derived"), 1L)
           .otherwise(0L)).as("n_keep_at_derived"),
         max("tau_derived").as("tau_derived"))
+      .join(quant.withColumnRenamed("status", "lang"), Seq("lang"))
       .withColumn("tau_current_micro", lit(pplKeepTauMicro))
+      .select("lang", "n_docs", "p50_micro", "p95_micro",
+        "n_keep_at_derived", "tau_derived", "tau_current_micro")
       .orderBy("lang")
   }
 
@@ -2094,29 +2145,41 @@ object TextOps {
     * where τ comes from (t75 pins the recorded constant so its
     * oracle is calibration-independent; both ship).
     *
-    * Scale shape: t75's scoring pass once (checkpointed — it feeds
-    * the τ derivation and the verdicts), one per-language rank window
-    * over the reference slice for the order statistic, and a
-    * broadcast-singleton τ attach. */
+    * Scale shape (restated round 15, with t77): t75's scoring pass
+    * once (checkpointed — it feeds the τ derivation and the
+    * verdicts), the τ order statistic from the SEGMENTED exact-rank
+    * machinery ([[pplTauFrame]] →
+    * [[graft.operators.Sketches.exactRankStat]] — parallel segment
+    * windows + k85 bracket, never a single-partition per-lang sort),
+    * and a broadcast-singleton τ attach. */
   def pplFilterCalibrated(s: SparkSession, d: String): DataFrame = {
-    val byLang = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("avg_nlp_micro", "doc_id")
-    val scored = pplFilter(s, d)
-      .select("doc_id", "lang", "n_bigrams", "avg_nlp_micro")
-      .localCheckpoint()
-    val tau = scored
-      .filter(col("lang") === "en" && col("avg_nlp_micro").isNotNull)
-      .withColumn("rn", row_number().over(byLang))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
-      .filter(col("rn") === expr("(n * 95 + 99) div 100"))
-      .select(col("avg_nlp_micro").as("tau_derived"))
-    scored.crossJoin(broadcast(tau))
+    val scored = pplScoreFrame(s, d).localCheckpoint()
+    scored.crossJoin(broadcast(pplTauFrame(scored)))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
         col("avg_nlp_micro"), col("tau_derived"),
         (col("avg_nlp_micro").isNotNull &&
           col("avg_nlp_micro") <= col("tau_derived")).as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** The derived τ as a 1-row (tau_derived) frame over a scored
+    * per-doc frame (doc_id, lang, avg_nlp_micro): the en reference
+    * slice's exact p95 under the frozen LM (t77's rule), computed by
+    * the segmented exact-rank machinery. Shared by t78 (broadcast
+    * singleton) and e130 (collected as the frozen scalar sidecar).
+    * Empty reference slice → zero targets → an EMPTY frame (t78's
+    * crossJoin then yields no rows, matching the oracle's empty CROSS
+    * JOIN; e130's collect guards the same way as e129's wmax). */
+  private[graft] def pplTauFrame(scored: DataFrame): DataFrame = {
+    val ref = scored
+      .filter(col("lang") === "en" && col("avg_nlp_micro").isNotNull)
+      .select(lit("en").as("status"),
+        col("avg_nlp_micro").as("cents"), col("doc_id").as("uid"))
+    val targets = ref.groupBy("status").agg(count(lit(1)).as("n"))
+      .select(col("status"), lit("p95").as("qid"),
+        expr("(n * 95 + 99) div 100").as("rk"))
+    graft.operators.Sketches.exactRankStat(ref, targets)
+      .select(col("cents").as("tau_derived"))
   }
 
   val pplFilterCalibratedSql: String =

