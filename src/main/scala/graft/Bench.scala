@@ -72,7 +72,9 @@ object Bench {
     // projections whose scoring/coin/cutoff columns count() would
     // prune away entirely
     "t74_dsir_weights", "em76_pseudo_release", "t75_ppl_filter",
-    "t76_dsir_resample", "t78_ppl_filter_calibrated")
+    "t76_dsir_resample", "t78_ppl_filter_calibrated",
+    // t79/t81 share t74's/t75's row-preserving final-join shape
+    "t79_dsir_model_absorb", "t81_ppl_lm_absorb")
 
   /** The timing action for a query entry: count(), or the
     * full-materialization path for [[fullMaterialize]] members. */
@@ -231,6 +233,7 @@ object Bench {
       graft.graph.GraphOps.clearCaches()
       graft.ext.Multimodal.clearCaches()
       graft.operators.Sketches.clearCaches()
+      graft.ext.TextOps.clearModelSegs()
       graft.query.FixtureCorpus.clear()
     }
     shuffleProbeSecs(spark) // discard: first probe run carries its JIT
@@ -348,6 +351,23 @@ object Bench {
       // recorded under "warm_builds" so composition growth stays
       // distinguishable from drift (the round-13 verdict's
       // started-offset discipline one level down)
+      // the model-tier segment artifacts (t79's DSIR count segments,
+      // t81's reference-LM bigram-count segments): base + delta builds
+      // each its own warm_builds sub-time (the cache_d70 discipline),
+      // so the t79/t81 query line items time the pure summed-segments
+      // serve + scoring pass
+      ("cache_model_segments",
+        () => {
+          timeBuild("dsir_counts_base") {
+            graft.ext.TextOps.dsirCountsBaseDir(spark, sfDir) }
+          timeBuild("dsir_counts_delta") {
+            graft.ext.TextOps.dsirCountsDeltaDir(spark, sfDir) }
+          timeBuild("ppl_c2_base") {
+            graft.ext.TextOps.pplC2BaseDir(spark, sfDir) }
+          timeBuild("ppl_c2_delta") {
+            graft.ext.TextOps.pplC2DeltaDir(spark, sfDir) }
+          () },
+        () => graft.ext.TextOps.clearModelSegs()),
       ("cache_d70_window_index",
         () => {
           timeBuild("windex_base") {
@@ -515,6 +535,7 @@ object Bench {
     graft.graph.GraphOps.clearCaches()
     graft.ext.Multimodal.clearCaches()
     graft.operators.Sketches.clearCaches()
+    graft.ext.TextOps.clearModelSegs()
     graft.query.FixtureCorpus.clear()
     graft.ingest.Validation.clearJsonl()
     spark.stop()

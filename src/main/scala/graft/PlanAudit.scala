@@ -65,7 +65,8 @@ object PlanAudit {
       "d73_windex_absorb", "t75_ppl_filter",
       "t76_dsir_resample", "t77_ppl_tau_calibration",
       "d74_windex_folded", "em77_pseudo_link_census",
-      "t78_ppl_filter_calibrated")
+      "t78_ppl_filter_calibrated",
+      "t79_dsir_model_absorb", "t80_resample_apply", "t81_ppl_lm_absorb")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)
@@ -104,6 +105,7 @@ object PlanAudit {
     graft.graph.GraphOps.clearCaches()
     graft.ext.Multimodal.clearCaches()
     graft.operators.Sketches.clearCaches()
+    graft.ext.TextOps.clearModelSegs()
     graft.query.FixtureCorpus.clear()
     spark.stop()
   }

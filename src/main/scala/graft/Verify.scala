@@ -41,6 +41,7 @@ object Verify {
     graft.ext.DedupOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
     graft.graph.GraphOps.clearCaches()
+    graft.ext.TextOps.clearModelSegs()
     graft.query.FixtureCorpus.clear()
     graft.ingest.Validation.clearJsonl()
     spark.stop()

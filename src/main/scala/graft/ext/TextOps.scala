@@ -1380,8 +1380,19 @@ object TextOps {
     // the first aggregation is vocab-bounded; a deployment running
     // t66/t71 together would pin the words frame as a shared
     // registry-cached warm, the cache_dedup_frames discipline.
-    val mergeArr = bpePairsFromVocab(
-        words.groupBy("w").agg(sum("freq").as("n")))
+    bpeAccountingOf(words, key,
+      words.groupBy("w").agg(sum("freq").as("n")))
+  }
+
+  /** The merge-induce + greedy-apply + census tail over an already-
+    * aggregated (key, w, freq) word table and the (w, n) vocabulary
+    * the merge table is induced FROM — factored so t80 can account a
+    * SUBSET corpus (the resampled words) under the FULL corpus's
+    * tokenizer (one trained tokenizer, the t73 contract; t71/t73 pass
+    * their own words-derived vocabulary, bit-identical to before). */
+  private[graft] def bpeAccountingOf(words: DataFrame, key: String,
+      vocab: DataFrame): DataFrame = {
+    val mergeArr = bpePairsFromVocab(vocab)
       .filter(col("pair").rlike("^[a-z0-9]{2}$"))
       .agg(array_sort(collect_list(struct(
         col("n_occ").unary_-.as("neg_occ"), col("pair")))).as("ranked"))
@@ -1494,7 +1505,12 @@ object TextOps {
     * column is one row-field read; the multi-reference, non-cheap
     * `__toks` keeps CollapseProject from re-inlining it. */
   private def dsirFeatures(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    dsirFeaturesOf(documents(s, d))
+
+  /** [[dsirFeatures]] over any documents-shaped frame — t79's segment
+    * builds feed corpus SLICES through the identical stage. */
+  private[graft] def dsirFeaturesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks"))
       .filter(size(col("__toks")) >= 2)
       // bigrams explode as cheap structs; the md5 runs AFTER the
@@ -1581,8 +1597,14 @@ object TextOps {
     * re-tokenization the projection barrier fixed — 15.6 s → 1.8 s —
     * and the interpreted per-element evaluation the expression
     * retired — second-decade 1.18 vs the codegen path). */
-  private[graft] def dsirModel(s: SparkSession, d: String): Array[Long] = {
-    val rows = dsirLr(s, d).collect()
+  private[graft] def dsirModel(s: SparkSession, d: String): Array[Long] =
+    dsirModelOf(dsirLr(s, d))
+
+  /** The dense-array collect over any (bucket, lrm) model table —
+    * shared by the per-call rebuild ([[dsirModel]]) and t79's
+    * summed-segments serve. */
+  private[graft] def dsirModelOf(lr: DataFrame): Array[Long] = {
+    val rows = lr.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dflt = rows(-1L)
     Array.tabulate(dsirBuckets)(b => rows.getOrElse(b.toLong, dflt))
@@ -1686,6 +1708,76 @@ object TextOps {
       |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------ t79 DSIR model DELTA ABSORB (O(batch) estimator tier)
+
+  /** Registry for the model-tier segment artifacts: t79's DSIR
+    * per-bucket count segments and t81's reference-LM bigram-count
+    * segments (the s88/d73 LSM discipline applied to the two model
+    * artifacts that — round-14 verdict — were the last place the repo
+    * answered a new batch with a full corpus rescan). */
+  private val modelSegs = new graft.ArtifactRegistry("graft-modelsegs")
+  def clearModelSegs(): Unit = modelSegs.clear()
+
+  /** The BASE count segment: [[dsirCountsOf]] over the standing corpus
+    * (doc_id % 5 != 4 — the k83/d58 absorb split), persisted once as a
+    * ≤ m-row parquet table. */
+  private[graft] def dsirCountsBaseDir(s: SparkSession, d: String): String =
+    modelSegs.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|dsir-base") {
+      dir =>
+        dsirCountsOf(dsirFeaturesOf(
+          documents(s, d).filter(col("doc_id") % 5 =!= 4)))
+          .write.mode("overwrite").parquet(s"$dir/counts")
+    }
+
+  /** The DELTA count segment: the new crawl batch (doc_id % 5 == 4)
+    * aggregated to its own ≤ m-row count table — the absorb step,
+    * O(batch): the scan reads the batch slice only, the base segment
+    * is never touched. */
+  private[graft] def dsirCountsDeltaDir(s: SparkSession, d: String): String =
+    modelSegs.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|dsir-delta") {
+      dir =>
+        dsirCountsOf(dsirFeaturesOf(
+          documents(s, d).filter(col("doc_id") % 5 === 4)))
+          .write.mode("overwrite").parquet(s"$dir/counts")
+    }
+
+  /** The model re-derived from the SUMMED segments: read both ≤ m-row
+    * count tables, sum per bucket, run the identical smoothed
+    * log-ratio tail ([[dsirLrFromCounts]]) and dense collect. Exact ≡
+    * rebuild because the counts are integers and each document's
+    * features land in exactly one segment (disjoint cohorts → per-
+    * bucket sums are additive — the k83/d73 mergeability contract on
+    * the estimator's own state). Model refresh cost: O(segments ·
+    * m) rows, never a corpus scan. */
+  private[graft] def dsirModelAbsorbed(s: SparkSession, d: String)
+      : Array[Long] = {
+    val merged = s.read.parquet(s"${dsirCountsBaseDir(s, d)}/counts")
+      .unionByName(s.read.parquet(s"${dsirCountsDeltaDir(s, d)}/counts"))
+      .groupBy("bucket")
+      .agg(sum("rcnt").as("rcnt"), sum("tcnt").as("tcnt"))
+    dsirModelOf(dsirLrFromCounts(merged))
+  }
+
+  /** t79: t74's scorer served from the INCREMENTALLY-MAINTAINED
+    * estimator — the round-14 verdict's top missing rung: every other
+    * served artifact absorbs new batches O(batch) (s81 dense index,
+    * s88 BM25 postings, d73 windex delta, g104 CC, g105 PageRank, k84
+    * census segments), but the DSIR 256-cell model re-derived from a
+    * full corpus scan on every refresh. Now the estimator's state is
+    * the per-bucket (rcnt, tcnt) count table — mergeable by
+    * construction — persisted as base + delta segments: a new crawl
+    * batch lands as ONE O(batch) aggregation (its own count segment),
+    * and the serving model is the segments' per-bucket sum run through
+    * the identical smoothing tail. Scoring is t74's codegen'd
+    * row-local fold against the re-derived model. Shares t74's oracle
+    * on the grown corpus — absorb ≡ rebuild, hash-checked (the
+    * g104/d73 proof shape): identical integer counts → identical
+    * smoothed micro-nat model → identical per-doc weights. */
+  def dsirWeightsAbsorbed(s: SparkSession, d: String): DataFrame =
+    dsirScoreOf(documents(s, d), dsirModelAbsorbed(s, d)).orderBy("doc_id")
+
   // ------------- t76 DSIR importance RESAMPLE (the selection manifest)
 
   /** Budget denominator for t76's budgeted variant: keep the top
@@ -1784,7 +1876,13 @@ object TextOps {
           (col("w_micro") === cutW &&
             col("doc_id") >= cutUid)).as("budget_kept"))
 
-  def dsirResample(s: SparkSession, d: String): DataFrame = {
+  def dsirResample(s: SparkSession, d: String): DataFrame =
+    dsirManifestFrame(s, d).orderBy("doc_id")
+
+  /** The UNORDERED t76 manifest — shared by t76 (presentation sort)
+    * and t80 (the apply step filters its `sampled` verdicts). */
+  private[graft] def dsirManifestFrame(s: SparkSession, d: String)
+      : DataFrame = {
     // checkpoint: the weight frame feeds THREE consumers (the manifest
     // rows, the normalization max, and the sketch's segment pass), and
     // the references prune to different columns so ReuseExchange does
@@ -1797,7 +1895,6 @@ object TextOps {
     dsirManifestStage(
       w.crossJoin(broadcast(wmax)).crossJoin(broadcast(cut)),
       col("__wmax"), col("cut_w"), col("cut_uid"))
-      .orderBy("doc_id")
   }
 
   /** Oracle: re-derives the weights (t74's CTEs), the max-normalized
@@ -1866,6 +1963,130 @@ object TextOps {
       |    AS budget_kept
       |FROM sc CROSS JOIN cut
       |ORDER BY sc.doc_id""".stripMargin
+
+  // ----------- t80 resample APPLY: the kept corpus's mixture census
+
+  /** t80: the resample APPLY — materialize t76's kept corpus (the
+    * `sampled` verdicts) and account its per-source token mixture in
+    * exact ppm, proving the selection tier COMPOSES with the
+    * mixture-planning tier it feeds (t62/t71's budget accounting over
+    * t76's verdicts — the round-14 verdict's missing rung #3): a
+    * mixture plan budgets in trained-tokenizer tokens, so the number
+    * that matters after resampling is each source's surviving
+    * bpe_tokens and its exact share of the kept total. The tokenizer
+    * is the one trained on the STANDING corpus (t66's merge table over
+    * all documents — one tokenizer, the t73 contract), applied to the
+    * kept subset's vocabulary.
+    *
+    * Scale shape: the scoring pass is t74's row-local fold; the kept
+    * manifest joins documents once on doc_id (THE manifest join — the
+    * single corpus-sized equi-join this entry exists to pay); the
+    * accounting collapses to (source, word) counts with map-side
+    * partials and everything after is vocab-bounded (t71's shape); the
+    * share denominator is a global window over the ≤|sources|-row
+    * census. The oracle recomputes the weights, the md5 coins, the
+    * kept set, the full-corpus merge table, the greedy BPE fold, and
+    * the ppm shares in SQL. */
+  def resampleApply(s: SparkSession, d: String): DataFrame = {
+    // checkpointed: breaks the documents self-join lineage and feeds
+    // both the accounting words and the per-source doc census
+    val kept = dsirManifestFrame(s, d)
+      .filter(col("sampled")).select("doc_id").localCheckpoint()
+    val keptDocs = documents(s, d).join(kept, Seq("doc_id"))
+    val words = keptDocs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+    val vocabAll = documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val nd = keptDocs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"))
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    bpeAccountingOf(words, "source", vocabAll)
+      .join(nd, Seq("source"))
+      .withColumn("__tb", sum("bpe_tokens").over(tw))
+      .withColumn("share_ppm", expr("bpe_tokens * 1000000 div __tb"))
+      .select("source", "n_docs_kept", "ws_tokens", "bpe_tokens",
+        "tokens_per_word_ppm", "share_ppm")
+      .orderBy("source")
+  }
+
+  val resampleApplySql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, list_filter(
+      |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+      |    i -> ('0x' || substr(md5('dsir:' || toks[i] || ' ' || toks[i+1]),
+      |            1, 15))::BIGINT % $dsirBuckets)) AS bucket
+      |  FROM t WHERE len(toks) >= 2),
+      |cnt AS (SELECT bucket, count(*) AS rcnt,
+      |          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tcnt
+      |        FROM bg GROUP BY 1),
+      |tot AS (SELECT sum(rcnt) AS rtot, sum(tcnt) AS ttot FROM cnt),
+      |lr AS (SELECT bucket,
+      |         CAST(round(ln(((tcnt + 1.0) * (rtot + $dsirBuckets)) /
+      |           ((rcnt + 1.0) * (ttot + $dsirBuckets))) * 1000000) AS BIGINT)
+      |           AS lrm
+      |       FROM cnt CROSS JOIN tot),
+      |w0 AS (SELECT doc_id, sum(lrm) AS w_micro
+      |       FROM bg JOIN lr USING (bucket) GROUP BY 1),
+      |w AS (SELECT d.doc_id,
+      |        CAST(COALESCE(w0.w_micro, 0) AS BIGINT) AS w_micro
+      |      FROM documents d LEFT JOIN w0 ON w0.doc_id = d.doc_id),
+      |mx AS (SELECT max(w_micro) AS wmax FROM w),
+      |keep AS (SELECT doc_id FROM w CROSS JOIN mx
+      |  WHERE ('0x' || substr(md5('dsirs:' || doc_id), 1, 15))::BIGINT
+      |          % 1000000
+      |        < CAST(round(exp((w_micro - wmax) / 1000000.0) * 1000000)
+      |            AS BIGINT)),
+      |ktoks AS (
+      |  SELECT d.source, d.doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+      |           x -> x <> '')) AS w
+      |  FROM documents d JOIN keep USING (doc_id)),
+      |words AS (SELECT source, w, count(*) AS freq FROM ktoks
+      |          GROUP BY 1, 2),
+      |vocab0 AS (SELECT w, count(*) AS n
+      |           FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, length(w)),
+      |    i -> w[i:i+1])) AS pair, n
+      |  FROM vocab0 WHERE length(w) >= 2),
+      |ranked AS (
+      |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ FROM pairs
+      |  GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 20),
+      |merges AS (
+      |  SELECT list(pair ORDER BY n_occ DESC, pair) AS ms FROM ranked
+      |  WHERE regexp_matches(pair, '^[a-z0-9]{2}$$')),
+      |seg0 AS (
+      |  SELECT w, CASE WHEN regexp_matches(w, '^[a-z0-9]+$$') THEN
+      |      list_reduce(
+      |        list_prepend(regexp_replace(w, '(.)', '|\\1~', 'g'), ms),
+      |        (acc, m) -> replace(acc,
+      |          '|' || m[1:1] || '~|' || m[2:2] || '~', '|' || m || '~'))
+      |    END AS r
+      |  FROM (SELECT DISTINCT w FROM words) CROSS JOIN merges),
+      |seg AS (
+      |  SELECT w, CASE WHEN r IS NULL THEN CAST(length(w) AS BIGINT)
+      |    ELSE CAST(length(r) - length(replace(r, '|', '')) AS BIGINT)
+      |    END AS n_sym
+      |  FROM seg0),
+      |acct AS (SELECT source, CAST(sum(freq) AS BIGINT) AS ws_tokens,
+      |    CAST(sum(freq * n_sym) AS BIGINT) AS bpe_tokens,
+      |    CAST(sum(freq * n_sym) * 1000000 // sum(freq) AS BIGINT)
+      |      AS tokens_per_word_ppm
+      |  FROM words JOIN seg USING (w) GROUP BY source),
+      |nd AS (SELECT d.source, count(*)::BIGINT AS n_docs_kept
+      |       FROM documents d JOIN keep USING (doc_id) GROUP BY 1),
+      |tb AS (SELECT sum(bpe_tokens) AS tot FROM acct)
+      |SELECT a.source, nd.n_docs_kept, a.ws_tokens, a.bpe_tokens,
+      |  a.tokens_per_word_ppm,
+      |  CAST(a.bpe_tokens * 1000000 // tb.tot AS BIGINT) AS share_ppm
+      |FROM acct a JOIN nd USING (source) CROSS JOIN tb
+      |ORDER BY a.source""".stripMargin
 
   // ------------- t75 perplexity filter vs the FROZEN reference LM
 
@@ -2039,6 +2260,66 @@ object TextOps {
       |  COALESCE(-(per.s // per.n) <= $pplKeepTauMicro, FALSE) AS keep
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------- t81 reference-LM DELTA ABSORB (O(batch) model tier)
+
+  /** The BASE LM segment: en-slice bigram counts of the standing
+    * corpus (doc_id % 5 != 4), persisted once — vocabulary-bounded
+    * (≤ |ref vocab|² rows), never corpus-text-sized. */
+  private[graft] def pplC2BaseDir(s: SparkSession, d: String): String =
+    modelSegs.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|ppl-base") {
+      dir =>
+        bigramRowsOf(documents(s, d).filter(col("doc_id") % 5 =!= 4))
+          .filter(col("lang") === "en")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+          .write.mode("overwrite").parquet(s"$dir/c2")
+    }
+
+  /** The DELTA LM segment: the new batch's en-slice bigram counts
+    * (doc_id % 5 == 4) — the absorb step, O(batch). */
+  private[graft] def pplC2DeltaDir(s: SparkSession, d: String): String =
+    modelSegs.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|ppl-delta") {
+      dir =>
+        bigramRowsOf(documents(s, d).filter(col("doc_id") % 5 === 4))
+          .filter(col("lang") === "en")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+          .write.mode("overwrite").parquet(s"$dir/c2")
+    }
+
+  /** t81: t75's perplexity filter served from the INCREMENTALLY-
+    * MAINTAINED reference LM — t79's recipe on the second model
+    * artifact the round-14 verdict named: the LM's ENTIRE state is the
+    * (w1, w2, c2) bigram count table, and both derived tables are
+    * functions of it — c1(w1) = Σ_w2 c2(w1, w2) (every occurrence of
+    * w1 as left context lands in exactly one (w1, w2) group) and V =
+    * |distinct w2 among c2 keys| (every ref occurrence lands in some
+    * group) — so summing the base and delta segments per (w1, w2)
+    * reconstructs ALL THREE model tables exactly. A new crawl batch
+    * absorbs as one O(batch) aggregation; the model refresh reads
+    * O(segments · vocab²) count rows, never the corpus text. Shares
+    * t75's oracle on the grown corpus — absorb ≡ rebuild,
+    * hash-checked down to the add-one-smoothed micro-nat scores. */
+  def pplFilterAbsorbed(s: SparkSession, d: String): DataFrame = {
+    // checkpoint: the merged table feeds THREE consumers (c1, V, and
+    // the c2 score join) — vocabulary-bounded rows, the t76 lesson
+    val merged = s.read.parquet(s"${pplC2BaseDir(s, d)}/c2")
+      .unionByName(s.read.parquet(s"${pplC2DeltaDir(s, d)}/c2"))
+      .groupBy("w1", "w2").agg(sum("c2").as("c2"))
+      .localCheckpoint()
+    val c1 = merged.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = merged.agg(count_distinct(col("w2")).as("v"))
+    val bcast = DedupOps.estShingles(s, d) <= DedupOps.dictBroadcastCeiling
+    def dict(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df.hint("shuffle_hash")
+    pplScoredDocs(s, d,
+      pplScoreRows(bigramRows(s, d), merged, c1, v, dict)
+        .select("doc_id", "lpm"))
+      .withColumn("keep", col("avg_nlp_micro").isNotNull &&
+        col("avg_nlp_micro") <= pplKeepTauMicro)
+      .orderBy("doc_id")
+  }
 
   // --------------- t77 τ calibration from the reference-slice scores
 
@@ -2233,6 +2514,9 @@ object TextOps {
     "t76_dsir_resample"     -> dsirResample _,
     "t77_ppl_tau_calibration" -> pplTauCalibration _,
     "t78_ppl_filter_calibrated" -> pplFilterCalibrated _,
+    "t79_dsir_model_absorb" -> dsirWeightsAbsorbed _,
+    "t80_resample_apply"    -> resampleApply _,
+    "t81_ppl_lm_absorb"     -> pplFilterAbsorbed _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2267,5 +2551,10 @@ object TextOps {
     "t76_dsir_resample"     -> dsirResampleSql,
     "t77_ppl_tau_calibration" -> pplTauCalibrationSql,
     "t78_ppl_filter_calibrated" -> pplFilterCalibratedSql,
+    // absorb ≡ rebuild: t79/t81 share the full-rebuild oracles on the
+    // grown corpus (the g104/d73 proof shape)
+    "t79_dsir_model_absorb" -> dsirWeightsSql,
+    "t80_resample_apply"    -> resampleApplySql,
+    "t81_ppl_lm_absorb"     -> pplFilterSql,
   )
 }
