@@ -380,6 +380,8 @@ object Bench {
             graft.ext.DedupOps.windexDeltaDir(spark, sfDir) }
           timeBuild("windex_folded") {
             graft.ext.DedupOps.foldedWindexDir(spark, sfDir) }
+          timeBuild("windex_delta2") {
+            graft.ext.DedupOps.windexDelta2Dir(spark, sfDir) }
           () },
         () => graft.ext.DedupOps.clearWindowIndexes()))
     val rerun = scala.collection.mutable.ArrayBuffer[String]()

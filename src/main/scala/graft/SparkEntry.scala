@@ -223,6 +223,13 @@ object SparkEntry {
         "e129_stream_dsir_resample" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamDsirResample(s, d)),
+        // streaming twin of t78: the CALIBRATED perplexity filter at
+        // crawl time — derived τ frozen as the one-scalar sidecar
+        // (the e129 pattern), stateless contribution log, verdict at
+        // read time — shares t78's oracle
+        "e130_stream_ppl_calibrated" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamPplFilterCalibrated(s, d)),
         // restart-recovery proof for e114's custom Markov-counter
         // state (the fourth restart state shape) — shares e113's
         // oracle
@@ -277,5 +284,6 @@ object SparkEntry {
         "e127_stream_ppl_filter" -> TextOps.pplFilterSql,
         "e128_restart_ppl_filter" -> TextOps.pplFilterSql,
         "e129_stream_dsir_resample" -> TextOps.dsirResampleSql,
+        "e130_stream_ppl_calibrated" -> TextOps.pplFilterCalibratedSql,
         "e121_restart_cm_cells" -> Sketches.cmCellsSql)
 }

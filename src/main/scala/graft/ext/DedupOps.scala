@@ -2285,6 +2285,87 @@ object DedupOps {
       seedPred = col("doc_id") % 10 === 9)
   }
 
+  // ------- d75 absorb against the FOLDED generation (LSM turnover)
+
+  /** The d75 absorb step: a SECOND crawl batch (doc_id % 20 == 9 —
+    * the first half of the %10==9 probe cohort, leaving %20==19 as
+    * the new probe) enters as a delta segment against the FOLDED
+    * artifact's generation. Same O(batch) write as [[windexDeltaDir]]:
+    * raw windows + own census, the folded base never touched. */
+  private[graft] def windexDelta2Dir(s: SparkSession, d: String): String =
+    windowIndexes.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|windex-delta2") {
+      dir =>
+        val batchW = windowFrame(
+          documents(s, d).filter(col("doc_id") % 20 === 9))
+        batchW.select(col("hw"), col("doc_id").as("base_id"),
+          col("pos").as("pa"))
+          .write.mode("overwrite").parquet(s"$dir/windex")
+        batchW.groupBy("hw")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .write.mode("overwrite").parquet(s"$dir/census")
+    }
+
+  /** d75: the substring gate one generation AFTER the fold — the
+    * turnover proof d74's scaladoc promised ("the NEXT absorb can
+    * start a fresh delta against it"): d73's absorb algebra run with
+    * d74's FOLDED artifact as the base segment. Without this entry
+    * the fold→absorb→fold cadence was claimed, not proven — d73
+    * proved absorb against the ORIGINAL base, d74 proved the fold
+    * equals the grown rebuild, but no entry showed a second batch
+    * absorbing against the folded generation and still hash-matching
+    * the twice-grown rebuild. The serve is exactly d73's shape one
+    * generation later: folded ∪ delta2 segment union, hot set
+    * re-derived from the summed censuses (the folded census — which
+    * deliberately kept tombstoned docs' counts, the frozen-cap
+    * contract — plus delta2's; counts only grow, so a hash capped in
+    * ANY earlier generation stays capped, which is what makes
+    * segment-union ≡ rebuild). The oracle is the twice-grown d66
+    * rebuild (base ∪ delta1 ∪ delta2, hot over the whole, tombstones
+    * filtered after the full hot CTE — the d74 frozen-cap order)
+    * probing the %20==19 batch. With this rung every artifact
+    * lifecycle state is reachable from every other: build → absorb →
+    * (tombstone) → fold → absorb → … */
+  def windexRegenGate(s: SparkSession, d: String): DataFrame = {
+    val folded = foldedWindexDir(s, d)
+    val delta2 = windexDelta2Dir(s, d)
+    val census = s.read.parquet(s"$folded/census")
+      .unionByName(s.read.parquet(s"$delta2/census"))
+      .groupBy("hw").agg(sum("nd").as("nd"))
+    val hot = census.filter(col("nd") > runDocCap).select("hw")
+    val idx = s.read.parquet(s"$folded/windex")
+      .unionByName(s.read.parquet(s"$delta2/windex"))
+      .join(hot, Seq("hw"), "left_anti")
+    val batchW = windowFrame(documents(s, d).filter(col("doc_id") % 20 === 19))
+      .select(col("hw"), col("doc_id"), col("pos").as("pb"))
+    incrSubstringFinish(s, d,
+      batchW.join(idx, Seq("hw")).select("doc_id", "base_id", "pb", "pa"),
+      seedPred = col("doc_id") % 20 === 19)
+  }
+
+  /** d75 oracle: the d74 oracle grown once more — the second delta
+    * cohort moves INTO the base, the gate probes the remaining
+    * quarter-batch; hot over the twice-grown whole, tombstones still
+    * filtered after the full hot CTE. */
+  // lazy: windexFoldedGateSql is declared further down the object —
+  // an eager val here would patch an uninitialized (null) string
+  lazy val windexRegenGateSql: String = {
+    val patched = windexFoldedGateSql
+      .replace("WHERE doc_id % 5 <> 4 OR doc_id % 10 = 4),",
+        "WHERE doc_id % 5 <> 4 OR doc_id % 10 = 4 OR doc_id % 20 = 9),")
+      .replace("batchw AS (SELECT hw, doc_id, pos AS pb FROM wins\n" +
+          "           WHERE doc_id % 10 = 9),",
+        "batchw AS (SELECT hw, doc_id, pos AS pb FROM wins\n" +
+          "           WHERE doc_id % 20 = 19),")
+      .replace("FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d",
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 19) d")
+    require(patched.contains("doc_id % 20 = 9") &&
+      patched.contains("doc_id % 20 = 19") &&
+      !patched.contains("WHERE doc_id % 10 = 9"),
+      "d75 oracle patch must rewrite all three d74 CTE anchors")
+    patched
+  }
+
   /** d73 oracle: d66's full rebuild with the absorbed half-batch moved
     * INTO the base and the gate probing the remaining half — absorb ≡
     * rebuild, including the hot set re-derived over the grown base. */
@@ -2358,6 +2439,7 @@ object DedupOps {
     "d72_windex_compacted" -> windexCompactedGate _,
     "d73_windex_absorb" -> windexAbsorbGate _,
     "d74_windex_folded" -> windexFoldedGate _,
+    "d75_windex_regen_absorb" -> windexRegenGate _,
     "t49_decontamination" -> decontamination _,
     "t68_passage_decontam" -> passageDecontam _,
     "t57_corpus_funnel"  -> corpusFunnel _,
@@ -2390,6 +2472,7 @@ object DedupOps {
     "d72_windex_compacted" -> windexTombstoneGateSql,
     "d73_windex_absorb" -> windexAbsorbGateSql,
     "d74_windex_folded" -> windexFoldedGateSql,
+    "d75_windex_regen_absorb" -> windexRegenGateSql,
     "t49_decontamination" -> decontaminationSql,
     "t68_passage_decontam" -> passageDecontamSql,
     "t57_corpus_funnel"  -> corpusFunnelSql,

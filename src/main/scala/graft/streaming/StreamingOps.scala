@@ -1348,6 +1348,61 @@ object StreamingOps {
     graft.ext.TextOps.pplFinish(spark, d, lpLog)
   }
 
+  /** e130: t78's STREAMING twin — the CALIBRATED perplexity filter at
+    * crawl time: the reference LM is pinned as the e127 literal
+    * sidecar, and τ — derived batch-side from the standing corpus's en
+    * reference slice as its exact p95 under that LM (t77's rule, via
+    * the segmented exact-rank machinery, never a single-partition
+    * sort) — freezes as ONE scalar literal (the e129 frozen-sidecar
+    * pattern, smallest possible: the calibration loop's entire output
+    * is one number). The stream's docs flow through the stateless
+    * per-bigram scoring stage into the exactly-once contribution log
+    * (the e127/e128 granularity); the per-doc average and the
+    * derived-τ verdict are the read-time epilogue. Zero state. Shares
+    * t78's oracle: the streamed literal-τ stage and the batch
+    * broadcast-singleton plan must produce one hash — which also
+    * hash-pins that the frozen scalar EQUALS the in-query derivation
+    * (derive-at-cadence ≡ derive-in-pass, the production contract: τ
+    * re-derives when the model artifact refreshes, the gate runs on
+    * the feed). */
+  def streamPplFilterCalibrated(spark: SparkSession, d: String)
+      : DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val (c2, c1, v) = pplRefLmPinned(spark, d)
+    // the frozen scalar sidecar, guarded like e129's wmax: an EMPTY
+    // reference slice derives no τ — batch t78's crossJoin then yields
+    // zero rows, so the twin returns the same empty frame without
+    // draining anything
+    val tauRows = graft.ext.TextOps.pplTauFrame(
+      graft.ext.TextOps.pplScoreFrame(spark, d)).collect()
+    val epilogue = (scored: DataFrame, tauC: org.apache.spark.sql.Column) =>
+      graft.ext.TextOps.pplScoredDocs(spark, d, scored)
+        .withColumn("tau_derived", tauC)
+        .withColumn("keep", col("avg_nlp_micro").isNotNull &&
+          col("avg_nlp_micro") <= col("tau_derived"))
+        .orderBy("doc_id")
+    if (tauRows.isEmpty)
+      epilogue(spark.range(0)
+        .select(col("id").as("doc_id"), col("id").as("lpm")),
+        lit(null).cast("long")).limit(0)
+    else {
+      val tauV = tauRows(0).getLong(0)
+      val lpLog = drainToFileSink(spark, "e130", nIn) {
+        graft.ext.TextOps.pplScoreRows(
+          graft.ext.TextOps.bigramRowsOf(
+            spark.readStream
+              .schema(documentsSchema)
+              .parquet(stageDir)),
+          c2, c1, v, df => broadcast(df))
+          .select("doc_id", "lpm")
+      }
+      epilogue(lpLog, lit(tauV))
+    }
+  }
+
   /** e125: t74's DSIR scorer run as a STREAM against the FROZEN
     * importance model — the production data-selection shape: the
     * estimator (one batch aggregation over the standing corpus,
