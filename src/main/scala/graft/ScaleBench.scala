@@ -237,8 +237,10 @@ object ScaleBench {
     // feeding the ≤64·segments-row sketch — expect t74's shape plus
     // the segment-partitioned window sort
     "t76_dsir_resample" -> "docs",
-    // t77: t75's scoring pass plus a per-language rank window — expect
-    // t75's shape (the window adds one lang-keyed exchange)
+    // t77 (restated round 15): t75's scoring pass plus the segmented
+    // exact-rank bracket (parallel per-(lang, residue) windows + two
+    // band passes) — expect t75's shape; the round-14 lang-keyed
+    // single-partition rank window is gone
     "t77_ppl_tau_calibration" -> "docs",
     // d74: the FOLDED serve — d70's plain one-scan probe against the
     // single-segment post-fold artifact (no census merge, no
@@ -255,8 +257,27 @@ object ScaleBench {
     // honesty rule)
     "e129_stream_dsir_resample" -> "docs",
     // t78: t75's checkpointed scoring pass + the in-query τ
-    // derivation — expect t77's shape
-    "t78_ppl_filter_calibrated" -> "docs")
+    // derivation (the segmented bracket over the en slice only) —
+    // expect t77's shape
+    "t78_ppl_filter_calibrated" -> "docs",
+    // t79: the summed-segments model serve (O(segments · m) refresh)
+    // + t74's codegen'd scoring pass — expect t74's scoring exponent;
+    // the absorb itself is the cache_model_segments delta sub-time
+    "t79_dsir_model_absorb" -> "docs",
+    // t80: t74's scoring + the manifest join + t71's vocab-bounded
+    // accounting over the kept subset — expect the t71 shape
+    "t80_resample_apply" -> "docs",
+    // t81: the summed-segments LM serve (vocab-bounded merge) + t75's
+    // scoring pass — expect t75's exponent
+    "t81_ppl_lm_absorb" -> "docs",
+    // d75: the post-turnover serve — folded ∪ delta2 with one census
+    // group-by (index-hash-bounded); expect d73's absorbed-serve shape
+    // against the folded generation
+    "d75_windex_regen_absorb" -> "docs",
+    // e130: e127's contribution-log drain + the frozen scalar τ; the
+    // batch-side τ derivation is charged per call (the em70 honesty
+    // rule) — expect e127's shape
+    "e130_stream_ppl_calibrated" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -264,6 +285,7 @@ object ScaleBench {
     graft.graph.GraphOps.clearCaches()
     graft.ext.Multimodal.clearCaches()
     graft.operators.Sketches.clearCaches()
+    graft.ext.TextOps.clearModelSegs()
     graft.query.FixtureCorpus.clear()
   }
 
@@ -402,7 +424,17 @@ object ScaleBench {
           graft.ext.DedupOps.windexTombstonesDir(spark, dir)
           graft.ext.DedupOps.compactedWindexDir(spark, dir)
           graft.ext.DedupOps.windexDeltaDir(spark, dir)
-          graft.ext.DedupOps.foldedWindexDir(spark, dir); () }))
+          graft.ext.DedupOps.foldedWindexDir(spark, dir)
+          graft.ext.DedupOps.windexDelta2Dir(spark, dir); () }),
+      // the model-tier segment builds (t79 DSIR counts, t81 LM c2):
+      // base + delta, each O(its own slice) — the t79/t81 Heavy
+      // entries then time pure summed-segments serves
+      ("cache_model_segments",
+        () => graft.ext.TextOps.clearModelSegs(),
+        () => { graft.ext.TextOps.dsirCountsBaseDir(spark, dir)
+          graft.ext.TextOps.dsirCountsDeltaDir(spark, dir)
+          graft.ext.TextOps.pplC2BaseDir(spark, dir)
+          graft.ext.TextOps.pplC2DeltaDir(spark, dir); () }))
     val caches = cacheDefs
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, clear, build) => name -> minOf3(clear, build) }
@@ -475,7 +507,8 @@ object ScaleBench {
         "cache_g105_base_pr" -> vol("lineitem"),
         "cache_media_sigs" -> vol("docs"),
         "cache_k83_census" -> vol("docs"),
-        "cache_d70_window_index" -> vol("docs"))
+        "cache_d70_window_index" -> vol("docs"),
+        "cache_model_segments" -> vol("docs"))
     val aMap = (cachesA ++ queriesA).toMap
     val items = (cachesB ++ queriesB).map { case (name, tB) =>
       val tA = aMap.getOrElse(name, -1.0)

@@ -197,6 +197,20 @@ object ScaleDecade {
           SparkEntry.queries("d74_windex_folded")(spark, dir)
             .count(); () })
       }
+      // t77/t78 (round 15, restated): the calibration tier on the
+      // segmented exact-rank bracket — the round-14 weak mark was the
+      // per-language single-partition rank window (one task sorts the
+      // dominant-language slice); the restated shape (parallel
+      // per-(lang, residue) windows + k85 brackets + band passes) must
+      // hold a sub-linear reading through the second decade
+      if (want("t77_ppl_tau_calibration"))
+        items += "t77_ppl_tau_calibration" -> Bench.median3(() =>
+          Bench.runQuery("t77_ppl_tau_calibration",
+            SparkEntry.queries("t77_ppl_tau_calibration")(spark, dir)))
+      if (want("t78_ppl_filter_calibrated"))
+        items += "t78_ppl_filter_calibrated" -> Bench.median3(() =>
+          Bench.runQuery("t78_ppl_filter_calibrated",
+            SparkEntry.queries("t78_ppl_filter_calibrated")(spark, dir)))
       // clearCaches also drops the window-index artifacts
       graft.ext.DedupOps.clearCaches()
       items.toSeq
