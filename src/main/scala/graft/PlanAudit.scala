@@ -67,7 +67,8 @@ object PlanAudit {
       "d74_windex_folded", "em77_pseudo_link_census",
       "t78_ppl_filter_calibrated",
       "t79_dsir_model_absorb", "t80_resample_apply", "t81_ppl_lm_absorb",
-      "d75_windex_regen_absorb")
+      "d75_windex_regen_absorb", "t82_dsir_model_retract",
+      "k86_exact_rank")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

@@ -277,7 +277,14 @@ object ScaleBench {
     // e130: e127's contribution-log drain + the frozen scalar τ; the
     // batch-side τ derivation is charged per call (the em70 honesty
     // rule) — expect e127's shape
-    "e130_stream_ppl_calibrated" -> "docs")
+    "e130_stream_ppl_calibrated" -> "docs",
+    // t82: the retracted-model serve (summed segments incl. the
+    // negated retract) + t74's scoring pass over the remaining corpus
+    "t82_dsir_model_retract" -> "docs",
+    // k86: the exact-rank machinery on the orders domain — ~3 passes
+    // over a geometrically shrinking candidate set; expect near the
+    // orders scan bound
+    "k86_exact_rank" -> "orders")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -434,7 +441,8 @@ object ScaleBench {
         () => { graft.ext.TextOps.dsirCountsBaseDir(spark, dir)
           graft.ext.TextOps.dsirCountsDeltaDir(spark, dir)
           graft.ext.TextOps.pplC2BaseDir(spark, dir)
-          graft.ext.TextOps.pplC2DeltaDir(spark, dir); () }))
+          graft.ext.TextOps.pplC2DeltaDir(spark, dir)
+          graft.ext.TextOps.dsirCountsRetractDir(spark, dir); () }))
     val caches = cacheDefs
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, clear, build) => name -> minOf3(clear, build) }

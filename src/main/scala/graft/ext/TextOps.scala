@@ -1778,6 +1778,72 @@ object TextOps {
   def dsirWeightsAbsorbed(s: SparkSession, d: String): DataFrame =
     dsirScoreOf(documents(s, d), dsirModelAbsorbed(s, d)).orderBy("doc_id")
 
+  // ----------- t82 DSIR model RETRACTION (erasure at the model tier)
+
+  /** The RETRACT count segment: the erasure cohort's (doc_id % 10 ==
+    * 7) own count table — O(cohort), the d71-tombstone analogue on
+    * the model tier. */
+  private[graft] def dsirCountsRetractDir(s: SparkSession, d: String)
+      : String =
+    modelSegs.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|dsir-retract") {
+      dir =>
+        dsirCountsOf(dsirFeaturesOf(
+          documents(s, d).filter(col("doc_id") % 10 === 7)))
+          .write.mode("overwrite").parquet(s"$dir/counts")
+    }
+
+  /** t82: MODEL RETRACTION — an erasure request honored at the model
+    * tier without a corpus rescan, and the designed COUNTERPART of
+    * the windex tier's frozen-cap asymmetry: there, deletes
+    * deliberately never decrement the census (the hot decision is
+    * monotone and recomputing it would need the corpus — d71's
+    * contract); here the estimator's state IS an integer count
+    * table, so a cohort's contribution SUBTRACTS exactly — the
+    * retract segment (O(cohort) to build, the d71-sidecar cost
+    * shape) enters the per-bucket sum with negative sign, and
+    * retract ≡ rebuild-without-cohort is hash-checked by the
+    * full-rebuild oracle over the filtered corpus. The equivalence
+    * has one subtle rung the oracle pins: a bucket whose merged
+    * count reaches ZERO yields the same smoothed log-ratio as a
+    * bucket ABSENT from a from-scratch rebuild (both are the (0,0)
+    * sentinel row's value — add-one smoothing is total), so the
+    * subtracted table and the rebuilt table produce bit-identical
+    * models even where they differ in row sets. Scoring then runs
+    * over the remaining corpus with the retracted model — the
+    * complete post-erasure serving state, reached in O(cohort) +
+    * O(segments · m), never O(corpus). */
+  def dsirWeightsRetracted(s: SparkSession, d: String): DataFrame = {
+    val merged = s.read.parquet(s"${dsirCountsBaseDir(s, d)}/counts")
+      .unionByName(s.read.parquet(s"${dsirCountsDeltaDir(s, d)}/counts"))
+      .unionByName(s.read
+        .parquet(s"${dsirCountsRetractDir(s, d)}/counts")
+        .select(col("bucket"),
+          col("rcnt").unary_-.as("rcnt"), col("tcnt").unary_-.as("tcnt")))
+      .groupBy("bucket")
+      .agg(sum("rcnt").as("rcnt"), sum("tcnt").as("tcnt"))
+    dsirScoreOf(
+      documents(s, d).filter(col("doc_id") % 10 =!= 7),
+      dsirModelOf(dsirLrFromCounts(merged)))
+      .orderBy("doc_id")
+  }
+
+  /** t82 oracle: the t74 full rebuild with the erasure cohort REMOVED
+    * from both the estimator's corpus and the scored output —
+    * retract ≡ rebuild-without-cohort. */
+  val dsirRetractSql: String = {
+    val patched = dsirWeightsSql
+      .replace("FROM documents),",
+        "FROM documents WHERE doc_id % 10 <> 7),")
+      .replace("FROM documents d LEFT JOIN",
+        "FROM (SELECT * FROM documents WHERE doc_id % 10 <> 7) d LEFT JOIN")
+    require(patched != dsirWeightsSql &&
+      patched.contains("doc_id % 10 <> 7),") &&
+      patched.contains("(SELECT * FROM documents WHERE doc_id % 10 <> 7) d"),
+      "t82 oracle patch must rewrite both t74 corpus anchors")
+    patched
+  }
+
   // ------------- t76 DSIR importance RESAMPLE (the selection manifest)
 
   /** Budget denominator for t76's budgeted variant: keep the top
@@ -2517,6 +2583,7 @@ object TextOps {
     "t79_dsir_model_absorb" -> dsirWeightsAbsorbed _,
     "t80_resample_apply"    -> resampleApply _,
     "t81_ppl_lm_absorb"     -> pplFilterAbsorbed _,
+    "t82_dsir_model_retract" -> dsirWeightsRetracted _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2556,5 +2623,7 @@ object TextOps {
     "t79_dsir_model_absorb" -> dsirWeightsSql,
     "t80_resample_apply"    -> resampleApplySql,
     "t81_ppl_lm_absorb"     -> pplFilterSql,
+    // retract ≡ rebuild-without-cohort
+    "t82_dsir_model_retract" -> dsirRetractSql,
   )
 }

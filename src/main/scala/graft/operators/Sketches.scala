@@ -724,7 +724,9 @@ object Sketches {
       .select(col("gkey"), col("cents"), col("uid"))
       .localCheckpoint()
     var targets = t0.select(col("gkey"), col("rk"))
-    for (_ <- 1 to exactRankRounds) {
+    var round = 1
+    var settled = false
+    while (round <= exactRankRounds && !settled) {
       val seg = rows.select(col("gkey").as("status"),
         (col("uid") % exactRankSegs).cast("string").as("seg"),
         col("cents"), col("uid"))
@@ -765,6 +767,14 @@ object Sketches {
         .select(col("gkey"),
           (col("rk") - coalesce(col("n_below"), lit(0L))).as("rk"))
         .localCheckpoint()
+      // early settle: once the total band is final-aggregate-sized,
+      // residual rounds would only add fixed job overhead (the count
+      // reads the just-materialized checkpoint blocks — one cheap
+      // job). Exactness is round-count-independent, so this is purely
+      // a cost knob: small/fixture corpora settle after round 1, a
+      // 10B-row group still takes every round.
+      settled = rows.count() <= 64L * 1024L
+      round += 1
     }
     // window-free finish: the final band sorts inside one agg buffer
     // per target (≤ ~n/32^R rows — see exactRankRounds), and the
@@ -779,6 +789,54 @@ object Sketches {
         element_at(col("arr"), col("j").cast("int"))
           .getField("cents").as("cents"))
   }
+
+  /** k86: EXACT order statistics with no per-group global sort —
+    * [[exactRankStat]] exposed as its own oracle row on k85's domain
+    * (order totals in cents per status), so the two answers to "what
+    * is the p-th percentile at 100 TB" sit side by side as measured
+    * line items: k85 answers in ONE pass with a proven bounded rank
+    * error (the serving-path choice); k86 answers EXACTLY for ~2
+    * extra passes over a geometrically shrinking candidate set (the
+    * calibration-path choice — t77/t78 derive their τ through this
+    * machinery, where an approximate threshold would leak into every
+    * downstream keep verdict). Emits k85's p25/50/75 targets plus the
+    * p95 the calibration tier actually uses; the oracle is the plain
+    * rank-window spelling (DuckDB sorts locally), so the bracket
+    * machinery is hash-pinned end to end on a second domain beyond
+    * the perplexity tier. */
+  def exactRankQuantiles(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+      col("o_orderkey").as("uid"))
+      .localCheckpoint() // feeds the targets count AND the rank passes
+    val targets = o.groupBy("status").agg(count(lit(1)).as("n"))
+      .select(col("status"),
+        explode(array(lit(25L), lit(50L), lit(75L), lit(95L))).as("pnum"),
+        col("n"))
+      .select(col("status"), col("pnum").cast("string").as("qid"),
+        expr("(n * pnum + 99) div 100").as("rk"))
+    exactRankStat(o, targets)
+      .select(col("status"), col("qid").cast("long").as("pnum"),
+        col("cents").as("exact_cents"))
+      .orderBy("status", "pnum")
+  }
+
+  private[graft] val exactRankQuantilesSql: String =
+    """WITH o AS (SELECT o_orderstatus AS status,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |    o_orderkey AS uid
+      |  FROM orders),
+      |t AS (SELECT status, count(*) AS n FROM o GROUP BY 1),
+      |tg AS (SELECT status, pnum, (n * pnum + 99) // 100 AS rk
+      |       FROM t, (SELECT unnest([25, 50, 75, 95]) AS pnum)),
+      |rk AS (SELECT status, cents,
+      |    row_number() OVER (PARTITION BY status ORDER BY cents, uid) AS rn
+      |  FROM o)
+      |SELECT tg.status, CAST(tg.pnum AS BIGINT) AS pnum,
+      |  rk.cents AS exact_cents
+      |FROM tg JOIN rk ON rk.status = tg.status AND rk.rn = tg.rk
+      |ORDER BY tg.status, tg.pnum""".stripMargin
 
   /** k85: deterministic mergeable quantile sketch — the rank-error
     * complement of k81's equi-width histogram on the SAME domain
@@ -897,7 +955,8 @@ object Sketches {
     "k82_bloom_semijoin"   -> bloomSemijoin _,
     "k83_incr_census"      -> incrSketchCensus _,
     "k84_hll_census"       -> hllCensus _,
-    "k85_quantile_sketch"  -> quantileSketch _)
+    "k85_quantile_sketch"  -> quantileSketch _,
+    "k86_exact_rank"       -> exactRankQuantiles _)
 
   val oracleSql: Map[String, String] = Map(
     "k80_countmin_heavy"   -> countMinHeavySql,
@@ -905,5 +964,6 @@ object Sketches {
     "k82_bloom_semijoin"   -> bloomSemijoinSql,
     "k83_incr_census"      -> incrSketchCensusSql,
     "k84_hll_census"       -> hllCensusSql,
-    "k85_quantile_sketch"  -> quantileSketchSql)
+    "k85_quantile_sketch"  -> quantileSketchSql,
+    "k86_exact_rank"       -> exactRankQuantilesSql)
 }

@@ -1376,8 +1376,20 @@ object StreamingOps {
     // reference slice derives no τ — batch t78's crossJoin then yields
     // zero rows, so the twin returns the same empty frame without
     // draining anything
+    // the batch-side τ derivation scores against the ALREADY-pinned
+    // literal LM (the e129 already-collected-model rule — pplScoreFrame
+    // would rebuild the reference tables from a second corpus scan),
+    // and the scored frame is checkpointed like t77/t78's callers:
+    // pplTauFrame's machinery references it from both its target-count
+    // and its rank passes
     val tauRows = graft.ext.TextOps.pplTauFrame(
-      graft.ext.TextOps.pplScoreFrame(spark, d)).collect()
+      graft.ext.TextOps.pplScoredDocs(spark, d,
+        graft.ext.TextOps.pplScoreRows(
+          graft.ext.TextOps.bigramRows(spark, d),
+          c2, c1, v, df => broadcast(df))
+          .select("doc_id", "lpm"))
+        .localCheckpoint())
+      .collect()
     val epilogue = (scored: DataFrame, tauC: org.apache.spark.sql.Column) =>
       graft.ext.TextOps.pplScoredDocs(spark, d, scored)
         .withColumn("tau_derived", tauC)

@@ -115,6 +115,33 @@ class Round21Spec extends AnyFunSuite with SparkSpec {
       "V = |distinct w2 among c2 keys|")
   }
 
+  test("t82: the retracted model is bit-identical to the model rebuilt on the filtered corpus (zero-count rows ≡ absent rows)") {
+    val filtered = TextOps.dsirLrFromCounts(
+      TextOps.dsirCountsOf(TextOps.dsirFeaturesOf(
+        graft.Tables.documents(spark, sf)
+          .filter(col("doc_id") % 10 =!= 7))))
+    val rebuilt = TextOps.dsirModelOf(filtered)
+    val merged = spark.read
+      .parquet(s"${TextOps.dsirCountsBaseDir(spark, sf)}/counts")
+      .unionByName(spark.read
+        .parquet(s"${TextOps.dsirCountsDeltaDir(spark, sf)}/counts"))
+      .unionByName(spark.read
+        .parquet(s"${TextOps.dsirCountsRetractDir(spark, sf)}/counts")
+        .select(col("bucket"), col("rcnt").unary_-.as("rcnt"),
+          col("tcnt").unary_-.as("tcnt")))
+      .groupBy("bucket")
+      .agg(sum("rcnt").as("rcnt"), sum("tcnt").as("tcnt"))
+    val retracted = TextOps.dsirModelOf(TextOps.dsirLrFromCounts(merged))
+    assert(java.util.Arrays.equals(rebuilt, retracted),
+      "integer subtraction + add-one smoothing make a zeroed bucket " +
+        "equal an absent one, so the two models must match cell-for-cell")
+    // the retract is genuinely load-bearing at this fixture: the
+    // cohort has features, so retracted != merely-absorbed
+    val absorbed = TextOps.dsirModelAbsorbed(spark, sf)
+    assert(!java.util.Arrays.equals(absorbed, retracted),
+      "fixture sanity: the erasure cohort must actually move the model")
+  }
+
   // ------------------------- d75: segment hygiene across the turnover
 
   test("d75: the delta2 segment carries only its own cohort and the gate verdicts only the probe cohort") {
