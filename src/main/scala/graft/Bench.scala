@@ -73,9 +73,9 @@ object Bench {
     // prune away entirely
     "t74_dsir_weights", "em76_pseudo_release", "t75_ppl_filter",
     "t76_dsir_resample", "t78_ppl_filter_calibrated",
-    // t79/t81/t82 share t74's/t75's row-preserving final-join shape
+    // t79/t81/t82/t83 share t74's/t75's row-preserving final-join shape
     "t79_dsir_model_absorb", "t81_ppl_lm_absorb",
-    "t82_dsir_model_retract")
+    "t82_dsir_model_retract", "t83_ppl_lm_retract")
 
   /** The timing action for a query entry: count(), or the
     * full-materialization path for [[fullMaterialize]] members. */
@@ -369,6 +369,8 @@ object Bench {
             graft.ext.TextOps.pplC2DeltaDir(spark, sfDir) }
           timeBuild("dsir_counts_retract") {
             graft.ext.TextOps.dsirCountsRetractDir(spark, sfDir) }
+          timeBuild("ppl_c2_retract") {
+            graft.ext.TextOps.pplC2RetractDir(spark, sfDir) }
           () },
         () => graft.ext.TextOps.clearModelSegs()),
       ("cache_d70_window_index",

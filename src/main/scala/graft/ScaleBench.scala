@@ -284,7 +284,12 @@ object ScaleBench {
     // k86: the exact-rank machinery on the orders domain — ~3 passes
     // over a geometrically shrinking candidate set; expect near the
     // orders scan bound
-    "k86_exact_rank" -> "orders")
+    "k86_exact_rank" -> "orders",
+    // t83: the LM retraction serve (summed signed segments, zeroed
+    // rows dropped) + t75's scoring pass over the remaining corpus
+    "t83_ppl_lm_retract" -> "docs",
+    // e131: e126's stream gate against the post-turnover assembly
+    "e131_stream_regen_gate" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -442,7 +447,8 @@ object ScaleBench {
           graft.ext.TextOps.dsirCountsDeltaDir(spark, dir)
           graft.ext.TextOps.pplC2BaseDir(spark, dir)
           graft.ext.TextOps.pplC2DeltaDir(spark, dir)
-          graft.ext.TextOps.dsirCountsRetractDir(spark, dir); () }))
+          graft.ext.TextOps.dsirCountsRetractDir(spark, dir)
+          graft.ext.TextOps.pplC2RetractDir(spark, dir); () }))
     val caches = cacheDefs
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, clear, build) => name -> minOf3(clear, build) }

@@ -223,6 +223,12 @@ object SparkEntry {
         "e129_stream_dsir_resample" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamDsirResample(s, d)),
+        // streaming twin of d75: e126's crawler gate one LSM
+        // generation later — served from the folded artifact + the
+        // next delta segment — shares d75's twice-grown rebuild oracle
+        "e131_stream_regen_gate" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamRegenGate(s, d)),
         // streaming twin of t78: the CALIBRATED perplexity filter at
         // crawl time — derived τ frozen as the one-scalar sidecar
         // (the e129 pattern), stateless contribution log, verdict at
@@ -285,5 +291,6 @@ object SparkEntry {
         "e128_restart_ppl_filter" -> TextOps.pplFilterSql,
         "e129_stream_dsir_resample" -> TextOps.dsirResampleSql,
         "e130_stream_ppl_calibrated" -> TextOps.pplFilterCalibratedSql,
+        "e131_stream_regen_gate" -> DedupOps.windexRegenGateSql,
         "e121_restart_cm_cells" -> Sketches.cmCellsSql)
 }

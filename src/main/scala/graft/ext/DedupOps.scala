@@ -2326,20 +2326,29 @@ object DedupOps {
     * probing the %20==19 batch. With this rung every artifact
     * lifecycle state is reachable from every other: build → absorb →
     * (tombstone) → fold → absorb → … */
-  def windexRegenGate(s: SparkSession, d: String): DataFrame = {
+  /** The post-turnover serving index: folded ∪ delta2 anti-joined by
+    * the hot set from their summed censuses — [[absorbedWindexIdx]]
+    * one generation later. Shared by the d75 batch gate and its e131
+    * streaming twin (there it is the static join side). */
+  private[graft] def regenWindexIdx(s: SparkSession, d: String)
+      : DataFrame = {
     val folded = foldedWindexDir(s, d)
     val delta2 = windexDelta2Dir(s, d)
     val census = s.read.parquet(s"$folded/census")
       .unionByName(s.read.parquet(s"$delta2/census"))
       .groupBy("hw").agg(sum("nd").as("nd"))
     val hot = census.filter(col("nd") > runDocCap).select("hw")
-    val idx = s.read.parquet(s"$folded/windex")
+    s.read.parquet(s"$folded/windex")
       .unionByName(s.read.parquet(s"$delta2/windex"))
       .join(hot, Seq("hw"), "left_anti")
+  }
+
+  def windexRegenGate(s: SparkSession, d: String): DataFrame = {
     val batchW = windowFrame(documents(s, d).filter(col("doc_id") % 20 === 19))
       .select(col("hw"), col("doc_id"), col("pos").as("pb"))
     incrSubstringFinish(s, d,
-      batchW.join(idx, Seq("hw")).select("doc_id", "base_id", "pb", "pa"),
+      batchW.join(regenWindexIdx(s, d), Seq("hw"))
+        .select("doc_id", "base_id", "pb", "pa"),
       seedPred = col("doc_id") % 20 === 19)
   }
 

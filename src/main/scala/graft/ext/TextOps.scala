@@ -2032,17 +2032,20 @@ object TextOps {
 
   // ----------- t80 resample APPLY: the kept corpus's mixture census
 
-  /** t80: the resample APPLY — materialize t76's kept corpus (the
-    * `sampled` verdicts) and account its per-source token mixture in
-    * exact ppm, proving the selection tier COMPOSES with the
-    * mixture-planning tier it feeds (t62/t71's budget accounting over
-    * t76's verdicts — the round-14 verdict's missing rung #3): a
-    * mixture plan budgets in trained-tokenizer tokens, so the number
-    * that matters after resampling is each source's surviving
-    * bpe_tokens and its exact share of the kept total. The tokenizer
-    * is the one trained on the STANDING corpus (t66's merge table over
-    * all documents — one tokenizer, the t73 contract), applied to the
-    * kept subset's vocabulary.
+  /** t80: the resample APPLY — materialize t76's kept corpus under
+    * BOTH selection modes (`sampled`: the importance-resampled corpus;
+    * `budget`: the top-n/4 budgeted cut) and account each mode's
+    * per-source token mixture in exact ppm, proving the selection
+    * tier COMPOSES with the mixture-planning tier it feeds (t62/t71's
+    * budget accounting over t76's verdicts — the round-14 verdict's
+    * missing rung #3): a mixture plan budgets in trained-tokenizer
+    * tokens, so the number that matters after resampling is each
+    * source's surviving bpe_tokens and its exact share of that mode's
+    * kept total — and the two modes' censuses side by side are
+    * exactly the table a deployment compares before choosing a mode.
+    * The tokenizer is the one trained on the STANDING corpus (t66's
+    * merge table over all documents — one tokenizer, the t73
+    * contract), applied to each kept subset's vocabulary.
     *
     * Scale shape: the scoring pass is t74's row-local fold; the kept
     * manifest joins documents once on doc_id (THE manifest join — the
@@ -2055,68 +2058,63 @@ object TextOps {
     * the ppm shares in SQL. */
   def resampleApply(s: SparkSession, d: String): DataFrame = {
     // checkpointed: breaks the documents self-join lineage and feeds
-    // both the accounting words and the per-source doc census
-    val kept = dsirManifestFrame(s, d)
-      .filter(col("sampled")).select("doc_id").localCheckpoint()
-    val keptDocs = documents(s, d).join(kept, Seq("doc_id"))
-    val words = keptDocs
-      .select(col("source"), explode(tokens(col("text"))).as("w"))
-      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+    // all four downstream consumers (two modes × words + doc census)
+    val manifest = dsirManifestFrame(s, d)
+      .select("doc_id", "sampled", "budget_kept").localCheckpoint()
+    // the trained tokenizer's vocabulary (full corpus) is shared by
+    // both mode branches — checkpointed so the merge induction scans
+    // the corpus once, not once per mode
     val vocabAll = documents(s, d)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    val nd = keptDocs.groupBy("source")
-      .agg(count(lit(1)).as("n_docs_kept"))
+      .localCheckpoint()
     val tw = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    bpeAccountingOf(words, "source", vocabAll)
-      .join(nd, Seq("source"))
-      .withColumn("__tb", sum("bpe_tokens").over(tw))
-      .withColumn("share_ppm", expr("bpe_tokens * 1000000 div __tb"))
-      .select("source", "n_docs_kept", "ws_tokens", "bpe_tokens",
-        "tokens_per_word_ppm", "share_ppm")
-      .orderBy("source")
+    def census(mode: String, pred: Column): DataFrame = {
+      val keptDocs = documents(s, d)
+        .join(manifest.filter(pred).select("doc_id"), Seq("doc_id"))
+      val words = keptDocs
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+      val nd = keptDocs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"))
+      bpeAccountingOf(words, "source", vocabAll)
+        .join(nd, Seq("source"))
+        // per-mode share: the window is global WITHIN the branch, so
+        // each mode's shares sum to ~1e6 over its own kept total
+        .withColumn("__tb", sum("bpe_tokens").over(tw))
+        .select(lit(mode).as("mode"), col("source"), col("n_docs_kept"),
+          col("ws_tokens"), col("bpe_tokens"), col("tokens_per_word_ppm"),
+          expr("bpe_tokens * 1000000 div __tb").as("share_ppm"))
+    }
+    census("sampled", col("sampled"))
+      .unionByName(census("budget", col("budget_kept")))
+      .orderBy("mode", "source")
   }
 
-  val resampleApplySql: String =
-    s"""WITH t AS (
-      |  SELECT doc_id, lang, list_filter(
-      |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
-      |  FROM documents),
-      |bg AS (
-      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
-      |    i -> ('0x' || substr(md5('dsir:' || toks[i] || ' ' || toks[i+1]),
-      |            1, 15))::BIGINT % $dsirBuckets)) AS bucket
-      |  FROM t WHERE len(toks) >= 2),
-      |cnt AS (SELECT bucket, count(*) AS rcnt,
-      |          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tcnt
-      |        FROM bg GROUP BY 1),
-      |tot AS (SELECT sum(rcnt) AS rtot, sum(tcnt) AS ttot FROM cnt),
-      |lr AS (SELECT bucket,
-      |         CAST(round(ln(((tcnt + 1.0) * (rtot + $dsirBuckets)) /
-      |           ((rcnt + 1.0) * (ttot + $dsirBuckets))) * 1000000) AS BIGINT)
-      |           AS lrm
-      |       FROM cnt CROSS JOIN tot),
-      |w0 AS (SELECT doc_id, sum(lrm) AS w_micro
-      |       FROM bg JOIN lr USING (bucket) GROUP BY 1),
-      |w AS (SELECT d.doc_id,
-      |        CAST(COALESCE(w0.w_micro, 0) AS BIGINT) AS w_micro
-      |      FROM documents d LEFT JOIN w0 ON w0.doc_id = d.doc_id),
-      |mx AS (SELECT max(w_micro) AS wmax FROM w),
-      |keep AS (SELECT doc_id FROM w CROSS JOIN mx
-      |  WHERE ('0x' || substr(md5('dsirs:' || doc_id), 1, 15))::BIGINT
-      |          % 1000000
-      |        < CAST(round(exp((w_micro - wmax) / 1000000.0) * 1000000)
-      |            AS BIGINT)),
+  val resampleApplySql: String = {
+    // the manifest is t76's oracle verbatim (nested WITH — DuckDB
+    // scopes inner CTE names to the subquery), minus its ORDER BY
+    val manifestSub = dsirResampleSql.replace("\nORDER BY sc.doc_id", "")
+    require(manifestSub != dsirResampleSql,
+      "t80 oracle: t76's ORDER BY anchor drifted")
+    s"""WITH manifest AS ($manifestSub),
+      |keep AS (SELECT doc_id, 'sampled' AS mode FROM manifest
+      |         WHERE sampled
+      |         UNION ALL
+      |         SELECT doc_id, 'budget' AS mode FROM manifest
+      |         WHERE budget_kept),
       |ktoks AS (
-      |  SELECT d.source, d.doc_id,
+      |  SELECT k.mode, d.source, d.doc_id,
       |    unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
       |           x -> x <> '')) AS w
-      |  FROM documents d JOIN keep USING (doc_id)),
-      |words AS (SELECT source, w, count(*) AS freq FROM ktoks
-      |          GROUP BY 1, 2),
-      |vocab0 AS (SELECT w, count(*) AS n
-      |           FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      |  FROM documents d JOIN keep k USING (doc_id)),
+      |words AS (SELECT mode, source, w, count(*) AS freq FROM ktoks
+      |          GROUP BY 1, 2, 3),
+      |vocab0 AS (SELECT w, count(*) AS n FROM (
+      |    SELECT unnest(list_filter(
+      |      regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+      |    FROM documents) GROUP BY w),
       |pairs AS (
       |  SELECT unnest(list_transform(range(1, length(w)),
       |    i -> w[i:i+1])) AS pair, n
@@ -2140,19 +2138,22 @@ object TextOps {
       |    ELSE CAST(length(r) - length(replace(r, '|', '')) AS BIGINT)
       |    END AS n_sym
       |  FROM seg0),
-      |acct AS (SELECT source, CAST(sum(freq) AS BIGINT) AS ws_tokens,
+      |acct AS (SELECT mode, source, CAST(sum(freq) AS BIGINT) AS ws_tokens,
       |    CAST(sum(freq * n_sym) AS BIGINT) AS bpe_tokens,
       |    CAST(sum(freq * n_sym) * 1000000 // sum(freq) AS BIGINT)
       |      AS tokens_per_word_ppm
-      |  FROM words JOIN seg USING (w) GROUP BY source),
-      |nd AS (SELECT d.source, count(*)::BIGINT AS n_docs_kept
-      |       FROM documents d JOIN keep USING (doc_id) GROUP BY 1),
-      |tb AS (SELECT sum(bpe_tokens) AS tot FROM acct)
-      |SELECT a.source, nd.n_docs_kept, a.ws_tokens, a.bpe_tokens,
+      |  FROM words JOIN seg USING (w) GROUP BY 1, 2),
+      |nd AS (SELECT k.mode, d.source, count(*)::BIGINT AS n_docs_kept
+      |       FROM documents d JOIN keep k USING (doc_id) GROUP BY 1, 2),
+      |tb AS (SELECT mode, sum(bpe_tokens) AS tot FROM acct GROUP BY 1)
+      |SELECT a.mode, a.source, nd.n_docs_kept, a.ws_tokens, a.bpe_tokens,
       |  a.tokens_per_word_ppm,
       |  CAST(a.bpe_tokens * 1000000 // tb.tot AS BIGINT) AS share_ppm
-      |FROM acct a JOIN nd USING (source) CROSS JOIN tb
-      |ORDER BY a.source""".stripMargin
+      |FROM acct a
+      |JOIN nd ON nd.mode = a.mode AND nd.source = a.source
+      |JOIN tb ON tb.mode = a.mode
+      |ORDER BY a.mode, a.source""".stripMargin
+  }
 
   // ------------- t75 perplexity filter vs the FROZEN reference LM
 
@@ -2387,6 +2388,84 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---------- t83 reference-LM RETRACTION (the erasure's second half)
+
+  /** The RETRACT LM segment: the SAME erasure cohort as t82
+    * (doc_id % 10 == 7) — one erasure request spans every model
+    * artifact its documents contributed to, so the two retract
+    * segments share the cohort by design. */
+  private[graft] def pplC2RetractDir(s: SparkSession, d: String): String =
+    modelSegs.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|ppl-retract") {
+      dir =>
+        bigramRowsOf(documents(s, d).filter(col("doc_id") % 10 === 7))
+          .filter(col("lang") === "en")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+          .write.mode("overwrite").parquet(s"$dir/c2")
+    }
+
+  /** t83: t82's retraction on the SECOND model artifact — the
+    * reference LM forgets the erasure cohort by exact count
+    * subtraction, then t75's filter runs over the remaining corpus
+    * with the retracted model. One subtlety beyond t82, pinned by the
+    * shared rebuild oracle AND Round21Spec: zeroed (w1, w2) rows must
+    * be DROPPED after the signed sum, because V counts distinct w2
+    * among the table's KEYS — a w2 the cohort alone contributed
+    * would otherwise survive as a zero-count row and inflate V (c1
+    * and the c2 score join are indifferent: a zero row and an absent
+    * row coalesce identically there). With the filter, the
+    * subtracted table's ROW SET equals the rebuilt-without-cohort
+    * table's, so all three derived model tables match exactly.
+    * Together t79/t81 (absorb) and t82/t83 (retract) give the model
+    * tier the full segment algebra the count representation affords:
+    * grow and forget, both O(slice), both ≡ rebuild. */
+  def pplFilterRetracted(s: SparkSession, d: String): DataFrame = {
+    val remaining = documents(s, d).filter(col("doc_id") % 10 =!= 7)
+    val merged = s.read.parquet(s"${pplC2BaseDir(s, d)}/c2")
+      .unionByName(s.read.parquet(s"${pplC2DeltaDir(s, d)}/c2"))
+      .unionByName(s.read
+        .parquet(s"${pplC2RetractDir(s, d)}/c2")
+        .select(col("w1"), col("w2"), col("c2").unary_-.as("c2")))
+      .groupBy("w1", "w2").agg(sum("c2").as("c2"))
+      .filter(col("c2") > 0)
+      .localCheckpoint()
+    val c1 = merged.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = merged.agg(count_distinct(col("w2")).as("v"))
+    val bcast = DedupOps.estShingles(s, d) <= DedupOps.dictBroadcastCeiling
+    def dict(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df.hint("shuffle_hash")
+    val per = pplScoreRows(bigramRowsOf(remaining), merged, c1, v, dict)
+      .select("doc_id", "lpm")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lpm").as("s"))
+      .withColumn("avg_nlp_micro", expr("-(s div n_bigrams)"))
+    remaining.select("doc_id", "lang")
+      .join(per.select("doc_id", "n_bigrams", "avg_nlp_micro"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nlp_micro"))
+      .withColumn("keep", col("avg_nlp_micro").isNotNull &&
+        col("avg_nlp_micro") <= pplKeepTauMicro)
+      .orderBy("doc_id")
+  }
+
+  /** t83 oracle: the t75 full rebuild with the erasure cohort REMOVED
+    * from the corpus (reference slice and scored output both) —
+    * retract ≡ rebuild-without-cohort on the LM tier. */
+  val pplRetractSql: String = {
+    val patched = pplFilterSql
+      .replace("FROM documents),",
+        "FROM documents WHERE doc_id % 10 <> 7),")
+      .replace("FROM documents d LEFT JOIN",
+        "FROM (SELECT * FROM documents WHERE doc_id % 10 <> 7) d LEFT JOIN")
+    require(patched != pplFilterSql &&
+      patched.contains("doc_id % 10 <> 7),") &&
+      patched.contains("(SELECT * FROM documents WHERE doc_id % 10 <> 7) d"),
+      "t83 oracle patch must rewrite both t75 corpus anchors")
+    patched
+  }
+
   // --------------- t77 τ calibration from the reference-slice scores
 
   /** t77: the τ-CALIBRATION eval — t75's one argued-not-measured knob
@@ -2584,6 +2663,7 @@ object TextOps {
     "t80_resample_apply"    -> resampleApply _,
     "t81_ppl_lm_absorb"     -> pplFilterAbsorbed _,
     "t82_dsir_model_retract" -> dsirWeightsRetracted _,
+    "t83_ppl_lm_retract"    -> pplFilterRetracted _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2625,5 +2705,6 @@ object TextOps {
     "t81_ppl_lm_absorb"     -> pplFilterSql,
     // retract ≡ rebuild-without-cohort
     "t82_dsir_model_retract" -> dsirRetractSql,
+    "t83_ppl_lm_retract"    -> pplRetractSql,
   )
 }

@@ -1262,6 +1262,37 @@ object StreamingOps {
       seedPred = col("doc_id") % 10 === 9)
   }
 
+  /** e131: d75's STREAMING twin — e126's crawler gate one LSM
+    * GENERATION later: the serving index is the post-turnover
+    * assembly (d74's folded artifact ∪ d75's delta2 segment, hot cap
+    * re-derived from their summed censuses) as the static join side,
+    * and the stream's probe docs (doc_id % 20 == 19) flow through the
+    * identical stateless stage. With e122 (base gen), e126 (base +
+    * delta), and this entry (fold + next delta), the crawl loop is
+    * streaming-proven at every point of the artifact lifecycle —
+    * whatever the LSM clock says, the live gate is the same zero-state
+    * dataflow against the latest serving assembly. Shares d75's
+    * twice-grown rebuild oracle. */
+  def streamRegenGate(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val idx = graft.ext.DedupOps.regenWindexIdx(spark, d)
+    val pairLog = drainToFileSink(spark, "e131", nIn) {
+      graft.ext.DedupOps.windowFrame(
+        spark.readStream
+          .schema(documentsSchema)
+          .parquet(stageDir)
+          .filter(col("doc_id") % 20 === 19))
+        .select(col("hw"), col("doc_id"), col("pos").as("pb"))
+        .join(idx, Seq("hw"))
+        .select("doc_id", "base_id", "pb", "pa")
+    }
+    graft.ext.DedupOps.incrSubstringFinish(spark, d, pairLog,
+      seedPred = col("doc_id") % 20 === 19)
+  }
+
   /** e127: t75's STREAMING twin — perplexity filtering of a live doc
     * feed against the FROZEN reference LM: the reference tables
     * (vocabulary-bounded c2/c1/V, the en-slice add-one bigram MLE)

@@ -142,6 +142,35 @@ class Round21Spec extends AnyFunSuite with SparkSpec {
       "fixture sanity: the erasure cohort must actually move the model")
   }
 
+  test("t83: the retracted LM drops zeroed rows so V cannot count a cohort-only w2 (tables ≡ rebuild-without-cohort)") {
+    val remaining = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 =!= 7)
+    val refRows = TextOps.bigramRowsOf(remaining)
+      .filter(col("lang") === "en").select("w1", "w2")
+    val c2Rebuilt = refRows.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c2"))
+    val merged = spark.read
+      .parquet(s"${TextOps.pplC2BaseDir(spark, sf)}/c2")
+      .unionByName(spark.read
+        .parquet(s"${TextOps.pplC2DeltaDir(spark, sf)}/c2"))
+      .unionByName(spark.read
+        .parquet(s"${TextOps.pplC2RetractDir(spark, sf)}/c2")
+        .select(col("w1"), col("w2"), col("c2").unary_-.as("c2")))
+      .groupBy("w1", "w2").agg(sum("c2").as("c2"))
+      .filter(col("c2") > 0)
+      .localCheckpoint()
+    def set3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(set3(merged) === set3(c2Rebuilt),
+      "signed sum + zero-row drop must equal the rebuilt ROW SET, " +
+        "not just the positive counts — V counts the table's keys")
+    val vRetracted = merged.agg(count_distinct(col("w2")))
+      .collect()(0).getLong(0)
+    val vRebuilt = refRows.agg(count_distinct(col("w2")))
+      .collect()(0).getLong(0)
+    assert(vRetracted === vRebuilt)
+  }
+
   // ------------------------- d75: segment hygiene across the turnover
 
   test("d75: the delta2 segment carries only its own cohort and the gate verdicts only the probe cohort") {
