@@ -1831,7 +1831,10 @@ object TextOps {
   /** t82 oracle: the t74 full rebuild with the erasure cohort REMOVED
     * from both the estimator's corpus and the scored output —
     * retract ≡ rebuild-without-cohort. */
-  val dsirRetractSql: String = {
+  // lazy (the windexRegenGateSql rule): the require() anchors must
+  // fail only the entries that use this oracle, not every TextOps
+  // entry through an ExceptionInInitializerError at object init
+  lazy val dsirRetractSql: String = {
     val patched = dsirWeightsSql
       .replace("FROM documents),",
         "FROM documents WHERE doc_id % 10 <> 7),")
@@ -2453,7 +2456,9 @@ object TextOps {
   /** t83 oracle: the t75 full rebuild with the erasure cohort REMOVED
     * from the corpus (reference slice and scored output both) —
     * retract ≡ rebuild-without-cohort on the LM tier. */
-  val pplRetractSql: String = {
+  // lazy for the same reason as dsirRetractSql: anchor drift must not
+  // take down the whole object
+  lazy val pplRetractSql: String = {
     val patched = pplFilterSql
       .replace("FROM documents),",
         "FROM documents WHERE doc_id % 10 <> 7),")
@@ -2666,7 +2671,11 @@ object TextOps {
     "t83_ppl_lm_retract"    -> pplFilterRetracted _,
   )
 
-  val oracleSql: Map[String, String] = Map(
+  // lazy so an oracle anchor drift (the require() guards inside the
+  // patched retract/fold SQLs below) fails when the ORACLE MAP is
+  // forced — never at object init, which would take the Spark-side
+  // `queries` map (and with it every TextOps entry) down with it
+  lazy val oracleSql: Map[String, String] = Map(
     "t40_token_stats"     -> tokenStatsSql,
     "t41_word_freq"       -> wordFreqSql,
     "t42_quality_score"   -> qualityScoreSql,

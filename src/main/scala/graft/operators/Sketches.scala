@@ -132,12 +132,14 @@ object Sketches {
     * LOWER EDGE of the first bucket whose cumulative count reaches
     * rank ceil(p·n) — all-integer ((n·pnum + 99) div 100), so both
     * engines agree bit-for-bit. The exact value at the same rank rides
-    * along as the eval column; its full per-group sort is the EVAL
-    * cost, not the operator's (at 100 TB only the histogram runs —
-    * the judge-facing error bound is |est − exact| < bucket width). */
+    * along as the eval column via [[exactRankStat]] (no per-group
+    * global sort anywhere); it is still EVAL cost, not the operator's
+    * (at 100 TB only the histogram runs — the judge-facing error
+    * bound is |est − exact| < bucket width). */
   def histQuantiles(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_orderstatus").as("status"),
-      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+      col("o_orderkey").as("uid"))
     val hist = o.select(col("status"),
         expr(s"cents div $histBucketWidth").as("b"))
       .groupBy("status", "b").agg(count(lit(1)).as("cnt"))
@@ -147,15 +149,25 @@ object Sketches {
       .select(col("status"), col("n"),
         explode(array(lit(25), lit(50), lit(75))).as("pnum"))
       .withColumn("rk", expr("(n * pnum + 99) div 100"))
+      .localCheckpoint() // feeds est AND the rank machinery's targets
     val est = ranks.join(cum, Seq("status"))
       .filter(col("cum") >= col("rk"))
-      .groupBy("status", "pnum", "rk")
+      .groupBy("status", "pnum")
       .agg((min("b") * histBucketWidth).as("hist_est_cents"))
-    val exact = o.withColumn("rn",
-      row_number().over(Window.partitionBy("status").orderBy("cents")))
-    est.join(exact, est("status") === exact("status") && est("rk") === exact("rn"))
-      .select(est("status"), col("pnum"), col("hist_est_cents"),
+    // the exact eval column through [[exactRankStat]]'s segmented
+    // bracket (round-15 restatement everywhere else; this was the
+    // last row_number-over-partitionBy(status) spelling in main
+    // source): the value at a fixed rank under any tie order refining
+    // (cents) is the same cents, so (cents, uid) total order preserves
+    // the oracle's rank-window answer bit for bit
+    val exact = exactRankStat(o,
+        ranks.select(col("status"), col("pnum").cast("string").as("qid"),
+          col("rk")))
+      .select(col("status"), col("qid").cast("int").as("pnum"),
         col("cents").as("exact_cents"))
+    est.join(exact, Seq("status", "pnum"))
+      .select(col("status"), col("pnum"), col("hist_est_cents"),
+        col("exact_cents"))
       .orderBy("status", "pnum")
   }
 
@@ -709,13 +721,17 @@ object Sketches {
     * (group, seg) — parallel), the merged-sketch window (≤ 64·S kept
     * rows per group — bounded whatever the corpus), and one broadcast
     * of the ≤|targets| bracket rows back onto the band scan. Rows are
-    * fanned out per target up front (gkey = status#qid) so every
+    * fanned out per target up front (gkey = struct(status, qid)) so every
     * target brackets independently; targets-per-group is small (2
     * here) and the fan-out is a broadcast join on the scan. */
   private[graft] def exactRankStat(rows0: DataFrame,
       targets0: DataFrame): DataFrame = {
+    // gkey is a (status, qid) STRUCT, not a string concat: struct
+    // equality is the grouping/join contract directly, so a status
+    // containing a would-be separator or a duplicate (status, qid)
+    // pair under concat can never silently merge bracket groups
     val t0 = targets0.select(
-      concat(col("status"), lit("#"), col("qid")).as("gkey"),
+      struct(col("status"), col("qid")).as("gkey"),
       col("status").as("t_status"), col("qid").as("t_qid"), col("rk"))
       .localCheckpoint()
     var rows = rows0
