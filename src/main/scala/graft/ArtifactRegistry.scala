@@ -39,4 +39,16 @@ final class ArtifactRegistry(prefix: String) {
     dirs.values.forEach(d => Fs.deleteTree(d))
     dirs.clear()
   }
+
+  /** Delete only the artifacts whose key contains `sub` — the
+    * targeted-clear contract a composite warm needs (its re-time
+    * cycles must drop the entry's OWN artifact, never a sibling the
+    * other line items already paid for). */
+  def clearMatching(sub: String): Unit = lock.synchronized {
+    val it = dirs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.contains(sub)) { Fs.deleteTree(e.getValue); it.remove() }
+    }
+  }
 }

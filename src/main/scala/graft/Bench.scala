@@ -16,10 +16,16 @@ import org.apache.spark.sql.SparkSession
   *    store) are pre-built as separately-timed `cache_*` line items
   *    instead of being charged to whichever query touches a registry
   *    first;
-  *  - each query records the MEDIAN of 3 consecutive runs, so one noisy
-  *    scheduling window cannot fail the gate; each cache warm records
-  *    the MIN of 3 clear-and-rebuild cycles (a one-time build's true
-  *    cost is its uncontended floor);
+  *  - ADAPTIVE run count (round-16: 291 entries × median-of-3 blew the
+  *    driver's bench wall cap — BENCH_r15 rc=124): one timed run is
+  *    accepted iff ≤ the committed envelope × max(1.3, 1.2 × the
+  *    run's own observed first-run-ratio band) (+0.15 s absolute);
+  *    slower runs and entries with no committed value escalate to the
+  *    full median-of-3, so a genuine regression — one entry above its
+  *    band-mates — is always measured by a median while the common
+  *    case costs one run even inside a diffuse slow band. Each
+  *    cache warm still records the MIN of 3 clear-and-rebuild cycles
+  *    (a one-time build's true cost is its uncontended floor);
   *  - TWO sanity probes: the scalar q32 baseline (CPU contention) and a
   *    fixed micro-shuffle groupBy (shuffle/IO contention — the round-7
   *    blind spot). Either exceeding its envelope marks the JSON
@@ -73,9 +79,11 @@ object Bench {
     // prune away entirely
     "t74_dsir_weights", "em76_pseudo_release", "t75_ppl_filter",
     "t76_dsir_resample", "t78_ppl_filter_calibrated",
-    // t79/t81/t82/t83 share t74's/t75's row-preserving final-join shape
+    // t79/t81/t82/t83 (and the t84/t86 turnovers) share t74's/t75's
+    // row-preserving final-join shape
     "t79_dsir_model_absorb", "t81_ppl_lm_absorb",
-    "t82_dsir_model_retract", "t83_ppl_lm_retract")
+    "t82_dsir_model_retract", "t83_ppl_lm_retract",
+    "t84_dsir_fold_turnover", "t86_lm_fold_turnover")
 
   /** The timing action for a query entry: count(), or the
     * full-materialization path for [[fullMaterialize]] members. */
@@ -226,6 +234,7 @@ object Bench {
         SparkEntry.queries("e84_stream_tumbling")(spark, jitDir).count()
         SparkEntry.queries("e101_stream_dedup_activity")(spark, jitDir).count()
         SparkEntry.queries("e100_stream_unmatched")(spark, jitDir).count()
+        graft.ext.TextOps.pplScoredDir(spark, jitDir)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] JIT pre-warm failed (non-fatal): $e")
       }
@@ -371,8 +380,27 @@ object Bench {
             graft.ext.TextOps.dsirCountsRetractDir(spark, sfDir) }
           timeBuild("ppl_c2_retract") {
             graft.ext.TextOps.pplC2RetractDir(spark, sfDir) }
+          // the t84/t86 gen-1 folds (read the three segments above,
+          // never the corpus) — their query line items then time the
+          // pure turnover serve
+          timeBuild("dsir_counts_folded") {
+            graft.ext.TextOps.dsirCountsFoldedDir(spark, sfDir) }
+          timeBuild("ppl_c2_folded") {
+            graft.ext.TextOps.pplC2FoldedDir(spark, sfDir) }
           () },
+        // full clearModelSegs is safe HERE because this warm is timed
+        // before cache_ppl_scored below builds its artifact; the
+        // scored warm's own clear is targeted for the same reason
         () => graft.ext.TextOps.clearModelSegs()),
+      // the shared perplexity SCORING pass (reference-LM build +
+      // per-occurrence log-probs + per-doc averages), persisted once
+      // and served to t75/t77/t78 and e130's batch-side τ derivation —
+      // round-15 verdict fix #4: the four entries each re-ran the
+      // identical ~5 s pass per call, ~30-45 s of 3-run suite wall
+      // with no line item of its own
+      ("cache_ppl_scored",
+        () => { graft.ext.TextOps.pplScoredDir(spark, sfDir); () },
+        () => graft.ext.TextOps.clearPplScored()),
       ("cache_d70_window_index",
         () => {
           timeBuild("windex_base") {
@@ -441,12 +469,56 @@ object Bench {
     // total" warning below)
     val cacheTimes: Seq[(String, Double)] =
       cacheRuns.collect { case (k, (t, true)) => k -> t }
+    // ADAPTIVE RUN COUNT (round 16 — the driver's wall cap): at 291
+    // entries, unconditional median-of-3 pushed the suite past the
+    // driver's fixed bench timeout (BENCH_r15.json rc=124, the first
+    // round with no driver-recorded total). One timed run is accepted
+    // as the entry's value iff it lands at-or-under the committed
+    // clean envelope ×1.3 (+0.15 s absolute slack so sub-second
+    // entries aren't escalated by per-run jitter); anything slower —
+    // or any entry with no committed value (new this round) — falls
+    // back to the full median-of-3, and the existing 2× outlier
+    // re-run defense still applies on top. Noise analysis: the
+    // accept path can only record values the committed-median
+    // discipline would itself have accepted (≤1.3× a clean median),
+    // so a regression ≥1.3× always reaches median-of-3, while
+    // one-sided noise ≤1.3× is exactly the band the drift field
+    // already reads. Escalations are recorded under "escalated" so a
+    // run where many entries needed 3 runs is attributable.
+    val escalated = scala.collection.mutable.ArrayBuffer[String]()
+    // BAND-AWARE acceptance (measured on this scheme's first trial:
+    // a diffuse 1.19× ambient band pushed 102 of 272 entries past a
+    // FIXED 1.3× line — each then paying 3 runs — so a slow band
+    // costs almost as much wall as unconditional median-of-3). The
+    // acceptance line tracks the run's own observed band: the median
+    // of every entry's FIRST-run ratio vs its committed value so far
+    // this run (the same diffuse-noise statistic the drift field
+    // reports). A band-wide slowdown moves every ratio together and
+    // the line follows; a single-entry regression sits alone above
+    // its band-mates and still escalates to the full median-of-3.
+    val firstRatios = scala.collection.mutable.ArrayBuffer[Double]()
+    def bandSoFar: Double =
+      if (firstRatios.size < 10) 1.0
+      else firstRatios.sorted.apply(firstRatios.size / 2)
     val queryTimes: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         markStart(name)
         val run = () => runQuery(name, fn(spark, sfDir))
-        var t = median3(run)
-        if (inflated(t, committed.getOrElse(name, -1.0))) {
+        val c = committed.getOrElse(name, -1.0)
+        val (t1, ok1) = timeOnce(run)
+        val accept = c > 0 && ok1 &&
+          t1 <= c * math.max(1.3, bandSoFar * 1.2) + 0.15
+        if (c > 0 && ok1) firstRatios += t1 / c
+        var t =
+          if (!ok1) -1.0
+          else if (accept) t1
+          else {
+            escalated += name
+            val (t2, ok2) = timeOnce(run)
+            val (t3, ok3) = timeOnce(run)
+            if (!ok2 || !ok3) -1.0 else Seq(t1, t2, t3).sorted.apply(1)
+          }
+        if (inflated(t, c)) {
           val t2 = median3(run)
           if (t2 >= 0) { rerun += name; t = math.min(t, t2) }
         }
@@ -480,6 +552,7 @@ object Bench {
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = strArr(failed)
     val rerunJson = strArr(rerun.toSeq)
+    val escalatedJson = strArr(escalated.toSeq)
     val total = all.map(_._2).filter(_ >= 0).sum
     // like-for-like subtotal over the round-1 baseline query set (see
     // baselineSet): THIS is the number BASELINE.md's 2× gate describes;
@@ -525,7 +598,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"detail":"per_query_seconds","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson$baselineJson,"failed":$failedJson,"rerun":$rerunJson,"warm_builds":$warmBuildsJson,"queries":$qsAll,"started":$startedJson,"sf":"$sfDir"}"""
+      s"""{"detail":"per_query_seconds","runs":"adaptive","contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson$baselineJson,"failed":$failedJson,"rerun":$rerunJson,"escalated":$escalatedJson,"warm_builds":$warmBuildsJson,"queries":$qsAll,"started":$startedJson,"sf":"$sfDir"}"""
     println(detail)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -536,7 +609,7 @@ object Bench {
     val qsTop = all.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson$baselineJson,"failed":$failedJson,"rerun":$rerunJson,"queries":$qsTop,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":"adaptive","contended":$contended,"probe_shuffle":${fmt(probeSecs)}$driftJson$baselineJson,"failed":$failedJson,"rerun":$rerunJson,"queries":$qsTop,"sf":"$sfDir"}""")
     graft.ext.DedupOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
     graft.graph.GraphOps.clearCaches()

@@ -68,7 +68,9 @@ object PlanAudit {
       "t78_ppl_filter_calibrated",
       "t79_dsir_model_absorb", "t80_resample_apply", "t81_ppl_lm_absorb",
       "d75_windex_regen_absorb", "t82_dsir_model_retract",
-      "k86_exact_rank", "t83_ppl_lm_retract")
+      "k86_exact_rank", "t83_ppl_lm_retract",
+      "t84_dsir_fold_turnover", "t85_release_pipeline",
+      "t86_lm_fold_turnover", "e132_stream_dsir_maintained")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

@@ -289,7 +289,17 @@ object ScaleBench {
     // rows dropped) + t75's scoring pass over the remaining corpus
     "t83_ppl_lm_retract" -> "docs",
     // e131: e126's stream gate against the post-turnover assembly
-    "e131_stream_regen_gate" -> "docs")
+    "e131_stream_regen_gate" -> "docs",
+    // t84/t86: the model-tier turnover serves (folded gen-1 ⊎
+    // re-admitted cohort summed, then t74's/t75's scoring pass) —
+    // the fold itself rides the cache_model_segments warm
+    "t84_dsir_fold_turnover" -> "docs",
+    "t86_lm_fold_turnover" -> "docs",
+    // t85: the composed release — four verdict joins + the cleaned-
+    // text census; the stage machinery is each stage's proven plan
+    "t85_release_pipeline" -> "docs",
+    // e132: e125's drain with the sidecar re-derived from segments
+    "e132_stream_dsir_maintained" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()
@@ -448,7 +458,17 @@ object ScaleBench {
           graft.ext.TextOps.pplC2BaseDir(spark, dir)
           graft.ext.TextOps.pplC2DeltaDir(spark, dir)
           graft.ext.TextOps.dsirCountsRetractDir(spark, dir)
-          graft.ext.TextOps.pplC2RetractDir(spark, dir); () }))
+          graft.ext.TextOps.pplC2RetractDir(spark, dir)
+          // the t84/t86 gen-1 folds (read the segments above, never
+          // the corpus — expected exponent ≈ the segment tables')
+          graft.ext.TextOps.dsirCountsFoldedDir(spark, dir)
+          graft.ext.TextOps.pplC2FoldedDir(spark, dir); () }),
+      // the shared perplexity scoring-pass artifact (t75/t77/t78 and
+      // e130's batch τ serve from it) — its build IS the old per-call
+      // scoring cost, now a data-proportional line item of its own
+      ("cache_ppl_scored",
+        () => graft.ext.TextOps.clearPplScored(),
+        () => { graft.ext.TextOps.pplScoredDir(spark, dir); () }))
     val caches = cacheDefs
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, clear, build) => name -> minOf3(clear, build) }

@@ -216,6 +216,13 @@ object SparkEntry {
         "e128_restart_ppl_filter" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamPplFilterRestart(s, d)),
+        // e125 served from the MAINTAINED estimator: the literal
+        // sidecar derives from the base+delta count segments' sum
+        // (t79's serving state), not a full rebuild — the
+        // absorb→pin→serve composition proof; shares t74's oracle
+        "e132_stream_dsir_maintained" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamDsirScoreMaintained(s, d)),
         // streaming twin of t76: the crawl-time resample gate — frozen
         // model + frozen normalization max + frozen k85 budget cutoff
         // (a three-literal sidecar), stateless row-local verdicts —
@@ -286,6 +293,7 @@ object SparkEntry {
         "e122_stream_substring_gate" -> DedupOps.incrSubstringDedupSql,
         "e123_restart_substring_gate" -> DedupOps.incrSubstringDedupSql,
         "e125_stream_dsir_score" -> TextOps.dsirWeightsSql,
+        "e132_stream_dsir_maintained" -> TextOps.dsirWeightsSql,
         "e126_stream_absorbed_gate" -> DedupOps.windexAbsorbGateSql,
         "e127_stream_ppl_filter" -> TextOps.pplFilterSql,
         "e128_restart_ppl_filter" -> TextOps.pplFilterSql,

@@ -1909,7 +1909,15 @@ object DedupOps {
     * back to documents on doc_id; the cut itself is per-row array
     * work (O(tokens × spans/doc), spans disjoint after merge). No
     * new wide exchange beyond d65's. */
-  def substringApply(s: SparkSession, d: String): DataFrame = {
+  def substringApply(s: SparkSession, d: String): DataFrame =
+    substringCleanFrame(s, d).orderBy("doc_id")
+
+  /** The UNORDERED per-doc cleaned frame (doc_id, n_spans_cut,
+    * tokens_removed, clean_text) — d68's whole apply without the
+    * presentation sort, shared by d68 and the release pipeline (t85),
+    * the pplScoreFrame/pplFilter split. */
+  private[graft] def substringCleanFrame(s: SparkSession, d: String)
+      : DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("st", "en")
     val spans = substringRunsCore(s, d, runWindow)
@@ -1938,7 +1946,6 @@ object DedupOps {
           filter(col("ts"), (_, i) =>
             !exists(col("spans"), sp => (i + 1 >= sp.getField("st")) &&
               (i + 1 <= sp.getField("en"))))), " ").as("clean_text"))
-      .orderBy("doc_id")
   }
 
   /** Oracle: rebuilds the runs via d65's window-hash CTEs, merges the

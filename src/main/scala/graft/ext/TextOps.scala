@@ -1258,7 +1258,18 @@ object TextOps {
     * exposed so the spec can plant a benchmark excerpt and assert the
     * quarantine routing (the fixture corpus has no cross-%97 exact
     * passage, so the oracle alone exercises only clean routing). */
-  private[graft] def contamSafeSplitOf(docs: DataFrame): DataFrame = {
+  private[graft] def contamSafeSplitOf(docs: DataFrame): DataFrame =
+    docSplitsOf(docs)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_doc_id"))
+      .orderBy("split")
+
+  /** The PER-DOCUMENT split assignment (doc_id, n_chars, split) — the
+    * routing stage under t70's census, factored out so the release
+    * pipeline (t85) can consume the verdict column directly. */
+  private[graft] def docSplitsOf(docs: DataFrame): DataFrame = {
     val p = graft.ext.DedupOps.passageHashes(docs)
     val bench = p.filter(col("doc_id") % 97 === 0).select("ph").distinct()
     val contam = p.filter(col("doc_id") % 97 =!= 0)
@@ -1275,11 +1286,7 @@ object TextOps {
           .when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "validation")
           .otherwise("test"))
-      .groupBy("split")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_chars").as("total_chars"),
-        min("doc_id").as("min_doc_id"))
-      .orderBy("split")
+      .select("doc_id", "n_chars", "split")
   }
 
   val contamSafeSplitSql: String =
@@ -1847,6 +1854,69 @@ object TextOps {
     patched
   }
 
+  // ------- t84 DSIR model FOLD + generation turnover (d74+d75's recipe)
+
+  /** The FOLDED DSIR generation: the three signed segments (base +
+    * delta − retract) summed into ONE fresh base segment — the
+    * compaction step that licenses running the model-tier cadence
+    * indefinitely (em73/s96/s97/d74 closed the same story on the
+    * other artifact tiers; without it t79–t83's segments accumulate
+    * forever). Zeroed buckets (summed rcnt = 0 — the erasure cohort
+    * was a bucket's only contributor) are DROPPED, so the folded
+    * table's ROW SET equals a from-scratch rebuild's over the
+    * post-erasure corpus (a bucket exists there iff some remaining
+    * feature hashed to it); the smoothed tail is indifferent (a zero
+    * row and an absent row both score the (0,0) sentinel value and
+    * contribute nothing to the totals), but row-set equality is the
+    * discipline that keeps segment algebra ≡ rebuild provable at
+    * every later generation. O(segments · m) rows, never a corpus
+    * scan. */
+  private[graft] def dsirCountsFoldedDir(s: SparkSession, d: String)
+      : String =
+    modelSegs.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|dsir-folded") {
+      dir =>
+        s.read.parquet(s"${dsirCountsBaseDir(s, d)}/counts")
+          .unionByName(s.read.parquet(s"${dsirCountsDeltaDir(s, d)}/counts"))
+          .unionByName(s.read
+            .parquet(s"${dsirCountsRetractDir(s, d)}/counts")
+            .select(col("bucket"),
+              col("rcnt").unary_-.as("rcnt"), col("tcnt").unary_-.as("tcnt")))
+          .groupBy("bucket")
+          .agg(sum("rcnt").as("rcnt"), sum("tcnt").as("tcnt"))
+          .filter(col("rcnt") > 0)
+          .write.mode("overwrite").parquet(s"$dir/counts")
+    }
+
+  /** t84: the model-tier GENERATION TURNOVER — the d75 proof shape on
+    * the DSIR estimator, closing the last artifact tier without a
+    * fold (round-15 verdict missing #1). The lifecycle under test:
+    * absorb (t79) → retract (t82) → FOLD (the three signed segments
+    * compacted into one fresh gen-1 base, zero-rows dropped) → absorb
+    * a NEW batch against the FOLDED generation. The new batch is the
+    * erasure cohort re-admitted (a recrawl re-collects the same
+    * documents — the count segment a recrawl builds is bit-identical
+    * to the retract segment, so the artifact is shared and its build
+    * cost stays attributed to the cache_model_segments warm), which
+    * makes the proof obligation exact and oracle-checkable: gen-1 ⊎
+    * cohort counts, run through the identical smoothing tail, must
+    * reproduce the FULL-corpus model bit for bit — so t84 shares
+    * t74's full-rebuild oracle on the re-grown corpus, and a wrong
+    * fold (a dropped live bucket, a kept zero row miscounted, a sign
+    * error) breaks the hash. Every lifecycle state on the model tier
+    * is now reachable from every other, same as the windex LSM
+    * (d70–d75). Serve cost: O(segments · m) count rows + the t74
+    * codegen'd row-local scoring fold. */
+  def dsirWeightsTurnover(s: SparkSession, d: String): DataFrame = {
+    val merged = s.read.parquet(s"${dsirCountsFoldedDir(s, d)}/counts")
+      .unionByName(s.read
+        .parquet(s"${dsirCountsRetractDir(s, d)}/counts"))
+      .groupBy("bucket")
+      .agg(sum("rcnt").as("rcnt"), sum("tcnt").as("tcnt"))
+    dsirScoreOf(documents(s, d), dsirModelOf(dsirLrFromCounts(merged)))
+      .orderBy("doc_id")
+  }
+
   // ------------- t76 DSIR importance RESAMPLE (the selection manifest)
 
   /** Budget denominator for t76's budgeted variant: keep the top
@@ -2095,26 +2165,14 @@ object TextOps {
       .orderBy("mode", "source")
   }
 
-  val resampleApplySql: String = {
-    // the manifest is t76's oracle verbatim (nested WITH — DuckDB
-    // scopes inner CTE names to the subquery), minus its ORDER BY
-    val manifestSub = dsirResampleSql.replace("\nORDER BY sc.doc_id", "")
-    require(manifestSub != dsirResampleSql,
-      "t80 oracle: t76's ORDER BY anchor drifted")
-    s"""WITH manifest AS ($manifestSub),
-      |keep AS (SELECT doc_id, 'sampled' AS mode FROM manifest
-      |         WHERE sampled
-      |         UNION ALL
-      |         SELECT doc_id, 'budget' AS mode FROM manifest
-      |         WHERE budget_kept),
-      |ktoks AS (
-      |  SELECT k.mode, d.source, d.doc_id,
-      |    unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
-      |           x -> x <> '')) AS w
-      |  FROM documents d JOIN keep k USING (doc_id)),
-      |words AS (SELECT mode, source, w, count(*) AS freq FROM ktoks
-      |          GROUP BY 1, 2, 3),
-      |vocab0 AS (SELECT w, count(*) AS n FROM (
+  /** The shared BPE-accounting CTE chain (vocab0 → pairs → ranked →
+    * merges → seg0 → seg): t66's merge induction over the FULL
+    * corpus's vocabulary plus the greedy apply over `words`' distinct
+    * vocabulary — verbatim in t80's and t85's oracles (both account a
+    * subset corpus under the one trained tokenizer, the t73
+    * contract). Expects a `words` CTE with a `w` column in scope. */
+  private val bpeSegCtesSql: String =
+    s"""vocab0 AS (SELECT w, count(*) AS n FROM (
       |    SELECT unnest(list_filter(
       |      regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
       |    FROM documents) GROUP BY w),
@@ -2140,7 +2198,28 @@ object TextOps {
       |  SELECT w, CASE WHEN r IS NULL THEN CAST(length(w) AS BIGINT)
       |    ELSE CAST(length(r) - length(replace(r, '|', '')) AS BIGINT)
       |    END AS n_sym
-      |  FROM seg0),
+      |  FROM seg0)""".stripMargin
+
+  val resampleApplySql: String = {
+    // the manifest is t76's oracle verbatim (nested WITH — DuckDB
+    // scopes inner CTE names to the subquery), minus its ORDER BY
+    val manifestSub = dsirResampleSql.replace("\nORDER BY sc.doc_id", "")
+    require(manifestSub != dsirResampleSql,
+      "t80 oracle: t76's ORDER BY anchor drifted")
+    s"""WITH manifest AS ($manifestSub),
+      |keep AS (SELECT doc_id, 'sampled' AS mode FROM manifest
+      |         WHERE sampled
+      |         UNION ALL
+      |         SELECT doc_id, 'budget' AS mode FROM manifest
+      |         WHERE budget_kept),
+      |ktoks AS (
+      |  SELECT k.mode, d.source, d.doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+      |           x -> x <> '')) AS w
+      |  FROM documents d JOIN keep k USING (doc_id)),
+      |words AS (SELECT mode, source, w, count(*) AS freq FROM ktoks
+      |          GROUP BY 1, 2, 3),
+      |$bpeSegCtesSql,
       |acct AS (SELECT mode, source, CAST(sum(freq) AS BIGINT) AS ws_tokens,
       |    CAST(sum(freq * n_sym) AS BIGINT) AS bpe_tokens,
       |    CAST(sum(freq * n_sym) * 1000000 // sum(freq) AS BIGINT)
@@ -2156,6 +2235,143 @@ object TextOps {
       |JOIN nd ON nd.mode = a.mode AND nd.source = a.source
       |JOIN tb ON tb.mode = a.mode
       |ORDER BY a.mode, a.source""".stripMargin
+  }
+
+  // --------------- t85 the composed RELEASE PIPELINE (the flagship)
+
+  /** t85: the end-to-end CORPUS RELEASE — the proven stages chained
+    * into the one dataflow this engine exists to run (round-15
+    * verdict missing #3: every stage was oracle-proven alone, none
+    * composed). A document ships in the release iff ALL FOUR verdict
+    * columns agree:
+    *
+    *  1. quality — t78's CALIBRATED perplexity filter: keep iff its
+    *     score under the frozen reference LM clears the τ re-derived
+    *     in-pass from the reference slice's exact p95 (no hand
+    *     constant anywhere);
+    *  2. routing — t70's contamination-safe split: only `train` ships
+    *     (benchmark docs, quarantined passage-hits, validation and
+    *     test all stay out by the salted-hash home rule);
+    *  3. selection — t76's DSIR importance resample, `sampled` mode:
+    *     the deterministic md5-coin acceptance under the normalized
+    *     importance weight;
+    *
+    * and what ships is not its raw text but 4. d68's substring-CLEANED
+    * text (keep-first span cuts at ≥12 tokens, merged intervals). The
+    * released corpus is then accounted the way a mixture plan consumes
+    * it (t80's census): per-source doc counts, whitespace and
+    * trained-tokenizer token counts over the CLEANED text, and each
+    * source's exact ppm share of the release's BPE-token total — the
+    * sign-off table a data-release review reads.
+    *
+    * Scale shape: each stage keeps its own proven plan (the scored
+    * artifact serve, the broadcast passage gate, d65's bucketed
+    * detection + span sidecar equi-join, the row-local coin) and the
+    * composition adds only doc_id equi-joins of |corpus|-row verdict
+    * frames plus ONE checkpoint of the released corpus (the census
+    * reads it twice — t80's manifest-checkpoint rule); the census
+    * collapses to (source, word) partials immediately and everything
+    * after is vocab-bounded. The oracle nests the four stage SQLs
+    * verbatim (the t80-nests-t76 pattern) — any drift in any stage's
+    * semantics, or in how they compose, breaks this hash. */
+  def releasePipeline(s: SparkSession, d: String): DataFrame = {
+    // stage 1 — calibrated quality verdict (t78's machinery)
+    val scored = pplScoredCached(s, d)
+    val quality = scored.crossJoin(broadcast(pplTauFrame(scored)))
+      .select(col("doc_id"),
+        (col("avg_nlp_micro").isNotNull &&
+          col("avg_nlp_micro") <= col("tau_derived")).as("keep_q"))
+    // stage 2 — contamination-safe routing (t70's per-doc stage)
+    val splits = docSplitsOf(documents(s, d)).select("doc_id", "split")
+    // stage 3 — substring-cleaned text (d68's per-doc frame)
+    val clean = graft.ext.DedupOps.substringCleanFrame(s, d)
+      .select("doc_id", "clean_text")
+    // stage 4 — DSIR resample verdict (t76's manifest, sampled mode)
+    val manifest = dsirManifestFrame(s, d).select("doc_id", "sampled")
+    // the RELEASED corpus: all verdicts AND-composed on doc_id —
+    // checkpointed because the census reads it twice (words + counts)
+    val rel = documents(s, d).select("doc_id", "source")
+      .join(quality, Seq("doc_id"))
+      .join(splits, Seq("doc_id"))
+      .join(manifest, Seq("doc_id"))
+      .join(clean, Seq("doc_id"))
+      .filter(col("keep_q") && col("split") === "train" && col("sampled"))
+      .select("doc_id", "source", "clean_text")
+      .localCheckpoint()
+    // stage 5 — the release census (t80's accounting over CLEANED
+    // text, under the one full-corpus-trained tokenizer)
+    val vocabAll = documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val words = rel
+      .select(col("source"), explode(tokens(col("clean_text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+    val nd = rel.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    bpeAccountingOf(words, "source", vocabAll)
+      .join(nd, Seq("source"))
+      .withColumn("__tb", sum("bpe_tokens").over(tw))
+      .select(col("source"), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"), col("tokens_per_word_ppm"),
+        expr("bpe_tokens * 1000000 div __tb").as("share_ppm"))
+      .orderBy("source")
+  }
+
+  /** t85 oracle: the four stage oracles nested VERBATIM (t78, t70's
+    * per-doc routing, d68, t76), AND-joined on doc_id, then t80's
+    * census tail over the cleaned text. */
+  lazy val releasePipelineSql: String = {
+    val quality = pplFilterCalibratedSql.replace("\nORDER BY sc.doc_id", "")
+    require(quality != pplFilterCalibratedSql,
+      "t85 oracle: t78's ORDER BY anchor drifted")
+    val splitCensusAnchor =
+      """SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc_id
+        |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+    val splits = contamSafeSplitSql.replace(splitCensusAnchor,
+      "SELECT doc_id, split FROM assigned")
+    require(splits != contamSafeSplitSql &&
+      splits.contains("SELECT doc_id, split FROM assigned"),
+      "t85 oracle: t70's census anchor drifted")
+    val clean = graft.ext.DedupOps.substringApplySql
+      .replace("\nORDER BY d.doc_id", "")
+    require(clean != graft.ext.DedupOps.substringApplySql,
+      "t85 oracle: d68's ORDER BY anchor drifted")
+    val manifest = dsirResampleSql.replace("\nORDER BY sc.doc_id", "")
+    require(manifest != dsirResampleSql,
+      "t85 oracle: t76's ORDER BY anchor drifted")
+    s"""WITH q AS ($quality),
+      |spl AS ($splits),
+      |cln AS ($clean),
+      |man AS ($manifest),
+      |rel AS (
+      |  SELECT d.doc_id, d.source, cln.clean_text
+      |  FROM documents d
+      |  JOIN q USING (doc_id) JOIN spl USING (doc_id)
+      |  JOIN man USING (doc_id) JOIN cln USING (doc_id)
+      |  WHERE q.keep AND spl.split = 'train' AND man.sampled),
+      |ktoks AS (
+      |  SELECT source, doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(clean_text), '\\s+'),
+      |           x -> x <> '')) AS w
+      |  FROM rel),
+      |words AS (SELECT source, w, count(*) AS freq FROM ktoks GROUP BY 1, 2),
+      |$bpeSegCtesSql,
+      |acct AS (SELECT source, CAST(sum(freq) AS BIGINT) AS ws_tokens,
+      |    CAST(sum(freq * n_sym) AS BIGINT) AS bpe_tokens,
+      |    CAST(sum(freq * n_sym) * 1000000 // sum(freq) AS BIGINT)
+      |      AS tokens_per_word_ppm
+      |  FROM words JOIN seg USING (w) GROUP BY 1),
+      |nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM rel GROUP BY 1),
+      |tb AS (SELECT sum(bpe_tokens) AS tot FROM acct)
+      |SELECT a.source, nd.n_docs, a.ws_tokens, a.bpe_tokens,
+      |  a.tokens_per_word_ppm,
+      |  CAST(a.bpe_tokens * 1000000 // tb.tot AS BIGINT) AS share_ppm
+      |FROM acct a JOIN nd USING (source) CROSS JOIN tb
+      |ORDER BY a.source""".stripMargin
   }
 
   // ------------- t75 perplexity filter vs the FROZEN reference LM
@@ -2239,15 +2455,42 @@ object TextOps {
     * Scale shape: the model tables are vocabulary-bounded and join
     * back by the t61 dictionary rule (broadcast below the d52
     * ceiling, shuffle_hash sharding above); the scoring stream never
-    * shuffles except the per-doc sum keyed on doc_id. The model
-    * build is charged per call here (the em70 honesty rule) — in
-    * production it is a persisted artifact, which is exactly e127's
-    * serving split. */
+    * shuffles except the per-doc sum keyed on doc_id. The scoring
+    * pass (model build included) is a persisted per-(session, dir)
+    * artifact shared by every consumer of the scored corpus
+    * ([[pplScoredDir]]) — its one-time cost is the attributed
+    * `cache_ppl_scored` warm line item (the cache_dedup_frames
+    * discipline; round-15 verdict fix #4 — t75/t77/t78/e130 were
+    * each re-running the identical scoring pass per call), which is
+    * exactly e127's serving split made explicit. */
   def pplFilter(s: SparkSession, d: String): DataFrame =
-    pplScoreFrame(s, d)
+    pplScoredCached(s, d)
       .withColumn("keep", col("avg_nlp_micro").isNotNull &&
         col("avg_nlp_micro") <= pplKeepTauMicro)
       .orderBy("doc_id")
+
+  /** The SCORED per-doc frame (doc_id, lang, n_bigrams,
+    * avg_nlp_micro) persisted once per (session, dir): t75's whole
+    * scoring pass — reference-LM build, per-occurrence smoothed
+    * log-probs, exact per-doc averages — materialized as a parquet
+    * artifact of |documents| rows (never corpus-text-sized) and
+    * served to its four consumers (t75's verdict, t77's calibration,
+    * t78's calibrated filter, e130's batch-side τ derivation). */
+  private[graft] def pplScoredDir(s: SparkSession, d: String): String =
+    modelSegs.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|ppl-scored") {
+      dir =>
+        pplScoreFrame(s, d).write.mode("overwrite").parquet(s"$dir/scored")
+    }
+
+  /** Serve the persisted scored frame (building it on first touch). */
+  private[graft] def pplScoredCached(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${pplScoredDir(s, d)}/scored")
+
+  /** Targeted clear for the scored artifact alone — the warm re-time
+    * contract (a full [[clearModelSegs]] would also drop the t79/t81
+    * segment artifacts other line items already paid for). */
+  def clearPplScored(): Unit = modelSegs.clearMatching("|ppl-scored")
 
   /** The UNORDERED per-doc scored frame (doc_id, lang, n_bigrams,
     * avg_nlp_micro) — t75's whole scoring pass without the
@@ -2471,6 +2714,65 @@ object TextOps {
     patched
   }
 
+  // -------- t86 reference-LM FOLD + generation turnover (t84's twin)
+
+  /** The FOLDED LM generation: base + delta − retract bigram counts
+    * summed into ONE fresh segment, zeroed (w1, w2) rows DROPPED —
+    * here the drop is LOAD-BEARING, not just row-set discipline: V
+    * counts distinct w2 among the table's KEYS (t83's rule), so a
+    * zero-count key the cohort alone contributed would inflate V and
+    * shift every add-one-smoothed score. O(segments · vocab²) count
+    * rows, never the corpus text. */
+  private[graft] def pplC2FoldedDir(s: SparkSession, d: String): String =
+    modelSegs.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|ppl-folded") {
+      dir =>
+        s.read.parquet(s"${pplC2BaseDir(s, d)}/c2")
+          .unionByName(s.read.parquet(s"${pplC2DeltaDir(s, d)}/c2"))
+          .unionByName(s.read
+            .parquet(s"${pplC2RetractDir(s, d)}/c2")
+            .select(col("w1"), col("w2"), col("c2").unary_-.as("c2")))
+          .groupBy("w1", "w2").agg(sum("c2").as("c2"))
+          .filter(col("c2") > 0)
+          .write.mode("overwrite").parquet(s"$dir/c2")
+    }
+
+  /** t86: t84's generation turnover on the SECOND model artifact —
+    * the reference LM's fold (base + delta − retract compacted into
+    * one gen-1 segment) followed by an absorb of the re-admitted
+    * erasure cohort against the FOLDED generation. The merged table
+    * (gen-1 ⊎ cohort counts, per-(w1, w2) sums) must equal the
+    * full-corpus count table in VALUES and in ROW SET — values drive
+    * c2 and c1(w1) = Σ_w2 c2, the row set drives V — so t86 shares
+    * t75's full-rebuild oracle on the re-grown corpus, and the one
+    * genuinely subtle fold rule (zero-count keys dropped BEFORE V
+    * counts keys) is exactly what the hash pins: a kept zero row
+    * re-summed with the cohort's count would leave values right and
+    * V right only by luck of the cohort containing that key — a
+    * cohort-only key NOT re-admitted would inflate V. With t84 the
+    * model tier now has the complete segment algebra on both
+    * artifacts: absorb, retract, fold, turnover — each O(slice) or
+    * O(segments · state), each ≡ rebuild by shared oracle. */
+  def pplFilterTurnover(s: SparkSession, d: String): DataFrame = {
+    // checkpoint: the merged table feeds THREE consumers (c1, V, and
+    // the c2 score join) — vocabulary-bounded rows, the t76 lesson
+    val merged = s.read.parquet(s"${pplC2FoldedDir(s, d)}/c2")
+      .unionByName(s.read.parquet(s"${pplC2RetractDir(s, d)}/c2"))
+      .groupBy("w1", "w2").agg(sum("c2").as("c2"))
+      .localCheckpoint()
+    val c1 = merged.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = merged.agg(count_distinct(col("w2")).as("v"))
+    val bcast = DedupOps.estShingles(s, d) <= DedupOps.dictBroadcastCeiling
+    def dict(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df.hint("shuffle_hash")
+    pplScoredDocs(s, d,
+      pplScoreRows(bigramRows(s, d), merged, c1, v, dict)
+        .select("doc_id", "lpm"))
+      .withColumn("keep", col("avg_nlp_micro").isNotNull &&
+        col("avg_nlp_micro") <= pplKeepTauMicro)
+      .orderBy("doc_id")
+  }
+
   // --------------- t77 τ calibration from the reference-slice scores
 
   /** t77: the τ-CALIBRATION eval — t75's one argued-not-measured knob
@@ -2501,17 +2803,18 @@ object TextOps {
     * and the dominant-language slice of a web corpus is most of the
     * corpus. The statistic is exact either way, so the oracle (which
     * keeps the plain rank-window spelling — DuckDB sorts locally) is
-    * unchanged. Remaining exchanges: t75's scoring pass once
-    * (checkpointed), the segmented machinery's bounded windows, one
-    * tiny per-lang count, and a broadcast-singleton τ attach. */
+    * unchanged. Remaining exchanges: t75's scoring pass served from
+    * the persisted cache_ppl_scored artifact, the segmented
+    * machinery's bounded windows, one tiny per-lang count, and a
+    * broadcast-singleton τ attach. */
   def pplTauCalibration(s: SparkSession, d: String): DataFrame = {
-    // checkpoint: the scored frame feeds the per-lang counts, the rank
-    // machinery, and the final census — without it the whole t75
-    // scoring pass (reference LM build included) runs once per consumer
-    val scored = pplScoreFrame(s, d)
+    // the scored frame is the persisted cache_ppl_scored artifact —
+    // its three consumers here (per-lang counts, the rank machinery,
+    // the final census) each re-read a |documents|-row parquet, so no
+    // checkpoint is needed and the t75 scoring pass never re-runs
+    val scored = pplScoredCached(s, d)
       .filter(col("avg_nlp_micro").isNotNull)
       .select("doc_id", "lang", "avg_nlp_micro")
-      .localCheckpoint()
     val targets = scored.groupBy("lang").agg(count(lit(1)).as("n"))
       .select(col("lang").as("status"), explode(array(
         struct(lit("p50").as("qid"), expr("(n + 1) div 2").as("rk")),
@@ -2577,14 +2880,15 @@ object TextOps {
     * oracle is calibration-independent; both ship).
     *
     * Scale shape (restated round 15, with t77): t75's scoring pass
-    * once (checkpointed — it feeds the τ derivation and the
-    * verdicts), the τ order statistic from the SEGMENTED exact-rank
+    * served from the persisted cache_ppl_scored artifact (it feeds
+    * the τ derivation and the verdicts), the τ order statistic from
+    * the SEGMENTED exact-rank
     * machinery ([[pplTauFrame]] →
     * [[graft.operators.Sketches.exactRankStat]] — parallel segment
     * windows + k85 bracket, never a single-partition per-lang sort),
     * and a broadcast-singleton τ attach. */
   def pplFilterCalibrated(s: SparkSession, d: String): DataFrame = {
-    val scored = pplScoreFrame(s, d).localCheckpoint()
+    val scored = pplScoredCached(s, d) // the cache_ppl_scored artifact
     scored.crossJoin(broadcast(pplTauFrame(scored)))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
         col("avg_nlp_micro"), col("tau_derived"),
@@ -2669,6 +2973,9 @@ object TextOps {
     "t81_ppl_lm_absorb"     -> pplFilterAbsorbed _,
     "t82_dsir_model_retract" -> dsirWeightsRetracted _,
     "t83_ppl_lm_retract"    -> pplFilterRetracted _,
+    "t84_dsir_fold_turnover" -> dsirWeightsTurnover _,
+    "t85_release_pipeline"  -> releasePipeline _,
+    "t86_lm_fold_turnover"  -> pplFilterTurnover _,
   )
 
   // lazy so an oracle anchor drift (the require() guards inside the
@@ -2715,5 +3022,11 @@ object TextOps {
     // retract ≡ rebuild-without-cohort
     "t82_dsir_model_retract" -> dsirRetractSql,
     "t83_ppl_lm_retract"    -> pplRetractSql,
+    // fold + turnover ≡ full rebuild on the re-grown corpus (the d75
+    // proof shape at the model tier: gen-1 ⊎ re-admitted cohort)
+    "t84_dsir_fold_turnover" -> dsirWeightsSql,
+    "t86_lm_fold_turnover"  -> pplFilterSql,
+    // the composed release: four stage oracles nested verbatim
+    "t85_release_pipeline"  -> releasePipelineSql,
   )
 }
