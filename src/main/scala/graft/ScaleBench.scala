@@ -542,7 +542,8 @@ object ScaleBench {
         "cache_media_sigs" -> vol("docs"),
         "cache_k83_census" -> vol("docs"),
         "cache_d70_window_index" -> vol("docs"),
-        "cache_model_segments" -> vol("docs"))
+        "cache_model_segments" -> vol("docs"),
+        "cache_ppl_scored" -> vol("docs"))
     val aMap = (cachesA ++ queriesA).toMap
     val items = (cachesB ++ queriesB).map { case (name, tB) =>
       val tA = aMap.getOrElse(name, -1.0)
