@@ -83,7 +83,10 @@ object Bench {
     // row-preserving final-join shape
     "t79_dsir_model_absorb", "t81_ppl_lm_absorb",
     "t82_dsir_model_retract", "t83_ppl_lm_retract",
-    "t84_dsir_fold_turnover", "t86_lm_fold_turnover")
+    "t84_dsir_fold_turnover", "t86_lm_fold_turnover",
+    // t87's verdict columns are row-preserving over inner joins — a
+    // bare count() would prune every stage's verdict computation
+    "t87_release_manifest")
 
   /** The timing action for a query entry: count(), or the
     * full-materialization path for [[fullMaterialize]] members. */

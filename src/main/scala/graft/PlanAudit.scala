@@ -70,7 +70,9 @@ object PlanAudit {
       "d75_windex_regen_absorb", "t82_dsir_model_retract",
       "k86_exact_rank", "t83_ppl_lm_retract",
       "t84_dsir_fold_turnover", "t85_release_pipeline",
-      "t86_lm_fold_turnover", "e132_stream_dsir_maintained")
+      "t86_lm_fold_turnover", "e132_stream_dsir_maintained",
+      "e133_stream_dsir_turnover", "e134_stream_ppl_turnover",
+      "t87_release_manifest", "e135_stream_release_gate")
     // optional arg: comma-separated subset (dev loop — audit one new
     // operator without re-executing the whole list)
     val subset = args.headOption.map(_.split(",").toSet)

@@ -299,7 +299,16 @@ object ScaleBench {
     // text census; the stage machinery is each stage's proven plan
     "t85_release_pipeline" -> "docs",
     // e132: e125's drain with the sidecar re-derived from segments
-    "e132_stream_dsir_maintained" -> "docs")
+    "e132_stream_dsir_maintained" -> "docs",
+    // e133/e134: the same drains one generation later — sidecars
+    // pinned from the post-turnover model artifacts (t84's/t86's)
+    "e133_stream_dsir_turnover" -> "docs",
+    "e134_stream_ppl_turnover" -> "docs",
+    // t87: the per-doc release manifest — three verdict-frame joins
+    "t87_release_manifest" -> "docs",
+    // e135: the composed crawl-time release gate — three stateless
+    // contribution branches into one drain
+    "e135_stream_release_gate" -> "docs")
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

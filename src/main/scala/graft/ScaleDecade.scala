@@ -47,9 +47,12 @@ object ScaleDecade {
       SparkEntry.queries("d59_passage_dedup")(spark, jit).count()
       SparkEntry.queries("t61_bigram_lm")(spark, jit).count()
       SparkEntry.queries("t69_source_calibration")(spark, jit).count()
+      if (only.forall(_.contains("t85_release_pipeline")))
+        SparkEntry.queries("t85_release_pipeline")(spark, jit).count()
     } catch { case e: Throwable =>
       System.err.println(s"[decade] JIT pre-warm failed (non-fatal): $e") }
     graft.ext.DedupOps.clearCaches()
+    graft.ext.TextOps.clearModelSegs()
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -211,6 +214,22 @@ object ScaleDecade {
         items += "t78_ppl_filter_calibrated" -> Bench.median3(() =>
           Bench.runQuery("t78_ppl_filter_calibrated",
             SparkEntry.queries("t78_ppl_filter_calibrated")(spark, dir)))
+      // t85 (round 16): the composed release pipeline — the shared
+      // scored-frame artifact pre-builds untimed (it is the
+      // cache_ppl_scored warm at bench time; the d70 discipline), the
+      // composition itself — four verdict stages AND-joined, cleaned
+      // text, census — is the timed serve. The claim under test at
+      // the second decade: composition cost stays the SUM of the
+      // stage plans (each individually decade-proven), no
+      // super-linear interaction from the doc_id verdict joins or
+      // the released-corpus checkpoint.
+      if (want("t85_release_pipeline")) {
+        graft.ext.TextOps.pplScoredDir(spark, dir)
+        items += "t85_release_pipeline" -> Bench.median3(() =>
+          Bench.runQuery("t85_release_pipeline",
+            SparkEntry.queries("t85_release_pipeline")(spark, dir)))
+        graft.ext.TextOps.clearPplScored()
+      }
       // clearCaches also drops the window-index artifacts
       graft.ext.DedupOps.clearCaches()
       items.toSeq

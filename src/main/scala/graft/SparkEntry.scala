@@ -223,6 +223,26 @@ object SparkEntry {
         "e132_stream_dsir_maintained" ->
           ((s: SparkSession, d: String) =>
             StreamingOps.streamDsirScoreMaintained(s, d)),
+        // e132 one generation later: the sidecar derives from the
+        // POST-TURNOVER model (folded gen-1 ⊎ re-admitted cohort) —
+        // the serving path proven at every model lifecycle state;
+        // shares t74's oracle (= t84's)
+        "e133_stream_dsir_turnover" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamDsirScoreTurnover(s, d)),
+        // e127's crawl gate with the LM literals pinned from the
+        // post-turnover tables (t86's merged c2 → c1 → V-counts-keys);
+        // shares t75's oracle (= t86's)
+        "e134_stream_ppl_turnover" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamPplFilterTurnover(s, d)),
+        // the COMPOSED release gate: quality + routing + selection
+        // verdicts from ONE stream pass over one source — three
+        // stateless contribution branches into one exactly-once log;
+        // shares t87's nested three-stage oracle
+        "e135_stream_release_gate" ->
+          ((s: SparkSession, d: String) =>
+            StreamingOps.streamReleaseGate(s, d)),
         // streaming twin of t76: the crawl-time resample gate — frozen
         // model + frozen normalization max + frozen k85 budget cutoff
         // (a three-literal sidecar), stateless row-local verdicts —
@@ -294,6 +314,9 @@ object SparkEntry {
         "e123_restart_substring_gate" -> DedupOps.incrSubstringDedupSql,
         "e125_stream_dsir_score" -> TextOps.dsirWeightsSql,
         "e132_stream_dsir_maintained" -> TextOps.dsirWeightsSql,
+        "e133_stream_dsir_turnover" -> TextOps.dsirWeightsSql,
+        "e134_stream_ppl_turnover" -> TextOps.pplFilterSql,
+        "e135_stream_release_gate" -> TextOps.releaseManifestSql,
         "e126_stream_absorbed_gate" -> DedupOps.windexAbsorbGateSql,
         "e127_stream_ppl_filter" -> TextOps.pplFilterSql,
         "e128_restart_ppl_filter" -> TextOps.pplFilterSql,

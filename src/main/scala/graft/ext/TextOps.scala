@@ -1907,14 +1907,24 @@ object TextOps {
     * is now reachable from every other, same as the windex LSM
     * (d70–d75). Serve cost: O(segments · m) count rows + the t74
     * codegen'd row-local scoring fold. */
-  def dsirWeightsTurnover(s: SparkSession, d: String): DataFrame = {
+  def dsirWeightsTurnover(s: SparkSession, d: String): DataFrame =
+    dsirScoreOf(documents(s, d), dsirModelTurnover(s, d))
+      .orderBy("doc_id")
+
+  /** The POST-TURNOVER serving model: folded gen-1 ⊎ the re-admitted
+    * cohort's count segment, summed per bucket and run through the
+    * identical smoothing tail — [[dsirModelAbsorbed]]'s shape one
+    * generation later (O(segments · m) rows, never a corpus scan).
+    * Shared by t84's batch serve and e133's crawl-time gate, so the
+    * fold→absorb→pin→serve composition is pinned by one accessor. */
+  private[graft] def dsirModelTurnover(s: SparkSession, d: String)
+      : Array[Long] = {
     val merged = s.read.parquet(s"${dsirCountsFoldedDir(s, d)}/counts")
       .unionByName(s.read
         .parquet(s"${dsirCountsRetractDir(s, d)}/counts"))
       .groupBy("bucket")
       .agg(sum("rcnt").as("rcnt"), sum("tcnt").as("tcnt"))
-    dsirScoreOf(documents(s, d), dsirModelOf(dsirLrFromCounts(merged)))
-      .orderBy("doc_id")
+    dsirModelOf(dsirLrFromCounts(merged))
   }
 
   // ------------- t76 DSIR importance RESAMPLE (the selection manifest)
@@ -2275,19 +2285,12 @@ object TextOps {
     * verbatim (the t80-nests-t76 pattern) — any drift in any stage's
     * semantics, or in how they compose, breaks this hash. */
   def releasePipeline(s: SparkSession, d: String): DataFrame = {
-    // stage 1 — calibrated quality verdict (t78's machinery)
-    val scored = pplScoredCached(s, d)
-    val quality = scored.crossJoin(broadcast(pplTauFrame(scored)))
-      .select(col("doc_id"),
-        (col("avg_nlp_micro").isNotNull &&
-          col("avg_nlp_micro") <= col("tau_derived")).as("keep_q"))
-    // stage 2 — contamination-safe routing (t70's per-doc stage)
-    val splits = docSplitsOf(documents(s, d)).select("doc_id", "split")
+    // stages 1/2/4 — the three per-doc verdict frames (shared with
+    // t87's manifest and, through it, e135's stream gate)
+    val (quality, splits, manifest) = releaseVerdicts(s, d)
     // stage 3 — substring-cleaned text (d68's per-doc frame)
     val clean = graft.ext.DedupOps.substringCleanFrame(s, d)
       .select("doc_id", "clean_text")
-    // stage 4 — DSIR resample verdict (t76's manifest, sampled mode)
-    val manifest = dsirManifestFrame(s, d).select("doc_id", "sampled")
     // the RELEASED corpus: all verdicts AND-composed on doc_id —
     // checkpointed because the census reads it twice (words + counts)
     val rel = documents(s, d).select("doc_id", "source")
@@ -2319,13 +2322,53 @@ object TextOps {
       .orderBy("source")
   }
 
-  /** t85 oracle: the four stage oracles nested VERBATIM (t78, t70's
-    * per-doc routing, d68, t76), AND-joined on doc_id, then t80's
-    * census tail over the cleaned text. */
-  lazy val releasePipelineSql: String = {
+  /** The three per-document release VERDICT frames — quality (t78's
+    * calibrated keep), routing (t70's split), selection (t76's
+    * sampled coin) — factored so t85 (census over the shipped text),
+    * t87 (the manifest), and e135's epilogue consume identical
+    * stages. */
+  private[graft] def releaseVerdicts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val scored = pplScoredCached(s, d)
+    val quality = scored.crossJoin(broadcast(pplTauFrame(scored)))
+      .select(col("doc_id"),
+        (col("avg_nlp_micro").isNotNull &&
+          col("avg_nlp_micro") <= col("tau_derived")).as("keep_q"))
+    val splits = docSplitsOf(documents(s, d)).select("doc_id", "split")
+    val manifest = dsirManifestFrame(s, d).select("doc_id", "sampled")
+    (quality, splits, manifest)
+  }
+
+  /** t87: the per-document RELEASE MANIFEST — t85's decision surface
+    * WITHOUT the shipped payload: every document's three verdict
+    * columns (keep_q / split / sampled) plus the AND-composed
+    * `released` flag, one row per doc. t85 answers "what does the
+    * release look like" (census over cleaned text); t87 answers "why
+    * is THIS document in or out" — the audit row a takedown request
+    * or a release review reads, and the exact frame e135's crawl-time
+    * gate must reproduce from its contribution log (the stream twin
+    * shares this oracle). Scale shape: three |corpus|-row verdict
+    * frames equi-joined on doc_id — no text movement at all, the
+    * cheapest entry in the release tier. */
+  def releaseManifest(s: SparkSession, d: String): DataFrame = {
+    val (quality, splits, manifest) = releaseVerdicts(s, d)
+    documents(s, d).select("doc_id", "source")
+      .join(quality, Seq("doc_id"))
+      .join(splits, Seq("doc_id"))
+      .join(manifest, Seq("doc_id"))
+      .withColumn("released",
+        col("keep_q") && col("split") === "train" && col("sampled"))
+      .orderBy("doc_id")
+  }
+
+  /** The three verdict-stage oracle SQLs (t78 quality, t70 per-doc
+    * routing, t76 manifest), each patched from the published stage
+    * oracle with drift guards — shared by t85's and t87's nested
+    * oracles. */
+  private lazy val releaseStageSqls: (String, String, String) = {
     val quality = pplFilterCalibratedSql.replace("\nORDER BY sc.doc_id", "")
     require(quality != pplFilterCalibratedSql,
-      "t85 oracle: t78's ORDER BY anchor drifted")
+      "release oracle: t78's ORDER BY anchor drifted")
     val splitCensusAnchor =
       """SELECT split, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -2335,14 +2378,38 @@ object TextOps {
       "SELECT doc_id, split FROM assigned")
     require(splits != contamSafeSplitSql &&
       splits.contains("SELECT doc_id, split FROM assigned"),
-      "t85 oracle: t70's census anchor drifted")
+      "release oracle: t70's census anchor drifted")
+    val manifest = dsirResampleSql.replace("\nORDER BY sc.doc_id", "")
+    require(manifest != dsirResampleSql,
+      "release oracle: t76's ORDER BY anchor drifted")
+    (quality, splits, manifest)
+  }
+
+  /** t87/e135 oracle: the three stage oracles nested verbatim,
+    * one row per document, verdict columns + the composed flag. */
+  lazy val releaseManifestSql: String = {
+    val (quality, splits, manifest) = releaseStageSqls
+    s"""WITH q AS ($quality),
+      |spl AS ($splits),
+      |man AS ($manifest)
+      |SELECT d.doc_id, d.source, q.keep AS keep_q, spl.split,
+      |  man.sampled,
+      |  (q.keep AND spl.split = 'train' AND man.sampled) AS released
+      |FROM documents d
+      |JOIN q USING (doc_id) JOIN spl USING (doc_id)
+      |JOIN man USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** t85 oracle: the four stage oracles nested VERBATIM (t78, t70's
+    * per-doc routing, d68, t76), AND-joined on doc_id, then t80's
+    * census tail over the cleaned text. */
+  lazy val releasePipelineSql: String = {
+    val (quality, splits, manifest) = releaseStageSqls
     val clean = graft.ext.DedupOps.substringApplySql
       .replace("\nORDER BY d.doc_id", "")
     require(clean != graft.ext.DedupOps.substringApplySql,
       "t85 oracle: d68's ORDER BY anchor drifted")
-    val manifest = dsirResampleSql.replace("\nORDER BY sc.doc_id", "")
-    require(manifest != dsirResampleSql,
-      "t85 oracle: t76's ORDER BY anchor drifted")
     s"""WITH q AS ($quality),
       |spl AS ($splits),
       |cln AS ($clean),
@@ -2754,14 +2821,7 @@ object TextOps {
     * artifacts: absorb, retract, fold, turnover — each O(slice) or
     * O(segments · state), each ≡ rebuild by shared oracle. */
   def pplFilterTurnover(s: SparkSession, d: String): DataFrame = {
-    // checkpoint: the merged table feeds THREE consumers (c1, V, and
-    // the c2 score join) — vocabulary-bounded rows, the t76 lesson
-    val merged = s.read.parquet(s"${pplC2FoldedDir(s, d)}/c2")
-      .unionByName(s.read.parquet(s"${pplC2RetractDir(s, d)}/c2"))
-      .groupBy("w1", "w2").agg(sum("c2").as("c2"))
-      .localCheckpoint()
-    val c1 = merged.groupBy("w1").agg(sum("c2").as("c1"))
-    val v = merged.agg(count_distinct(col("w2")).as("v"))
+    val (merged, c1, v) = pplLmTurnover(s, d)
     val bcast = DedupOps.estShingles(s, d) <= DedupOps.dictBroadcastCeiling
     def dict(df: DataFrame): DataFrame =
       if (bcast) broadcast(df) else df.hint("shuffle_hash")
@@ -2771,6 +2831,25 @@ object TextOps {
       .withColumn("keep", col("avg_nlp_micro").isNotNull &&
         col("avg_nlp_micro") <= pplKeepTauMicro)
       .orderBy("doc_id")
+  }
+
+  /** The POST-TURNOVER reference-LM tables: folded gen-1 c2 ⊎ the
+    * re-admitted cohort's c2 segment summed per (w1, w2), with c1 and
+    * V derived FROM the merged table (c1(w1) = Σ_w2 c2; V = distinct
+    * w2 among the keys — t83's V-counts-keys rule, which is why the
+    * fold's zero-row drop is load-bearing). Checkpointed: the merged
+    * table feeds three consumers (c1, V, the score join) —
+    * vocabulary-bounded rows, the t76 lesson. Shared by t86's batch
+    * serve and e134's crawl-time gate. */
+  private[graft] def pplLmTurnover(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val merged = s.read.parquet(s"${pplC2FoldedDir(s, d)}/c2")
+      .unionByName(s.read.parquet(s"${pplC2RetractDir(s, d)}/c2"))
+      .groupBy("w1", "w2").agg(sum("c2").as("c2"))
+      .localCheckpoint()
+    val c1 = merged.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = merged.agg(count_distinct(col("w2")).as("v"))
+    (merged, c1, v)
   }
 
   // --------------- t77 τ calibration from the reference-slice scores
@@ -2976,6 +3055,7 @@ object TextOps {
     "t84_dsir_fold_turnover" -> dsirWeightsTurnover _,
     "t85_release_pipeline"  -> releasePipeline _,
     "t86_lm_fold_turnover"  -> pplFilterTurnover _,
+    "t87_release_manifest"  -> releaseManifest _,
   )
 
   // lazy so an oracle anchor drift (the require() guards inside the
@@ -3028,5 +3108,8 @@ object TextOps {
     "t86_lm_fold_turnover"  -> pplFilterSql,
     // the composed release: four stage oracles nested verbatim
     "t85_release_pipeline"  -> releasePipelineSql,
+    // the per-doc decision surface: three stage oracles nested,
+    // shared with e135's crawl-time gate
+    "t87_release_manifest"  -> releaseManifestSql,
   )
 }

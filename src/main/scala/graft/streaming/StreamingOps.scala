@@ -1500,6 +1500,175 @@ object StreamingOps {
     }.orderBy("doc_id")
   }
 
+  /** e133: the crawl-time DSIR gate one GENERATION later — e132's
+    * absorb→pin→serve composition extended through the FOLD: the
+    * 256-cell literal sidecar derives from
+    * [[graft.ext.TextOps.dsirModelTurnover]] (folded gen-1 segment ⊎
+    * the re-admitted cohort's segment, summed and smoothed —
+    * O(segments · m), never a corpus scan), so the pinned model has
+    * lived the ENTIRE lifecycle — base build, delta absorb, cohort
+    * retract, generation fold, post-fold absorb — before a single
+    * stream row is scored. Shares t74's full-rebuild oracle (t84's):
+    * the hash pins fold ≡ rebuild AND pin ≡ broadcast-plan in one
+    * check. With e125 (rebuild pin), e132 (absorbed pin), and this
+    * entry (post-turnover pin), the serving path is proven at every
+    * lifecycle state of the model artifact — the e122/e126/e131
+    * ladder, closed on the model tier. */
+  def streamDsirScoreTurnover(spark: SparkSession, d: String)
+      : DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val model = graft.ext.TextOps.dsirModelTurnover(spark, d)
+    drainToFileSink(spark, "e133", nIn) {
+      graft.ext.TextOps.dsirScoreOf(
+        spark.readStream
+          .schema(documentsSchema)
+          .parquet(stageDir),
+        model)
+    }.orderBy("doc_id")
+  }
+
+  /** e134: e133's twin on the SECOND model artifact — e127's
+    * crawl-time perplexity gate with the reference-LM literal sidecar
+    * pinned from the POST-TURNOVER tables
+    * ([[graft.ext.TextOps.pplLmTurnover]]: folded gen-1 c2 ⊎ the
+    * re-admitted cohort's segment, c1 and V derived FROM the merged
+    * table — t83's V-counts-keys rule, so the fold's zero-row drop is
+    * load-bearing in the SIDECAR: one stale zero key would shift V
+    * and every smoothed literal). The stream stage is e127's
+    * verbatim — stateless bigram explode + broadcast-literal joins +
+    * micro-nat contribution log; shares t75's oracle (t86's), which
+    * hash-pins fold ≡ rebuild ∧ literal-pin ≡ table-join-plan across
+    * the restartable exactly-once drain. One erasure request now
+    * provably reaches BOTH crawl-time gates through their folded
+    * generations. */
+  def streamPplFilterTurnover(spark: SparkSession, d: String)
+      : DataFrame = {
+    import spark.implicits._
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val (c2r, c1r, vr) = graft.ext.TextOps.pplLmTurnover(spark, d)
+    val c2 = c2r.as[(String, String, Long)].collect().toSeq
+      .toDF("w1", "w2", "c2")
+    val c1 = c1r.as[(String, Long)].collect().toSeq.toDF("w1", "c1")
+    val v = vr.as[Long].collect().toSeq.toDF("v")
+    val lpLog = drainToFileSink(spark, "e134", nIn) {
+      graft.ext.TextOps.pplScoreRows(
+        graft.ext.TextOps.bigramRowsOf(
+          spark.readStream
+            .schema(documentsSchema)
+            .parquet(stageDir)),
+        c2, c1, v, df => broadcast(df))
+        .select("doc_id", "lpm")
+    }
+    graft.ext.TextOps.pplFinish(spark, d, lpLog)
+  }
+
+  /** e135: the COMPOSED release gate at crawl time — t85/t87's
+    * decision surface as ONE streaming pass, the engine's flagship
+    * twin. Each of the three verdict stages is already stream-proven
+    * alone (quality e130, routing e115, selection e129); this entry
+    * proves they compose in a single query over a single source with
+    * zero state: the arriving doc fans into three STATELESS
+    * contribution branches — per-bigram LM scores against the e127
+    * literal sidecar, per-passage routing rows against the broadcast
+    * benchmark set (t48 bucket riding along), and the per-doc
+    * row-local DSIR coin verdict against the frozen (model, wmax)
+    * sidecar — tagged with a `kind` discriminator and unioned into
+    * ONE exactly-once file sink (heterogeneous granularities in one
+    * contribution log: the e108 discipline generalized). The per-doc
+    * verdicts (τ average, max-hit routing, coin) and the AND-composed
+    * `released` flag are the read-time epilogue, sharing t87's nested
+    * three-stage oracle — so the hash pins per-stage batch/stream
+    * parity AND the composition itself in one check. At scale: the
+    * crawler makes the complete ship/quarantine/drop decision per
+    * document at source throughput with constant memory — the
+    * re-derivation cadence (model refresh, τ re-pin, benchmark
+    * update) stays batch-side, exactly the production split. */
+  def streamReleaseGate(spark: SparkSession, d: String): DataFrame = {
+    val stageDir = stageFile(spark, d, "documents.parquet")
+    val nIn = cachedCount(d, "doc_all") {
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    // frozen sidecars, all derived batch-side, all bounded: the LM
+    // literals (vocab-bounded), the one-scalar τ, the benchmark
+    // passage-hash set (bounded by construction), the 256-cell model,
+    // the normalization max
+    val (c2, c1, v) = pplRefLmPinned(spark, d)
+    val tauRows = graft.ext.TextOps.pplTauFrame(
+      graft.ext.TextOps.pplScoredCached(spark, d)).collect()
+    val bench = graft.ext.DedupOps.passageHashes(
+        graft.Tables.documents(spark, d))
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("ph")).distinct()
+      .withColumn("is_hit", lit(1L))
+    val model = graft.ext.TextOps.dsirModel(spark, d)
+    val wmaxRow = graft.ext.TextOps.dsirScoreOf(
+        graft.Tables.documents(spark, d), model)
+      .agg(max("w_micro")).collect()(0)
+    val wmaxV = if (wmaxRow.isNullAt(0)) 0L else wmaxRow.getLong(0)
+    if (tauRows.isEmpty)
+      // an empty reference slice derives no τ — batch t87's inner
+      // join with the empty quality frame is empty; degrade the same
+      // way without draining (the e130 guard)
+      return graft.Tables.documents(spark, d).select("doc_id", "source")
+        .withColumn("keep_q", lit(false))
+        .withColumn("split", lit(""))
+        .withColumn("sampled", lit(false))
+        .withColumn("released", lit(false))
+        .limit(0)
+    val tauV = tauRows(0).getLong(0)
+    val log = drainToFileSink(spark, "e135", nIn) {
+      val src = spark.readStream
+        .schema(documentsSchema)
+        .parquet(stageDir)
+      val lp = graft.ext.TextOps.pplScoreRows(
+          graft.ext.TextOps.bigramRowsOf(src),
+          c2, c1, v, df => broadcast(df))
+        .select(col("doc_id"), lit("lp").as("kind"),
+          col("lpm").as("a"), lit(null).cast("long").as("b"))
+      val rt = contamRouteLog(src, bench)
+        .select(col("doc_id"), lit("rt").as("kind"),
+          col("bucket").as("a"), col("hit").as("b"))
+      val dc = graft.ext.TextOps.dsirManifestStage(
+          graft.ext.TextOps.dsirScoreOf(src, model)
+            .select("doc_id", "lang", "w_micro"),
+          lit(wmaxV), lit(Long.MaxValue), lit(Long.MaxValue))
+        .select(col("doc_id"), lit("dc").as("kind"),
+          when(col("sampled"), 1L).otherwise(0L).as("a"),
+          lit(null).cast("long").as("b"))
+      lp.unionByName(rt).unionByName(dc)
+    }
+    val keepQ = graft.ext.TextOps.pplScoredDocs(spark, d,
+        log.filter(col("kind") === "lp")
+          .select(col("doc_id"), col("a").as("lpm")))
+      .select(col("doc_id"),
+        (col("avg_nlp_micro").isNotNull &&
+          col("avg_nlp_micro") <= lit(tauV)).as("keep_q"))
+    val routed = log.filter(col("kind") === "rt")
+      .groupBy("doc_id").agg(max("b").as("bad"), max("a").as("bucket"))
+      .withColumn("split",
+        when(col("doc_id") % 97 === 0, "benchmark")
+          .when(col("bad") === 1L, "quarantined")
+          .when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .select("doc_id", "split")
+    val sampled = log.filter(col("kind") === "dc")
+      .select(col("doc_id"), (col("a") === 1L).as("sampled"))
+    graft.Tables.documents(spark, d).select("doc_id", "source")
+      .join(keepQ, Seq("doc_id"))
+      .join(routed, Seq("doc_id"))
+      .join(sampled, Seq("doc_id"))
+      .withColumn("released",
+        col("keep_q") && col("split") === "train" && col("sampled"))
+      .orderBy("doc_id")
+  }
+
   /** e129: t76's STREAMING twin — the DSIR resample gate at crawl
     * time: the importance model (dense 256-cell array), the
     * normalization max, and the k85-sketch budget cutoff are all

@@ -114,6 +114,25 @@ class Round22Spec extends AnyFunSuite with SparkSpec {
         "the three public verdicts")
   }
 
+  // ---- t87: the manifest's released set is t85's release, exactly
+
+  test("t87: released count equals the t85 census doc total, and every verdict column is individually consistent with its public stage") {
+    val man = TextOps.releaseManifest(spark, sf).collect()
+    val released = man.count(_.getAs[Boolean]("released"))
+    val censusDocs = TextOps.releasePipeline(spark, sf).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(released.toLong === censusDocs,
+      "t87's composed flag must select exactly the docs t85 accounts")
+    // released ⇔ the conjunction, row by row
+    assert(man.forall(r => r.getAs[Boolean]("released") ===
+      (r.getAs[Boolean]("keep_q") && r.getAs[String]("split") == "train"
+        && r.getAs[Boolean]("sampled"))),
+      "released must be the AND of the three verdicts on every row")
+    assert(man.exists(_.getAs[Boolean]("released")) &&
+      man.exists(!_.getAs[Boolean]("released")),
+      "fixture sanity: both verdict populations non-trivial")
+  }
+
   // ------- exactRankStat: struct gkey separates would-be collisions
 
   test("exactRankStat: statuses that collide under a '#' concat key bracket independently under the struct key") {
@@ -132,6 +151,25 @@ class Round22Spec extends AnyFunSuite with SparkSpec {
     assert(out.size === 2)
     assert(out(("a#b", "c")) === 0L, "rank 1 of the a#b group")
     assert(out(("a", "b#c")) === 1049L, "rank 50 of the a group")
+  }
+
+  // ------- e133/e134: the shared turnover accessors equal the rebuild
+
+  test("turnover accessors: dsirModelTurnover equals the full-rebuild model and pplLmTurnover's tables equal pplRefLm's (the e133/e134 sidecars serve the exact artifact)") {
+    assert(java.util.Arrays.equals(
+        TextOps.dsirModelTurnover(spark, sf), TextOps.dsirModel(spark, sf)),
+      "the post-turnover DSIR model must be cell-identical to the " +
+        "full rebuild — e133 pins its sidecar from this accessor")
+    def set3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def set2(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val (m, c1, v) = TextOps.pplLmTurnover(spark, sf)
+    val (c2F, c1F, vF) = TextOps.pplRefLm(spark, sf)
+    assert(set3(m) === set3(c2F), "turnover c2 ≡ rebuild c2")
+    assert(set2(c1) === set2(c1F), "derived c1 ≡ rebuild c1")
+    assert(v.head().getLong(0) === vF.head().getLong(0),
+      "V over the merged table's keys ≡ rebuild V")
   }
 
   // shared-registry hygiene: drop what this suite built
