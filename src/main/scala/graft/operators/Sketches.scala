@@ -720,10 +720,16 @@ object Sketches {
     * Exchanges per round: the segment rank window (partitioned by
     * (group, seg) — parallel), the merged-sketch window (≤ 64·S kept
     * rows per group — bounded whatever the corpus), and one broadcast
-    * of the ≤|targets| bracket rows back onto the band scan. Rows are
-    * fanned out per target up front (gkey = struct(status, qid)) so every
-    * target brackets independently; targets-per-group is small (2
-    * here) and the fan-out is a broadcast join on the scan. */
+    * of the ≤|targets| bracket rows back onto the band scan. Round 1
+    * runs in STATUS space — one sketch pass per input group, its
+    * brackets grouped per target (gkey = struct(status, qid)) — so the
+    * corpus is never materialized ×targets (round-16 restatement: the
+    * old up-front gkey fan-out checkpointed |group|·targets rows and
+    * ran the segment windows over the duplicates; targets of one
+    * status bracket against the SAME status-level merged sketch, so
+    * the numbers are unchanged). Only band rows (~n/32 per target)
+    * fan out per gkey, and rounds ≥ 2 bracket each target's band
+    * independently as before. */
   private[graft] def exactRankStat(rows0: DataFrame,
       targets0: DataFrame): DataFrame = {
     // gkey is a (status, qid) STRUCT, not a string concat: struct
@@ -734,41 +740,79 @@ object Sketches {
       struct(col("status"), col("qid")).as("gkey"),
       col("status").as("t_status"), col("qid").as("t_qid"), col("rk"))
       .localCheckpoint()
-    var rows = rows0
+    // status-keyed input slice (targets' groups only) — round 1
+    // sketches THIS frame, once per group
+    val rowsS = rows0
+      .join(broadcast(t0.select("t_status").distinct()),
+        col("status") === col("t_status"))
+      .select(col("status"), col("cents"), col("uid"))
+      .localCheckpoint()
+    var targets = t0.select(col("gkey"), col("rk"))
+    // gkey-keyed band rows (assigned by round 1; pre-settle inputs
+    // fan out lazily — one broadcast join feeding the finish agg)
+    var rows = rowsS
       .join(broadcast(t0.select(col("gkey"), col("t_status"))),
         col("status") === col("t_status"))
       .select(col("gkey"), col("cents"), col("uid"))
-      .localCheckpoint()
-    var targets = t0.select(col("gkey"), col("rk"))
     var round = 1
-    var settled = false
+    // round-0 settle: an input already final-aggregate-sized skips the
+    // bracket machinery entirely (the count reads the just-checkpointed
+    // blocks — one cheap job). Exactness is round-count-independent
+    // (rk unrebased = the global rank into the full sorted group), so
+    // like the per-round settle below this is purely a cost knob — at
+    // fixture scale the τ-derivation tier (≤ |documents| rows) pays
+    // zero bracket rounds, a 10B-row group still takes every round.
+    var settled = rowsS.count() <= 64L * 1024L
     while (round <= exactRankRounds && !settled) {
-      val seg = rows.select(col("gkey").as("status"),
-        (col("uid") % exactRankSegs).cast("string").as("seg"),
-        col("cents"), col("uid"))
+      // round 1 groups by the raw status (one segment window per input
+      // group); later rounds group each target's band independently
+      val seg =
+        if (round == 1) rowsS.select(col("status"),
+          (col("uid") % exactRankSegs).cast("string").as("seg"),
+          col("cents"), col("uid"))
+        else rows.select(col("gkey").as("status"),
+          (col("uid") % exactRankSegs).cast("string").as("seg"),
+          col("cents"), col("uid"))
       val kept = rankSampleOf(seg).localCheckpoint()
       val merged = kept.withColumn("cumw", sum("weight").over(
         Window.partitionBy("status").orderBy("cents", "uid")))
       val errB = kept.select("status", "seg", "step").distinct()
         .groupBy("status").agg(sum(col("step") - 1L).as("eb"))
+      // targets keyed by this round's group column: round 1 maps each
+      // gkey target onto its status-level sketch, later rounds join on
+      // the gkey the band rows already carry
+      val tKeyed =
+        if (round == 1) targets.join(
+          broadcast(t0.select(col("gkey").as("tg"), col("t_status"))),
+          col("gkey") === col("tg"))
+          .select(col("gkey"), col("t_status").as("status"), col("rk"))
+        else targets.select(col("gkey"), col("gkey").as("status"), col("rk"))
       // hi/lo via min/max over (cents, uid) structs: cumw is strictly
       // increasing along the merged (cents, uid) order (weights ≥ 1),
       // so the (cents, uid)-extremes ARE the cumw-extremes. The lo
       // sentinel (Long.MinValue pair) sits below all real data — rk'
       // then stays the global rank, which is round-1-exact for a
       // group small enough that no kept item clears cumw + eb < rk.
-      val br = targets.withColumnRenamed("gkey", "status")
+      val br = tKeyed
         .join(errB, Seq("status")).join(merged, Seq("status"))
-        .groupBy("status", "rk")
+        .groupBy("gkey", "status", "rk")
         .agg(min(when(col("cumw") >= col("rk"),
             struct(col("cents"), col("uid")))).as("hi"),
           max(when(col("cumw") + col("eb") < col("rk"),
             struct(col("cents"), col("uid")))).as("lo"))
-        .select(col("status").as("gkey"), col("rk"),
+        .select(col("gkey"), col("status"), col("rk"),
           col("hi.cents").as("hi_c"), col("hi.uid").as("hi_u"),
           coalesce(col("lo.cents"), lit(Long.MinValue)).as("lo_c"),
           coalesce(col("lo.uid"), lit(Long.MinValue)).as("lo_u"))
-      val tagged = rows.join(broadcast(br), Seq("gkey"))
+      // the bracket fan-out: round 1 joins the status-keyed scan to its
+      // targets' brackets (duplicating a row only per target of its own
+      // status, filtered to the bands immediately); later rounds join
+      // each band to its own bracket
+      val tagged =
+        if (round == 1) rowsS.join(
+          broadcast(br.withColumnRenamed("status", "__bs")),
+          col("status") === col("__bs"))
+        else rows.join(broadcast(br.drop("status")), Seq("gkey"))
       val leLo = col("cents") < col("lo_c") ||
         (col("cents") === col("lo_c") && col("uid") <= col("lo_u"))
       val inBand = (col("cents") > col("lo_c") ||
