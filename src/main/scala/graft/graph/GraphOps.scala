@@ -249,8 +249,20 @@ object GraphOps {
     * plan. */
   private[graft] def prSteps(r0: DataFrame, ed: DataFrame, iters: Int,
       teleport: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
-      : DataFrame = {
+      : DataFrame =
+    prStepsTap(r0, ed, iters, teleport, -1)._1
+
+  /** [[prSteps]] that additionally returns the (checkpointed) iterate
+    * at step `tapAt` — a shorter run from the same init IS the longer
+    * chain's intermediate state, so an eval comparing two budgets from
+    * one init (g106's cold-vs-ref) taps the shared chain instead of
+    * re-running the first `tapAt` iterations. Checkpointing the tap
+    * does not change values, only lineage. */
+  private[graft] def prStepsTap(r0: DataFrame, ed: DataFrame, iters: Int,
+      teleport: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      tapAt: Int): (DataFrame, Option[DataFrame]) = {
     var r = r0
+    var tap: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contrib = r.join(ed, r("id") === ed("src"))
         .groupBy("dst").agg(sum(expr("rank div deg")).as("s"))
@@ -259,10 +271,12 @@ object GraphOps {
         .select(col("l.id").as("id"),
           (teleport(col("l.id")) +
             expr("(coalesce(s, 0) * 85) div 100")).as("rank"))
-      r = if (i % 5 == 0 || i == iters) next.localCheckpoint(true)
+      r = if (i % 5 == 0 || i == iters || i == tapAt)
+            next.localCheckpoint(true)
           else next
+      if (i == tapAt) tap = Some(r)
     }
-    r
+    (r, tap)
   }
 
   private def uniformTeleport(
@@ -426,10 +440,14 @@ object GraphOps {
     withVolumeShuffle(s, ed.count()) {
       val verts = prVerts(s, d)
       val uni = verts.withColumn("rank", lit(prScale)).localCheckpoint(true)
-      val ref = prSteps(uni, ed, refIters, uniformTeleport)
-        .toDF("id", "ref")
-      val cold = prSteps(uni, ed, warmIters, uniformTeleport)
-        .toDF("id", "cold")
+      // cold (warmIters from uniform) IS the reference chain's
+      // warmIters-th iterate — tap it instead of paying those
+      // iterations twice (round-16: 4 of 23 iterations removed,
+      // identical integer arithmetic either way)
+      val (ref0, coldTap) =
+        prStepsTap(uni, ed, refIters, uniformTeleport, warmIters)
+      val ref = ref0.toDF("id", "ref")
+      val cold = coldTap.get.toDF("id", "cold")
       val warm = warmRanks(s, d, ed).toDF("id", "warm")
       val a = ref.join(cold, "id").join(warm, "id")
         .agg(sum(abs(col("cold") - col("ref"))).as("cold_l1"),

@@ -445,13 +445,16 @@ object EmailOps {
   // --------------------------------------- em73 store compaction
 
   /** em73: SMALL-FILES COMPACTION under the oracle — the maintenance
-    * pass an incremental store needs at 100 TB. Every upsert/streaming
-    * batch writes its affected months with one file per write task, so
-    * a busy month accumulates tiny files that shred scan throughput
+    * pass an incremental store needs at 100 TB. A busy month
+    * accumulates tiny files across many small batches (streaming
+    * cadences, concurrent writers) that shred scan throughput
     * (per-split scheduling, footer reads, row-group overhead). The
     * rehearsal: build the month-partitioned store from the fixture
-    * corpus (the write fans each month across the shuffle's tasks —
-    * genuine fragmentation, not a synthetic split), run
+    * corpus, plant the accumulated many-batch state explicitly with
+    * [[graft.store.PartitionedEmailStore.fragment]] (round 16:
+    * upserts now cluster their writes by month, so a single rewrite
+    * no longer fragments — the production source of fragmentation is
+    * batch cadence, which a fixture cannot afford to replay), run
     * [[graft.store.PartitionedEmailStore.compact]], and read the SAME
     * census em70 reads. Compaction is content-invariant by contract,
     * so the oracle is the uncompacted synthesis rules — any row lost,
@@ -471,6 +474,7 @@ object EmailOps {
       val store = new graft.store.PartitionedEmailStore(s, root + "/store")
       try {
         store.upsert(docs)
+        store.fragment(8)
         val before = store.fileCensus()
         val plan = store.compact()
         require(plan.nonEmpty,

@@ -79,6 +79,12 @@ class KeyIndex(spark: SparkSession, val path: String, numBuckets: Int = 64) {
     entries
       .select(col("dedupe_key"), col("date_month"),
         kb(col("dedupe_key")).as("kb"))
+      // cluster by bucket before the partitioned write: otherwise every
+      // task emits a sliver into every touched kb dir — #tasks × #buckets
+      // near-empty files per refresh, pure footer/commit overhead (the
+      // small-files rule). REBALANCE packs buckets to the advisory
+      // size, so a 2-column index writes ~one file per touched bucket.
+      .hint("rebalance", col("kb"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", overwriteMode)
       .partitionBy("kb")

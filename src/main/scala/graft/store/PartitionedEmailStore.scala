@@ -59,7 +59,7 @@ class PartitionedEmailStore(spark: SparkSession, root: String)
     val compact = EmailStore.mergeBatch(batch).cache()
     try {
       if (isEmpty) {
-        write(compact)
+        write(clusterByMonth(compact))
         index.rebuild(read().select(col("dedupe_key"), col("date_month")))
       } else {
         val batchKeys = compact.select("dedupe_key").cache()
@@ -82,8 +82,8 @@ class PartitionedEmailStore(spark: SparkSession, root: String)
           // retried task re-reading an affected-month file after the
           // commit deleted it would drop or duplicate store rows (the
           // KeyIndex.refresh hazard, applied to the store itself)
-          val merged = EmailStore.merge(existing,
-            compact.withColumn("path", lit(""))).localCheckpoint()
+          val merged = clusterByMonth(EmailStore.merge(existing,
+            compact.withColumn("path", lit("")))).localCheckpoint()
           // distrust the index across the store mutation: a crash
           // between write(merged) and index.refresh must leave
           // exists=false (bootstrap rebuild) rather than a trusted
@@ -100,6 +100,30 @@ class PartitionedEmailStore(spark: SparkSession, root: String)
         } finally { batchKeys.unpersist(); () }
       }
     } finally { compact.unpersist(); () }
+  }
+
+  /** REHEARSAL fragmenter — rewrite every month into ~`groups` files.
+    * Since upserts cluster their writes by month (see
+    * [[clusterByMonth]]), a store maintained by THIS engine no longer
+    * fragments from a single rewrite; real fragmentation accumulates
+    * from many small batches over time (streaming ingest cadences,
+    * concurrent writers), which a fixture-scale rehearsal cannot
+    * afford to replay batch-by-batch. em73's compaction rehearsal and
+    * its specs call this to plant that accumulated state explicitly —
+    * content-invariant (same rows, same months, more files), so the
+    * oracle hash is untouched. */
+  def fragment(groups: Int): Unit = {
+    if (isEmpty) return
+    // explicit partition count: AQE coalesces a count-less repartition
+    // right back into few tasks — the opposite of what a fragmentation
+    // fixture needs
+    val frag = read()
+      .repartition(4 * groups,
+        expr(s"pmod(xxhash64(dedupe_key), $groups)"), col("date_month"))
+      // materialize BEFORE the overwrite deletes the source files
+      // (the same speculative-reread hazard as upsert's merge)
+      .localCheckpoint()
+    write(frag)
   }
 
   /** Data-file count per month partition — a driver-side metadata walk
@@ -219,12 +243,34 @@ class PartitionedEmailStore(spark: SparkSession, root: String)
     dropped.map(_.getName.stripPrefix("date_month=")).sorted.toSeq
   }
 
+  /** Cluster an upsert batch by its month before the partitioned
+    * write: without this every write task holds a slice of EVERY
+    * affected month and emits one file per (task, month) — #shuffle
+    * partitions × #months near-empty parquet files per upsert, whose
+    * footer/commit overhead dominates the write at any scale and whose
+    * tiny row groups shred later scans (the small-files rule). The
+    * AQE REBALANCE hint packs months to the advisory partition size —
+    * merging small months into shared tasks AND splitting a month
+    * larger than one task should hold — so file count tracks data
+    * volume, not task count. Content-invariant: same rows, same month
+    * partitions, fewer files. [[compact]] keeps its own explicit
+    * (month, file-group) packing and does NOT route through this. */
+  private def clusterByMonth(df: DataFrame): DataFrame =
+    df.withColumn("date_month", monthCol)
+      .hint("rebalance", col("date_month"))
+
   /** Dynamic partition overwrite: only partitions present in `df` are
     * replaced; everything else is left byte-identical on disk. */
-  private def write(df: DataFrame): Unit =
-    df.withColumn("date_month", monthCol)
+  private def write(df: DataFrame): Unit = {
+    // clusterByMonth already stamped date_month on the upsert paths;
+    // compact()'s pre-packed frame arrives without it
+    val withMonth =
+      if (df.columns.contains("date_month")) df
+      else df.withColumn("date_month", monthCol)
+    withMonth
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("date_month")
       .parquet(root)
+  }
 }

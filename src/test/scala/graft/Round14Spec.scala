@@ -18,7 +18,10 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
   private val d = "/root/testdata/sf0.001"
 
   /** Fresh month-partitioned store over the fixture corpus, months
-    * spread like em70/em73 so every month partition materializes. */
+    * spread like em70/em73 so every month partition materializes,
+    * then explicitly fragmented (upserts cluster their writes by
+    * month since round 16, so the many-small-batches state compaction
+    * exists for is planted via the store's rehearsal fragmenter). */
   private def freshStore(): (graft.store.PartitionedEmailStore, String) = {
     val docs = graft.query.FixtureCorpus.parsedDocs(spark, d)
       .withColumn("date",
@@ -28,6 +31,7 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
       .createTempDirectory("graft-em73-spec").toString
     val store = new graft.store.PartitionedEmailStore(spark, root + "/store")
     store.upsert(docs)
+    store.fragment(8)
     (store, root)
   }
 
