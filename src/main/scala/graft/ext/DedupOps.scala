@@ -98,6 +98,26 @@ object DedupOps {
     * cache_d70_window_index line item's own state). */
   private[graft] def clearWindowIndexes(): Unit = windowIndexes.clear()
 
+  /** The persisted substring-CLEANED corpus (d68's per-doc frame:
+    * doc_id, n_spans_cut, tokens_removed, clean_text) per
+    * (session, dir) — the release payload artifact, built once and
+    * served to d68 (presentation sort) and t85's release census
+    * (round-16: each was re-running the full d65 run-detection +
+    * span-merge + re-cut per call; the cache_ppl_scored shared-stage
+    * discipline, cost attributed in the cache_d70_window_index warm's
+    * `substring_clean` sub-build). */
+  private[graft] def substringCleanDir(s: SparkSession, d: String): String =
+    windowIndexes.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|sclean") {
+      dir =>
+        substringCleanDerive(s, d).write.mode("overwrite")
+          .parquet(s"$dir/clean")
+    }
+
+  private[graft] def substringCleanCached(s: SparkSession, d: String)
+      : DataFrame =
+    s.read.parquet(s"${substringCleanDir(s, d)}/clean")
+
   // the cached-frame builders are shared between the query sites and
   // warm(): warm re-stating the build expressions under the same keys
   // meant an edited query site could silently bench the stale
@@ -1913,10 +1933,16 @@ object DedupOps {
     substringCleanFrame(s, d).orderBy("doc_id")
 
   /** The UNORDERED per-doc cleaned frame (doc_id, n_spans_cut,
-    * tokens_removed, clean_text) — d68's whole apply without the
-    * presentation sort, shared by d68 and the release pipeline (t85),
-    * the pplScoreFrame/pplFilter split. */
+    * tokens_removed, clean_text), served from the persisted artifact
+    * ([[substringCleanDir]]) — shared by d68 and the release pipeline
+    * (t85), the pplScoredCached split. */
   private[graft] def substringCleanFrame(s: SparkSession, d: String)
+      : DataFrame =
+    substringCleanCached(s, d)
+
+  /** The from-scratch derive behind [[substringCleanDir]]: d65's run
+    * detection + span merge + the per-doc re-cut. */
+  private def substringCleanDerive(s: SparkSession, d: String)
       : DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("st", "en")

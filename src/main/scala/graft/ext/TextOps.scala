@@ -2028,23 +2028,80 @@ object TextOps {
   def dsirResample(s: SparkSession, d: String): DataFrame =
     dsirManifestFrame(s, d).orderBy("doc_id")
 
-  /** The UNORDERED t76 manifest — shared by t76 (presentation sort)
-    * and t80 (the apply step filters its `sampled` verdicts). */
+  /** The UNORDERED t76 manifest, served from the persisted selection
+    * artifact ([[dsirManifestDir]]) — shared by t76 (presentation
+    * sort), t80 (the apply step filters its verdicts), and the
+    * release tier's selection stage (t85/t87/e135). */
   private[graft] def dsirManifestFrame(s: SparkSession, d: String)
-      : DataFrame = {
-    // checkpoint: the weight frame feeds THREE consumers (the manifest
-    // rows, the normalization max, and the sketch's segment pass), and
-    // the references prune to different columns so ReuseExchange does
-    // not unify them — without this the corpus tokenizes three times
-    // per call (the t54 counts lesson; measured 3.3 s → ~2 s at sf0.1)
-    val w = dsirWeightFrame(s, d)
-      .select("doc_id", "lang", "w_micro").localCheckpoint()
-    val wmax = w.agg(max("w_micro").as("__wmax"))
-    val cut = dsirCutFrame(w)
-    dsirManifestStage(
-      w.crossJoin(broadcast(wmax)).crossJoin(broadcast(cut)),
-      col("__wmax"), col("cut_w"), col("cut_uid"))
-  }
+      : DataFrame =
+    s.read.parquet(s"${dsirManifestDir(s, d)}/manifest")
+
+  /** The persisted DSIR SELECTION artifacts per (session, dir): the
+    * smoothed log-ratio model table (≤ m+1 rows, `lr/`) and the full
+    * t76 manifest (|documents| rows, `manifest/`) — the whole derive
+    * pass (estimator, row-local scoring, normalization max, k85
+    * budget cutoff, both verdicts) materialized ONCE and served to
+    * every consumer of the selection tier: t76/t80/t85/t87's verdict
+    * reads and e125/e129/e135's frozen literal sidecars. The
+    * cache_ppl_scored discipline applied to the selection tier (the
+    * round-15 verdict's "audit the next-largest repeat offenders for
+    * the same shared-stage treatment") — its one-time cost is the
+    * attributed `cache_dsir_manifest` warm line item; t74 remains the
+    * honest from-scratch estimator+scorer entry. */
+  private[graft] def dsirManifestDir(s: SparkSession, d: String): String =
+    modelSegs.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|dsir-manifest") {
+      dir =>
+        dsirLr(s, d).write.mode("overwrite").parquet(s"$dir/lr")
+        // score with the model collected from the just-written lr
+        // table — one estimator pass feeds both artifacts
+        val model = dsirModelOf(s.read.parquet(s"$dir/lr"))
+        // checkpoint: the weight frame feeds THREE consumers (the
+        // manifest rows, the normalization max, and the sketch's
+        // segment pass), and the references prune to different columns
+        // so ReuseExchange does not unify them — without this the
+        // corpus tokenizes three times (the t54 counts lesson;
+        // measured 3.3 s → ~2 s at sf0.1)
+        val w = dsirScoreOf(documents(s, d), model)
+          .select("doc_id", "lang", "w_micro").localCheckpoint()
+        val wmax = w.agg(max("w_micro").as("__wmax"))
+        val cut = dsirCutFrame(w)
+        dsirManifestStage(
+          w.crossJoin(broadcast(wmax)).crossJoin(broadcast(cut)),
+          col("__wmax"), col("cut_w"), col("cut_uid"))
+          .write.mode("overwrite").parquet(s"$dir/manifest")
+    }
+
+  /** The [[dsirModel]] dense array served from the persisted lr table
+    * — the stream twins' (e125/e129/e135) sidecar pin, bit-identical
+    * to the per-call rebuild (same lr rows). */
+  private[graft] def dsirModelCached(s: SparkSession, d: String): Array[Long] =
+    dsirModelOf(s.read.parquet(s"${dsirManifestDir(s, d)}/lr"))
+
+  /** Targeted clear for the selection artifact alone (the warm
+    * re-time contract — see [[clearPplScored]]). */
+  def clearDsirManifest(): Unit = modelSegs.clearMatching("|dsir-manifest")
+
+  /** The full-corpus trained-tokenizer VOCABULARY (w, n) persisted per
+    * (session, dir) — the t66 merge induction's input, shared by the
+    * two entries that account a SUBSET corpus under the one trained
+    * tokenizer (t80's apply, t85's release census). Same attributed-
+    * warm discipline as [[dsirManifestDir]]. */
+  private[graft] def bpeVocabDir(s: SparkSession, d: String): String =
+    modelSegs.getOrBuild(
+      s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|bpe-vocab") {
+      dir =>
+        documents(s, d)
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$dir/vocab")
+    }
+
+  private[graft] def bpeVocabCached(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${bpeVocabDir(s, d)}/vocab")
+
+  /** Targeted clear for the vocabulary artifact alone. */
+  def clearBpeVocab(): Unit = modelSegs.clearMatching("|bpe-vocab")
 
   /** Oracle: re-derives the weights (t74's CTEs), the max-normalized
     * acceptance ppm, the md5 coin, and the ENTIRE fixed-schedule rank
@@ -2140,17 +2197,12 @@ object TextOps {
     * kept set, the full-corpus merge table, the greedy BPE fold, and
     * the ppm shares in SQL. */
   def resampleApply(s: SparkSession, d: String): DataFrame = {
-    // checkpointed: breaks the documents self-join lineage and feeds
-    // all four downstream consumers (two modes × words + doc census)
+    // both served from persisted artifacts (multi-consumer reads of
+    // parquet, no checkpoint needed): the selection manifest and the
+    // one trained tokenizer's full-corpus vocabulary
     val manifest = dsirManifestFrame(s, d)
-      .select("doc_id", "sampled", "budget_kept").localCheckpoint()
-    // the trained tokenizer's vocabulary (full corpus) is shared by
-    // both mode branches — checkpointed so the merge induction scans
-    // the corpus once, not once per mode
-    val vocabAll = documents(s, d)
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .select("doc_id", "sampled", "budget_kept")
+    val vocabAll = bpeVocabCached(s, d)
     val tw = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     def census(mode: String, pred: Column): DataFrame = {
@@ -2302,11 +2354,9 @@ object TextOps {
       .select("doc_id", "source", "clean_text")
       .localCheckpoint()
     // stage 5 — the release census (t80's accounting over CLEANED
-    // text, under the one full-corpus-trained tokenizer)
-    val vocabAll = documents(s, d)
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    // text, under the one full-corpus-trained tokenizer served from
+    // the persisted vocabulary artifact)
+    val vocabAll = bpeVocabCached(s, d)
     val words = rel
       .select(col("source"), explode(tokens(col("clean_text"))).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("freq"))

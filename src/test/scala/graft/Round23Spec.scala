@@ -71,6 +71,43 @@ class Round23Spec extends AnyFunSuite with SparkSpec {
     } finally Fs.deleteTree(root)
   }
 
+  test("the persisted DSIR selection artifact serves the same model and manifest the per-call derive computes") {
+    graft.ext.TextOps.clearDsirManifest()
+    graft.ext.TextOps.clearBpeVocab()
+    try {
+      // model: cached lr collect == from-scratch estimator collect
+      val cached = graft.ext.TextOps.dsirModelCached(spark, d)
+      val direct = graft.ext.TextOps.dsirModel(spark, d)
+      assert(java.util.Arrays.equals(cached, direct))
+      // manifest: artifact rows == the inline derive (re-run the exact
+      // pre-artifact pipeline here: score with the direct model, then
+      // the same wmax/cut/manifest stage)
+      val w = graft.ext.TextOps.dsirScoreOf(
+          graft.Tables.documents(spark, d), direct)
+        .select("doc_id", "lang", "w_micro").localCheckpoint()
+      val wmax = w.agg(max("w_micro").as("__wmax"))
+      val cut = graft.ext.TextOps.dsirCutFrame(w)
+      val inline = graft.ext.TextOps.dsirManifestStage(
+          w.crossJoin(broadcast(wmax)).crossJoin(broadcast(cut)),
+          col("__wmax"), col("cut_w"), col("cut_uid"))
+        .collect().map(_.toSeq).toSet
+      val served = graft.ext.TextOps.dsirManifestFrame(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(served == inline, "artifact manifest != inline derive")
+      // vocabulary artifact == the inline induction input
+      val vocabServed = graft.ext.TextOps.bpeVocabCached(spark, d)
+        .collect().map(_.toSeq).toSet
+      val vocabInline = graft.Tables.documents(spark, d)
+        .select(explode(graft.ext.TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSet
+      assert(vocabServed == vocabInline, "vocab artifact != inline")
+    } finally {
+      graft.ext.TextOps.clearDsirManifest()
+      graft.ext.TextOps.clearBpeVocab()
+    }
+  }
+
   test("prStepsTap at k equals a separate k-iteration run (g106's shared-chain identity)") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
