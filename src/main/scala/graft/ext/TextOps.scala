@@ -2597,8 +2597,38 @@ object TextOps {
     modelSegs.getOrBuild(
       s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|ppl-scored") {
       dir =>
-        pplScoreFrame(s, d).write.mode("overwrite").parquet(s"$dir/scored")
+        // the reference LM tables land in the same artifact: the
+        // stream twins (e127/e128/e130/e135) pin their vocab-bounded
+        // literal sidecars from here instead of re-running the
+        // reference aggregation per call, and the scoring pass below
+        // reads them back so the ref slice aggregates once, not once
+        // per model table
+        val (c2, c1, v) = pplRefLm(s, d)
+        c2.write.mode("overwrite").parquet(s"$dir/lm_c2")
+        c1.write.mode("overwrite").parquet(s"$dir/lm_c1")
+        v.write.mode("overwrite").parquet(s"$dir/lm_v")
+        val (c2r, c1r, vr) = pplRefLmCachedFrom(s, dir)
+        val bcast = DedupOps.estShingles(s, d) <= DedupOps.dictBroadcastCeiling
+        def dict(df: DataFrame): DataFrame =
+          if (bcast) broadcast(df) else df.hint("shuffle_hash")
+        pplScoredDocs(s, d,
+          pplScoreRows(bigramRows(s, d), c2r, c1r, vr, dict)
+            .select("doc_id", "lpm"))
+          .write.mode("overwrite").parquet(s"$dir/scored")
     }
+
+  private def pplRefLmCachedFrom(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    (s.read.parquet(s"$dir/lm_c2"), s.read.parquet(s"$dir/lm_c1"),
+      s.read.parquet(s"$dir/lm_v"))
+
+  /** The reference LM tables served from the persisted artifact —
+    * same rows as [[pplRefLm]] (Round22Spec pins the scored frame's
+    * artifact-serve ≡ direct-compute; these tables feed that same
+    * build). */
+  private[graft] def pplRefLmCached(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    pplRefLmCachedFrom(s, pplScoredDir(s, d))
 
   /** Serve the persisted scored frame (building it on first touch). */
   private[graft] def pplScoredCached(s: SparkSession, d: String): DataFrame =

@@ -1316,7 +1316,10 @@ object StreamingOps {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
-    val (c2r, c1r, vr) = graft.ext.TextOps.pplRefLm(spark, d)
+    // served from the persisted ppl-scored artifact's LM tables (same
+    // rows as the per-call reference aggregation; the derive cost is
+    // the attributed cache_ppl_scored warm)
+    val (c2r, c1r, vr) = graft.ext.TextOps.pplRefLmCached(spark, d)
     (c2r.as[(String, String, Long)].collect().toSeq.toDF("w1", "w2", "c2"),
       c1r.as[(String, Long)].collect().toSeq.toDF("w1", "c1"),
       vr.as[Long].collect().toSeq.toDF("v"))
