@@ -270,6 +270,13 @@ object Bench {
       ("cache_fixture_corpus",
         () => { graft.query.FixtureCorpus.store(spark, sfDir).count(); () },
         () => graft.query.FixtureCorpus.clear()),
+      // the g90/g107-shared GraphX thread assignment (ONE CC run, the
+      // cache_semantic_cc discipline) — placed after the fixture-corpus
+      // warm it reads, with a targeted clear
+      ("cache_email_threads",
+        () => { graft.graph.GraphOps.emailThreadAssignment(spark, sfDir)
+          .count(); () },
+        () => graft.graph.GraphOps.clearEmailThreads()),
       // em71's on-disk corpus + full ingest and s81's incremental index
       // build are cached per (session, dir) like the frames above —
       // timed here so their one-time cost is an attributed line item

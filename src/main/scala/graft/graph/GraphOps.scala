@@ -575,9 +575,22 @@ object GraphOps {
     * component = the decade's smallest doc_id (same digit count within
     * a decade → lexicographic min == numeric min). */
   def emailThreads(s: SparkSession, d: String): DataFrame =
-    EmailGraph.assignThreadIds(s, graft.query.FixtureCorpus.store(s, d))
-      .select(col("dedupe_key"), col("thread_id"))
-      .orderBy("dedupe_key")
+    emailThreadAssignment(s, d).orderBy("dedupe_key")
+
+  /** The (dedupe_key, thread_id) assignment cached per (session, dir)
+    * — ONE GraphX CC run shared by g90 (the listing) and g107 (the
+    * per-thread statistics), the cache_semantic_cc discipline (g103 +
+    * d62 share one CC run the same way); timed as the
+    * cache_email_threads warm line item. */
+  private[graft] def emailThreadAssignment(s: SparkSession, d: String)
+      : DataFrame =
+    frames.cached(s, d, "email_threads") {
+      EmailGraph.assignThreadIds(s, graft.query.FixtureCorpus.store(s, d))
+        .select(col("dedupe_key"), col("thread_id"))
+    }
+
+  private[graft] def clearEmailThreads(): Unit =
+    frames.drop("email_threads|")
 
   val emailThreadsSql: String =
     s"""${graft.query.FixtureCorpus.sqlPrelude}
@@ -605,8 +618,7 @@ object GraphOps {
     * rules without running a graph engine. */
   def threadStats(s: SparkSession, d: String): DataFrame = {
     val st = graft.query.FixtureCorpus.store(s, d)
-    val threads = EmailGraph.assignThreadIds(s, st)
-      .select(col("dedupe_key"), col("thread_id"))
+    val threads = emailThreadAssignment(s, d)
     st.select(col("dedupe_key"), col("from"), col("subject"), col("date"))
       .join(threads, Seq("dedupe_key"))
       .groupBy("thread_id")
