@@ -2065,6 +2065,17 @@ object SimilarityOps {
     0L -> "spark", 0L -> "query", 1L -> "filter", 1L -> "join",
     2L -> "hash", 2L -> "table", 3L -> "stream", 3L -> "window")
 
+  /** The fixed query set / its distinct vocabulary as frames — e108's
+    * stream prologue reads these next to the artifact sidecars. */
+  private[graft] def bm25QueryFrame(s: SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    bm25Queries.toDF("query_id", "term")
+  }
+
+  private[graft] def bm25QueryTerms: Seq[String] =
+    bm25Queries.map(_._2).distinct
+
   /** s85: BM25 keyword retrieval — top-5 documents per fixed two-term
     * query under Okapi BM25 (k1=1.2, b=0.75, Lucene-style
     * ln(1 + (N−df+0.5)/(df+0.5)) idf that never goes negative): the
@@ -2194,9 +2205,17 @@ object SimilarityOps {
     * ranking bit-for-bit (the s80 pattern applied to the SPARSE
     * tier, completing the hybrid stack's build-once/serve-many
     * story). */
-  def bm25Served(s: SparkSession, d: String): DataFrame = {
+  def bm25Served(s: SparkSession, d: String): DataFrame =
+    serveBm25From(s, bm25IndexDir(s, d),
+      sumDeltas = false, dropTombstones = false)
+
+  /** Build-or-get the persisted s87 index dir — also the source of
+    * e108's frozen df/stats sidecars (round 16: the stream twin was
+    * re-running the corpus tokenization per call to derive sidecars
+    * the served artifact already carries). */
+  private[graft] def bm25IndexDir(s: SparkSession, d: String): String = {
     val key = s"${org.apache.spark.sql.graft.Bridge.sessionUUID(s)}|$d|bm25"
-    val idx = indexBuildLock.synchronized {
+    indexBuildLock.synchronized {
       Option(savedIndexDirs.get(key)).getOrElse {
         val dir = java.nio.file.Files.createTempDirectory("graft-bm25-index")
         saveBm25Index(s, d, dir.toString)
@@ -2204,7 +2223,6 @@ object SimilarityOps {
         dir.toString
       }
     }
-    serveBm25From(s, idx, sumDeltas = false, dropTombstones = false)
   }
 
   /** The shared artifact read path behind every served-BM25 variant:

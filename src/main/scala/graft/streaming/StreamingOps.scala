@@ -1095,11 +1095,19 @@ object StreamingOps {
     val nIn = cachedCount(d, "doc_all") {
       spark.read.parquet(s"$d/documents.parquet").count()
     }
-    val (q, dfreq, stats) = graft.ext.SimilarityOps.bm25Sidecars(spark, d)
     // pin the sidecars as literal frames so micro-batches don't
-    // recompute them (bounded: |query vocab| + 1 rows)
-    val dfreqL = dfreq.as[(String, Long)].collect().toSeq.toDF("term", "df")
-    val statsL = stats.as[(Long, Long)].collect().toSeq
+    // recompute them (bounded: |query vocab| + 1 rows) — read from the
+    // persisted s87 index artifact instead of re-tokenizing the corpus
+    // (same values: the artifact's df/stats are the same aggregation
+    // over the same doc set, restricted here to the query vocabulary)
+    val q = graft.ext.SimilarityOps.bm25QueryFrame(spark)
+    val idx = graft.ext.SimilarityOps.bm25IndexDir(spark, d)
+    val terms = graft.ext.SimilarityOps.bm25QueryTerms
+    val dfreqL = spark.read.parquet(s"$idx/dfreq")
+      .filter(col("term").isin(terms: _*))
+      .as[(String, Long)].collect().toSeq.toDF("term", "df")
+    val statsL = spark.read.parquet(s"$idx/stats")
+      .as[(Long, Long)].collect().toSeq
       .toDF("n_docs", "sum_dl")
     val contribLog = drainToFileSink(spark, "e108", nIn) {
       graft.ext.SimilarityOps.bm25Contrib(
